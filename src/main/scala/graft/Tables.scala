@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (/root/repo/TESTDATA.md) plus shared exact-arithmetic helpers.
+  *
+  * Scale notes: every loader is a plain parquet scan so Catalyst can push
+  * filters and prune columns into the scan (verified via
+  * `.explain("formatted")` — `PushedFilters`/`ReadSchema`). At cluster scale
+  * the same code reads a partitioned table; nothing here assumes local mode.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read it as a raw nanosecond long
+    * (legacy.parquet.nanosAsLong) and truncate to microseconds — exactly
+    * what DuckDB does when it loads the same file, so oracle comparisons
+    * agree. Conversion is a codegen'd per-row expression; the scan still
+    * prunes/pushes normally.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Order-independent exact money sum: cast to DECIMAL before SUM so the
+    * aggregation is exact regardless of partial-aggregate merge order, then
+    * back to DOUBLE for a stable comparable value. The DuckDB oracle uses the
+    * literal same shape: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    * (Raw double sums differ between engines in the last ulps because the
+    * reduction order differs; decimals are associative.)
+    */
+  def moneySum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** SQL-side twin of [[moneySum]] for oracle strings. */
+  def moneySumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+}
