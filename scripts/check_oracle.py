@@ -11,6 +11,7 @@ compared exactly (floats: exact bit compare first, then report max abs diff).
 import json
 import math
 import sys
+from collections import Counter
 
 import duckdb
 
@@ -70,10 +71,17 @@ def main():
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
         else:
-            bad = [(a, b) for a, b in zip(exp_rows, got_rows) if a != b]
-            print(f"FAIL {name}: {len(bad)}/{len(exp)} rows differ; first:")
-            for a, b in bad[:3]:
-                print(f"  oracle: {a}\n  spark:  {b}")
+            # Diff as multisets: one shifted value would misalign a
+            # positional zip and print spurious pairs.
+            exp_c, got_c = Counter(exp_rows), Counter(got_rows)
+            only_exp = list((exp_c - got_c).elements())
+            only_got = list((got_c - exp_c).elements())
+            print(f"FAIL {name}: {len(only_exp)} oracle-only / "
+                  f"{len(only_got)} spark-only rows; first:")
+            for r in only_exp[:3]:
+                print(f"  oracle-only: {r}")
+            for r in only_got[:3]:
+                print(f"  spark-only:  {r}")
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)

@@ -10,7 +10,11 @@ object SparkEntry {
 
   /** Every driver-checkable query, grouped by module. */
   def registry: Seq[Q] =
-    graft.relational.Relational.all
+    graft.relational.Relational.all ++
+      graft.pipeline.DocPipeline.all ++
+      graft.text.TextAnalysis.all ++
+      graft.dedup.Dedup.all ++
+      graft.sim.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

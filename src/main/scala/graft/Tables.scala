@@ -25,15 +25,18 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read it as a raw nanosecond long
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds — exactly
-    * what DuckDB does when it loads the same file, so oracle comparisons
-    * agree. Conversion is a codegen'd per-row expression; the scan still
-    * prunes/pushes normally.
+    * (legacy.parquet.nanosAsLong) and truncate to microseconds with exact
+    * integer division (`div`, not `/` — double division loses ulps above
+    * 2^53 and ns epochs are 61-bit) — exactly what DuckDB does when it
+    * loads the same file, so oracle comparisons agree. The flag is also set
+    * in every session builder (Smoke/Verify/Bench/test fixture); setting it
+    * here too keeps the loader order-independent. Only `events` stores
+    * nanos, so the flag cannot change any other table's schema.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

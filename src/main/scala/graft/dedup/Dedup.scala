@@ -1,0 +1,254 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for training-data pipelines over `documents` and
+  * `embeddings`: exact (hash groupBy), n-gram Jaccard (blocked pair
+  * verification), MinHash+LSH (the at-scale candidate generator), SimHash
+  * (pigeonhole-blocked Hamming pairs), and embedding-cosine near-dup.
+  *
+  * Scale design: every pairwise operator here is *blocked* — pairs are only
+  * generated inside a join on a small candidate key (language × length band,
+  * LSH band hash, or SimHash chunk), never via an unblocked cross join. The
+  * blocked self-join shuffles both sides on the block key once; within a
+  * block the comparison is a cheap long-array intersect or popcount. At
+  * 100 TB the block key keeps per-task pair counts bounded, and skewed
+  * blocks are split by AQE skew-join handling.
+  *
+  * The reference (d-smith/sfs3-kinesis) has no dedup surface; its nearest
+  * analog is completion-dedup of txn state (SURVEY.md §2.a R11/R14,
+  * svckinesis.js:90-106) — the streaming module covers that. This module is
+  * the BASELINE.json north-star extension.
+  */
+object Dedup {
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct word-3-gram shingles as strings (oracle-comparable form). */
+  def shingles(c: Column): Column = {
+    val w = words(c)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** Shingle sets as xxhash64 longs — same set sizes as [[shingles]] modulo
+    * 64-bit collisions (~1e-13 at this cardinality), ~10× cheaper to
+    * intersect at scale. */
+  def shingleHashes(c: Column): Column =
+    array_distinct(transform(shingles(c), s => xxhash64(s)))
+
+  private val shinglesSql =
+    """CASE WHEN LEN(w) >= 3
+      |  THEN list_distinct(list_transform(range(1, LEN(w) - 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |  ELSE [array_to_string(w, ' ')] END""".stripMargin
+
+  /** q40: exact deduplication — hash groupBy on the full text. Input models
+    * a recrawl: the corpus unioned with a second copy in which every 10th
+    * document was edited; dedup keeps the smallest doc_id per distinct text
+    * and reports the copy count. One shuffle on the text hash; at scale the
+    * groupBy key would be the md5/xxhash of the text (same plan shape). */
+  val q40DedupExact: Q = Q(
+    "q40_dedup_exact",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM corpus GROUP BY text
+      |ORDER BY keep_id""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val recrawl = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    docs.unionAll(recrawl)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** q41: n-gram Jaccard near-dup pairs — the exact verifier. Pairs are
+    * blocked on (lang, length band); within a block the true Jaccard of the
+    * 3-gram shingle sets is computed on hashed shingles and pairs ≥ 0.5
+    * survive. The oracle runs the identical blocking on string shingles, so
+    * the driver check is exact. At scale this runs AFTER the MinHash-LSH
+    * candidate filter (q42) rather than over all blocked pairs. */
+  val q41DedupJaccard: Q = Q(
+    "q41_dedup_jaccard",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS band,
+       |    string_split_regex(text, '\\s+') AS w
+       |  FROM documents),
+       |sh AS (SELECT doc_id, lang, band, $shinglesSql AS s FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) AS jac
+       |FROM sh a JOIN sh b
+       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).as("band"),
+      shingleHashes(col("text")).as("s"))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("band"), col("s").as("sa"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("band"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
+    a.join(b, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash + LSH (q42) ------------------------------------------------
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+  /** 16-permutation MinHash signature over pre-hashed shingles:
+    * sig_j = min over shingle hashes h of xxhash64(j, h). Re-hashing the
+    * 8-byte shingle hash (not the shingle string) keeps the expression tree
+    * compact and the per-seed pass cheap — still a valid minhash family.
+    * Per-row, zero-shuffle. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map { j =>
+      array_min(transform(sh, h => xxhash64(lit(j), h)))
+    }: _*)
+
+  /** q42: MinHash+LSH near-dup pairs — the at-scale candidate path:
+    * signature (narrow) → explode one row per band (4×) → shuffle on
+    * (band_id, band_hash) → same-bucket pairs → verify true Jaccard ≥ 0.5.
+    * Only same-bucket pairs are ever materialized, so the join cost is
+    * proportional to true collisions, not corpus². Hash values are
+    * engine-specific → rows-only driver check; DedupSpec pins semantics
+    * (finds every identical-shingle-set pair; verified pairs ⊆ q41's). */
+  val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
+    val rowsPerBand = NumHashes / NumBands
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sb0"))
+    val cand = a.join(b, Seq("band_id", "band_hash"))
+    val inter = size(array_intersect(col("sa"), col("sb0"))).cast("double")
+    val jac = inter / (size(col("sa")) + size(col("sb0")) - inter)
+    cand.filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb0"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash (q43) ------------------------------------------------------
+  val SimhashChunks = 4 // 16 bits each; hamming ≤ 3 ⇒ some chunk equal
+
+  /** 64-bit SimHash over token xxhash64s: bit j is set iff more than half
+    * the tokens have bit j set in their hash. The 64 bit-majorities are
+    * unrolled at plan-build time (shift amounts must be literals); disjoint
+    * bit contributions sum without carries, so the adds are exact (and the
+    * sign bit, added as Long.MinValue, can never trip ANSI overflow checks
+    * because negative+positive never overflows). Per-row, zero-shuffle. */
+  def simhashFromHashes(th: Column, nTok: Column): Column =
+    (0 until 64).map { j =>
+      val cnt = size(filter(th, h => shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1L))
+      when(cnt * 2 > nTok, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhash(text: Column): Column = {
+    val th = transform(words(text), w => xxhash64(w))
+    simhashFromHashes(th, size(th))
+  }
+
+  /** q43: SimHash near-dup pairs at Hamming distance ≤ 3. Pigeonhole
+    * blocking: the 64-bit signature splits into 4×16-bit chunks; two
+    * signatures within Hamming 3 must agree on ≥1 chunk, so candidate pairs
+    * come from equi-joins on (chunk_id, chunk_value) only — no quadratic
+    * scan — then popcount(xor) verifies. Hash-seeded → rows-only check;
+    * DedupSpec pins the Hamming guarantee. */
+  val q43DedupSimhash: Q = Q.rowsOnly("q43_dedup_simhash") { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("sig"))
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until SimhashChunks).map { c =>
+        struct(lit(c).as("chunk_id"),
+          (shiftrightunsigned(col("sig"), c * 16) % 65536).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.chunk_id"), col("ch.chunk_val"))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- Embedding cosine near-dup (q44) -----------------------------------
+  /** Cosine similarity of two double arrays — sequential left fold matching
+    * the oracle's evaluation order; last-ulp noise is killed by rounding at
+    * the call sites. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / sqrt(na * nb)
+  }
+
+  /** q44: embedding-cosine near-duplicate pairs, blocked by cluster label
+    * (the coarse-quantizer cell at scale — an IVF-style prefilter: only
+    * same-cell pairs are compared; the cross join is label-blocked and the
+    * label side is tiny so AQE broadcasts). Rounded cosine ≥ 0.35. */
+  val q44DedupEmbed: Q = Q(
+    "q44_dedup_embed",
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
+    q43DedupSimhash, q44DedupEmbed)
+}

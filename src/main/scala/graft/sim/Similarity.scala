@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.dedup.Dedup.cosine
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths, mirroring production vector-search architecture:
+  *  - **Brute-force top-k (q50)** — the exact baseline: broadcast the (small)
+  *    query set against the corpus, codegen'd higher-order-function cosine,
+  *    per-query top-k via ranking window. Linear in corpus size with perfect
+  *    scan parallelism; the right answer when the query set is small and a
+  *    full pass is affordable (or as the re-rank stage below).
+  *  - **LSH-bucketed ANN (q51)** — the scale path: random-hyperplane
+  *    signatures (sign of dot with fixed pseudo-random planes) bucket the
+  *    corpus; queries probe only their own buckets across L signature
+  *    tables, then exact-cosine re-rank inside the candidate set. Corpus
+  *    side is computed once (narrow), the probe is an equi-join on
+  *    (table_id, signature) — no linear scan per query.
+  *
+  * The reference has no similarity surface (SURVEY.md §2.b north-star).
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private val K = 5
+  private val NumQueries = 8 // queries = vec_id < 8
+
+  /** q50: exact brute-force cosine top-k per query vector. Cosine is rounded
+    * to 6dp before ranking so Spark and DuckDB order identical values
+    * (ties broken by vec_id). */
+  val q50KnnBrute: Q = Q(
+    "q50_knn_brute",
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+       |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, label, cos, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),
+        col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- random-hyperplane LSH ----------------------------------------------
+  val NumTables = 4 // L signature tables
+  val BitsPerTable = 8 // 8-bit signatures → ~corpus/256 candidates per probe
+  val Dim = 64
+
+  /** Fixed pseudo-random hyperplanes (seeded — the same planes on every
+    * executor and every run), shipped into the plan as ONE nested-array
+    * literal so the sign-bit computation is a compact pair of higher-order
+    * functions, not a 2048-term unrolled expression (which blows up codegen
+    * compile time — measured 28 s of fixed overhead on the unrolled form). */
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumTables * BitsPerTable)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign bits of v against every hyperplane: array<long> of 0/1, length
+    * NumTables*BitsPerTable. */
+  private def signBits(v: Column): Column =
+    transform(typedLit(hyperplanes), p =>
+      when(aggregate(zip_with(v, p, (x, w) => x * w), lit(0.0), (acc, x) => acc + x) > 0,
+        lit(1L)).otherwise(lit(0L)))
+
+  /** All (table_id, signature) probes from a materialized bit array: the
+    * bits sliced into per-table groups, each packed into a long. Takes the
+    * bit column (not the vector) so callers compute [[signBits]] once. */
+  private def probes(bits: Column): Column =
+    array((0 until NumTables).map { t =>
+      struct(lit(t).as("table_id"),
+        aggregate(slice(bits, t * BitsPerTable + 1, BitsPerTable),
+          lit(0L), (acc, b) => acc * 2 + b).as("sig"))
+    }: _*)
+
+  /** q51: ANN top-k via LSH buckets + exact re-rank. Candidates are the
+    * union over L tables of same-bucket vectors; the exact cosine then
+    * ranks them. Approximate (bucket-dependent) → rows-only driver check;
+    * SimilaritySpec pins recall ≥ 0.5 against q50 on the test corpus. */
+  val q51AnnLsh: Q = Q.rowsOnly("q51_ann_lsh") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("bits", signBits(col("v")))
+    val corpus = e.select(col("vec_id"), col("label"), col("v"),
+      explode(probes(col("bits"))).as("p"))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("p.table_id"), col("p.sig"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probes(col("bits"))).as("p"))
+      .select(col("query_id"), col("qv"), col("p.table_id"), col("p.sig"))
+    val cand = broadcast(queries).join(corpus, Seq("table_id", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        col("label"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),
+        col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh)
+}

@@ -1,0 +1,214 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * All operators are per-document (narrow, zero-shuffle, whole-stage
+  * codegen'd builtin expressions — no UDFs), so they scale linearly with
+  * input partitions; only the explicit aggregations (top-terms) shuffle,
+  * and those shuffle pre-aggregated partial maps, not raw tokens.
+  *
+  * The reference (d-smith/sfs3-kinesis) contains no text processing — this
+  * module is the north-star extension surface (SURVEY.md §2.b) mandated by
+  * BASELINE.json.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the shared building block. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** BPE-ish subword-count proxy: alpha runs, digit runs, and any other
+    * non-space symbol each count as one token (the common pre-tokenizer
+    * regex shape). */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** q60: per-document token statistics — whitespace tokens, distinct
+    * tokens, BPE-ish tokens, chars-per-token. */
+  val q60TextTokens: Q = Q(
+    "q60_text_tokens",
+    """SELECT doc_id,
+      |  LEN(string_split_regex(text, '\s+')) AS n_tokens,
+      |  LEN(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct,
+      |  LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
+      |  CAST(LENGTH(text) AS DOUBLE) / LEN(string_split_regex(text, '\s+')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      bpeishCount(col("text")).cast("long").as("n_bpeish"),
+      (length(col("text")).cast("double") / size(t)).as("chars_per_token"),
+    ).orderBy(col("doc_id"))
+  }
+
+  /** q61: corpus top-terms — explode tokens, partial-aggregate per
+    * partition, final top-k. The shuffle carries (token, partial_count)
+    * pairs, never raw token streams; top-k is TakeOrderedAndProject (no
+    * global sort) — the plan survives a 100× corpus. */
+  val q61TopTerms: Q = Q(
+    "q61_top_terms",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+      |GROUP BY tok
+      |ORDER BY n DESC, tok
+      |LIMIT 20""".stripMargin,
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** Quality heuristics (C4/Gopher-style): length, mean word length,
+    * stopword ratio, non-alpha ratio, repetition (distinct/total tokens). */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** q62: per-document quality scoring. A composite keep/drop flag mirrors
+    * the usual pretraining filters (doc length in band, some stopwords,
+    * low repetition). */
+  val q62Quality: Q = Q(
+    "q62_text_quality",
+    s"""SELECT doc_id, lang, n_chars,
+       |  LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+       |  CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+       |        t -> list_contains(${stopwords.mkString("['", "','", "']")}, t))) AS DOUBLE)
+       |    / LEN(string_split_regex(text, '\\s+')) AS stopword_ratio,
+       |  CAST(LEN(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+       |    / LEN(string_split_regex(text, '\\s+')) AS distinct_ratio,
+       |  CAST(LENGTH(regexp_replace(text, '[a-z\\s]', '', 'g')) AS DOUBLE)
+       |    / LENGTH(text) AS nonalpha_ratio,
+       |  (n_chars BETWEEN 100 AND 500)
+       |    AND LEN(list_filter(string_split_regex(text, '\\s+'),
+       |          t -> list_contains(${stopwords.mkString("['", "','", "']")}, t))) > 0
+       |    AND CAST(LEN(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+       |      / LEN(string_split_regex(text, '\\s+')) > 0.2 AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val t = tokens(col("text"))
+    val sw = lit(stopwords.toArray)
+    // occurrence-counting (not array_intersect, which would dedup) to match
+    // the oracle's list_filter/list_contains form:
+    val stopCount = size(filter(t, tok => array_contains(sw, tok)))
+    val distinctRatio = size(array_distinct(t)).cast("double") / size(t)
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      size(t).cast("long").as("n_tokens"),
+      (stopCount.cast("double") / size(t)).as("stopword_ratio"),
+      distinctRatio.as("distinct_ratio"),
+      (length(regexp_replace(col("text"), "[a-z\\s]", "")).cast("double") /
+        length(col("text"))).as("nonalpha_ratio"),
+      (col("n_chars").between(100, 500) && stopCount > 0 && distinctRatio > 0.2)
+        .as("keep"),
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Language-ID profiles: tiny per-language marker-token sets (an n-gram
+    * profile reduced to its most discriminative unigrams — the classic
+    * textcat heuristic at vocabulary scale). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "est"),
+  )
+
+  /** q63: heuristic language identification — score each language profile
+    * by marker-occurrence count over the token stream, predict the argmax
+    * (ties broken by profile order), with a confidence ratio. On this
+    * synthetic corpus (shared vocabulary) the prediction is mostly 'und' —
+    * the operator's mechanics (profile scoring, deterministic argmax) are
+    * what's exercised; the spec covers real-text behavior. */
+  val q63LangId: Q = Q(
+    "q63_text_langid",
+    {
+      val scoresSql = langMarkers.map { case (l, ms) =>
+        s"LEN(list_filter(string_split_regex(text, '\\s+'), t -> list_contains(${ms.mkString("['", "','", "']")}, t))) AS s_$l"
+      }.mkString(",\n  ")
+      val best = langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val pick = langMarkers.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |  $scoresSql
+         |FROM documents),
+         |best_t AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN best = 0 THEN 'und' ELSE $pick END AS predicted_lang,
+         |  best AS best_score
+         |FROM best_t ORDER BY doc_id""".stripMargin
+    },
+  ) { (s, d) =>
+    val t = tokens(col("text"))
+    val scored = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ms) =>
+        size(filter(t, tok => array_contains(lit(ms.toArray), tok))).as(s"s_$l")
+      }): _*)
+    val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    // first matching profile wins (en before es …), mirroring the oracle's
+    // CASE arm order:
+    val pickFirst = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) => when(col(s"s_$l") === col("best"), l).otherwise(acc)
+    }
+    scored.withColumn("best", best)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(col("best") === 0, "und").otherwise(pickFirst).as("predicted_lang"),
+        col("best").cast("long").as("best_score"),
+      ).orderBy(col("doc_id"))
+  }
+
+  /** q64: document fingerprinting — md5 content hash of the
+    * whitespace-normalized text plus a coarse structural fingerprint
+    * (length band × leading token), the join key shape used for
+    * fingerprint-based dedup at corpus scale. */
+  val q64Fingerprint: Q = Q(
+    "q64_text_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(text, '\s+', ' ', 'g')) AS content_md5,
+      |  CONCAT(CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) AS VARCHAR), ':',
+      |         string_split_regex(text, '\s+')[1]) AS coarse_fp
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(col("text"), "\\s+", " ")).as("content_md5"),
+      concat(floor(col("n_chars") / 100).cast("long").cast("string"), lit(":"),
+        element_at(tokens(col("text")), 1)).as("coarse_fp"),
+    ).orderBy(col("doc_id"))
+  }
+
+  /** q65: rolling-hash (Rabin-Karp style) shingle fingerprints — the
+    * winnowing building block. Hash values are engine-specific (xxhash64
+    * seeds do not exist in DuckDB) → rows-only driver check; exact semantics
+    * are pinned by TextAnalysisSpec. Emits the min-hash-per-document of the
+    * 5-gram shingle hashes: a 1-permutation minhash sketch. */
+  val q65RollingHash: Q = Q.rowsOnly("q65_text_rollinghash") { (s, d) =>
+    val t = tokens(col("text"))
+    val n = 5
+    // shingles: sliding word 5-grams via transform over an index range;
+    // docs shorter than n tokens fall back to one whole-doc shingle (ANSI
+    // mode would throw on an out-of-range element_at)
+    val sh = when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array(concat_ws(" ", t)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_min(transform(sh, s0 => xxhash64(s0))).as("min_shingle_hash"),
+      size(sh).cast("long").as("n_shingles"),
+    ).orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
+    q64Fingerprint, q65RollingHash)
+}
