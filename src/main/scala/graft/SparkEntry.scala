@@ -14,7 +14,10 @@ object SparkEntry {
       graft.pipeline.DocPipeline.all ++
       graft.text.TextAnalysis.all ++
       graft.dedup.Dedup.all ++
-      graft.sim.Similarity.all
+      graft.sim.Similarity.all ++
+      graft.streaming.Streaming.all ++
+      graft.multimodal.Multimodal.all ++
+      graft.relational.Relational2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

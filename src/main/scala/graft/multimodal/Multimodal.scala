@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus
+  * decode / feature-extract / frame-sample operators.
+  *
+  * Spark-side design (the part that must be real at 100 TB):
+  *  - payloads travel as `BinaryType` columns in parquet — columnar,
+  *    splittable, prunable; metadata is a sibling `StructType` so filters
+  *    on (kind, n_bytes, …) push down WITHOUT touching payload bytes;
+  *  - per-item decode/feature work is per-row and narrow — no shuffle; a
+  *    partition processes its payloads in place exactly like a
+  *    `mapInPandas`/`mapPartitions` batch would;
+  *  - frame sampling turns one payload row into N frame rows via a
+  *    `transform`+`explode` — the generate is sized by metadata before any
+  *    byte is copied.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] derives deterministic fake
+  * width/height/channels from the payload bytes. Everything around the
+  * stub — schema, pushdown, batch shape, frame explode — is real and
+  * oracle-checked. Payloads here are synthesized from `documents.text`
+  * (`CAST(text AS BINARY)` ≡ DuckDB `encode(text)`), so the driver can
+  * verify byte-level semantics.
+  *
+  * The reference has no multimodal surface (north-star extension,
+  * SURVEY.md §2.b).
+  */
+object Multimodal {
+
+  val FrameBytes = 32 // fake "frame" stride for the sampler
+
+  /** The media table: payload + typed metadata, derived deterministically
+    * from documents. */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("lang").as("source_lang"),
+      ).as("meta"),
+    )
+
+  /** STUB decoder — deterministic fake dimensions from payload bytes
+    * (xxhash64-derived). A real deployment swaps ONLY this function for a
+    * JNI/library call; the schema and plan shape stay identical. */
+  def decodeStub(payload: Column): Column = struct(
+    (pmod(xxhash64(payload), lit(1920)) + 1).cast("int").as("width"),
+    (pmod(xxhash64(payload, lit(1)), lit(1080)) + 1).cast("int").as("height"),
+    lit(3).as("channels"),
+  )
+
+  /** Frame sampler: every FrameBytes-th slice of the payload becomes one
+    * frame row (frame_no, frame_bytes). Count is derived from metadata —
+    * the explode is sized without reading payload bytes. */
+  def sampleFrames(df: DataFrame): DataFrame = {
+    val nFrames = ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int")
+    df.withColumn("frame_no",
+        explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_bytes",
+        expr(s"substring(payload, frame_no * $FrameBytes + 1, $FrameBytes)"))
+  }
+
+  /** q70: metadata + stub-decode features per media item — binary length,
+    * a base64 header fingerprint (first 8 bytes), frame count. Exercises
+    * binary slicing/encoding byte-for-byte against DuckDB's blob
+    * functions. */
+  val q70MultimodalMeta: Q = Q(
+    "q70_multimodal_meta",
+    s"""SELECT doc_id AS media_id,
+       |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  to_base64(encode(substring(text, 1, 8))) AS header_b64,
+       |  CAST(CEIL(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT) AS n_frames
+       |FROM documents ORDER BY media_id""".stripMargin,
+  ) { (s, d) =>
+    media(s, d).select(
+      col("media_id"),
+      col("meta.kind").as("kind"),
+      col("meta.n_bytes").as("n_bytes"),
+      base64(expr("substring(payload, 1, 8)")).as("header_b64"),
+      ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("long").as("n_frames"),
+    ).orderBy(col("media_id"))
+  }
+
+  /** q71: frame sampling + per-frame feature (byte checksum) aggregated
+    * back per item — the decode-then-pool pattern of a video/audio feature
+    * pipeline. The oracle reproduces frames with a range unnest. */
+  val q71FrameSample: Q = Q(
+    "q71_frame_sample",
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    octet_length(encode(text)) AS n_bytes FROM documents),
+       |frames AS (
+       |  SELECT media_id,
+       |    unnest(range(0, CAST(CEIL(n_bytes / $FrameBytes.0) AS BIGINT))) AS frame_no,
+       |    n_bytes
+       |  FROM m)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(LEAST($FrameBytes, n_bytes - frame_no * $FrameBytes)) AS BIGINT) AS total_bytes
+       |FROM frames GROUP BY media_id
+       |ORDER BY media_id""".stripMargin,
+  ) { (s, d) =>
+    sampleFrames(media(s, d))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).as("total_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[Q] = Seq(q70MultimodalMeta, q71FrameSample)
+}

@@ -1,0 +1,262 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.Tables.{moneySum, moneySumSql}
+
+/** Second relational wave (SURVEY.md §2.b rows not covered by Relational):
+  * as-of join, GROUPING SETS, pivot, lateral explode with ordinality, full
+  * outer join, range (interval) join, scalar + correlated subqueries,
+  * statistical aggregates, exact percentiles, and ordered string
+  * aggregation.
+  */
+object Relational2 {
+
+  /** q80: AS-OF join — for each purchase event, the user's most recent
+    * prior-or-equal click. Spark has no asof operator, so this uses the
+    * scalable union-and-carry-forward idiom: tag both streams, sort within
+    * user by (ts, clicks-first), carry the last click forward with
+    * last(ignoreNulls) — ONE shuffle on user_id, no range-explosion,
+    * unlike a naive theta join (which is O(clicks×purchases) per user).
+    * The oracle is DuckDB's native ASOF JOIN. */
+  val q80AsofJoin: Q = Q(
+    "q80_asof_join",
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts_src"))
+    // clicks sort before purchases at identical ts (asof is >=, inclusive)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_ts", last(col("click_ts_src"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q81: explicit GROUPING SETS (beyond rollup/cube): totals by
+    * (status, priority), by status alone, and grand total — with
+    * GROUPING() flags disambiguating real NULLs from subtotal rows. */
+  val q81GroupingSets: Q = Q(
+    "q81_grouping_sets",
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       |  GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS grouping_level,
+       |  COUNT(*) AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY grouping_level, o_orderstatus, o_orderpriority""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+         |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT)
+         |    AS grouping_level,
+         |  COUNT(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS total_price
+         |FROM orders_v
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY grouping_level, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** q82: pivot — event counts per user bucket × event type, value columns
+    * named by the pivoted key (oracle: conditional aggregation). */
+  val q82Pivot: Q = Q(
+    "q82_pivot",
+    """SELECT user_id % 10 AS user_bucket,
+      |  COUNT(*) FILTER (event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (event_type = 'error')    AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (event_type = 'view')     AS view
+      |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+  }
+
+  /** q83: lateral view / posexplode with ordinality — one row per token
+    * with its position, for the first part names (bounded; generators at
+    * scale are sized by the filter BEFORE exploding). */
+  val q83Posexplode: Q = Q(
+    "q83_posexplode",
+    """SELECT p_partkey,
+      |  generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos,
+      |  unnest(string_split(p_name, ' ')) AS tok
+      |FROM part WHERE p_partkey < 100
+      |ORDER BY p_partkey, pos""".stripMargin,
+  ) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy(col("p_partkey"), col("pos"))
+  }
+
+  /** q84: FULL OUTER join — customer vs supplier account balance per
+    * nation; nations present on only one side survive with NULL-coalesced
+    * totals. */
+  val q84FullOuter: Q = Q(
+    "q84_full_outer",
+    s"""WITH c AS (SELECT c_nationkey AS nk, ${moneySumSql("c_acctbal")} AS cust_bal,
+       |    COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+       |s AS (SELECT s_nationkey AS nk, ${moneySumSql("s_acctbal")} AS supp_bal,
+       |    COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+       |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       |  COALESCE(cust_bal, 0.0) AS cust_bal, COALESCE(n_cust, 0) AS n_cust,
+       |  COALESCE(supp_bal, 0.0) AS supp_bal, COALESCE(n_supp, 0) AS n_supp
+       |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+       |ORDER BY nationkey""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("cnk"))
+      .agg(moneySum(col("c_acctbal")).as("cust_bal"), count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(moneySum(col("s_acctbal")).as("supp_bal"), count(lit(1)).as("n_supp"))
+    c.join(sup, col("cnk") === col("snk"), "full_outer")
+      .select(
+        coalesce(col("cnk"), col("snk")).cast("int").as("nationkey"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q85: range (interval) join — events bucketed into value bands defined
+    * by a small ranges table (derived from nation keys). The band table is
+    * broadcast; the range predicate runs as a broadcast nested-loop join —
+    * the right plan when one side is tiny. */
+  val q85RangeJoin: Q = Q(
+    "q85_range_join",
+    """WITH bands AS (
+      |  SELECT n_nationkey AS band_id,
+      |    n_nationkey * 20.0 AS lo, (n_nationkey + 1) * 20.0 AS hi
+      |  FROM nation)
+      |SELECT band_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin,
+  ) { (s, d) =>
+    val bands = Tables.nation(s, d)
+      .select(col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        ((col("n_nationkey") + 1) * 20.0).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .select(col("band_id").cast("int").as("band_id"), col("n_events"), col("total_value"))
+      .orderBy(col("band_id"))
+  }
+
+  /** q86: scalar + correlated subqueries — customers whose balance exceeds
+    * their nation's average (correlated agg subquery decorrelated by
+    * Catalyst into a join). */
+  val q86Subqueries: Q = Q(
+    "q86_subqueries",
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) + 4000 FROM customer c2
+      |                   WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer_v c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) + 4000 FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q87: statistical aggregates — correlation, sample stddev/variance,
+    * covariance of price vs quantity per return flag (rounded to absorb
+    * accumulation-order ulps). */
+  val q87Stats: Q = Q(
+    "q87_stats",
+    """SELECT l_returnflag,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      |  ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
+      |  ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+      |  ROUND(COVAR_SAMP(l_quantity, l_tax), 6) AS qty_tax_covar
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(var_samp(col("l_discount")), 6).as("disc_var"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("qty_tax_covar"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q88: exact percentiles (linear interpolation) of order totals per
+    * priority — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  val q88Percentiles: Q = Q(
+    "q88_percentiles",
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.50)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q89: ordered string aggregation (collect + sort inside the group —
+    * deterministic regardless of partial-agg merge order). */
+  val q89StringAgg: Q = Q(
+    "q89_string_agg",
+    """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin,
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("n_customers"))
+      .select(col("c_nationkey").cast("int").as("c_nationkey"), col("segments"),
+        col("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
+    q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
+    q89StringAgg)
+}

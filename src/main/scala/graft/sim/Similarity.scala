@@ -67,7 +67,7 @@ object Similarity {
 
   // ---- random-hyperplane LSH ----------------------------------------------
   val NumTables = 4 // L signature tables
-  val BitsPerTable = 8 // 8-bit signatures → ~corpus/256 candidates per probe
+  val BitsPerTable = 6 // 6-bit signatures → ~corpus/64 candidates per probe-table
   val Dim = 64
 
   /** Fixed pseudo-random hyperplanes (seeded — the same planes on every

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Structured-Streaming re-expression of the reference's stream operators
+  * (SURVEY.md §2.a R10–R14, §2.b streaming rows).
+  *
+  * The reference consumes a Kinesis stream with a hand-rolled micro-batch
+  * loop — shard discovery, `getShardIterator(LATEST)`, `getRecords` with
+  * `Limit: 5` every 1500 ms, manually threading `NextShardIterator`
+  * (svcsample/svckinesis.js:188-248) — and correlates records against an
+  * in-memory pending map (svckinesis.js:173-185). Structured Streaming
+  * subsumes the whole loop: the source handles discovery/iterators/rate
+  * limits, checkpointing replaces iterator threading, and keyed state
+  * replaces the maps (SURVEY.md §4).
+  *
+  * Here the Kinesis stand-in is the file source over the events table (a
+  * real Kinesis connector is a `.format` swap — the query bodies are
+  * source-agnostic). Driver-checkable queries run with
+  * `Trigger.AvailableNow` into a memory sink and are verified against the
+  * batch-equivalent DuckDB SQL: the streaming plans (stateful window aggs,
+  * stream dedup, stream-static join) must converge to the batch answer on
+  * a bounded input — exactly-once semantics made testable. Watermark
+  * eviction and state timeouts (R13) are wall-clock/multi-batch behaviors
+  * with no batch oracle; StreamingSpec pins those with MemoryStream.
+  */
+object Streaming {
+
+  /** Raw schema of events.parquet (ts as nanosecond long — see
+    * Tables.events). File sources require an explicit schema. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** R10: the stream source. `maxFilesPerTrigger` is the rate-limit analog
+    * of the reference's `Limit: 5` (svckinesis.js:193); `AvailableNow` is
+    * the bounded run used by the driver check — a live deployment would use
+    * `Trigger.ProcessingTime("1500 milliseconds")` to mirror the
+    * reference's poll cadence (svckinesis.js:209-211). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      // brace-glob so the source's basePath resolves to the directory (a
+      // bare file path fails with "'basePath' must be a directory")
+      .parquet(s"$d/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a (bounded) streaming query to completion into a memory sink and
+    * return the sink table. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    s.catalog.dropTempView(name) // idempotent re-runs within one session
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** q30: streaming tumbling-window dashboard (R17 — the CloudWatch
+    * execution-count/latency widgets as a real query, dashboard.yml:14-57):
+    * 1-day event-time windows × event_type, counts + exact value sum.
+    * Complete mode: state is the window×type aggregate only (bounded by the
+    * time range, not the event count), so at 100 TB/day the state stays
+    * tiny while the input streams through. */
+  val q30StreamWindowCounts: Q = Q(
+    "q30_stream_window_counts",
+    """SELECT DATE_TRUNC('day', ts) AS win_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin,
+  ) { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Tables.moneySum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    runToTable(s, agg, "q30_sink", "complete")
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** q31: union of two sources + streaming dedup (R14 — the reference's
+    * transition buffer covering txns in flight across its two delivery
+    * paths, svckinesis.js:72-78,139-152). Two reads of the stream stand in
+    * for the two sources; `dropDuplicates(event_id)` on keyed state gives
+    * the exactly-once delivery the reference approximates with its map —
+    * each event appears twice in the union, once in the output. In a live
+    * run the dedup state is bounded with `withWatermark`. */
+  val q31StreamUnionDedup: Q = Q(
+    "q31_stream_union_dedup",
+    """SELECT event_id, event_type, user_id FROM events
+      |ORDER BY event_id""".stripMargin,
+  ) { (s, d) =>
+    val src1 = eventsStream(s, d)
+    val src2 = eventsStream(s, d)
+    val deduped = src1.unionAll(src2)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .dropDuplicates("event_id")
+    runToTable(s, deduped, "q31_sink", "append")
+      .orderBy(col("event_id"))
+  }
+
+  /** q32: sliding event-time windows (1 day / 12 h slide) — each event
+    * lands in two windows. The oracle expands the same two bucket starts
+    * per event. */
+  val q32StreamSlidingWindow: Q = Q(
+    "q32_stream_sliding_window",
+    """WITH expanded AS (
+      |  SELECT time_bucket(INTERVAL '12 hours', ts) AS win_start, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours', value FROM events)
+      |SELECT win_start, COUNT(*) AS n_events
+      |FROM expanded GROUP BY 1
+      |ORDER BY win_start""".stripMargin,
+  ) { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 day", "12 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("n_events"))
+    runToTable(s, agg, "q32_sink", "complete")
+      .orderBy(col("win_start"))
+  }
+
+  /** q33: session windows per user (30-minute inactivity gap) — the
+    * streaming sessionization operator; state is one open session per user.
+    * Oracle: classic gaps-and-islands over the same data. Session end in
+    * Spark is last-event + gap; the oracle mirrors that. */
+  val q33StreamSessionWindow: Q = Q(
+    "q33_stream_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM islands GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin,
+  ) { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+    runToTable(s, agg, "q33_sink", "complete")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** q34: stream-static lookup join (R11 — correlate stream records against
+    * pending request state, svckinesis.js:173-185; unmatched records are
+    * dropped with inner-join semantics, :178-181) + the status dispatch
+    * CASE (sendResponseBasedOnState, :90-106). The static side (customer)
+    * is broadcast per micro-batch — no stream shuffle. */
+  val q34StreamStaticJoin: Q = Q(
+    "q34_stream_static_join",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment,
+      |  CASE WHEN e.event_type IN ('purchase','signup') THEN 'http_200'
+      |       WHEN e.event_type = 'error' THEN 'http_500'
+      |       ELSE 'pass' END AS response
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |WHERE e.value > 0.9
+      |ORDER BY e.event_id""".stripMargin,
+  ) { (s, d) =>
+    val joined = eventsStream(s, d)
+      .filter(col("value") > 0.9)
+      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("user_id"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        when(col("event_type").isin("purchase", "signup"), "http_200")
+          .when(col("event_type") === "error", "http_500")
+          .otherwise("pass").as("response"))
+    runToTable(s, joined, "q34_sink", "append")
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
+    q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin)
+}

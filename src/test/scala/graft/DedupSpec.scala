@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Pins dedup-operator semantics that have no SQL oracle (hash-seeded
+  * MinHash/SimHash) plus the shared primitives. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 1
+    (4L, "completely different words about spark engines here now"),
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams, short-doc fallback") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).size == 7) // 9 words → 7 shingles, all distinct
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"))).as[Seq[String]].head()
+    assert(short == Seq("two words"))
+  }
+
+  test("identical texts have identical minhash signatures; near-dups share most") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh")))
+      .select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val sharedNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val sharedFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar)
+    assert(sharedFar == 0) // disjoint shingle sets ⇒ no minhash agreement (w.h.p.)
+  }
+
+  test("simhash: identical → hamming 0, near-dup closer than unrelated") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) == 0)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("cosine primitive: orthogonal → 0, identical → 1, opposite → -1") {
+    val v = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)),
+    ).toDF("a", "b")
+      .select(round(Dedup.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(v.toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("LSH finds every identical-shingle-set pair (guaranteed candidates)") {
+    // jac = 1.0 ⇒ identical minhash signature ⇒ identical in every band ⇒
+    // guaranteed candidate. Fixture corpus with two exact-dup groups.
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
+      (3L, "one two three four five six seven eight nine", "en", "s", 44L),
+      (4L, "one two three four five six seven eight nine", "en", "s", 44L),
+      (5L, "nothing like anything else in this tiny corpus", "en", "s", 46L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmpDir = java.nio.file.Files.createTempDirectory("dedupspec").toString
+    fixture.coalesce(1).write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    val lsh = Dedup.q42DedupMinhashLsh.fn(spark, tmpDir)
+      .filter(col("jac") === 1.0)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (3L, 4L)).subsetOf(lsh))
+    assert(!lsh.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+}

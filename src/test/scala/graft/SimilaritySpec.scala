@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+/** Pins ANN behavior (no SQL oracle — bucket membership is
+  * hyperplane-seeded): exact-duplicate retrieval, recall against the exact
+  * brute-force baseline, and result-shape invariants. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val brute = Similarity.q50KnnBrute.fn(spark, sfDir)
+    .select(col("query_id"), col("neighbor_id"), col("rank"))
+    .as[(Long, Long, Long)].collect()
+  private lazy val ann = Similarity.q51AnnLsh.fn(spark, sfDir)
+    .select(col("query_id"), col("neighbor_id"), col("rank"))
+    .as[(Long, Long, Long)].collect()
+
+  test("brute force returns exactly k ranked neighbors per query") {
+    val byQuery = brute.groupBy(_._1)
+    assert(byQuery.size == 8)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L), s"query $q")
+      assert(!rows.map(_._2).contains(q), s"query $q must not match itself")
+    }
+  }
+
+  test("ANN recall@5 against exact brute force is usable") {
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val annSets = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteSets.map { case (q, exact) =>
+      annSets.get(q).map(a => (a & exact).size.toDouble / exact.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // random-hyperplane LSH on near-orthogonal random vectors is the hard
+    // case; the floor just guards against a broken bucket join
+    assert(mean >= 0.2, s"mean recall@5 = $mean")
+  }
+
+  test("an exact duplicate vector is always retrieved at rank 1 by ANN") {
+    // duplicate of vec 0 under a fresh id: identical vector ⇒ identical
+    // sign bits in every table ⇒ guaranteed same bucket ⇒ cosine 1.0
+    val e = Tables.embeddings(spark, sfDir)
+    val dup = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val tmpDir = java.nio.file.Files.createTempDirectory("simspec").toString
+    e.select(col("vec_id"), col("embedding"), col("label")).unionByName(dup)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
+    val top = Similarity.q51AnnLsh.fn(spark, tmpDir)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .select(col("neighbor_id"), col("cos")).as[(Long, Double)].head()
+    assert(top == ((100000L, 1.0)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Correlate
+import graft.streaming.Correlate.{Completion, StatusEvent}
+
+/** Pins the streaming semantics that have no batch oracle: keyed
+  * correlation with timeout eviction (R11/R13) and late-data drop via
+  * watermark. Uses MemoryStream so batch boundaries and watermark
+  * advancement are fully deterministic. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private def runCorrelate(batches: Seq[Seq[StatusEvent]]): Seq[Completion] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val out = Correlate.correlate(input.toDS())
+    spark.catalog.dropTempView("corr_sink")
+    val q = out.writeStream.format("memory").queryName("corr_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("corr_sink").as[Completion].collect().toSeq
+  }
+
+  // NB: event times start at ts(1)+ — an event at epoch 0 equals the
+  // query's initial watermark and is dropped as late on arrival.
+
+  test("terminal status completes the txn; RUNNING passes through (R11)") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "RUNNING", ts(1)), StatusEvent("t2", "RUNNING", ts(2))),
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(5)), StatusEvent("t2", "FAILED", ts(6))),
+      // watermark pusher so nothing is left pending by accident:
+      Seq(StatusEvent("t9", "SUCCEEDED", ts(7))),
+    ))
+    val byTxn = got.groupBy(_.txnId).view.mapValues(_.map(_.finalStatus)).toMap
+    assert(byTxn("t1") == Seq("SUCCEEDED"))
+    assert(byTxn("t2") == Seq("FAILED"))
+  }
+
+  test("pending txn times out after 20 s event-time and is evicted (R13)") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "RUNNING", ts(5))),
+      // watermark jumps past t1's timeout (5 s + 20 s):
+      Seq(StatusEvent("t2", "RUNNING", ts(100))),
+      Seq(StatusEvent("t3", "SUCCEEDED", ts(200))), // advance again → t2 times out
+    ))
+    val statuses = got.map(c => c.txnId -> c.finalStatus).toMap
+    assert(statuses("t1") == "TIMEOUT")
+    assert(statuses("t2") == "TIMEOUT")
+    assert(statuses("t3") == "SUCCEEDED")
+  }
+
+  test("late terminal event after timeout is dropped (headers-already-sent, R13)") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "RUNNING", ts(5))),
+      Seq(StatusEvent("t2", "RUNNING", ts(100))), // t1 times out here
+      // t1's SUCCEEDED arrives with ts(6) — behind the watermark; the state
+      // is gone and the event is filtered by the watermark → no new output
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(6))),
+      Seq(StatusEvent("t3", "SUCCEEDED", ts(300))),
+    ))
+    assert(got.count(_.txnId == "t1") == 1)
+    assert(got.find(_.txnId == "t1").get.finalStatus == "TIMEOUT")
+  }
+
+  test("duplicate terminal events collapse to one completion (R14 exactly-once)") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(10)),
+        StatusEvent("t1", "SUCCEEDED", ts(11))), // same batch duplicate
+      Seq(StatusEvent("t2", "SUCCEEDED", ts(50))),
+    ))
+    assert(got.count(_.txnId == "t1") == 1)
+  }
+}
