@@ -102,14 +102,34 @@ object Dedup {
       col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).as("band"),
       shingleHashes(col("text")).as("s"))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("band"), col("s").as("sa"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("band"), col("s").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
-    a.join(b, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac_raw", jac)
-      .filter(col("jac_raw") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+      .withColumn("ns", size(col("s")))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
+      col("s").as("sa"), col("ns").as("na"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("band"),
+      col("s").as("sb"), col("ns").as("nb"))
+    // Cheap predicates stay in the join: pair ordering, and the size bound
+    // (jac ≤ min/max, so min/max < t can never reach jac ≥ t — prunes
+    // short-vs-long pairs inside a band). The EXPENSIVE predicate must NOT
+    // be pushed into the join condition: there it is evaluated per
+    // unordered orientation and without subexpression elimination —
+    // measured 2× slower. The nondeterministic barrier column fences it
+    // above the join, and the algebraic form 3·|A∩B| ≥ |A|+|B|
+    // (⇔ jac ≥ 0.5, exact integer arithmetic) evaluates the intersect
+    // ONCE per surviving ordered pair; jac itself is computed only for
+    // survivors.
+    // The probe side is repartitioned first: the doc table is a single
+    // small file (1 scan partition), and without the fan-out the whole
+    // quadratic pair loop would run in ONE task — the broadcast join then
+    // parallelizes over every core/executor.
+    a.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(b), Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .withColumn("_fence", monotonically_increasing_id())
+      .filter(size(array_intersect(col("sa"), col("sb"))) * 3 >= col("na") + col("nb"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -139,26 +159,32 @@ object Dedup {
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
+      .withColumn("ns", size(col("sh")))
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"), col("sh"), col("ns"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band_id"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), col("sh"), col("ns"),
+        col("band.band_id"), col("band.band_hash"))
     val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sa"))
+      col("doc_id").as("doc_a"), col("sh").as("sa"), col("ns").as("na"))
     val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sb0"))
-    val cand = a.join(b, Seq("band_id", "band_hash"))
-    val inter = size(array_intersect(col("sa"), col("sb0"))).cast("double")
-    val jac = inter / (size(col("sa")) + size(col("sb0")) - inter)
-    cand.filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb0"))
+      col("doc_id").as("doc_b"), col("sh").as("sb0"), col("ns").as("nb"))
+    // fan the probe side across cores (single-file scan = one partition):
+    val cand = a.repartition(s.sparkContext.defaultParallelism)
+      .join(b, Seq("band_id", "band_hash"))
+    cand.filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb0"), col("na"), col("nb"))
+      // the dedup aggregate doubles as a pushdown fence: the intersect
+      // below cannot sink into the join condition
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jac_raw", jac)
-      .filter(col("jac_raw") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+      .filter(size(array_intersect(col("sa"), col("sb0"))) * 3 >= col("na") + col("nb"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb0"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -177,6 +203,11 @@ object Dedup {
       when(cnt * 2 > nTok, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** NOTE: callers should materialize the token-hash array in its own
+    * projection and call [[simhashFromHashes]] on the column — higher-order
+    * functions are interpreted (outside whole-stage codegen), so an
+    * expression referenced 64 times is computed 64 times unless it is a
+    * bound attribute. This convenience form is for small inputs/tests. */
   def simhash(text: Column): Column = {
     val th = transform(words(text), w => xxhash64(w))
     simhashFromHashes(th, size(th))
@@ -190,7 +221,9 @@ object Dedup {
     * DedupSpec pins the Hamming guarantee. */
   val q43DedupSimhash: Q = Q.rowsOnly("q43_dedup_simhash") { (s, d) =>
     val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(col("text")).as("sig"))
+      .select(col("doc_id"),
+        transform(words(col("text")), w => xxhash64(w)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th"), size(col("th"))).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until SimhashChunks).map { c =>
@@ -202,7 +235,8 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_id", "chunk_val"))
+    a.repartition(s.sparkContext.defaultParallelism)
+      .join(b, Seq("chunk_id", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
@@ -215,12 +249,24 @@ object Dedup {
   /** Cosine similarity of two double arrays — sequential left fold matching
     * the oracle's evaluation order; last-ulp noise is killed by rounding at
     * the call sites. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / sqrt(na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(sqNorm(a) * sqNorm(b))
+
+  /** Sequential left-fold dot product (HOF — interpreted, so per-pair work
+    * should be ONLY the dot: precompute [[sqNorm]] per vector, not per
+    * pair). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm — compute once per vector and carry as a column. */
+  def sqNorm(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine from a pairwise dot and per-side precomputed squared norms —
+    * same expression shape as [[cosine]] (dot / sqrt(na*nb)), so values
+    * are bit-identical; only the evaluation count changes. */
+  def cosineFromDot(d: Column, na2: Column, nb2: Column): Column =
+    d / sqrt(na2 * nb2)
 
   /** q44: embedding-cosine near-duplicate pairs, blocked by cluster label
     * (the coarse-quantizer cell at scale — an IVF-style prefilter: only
@@ -240,10 +286,15 @@ object Dedup {
     val e = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("n2", sqNorm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"),
+      col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"),
+      col("n2").as("nb2"))
+    a.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(b), Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        cosineFromDot(dot(col("va"), col("vb")), col("na2"), col("nb2")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("label").cast("int").as("label"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.dedup.Dedup.cosine
+import graft.dedup.Dedup.{cosineFromDot, dot, sqNorm}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -52,11 +52,16 @@ object Similarity {
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", sqNorm(col("v")))
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    // fan the corpus scan (single small file = one partition) across cores
+    val scored = broadcast(q)
+      .join(e.repartition(s.sparkContext.defaultParallelism),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosineFromDot(dot(col("qv"), col("v")), col("qn2"), col("n2")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -104,23 +109,27 @@ object Similarity {
   val q51AnnLsh: Q = Q.rowsOnly("q51_ann_lsh") { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", sqNorm(col("v")))
       .withColumn("bits", signBits(col("v")))
-    val corpus = e.select(col("vec_id"), col("label"), col("v"),
+    val corpus = e.select(col("vec_id"), col("label"), col("v"), col("n2"),
       explode(probes(col("bits"))).as("p"))
-      .select(col("vec_id"), col("label"), col("v"),
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
         col("p.table_id"), col("p.sig"))
     val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
         explode(probes(col("bits"))).as("p"))
-      .select(col("query_id"), col("qv"), col("p.table_id"), col("p.sig"))
-    val cand = broadcast(queries).join(corpus, Seq("table_id", "sig"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("p.table_id"), col("p.sig"))
+    val cand = broadcast(queries)
+      .join(corpus.repartition(s.sparkContext.defaultParallelism),
+        Seq("table_id", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-        col("label"), col("v"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("vec_id").as("neighbor_id"),
+        col("label"), col("v"), col("n2"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(
+        cosineFromDot(dot(col("qv"), col("v")), col("qn2"), col("n2")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),
