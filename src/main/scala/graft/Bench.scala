@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Inferred isnotnull constraints push through projections and
+      // re-evaluate expensive expressions (shingle sets) below the join —
+      // measured 2.1x on the q41 pairwise-dedup join (DbgProf: 16.1s with,
+      // 7.6s without). Our queries carry explicit filters; nothing relies
+      // on inference.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.ArrayExprs
 
 /** Deduplication operators for training-data pipelines over `documents` and
   * `embeddings`: exact (hash groupBy), n-gram Jaccard (blocked pair
@@ -35,11 +36,12 @@ object Dedup {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** Shingle sets as xxhash64 longs — same set sizes as [[shingles]] modulo
-    * 64-bit collisions (~1e-13 at this cardinality), ~10× cheaper to
-    * intersect at scale. */
+  /** Shingle sets as SORTED xxhash64 longs — same set sizes as [[shingles]]
+    * modulo 64-bit collisions (~1e-13 at this cardinality). Sorted once per
+    * document so pairwise intersection is a codegen'd merge loop
+    * (`graft_intersect_size`) instead of a per-pair hash set. */
   def shingleHashes(c: Column): Column =
-    array_distinct(transform(shingles(c), s => xxhash64(s)))
+    array_sort(array_distinct(transform(shingles(c), s => xxhash64(s))))
 
   private val shinglesSql =
     """CASE WHEN LEN(w) >= 3
@@ -98,36 +100,36 @@ object Dedup {
        |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (s, d) =>
+    ArrayExprs.register(s)
     val base = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).as("band"),
       shingleHashes(col("text")).as("s"))
       .withColumn("ns", size(col("s")))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
-      col("s").as("sa"), col("ns").as("na"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("band"),
-      col("s").as("sb"), col("ns").as("nb"))
-    // Cheap predicates stay in the join: pair ordering, and the size bound
-    // (jac ≤ min/max, so min/max < t can never reach jac ≥ t — prunes
-    // short-vs-long pairs inside a band). The EXPENSIVE predicate must NOT
-    // be pushed into the join condition: there it is evaluated per
-    // unordered orientation and without subexpression elimination —
-    // measured 2× slower. The nondeterministic barrier column fences it
-    // above the join, and the algebraic form 3·|A∩B| ≥ |A|+|B|
-    // (⇔ jac ≥ 0.5, exact integer arithmetic) evaluates the intersect
-    // ONCE per surviving ordered pair; jac itself is computed only for
-    // survivors.
+    val a = base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("s").as("sa"), col("ns").as("na"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("s").as("sb"), col("ns").as("nb"))
+    // The WHOLE verification runs inside the broadcast-hash-join condition:
+    // the equalities become the hash key; the residual conjuncts evaluate
+    // short-circuit left-to-right in generated code — pair ordering, then
+    // the size bound (jac ≤ min/max ⇒ min/max < t can never reach jac ≥ t),
+    // then the codegen'd sorted-merge intersect in the algebraic form
+    // 3·|A∩B| ≥ |A|+|B| (⇔ jac ≥ 0.5, exact integer arithmetic). Evaluating
+    // in-condition means non-matching pairs are never materialized as
+    // output rows — copying two ~2.4 KB shingle arrays per candidate pair
+    // was the dominant cost of the filter-above-join formulation (~5×).
     // The probe side is repartitioned first: the doc table is a single
     // small file (1 scan partition), and without the fan-out the whole
-    // quadratic pair loop would run in ONE task — the broadcast join then
-    // parallelizes over every core/executor.
+    // quadratic pair loop would run in ONE task.
+    val interSize = call_function("graft_intersect_size", col("sa"), col("sb"))
     a.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(b), Seq("lang", "band"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
-      .withColumn("_fence", monotonically_increasing_id())
-      .filter(size(array_intersect(col("sa"), col("sb"))) * 3 >= col("na") + col("nb"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .join(broadcast(b),
+        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
+          interSize * 3 >= col("na") + col("nb"))
+      .withColumn("inter", interSize.cast("double"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -137,15 +139,13 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
 
-  /** 16-permutation MinHash signature over pre-hashed shingles:
-    * sig_j = min over shingle hashes h of xxhash64(j, h). Re-hashing the
-    * 8-byte shingle hash (not the shingle string) keeps the expression tree
-    * compact and the per-seed pass cheap — still a valid minhash family.
+  /** 16-permutation MinHash signature over pre-hashed shingles via the
+    * codegen'd one-pass [[graft.functions.MinHashSig]] expression
+    * (sig_j = min over shingle hashes x of A_j·x + B_j — a universal-hash
+    * permutation family). Requires [[ArrayExprs.register]] on the session.
     * Per-row, zero-shuffle. */
   def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map { j =>
-      array_min(transform(sh, h => xxhash64(lit(j), h)))
-    }: _*)
+    call_function("graft_minhash", sh)
 
   /** q42: MinHash+LSH near-dup pairs — the at-scale candidate path:
     * signature (narrow) → explode one row per band (4×) → shuffle on
@@ -155,34 +155,43 @@ object Dedup {
     * engine-specific → rows-only driver check; DedupSpec pins semantics
     * (finds every identical-shingle-set pair; verified pairs ⊆ q41's). */
   val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
+    ArrayExprs.register(s)
     val rowsPerBand = NumHashes / NumBands
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .withColumn("ns", size(col("sh")))
+    // Candidate generation travels WITHOUT the shingle arrays — only
+    // (band, doc_id, set-size). The arrays rejoin after the pair dedup, so
+    // each distinct candidate pair ships its two ~2.4 KB sets exactly once
+    // (a pair colliding in all 4 bands would otherwise ship them 4×, and
+    // the dedup shuffle would carry arrays).
     val banded = sig.select(
-      col("doc_id"), col("sh"), col("ns"),
+      col("doc_id"), col("ns"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band_id"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("sh"), col("ns"),
-        col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), col("ns"), col("band.band_id"), col("band.band_hash"))
     val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sa"), col("ns").as("na"))
+      col("doc_id").as("doc_a"), col("ns").as("na"))
     val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sb0"), col("ns").as("nb"))
+      col("doc_id").as("doc_b"), col("ns").as("nb"))
     // fan the probe side across cores (single-file scan = one partition):
-    val cand = a.repartition(s.sparkContext.defaultParallelism)
+    val candIds = a.repartition(s.sparkContext.defaultParallelism)
       .join(b, Seq("band_id", "band_hash"))
-    cand.filter(col("doc_a") < col("doc_b") &&
+      .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb0"), col("na"), col("nb"))
-      // the dedup aggregate doubles as a pushdown fence: the intersect
-      // below cannot sink into the join condition
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(size(array_intersect(col("sa"), col("sb0"))) * 3 >= col("na") + col("nb"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb0"))).cast("double"))
+    val setsA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val setsB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sb0"))
+    val interSize = call_function("graft_intersect_size", col("sa"), col("sb0"))
+    candIds
+      .join(broadcast(setsA), Seq("doc_a"))
+      .join(broadcast(setsB), Seq("doc_b"))
+      .filter(interSize * 3 >= col("na") + col("nb"))
+      .withColumn("inter", interSize.cast("double"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -283,10 +292,11 @@ object Dedup {
       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin,
   ) { (s, d) =>
+    ArrayExprs.register(s)
     val e = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", sqNorm(col("v")))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"),
       col("n2").as("na2"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"),
@@ -294,7 +304,8 @@ object Dedup {
     a.repartition(s.sparkContext.defaultParallelism)
       .join(broadcast(b), Seq("label")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
-        cosineFromDot(dot(col("va"), col("vb")), col("na2"), col("nb2")), 6))
+        cosineFromDot(call_function("graft_dot", col("va"), col("vb")),
+          col("na2"), col("nb2")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("label").cast("int").as("label"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.dedup.Dedup.{cosineFromDot, dot, sqNorm}
+import graft.dedup.Dedup.cosineFromDot
+import graft.functions.ArrayExprs
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -50,9 +51,10 @@ object Similarity {
        |WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin,
   ) { (s, d) =>
+    ArrayExprs.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("n2", sqNorm(col("v")))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     // fan the corpus scan (single small file = one partition) across cores
@@ -60,8 +62,8 @@ object Similarity {
       .join(e.repartition(s.sparkContext.defaultParallelism),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        round(cosineFromDot(dot(col("qv"), col("v")), col("qn2"), col("n2")), 6)
-          .as("cos"))
+        round(cosineFromDot(call_function("graft_dot", col("qv"), col("v")),
+          col("qn2"), col("n2")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -86,11 +88,10 @@ object Similarity {
   }
 
   /** Sign bits of v against every hyperplane: array<long> of 0/1, length
-    * NumTables*BitsPerTable. */
+    * NumTables*BitsPerTable. The inner dot is the codegen'd graft_dot. */
   private def signBits(v: Column): Column =
     transform(typedLit(hyperplanes), p =>
-      when(aggregate(zip_with(v, p, (x, w) => x * w), lit(0.0), (acc, x) => acc + x) > 0,
-        lit(1L)).otherwise(lit(0L)))
+      when(call_function("graft_dot", v, p) > 0, lit(1L)).otherwise(lit(0L)))
 
   /** All (table_id, signature) probes from a materialized bit array: the
     * bits sliced into per-table groups, each packed into a long. Takes the
@@ -107,9 +108,10 @@ object Similarity {
     * ranks them. Approximate (bucket-dependent) → rows-only driver check;
     * SimilaritySpec pins recall ≥ 0.5 against q50 on the test corpus. */
   val q51AnnLsh: Q = Q.rowsOnly("q51_ann_lsh") { (s, d) =>
+    ArrayExprs.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("n2", sqNorm(col("v")))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
       .withColumn("bits", signBits(col("v")))
     val corpus = e.select(col("vec_id"), col("label"), col("v"), col("n2"),
       explode(probes(col("bits"))).as("p"))
@@ -129,7 +131,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand
       .withColumn("cos", round(
-        cosineFromDot(dot(col("qv"), col("v")), col("qn2"), col("n2")), 6))
+        cosineFromDot(call_function("graft_dot", col("qv"), col("v")),
+          col("qn2"), col("n2")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),

@@ -13,9 +13,12 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: avoids duplicated expensive projections (2x on q41)
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.ArrayExprs.register(s)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
