@@ -1,10 +1,6 @@
 package graft
 import org.apache.spark.sql.functions._
-
-/** Dev-only stage profiler (not part of the driver contract): isolates the
-  * expensive stages of the heavy bench queries so formulation changes are
-  * measured, not guessed. Run: sbt "runMain graft.DbgProf". */
-object DbgProf {
+object DbgProf2 {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
@@ -21,15 +17,13 @@ object DbgProf {
     }
     import graft.dedup.Dedup._
     val docs = Tables.documents(spark, d)
-    time("docs-count")(docs.count())
-    time("shingles-once")(docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    time("warmup")(docs.count())
+    time("shingles-1task")(docs.select(shingleHashes(col("text")).as("sh"))
       .agg(sum(size(col("sh")))).collect()(0).getLong(0))
-    time("shingles+minhash")(docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .agg(sum(size(col("sig")))).collect()(0).getLong(0))
-    time("q42-full")(q42DedupMinhashLsh.fn(spark, d).count())
-    time("q42-full2")(q42DedupMinhashLsh.fn(spark, d).count())
-    time("q41-full")(q41DedupJaccard.fn(spark, d).count())
+    time("shingles-repart32")(docs.repartition(32).select(shingleHashes(col("text")).as("sh"))
+      .agg(sum(size(col("sh")))).collect()(0).getLong(0))
+    time("words-only")(docs.repartition(32).select(split(col("text"), "\\s+").as("w"))
+      .agg(sum(size(col("w")))).collect()(0).getLong(0))
     spark.stop()
   }
 }

@@ -27,14 +27,16 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, "\\s+")
 
-  /** Distinct word-3-gram shingles as strings (oracle-comparable form). */
-  def shingles(c: Column): Column = {
-    val w = words(c)
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array(concat_ws(" ", w)))
-  }
+  /** Distinct word-3-gram shingles as strings (oracle-comparable form).
+    * The words array is let-bound so the regex split runs once per row, not
+    * once per element_at (3 per shingle — measured ~150x on sf0.1 docs). */
+  def shingles(c: Column): Column =
+    ArrayExprs.letBind(words(c)) { w =>
+      when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+        .otherwise(array(concat_ws(" ", w)))
+    }
 
   /** Shingle sets as SORTED xxhash64 longs — same set sizes as [[shingles]]
     * modulo 64-bit collisions (~1e-13 at this cardinality). Sorted once per
@@ -101,10 +103,17 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).as("band"),
-      shingleHashes(col("text")).as("s"))
+    // Fan out BEFORE the shingle projection: the doc table is one small
+    // file (1 scan partition), so without this the whole per-row feature
+    // extraction runs in ONE task (measured 9s single-task vs 0.4s spread;
+    // on a real cluster the scan has many splits and this shuffle of raw
+    // text is one cheap pass).
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).as("band"),
+        shingleHashes(col("text")).as("s"))
       .withColumn("ns", size(col("s")))
     val a = base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("band").as("band_a"), col("s").as("sa"), col("ns").as("na"))
@@ -119,12 +128,8 @@ object Dedup {
     // in-condition means non-matching pairs are never materialized as
     // output rows — copying two ~2.4 KB shingle arrays per candidate pair
     // was the dominant cost of the filter-above-join formulation (~5×).
-    // The probe side is repartitioned first: the doc table is a single
-    // small file (1 scan partition), and without the fan-out the whole
-    // quadratic pair loop would run in ONE task.
     val interSize = call_function("graft_intersect_size", col("sa"), col("sb"))
-    a.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(b),
+    a.join(broadcast(b),
         col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
           col("doc_a") < col("doc_b") &&
           least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
@@ -157,7 +162,9 @@ object Dedup {
   val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
     ArrayExprs.register(s)
     val rowsPerBand = NumHashes / NumBands
+    // fan out before the expensive projection (single-file scan = 1 task)
     val sig = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .withColumn("ns", size(col("sh")))
@@ -177,9 +184,7 @@ object Dedup {
       col("doc_id").as("doc_a"), col("ns").as("na"))
     val b = banded.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_b"), col("ns").as("nb"))
-    // fan the probe side across cores (single-file scan = one partition):
-    val candIds = a.repartition(s.sparkContext.defaultParallelism)
-      .join(b, Seq("band_id", "band_hash"))
+    val candIds = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -229,7 +234,9 @@ object Dedup {
     * scan — then popcount(xor) verifies. Hash-seeded → rows-only check;
     * DedupSpec pins the Hamming guarantee. */
   val q43DedupSimhash: Q = Q.rowsOnly("q43_dedup_simhash") { (s, d) =>
+    // fan out before the expensive projection (single-file scan = 1 task)
     val sigs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         transform(words(col("text")), w => xxhash64(w)).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th"), size(col("th"))).as("sig"))
@@ -244,8 +251,7 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.repartition(s.sparkContext.defaultParallelism)
-      .join(b, Seq("chunk_id", "chunk_val"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
@@ -293,16 +299,18 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
-    val e = Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // fan out before the cast/norm projection (single-file scan = 1 task)
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"),
       col("n2").as("na2"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"),
       col("n2").as("nb2"))
-    a.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(b), Seq("label")).filter(col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), Seq("label")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
         cosineFromDot(call_function("graft_dot", col("va"), col("vb")),
           col("na2"), col("nb2")), 6))

@@ -192,21 +192,28 @@ object TextAnalysis {
     * are pinned by TextAnalysisSpec. Emits the min-hash-per-document of the
     * 5-gram shingle hashes: a 1-permutation minhash sketch. */
   val q65RollingHash: Q = Q.rowsOnly("q65_text_rollinghash") { (s, d) =>
-    val t = tokens(col("text"))
+    import graft.functions.ArrayExprs.letBind
     val n = 5
     // shingles: sliding word 5-grams via transform over an index range;
     // docs shorter than n tokens fall back to one whole-doc shingle (ANSI
-    // mode would throw on an out-of-range element_at)
-    val sh = when(size(t) >= n,
-      transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-      .otherwise(array(concat_ws(" ", t)))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_min(transform(sh, s0 => xxhash64(s0))).as("min_shingle_hash"),
-      size(sh).cast("long").as("n_shingles"),
-    ).orderBy(col("doc_id"))
+    // mode would throw on an out-of-range element_at). The tokens array and
+    // the shingle array are let-bound so tokenization runs once per row and
+    // the shingles once per output column (not once per element_at).
+    val fp = letBind(tokens(col("text"))) { t =>
+      letBind(when(size(t) >= n,
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+        .otherwise(array(concat_ws(" ", t)))) { sh =>
+        struct(
+          array_min(transform(sh, s0 => xxhash64(s0))).as("min_shingle_hash"),
+          size(sh).cast("long").as("n_shingles"))
+      }
+    }
+    Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"),
+        col("fp.min_shingle_hash"), col("fp.n_shingles"))
+      .orderBy(col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
