@@ -140,5 +140,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh)
+  /** q52: per-label embedding centroid via the custom typed
+    * [[graft.functions.Aggregators.VectorCentroid]] UDAF (the
+    * `Aggregator[IN,BUF,OUT]` row of SURVEY.md §2.b). One shuffle of
+    * 520-byte buffers per (partition, label) — map-side partial agg means
+    * the 100 TB corpus never moves. Fixed-point long sums make the result
+    * bit-identical to the DuckDB oracle regardless of merge order. */
+  val q52Centroid: Q = Q(
+    "q52_centroid",
+    """WITH x AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS val
+      |  FROM embeddings)
+      |SELECT CAST(label AS INT) AS label, CAST(pos AS BIGINT) AS pos,
+      |       CAST(SUM(CAST(FLOOR(val*1e7 + 0.5) AS BIGINT)) AS DOUBLE)/1e7/COUNT(*) AS c,
+      |       COUNT(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    import graft.functions.Aggregators
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+    e.groupBy(col("label"))
+      .agg(Aggregators.centroidAgg(col("v")).as("cs"))
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("cs.sums")).as(Seq("pos0", "s")), col("cs.n").as("n"))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        (col("s").cast("double") / lit(Aggregators.Scale) / col("n")).as("c"),
+        col("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Sources
+
+/** Roundtrip + sink semantics for the sources module (SURVEY.md §2.b scans
+  * and sinks rows; reference R1/R5 storage layer). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+    df.collect().toSet
+
+  test("JSON roundtrip with explicit schema (R1/R5 document form)") {
+    val nation = Tables.nation(spark, sfDir)
+    val path = tmp("graft-json")
+    Sources.writeJson(nation, path)
+    val back = Sources.readJson(spark, path, nation.schema)
+    assert(rows(back) == rows(nation))
+  }
+
+  test("JSON roundtrip preserves multi-line text (documents table)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang")
+    val path = tmp("graft-json-docs")
+    Sources.writeJson(docs, path)
+    val back = Sources.readJson(spark, path, docs.schema)
+    assert(rows(back) == rows(docs))
+  }
+
+  test("CSV roundtrip with explicit schema + header") {
+    val region = Tables.region(spark, sfDir)
+    val path = tmp("graft-csv")
+    Sources.writeCsv(region, path)
+    val back = Sources.readCsv(spark, path, region.schema)
+    assert(rows(back) == rows(region))
+  }
+
+  test("partitioned parquet write prunes to one partition directory") {
+    val events = Tables.events(spark, sfDir)
+    val path = tmp("graft-part")
+    Sources.writePartitioned(events, path, "event_type")
+    val pruned = spark.read.parquet(path).filter($"event_type" === "purchase")
+    assert(pruned.count() ==
+      events.filter($"event_type" === "purchase").count())
+    // the physical scan must list ONLY the matching partition directory
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+    val listing = scan.head.selectedPartitions
+    val files = listing.toPartitionArray.map(_.urlEncodedPath)
+    assert(listing.partitionCount == 1 &&
+      files.nonEmpty && files.forall(_.contains("event_type=purchase")),
+      s"scan selected ${listing.partitionCount} partitions: ${files.mkString(",")}")
+  }
+
+  test("keyed upsert: new rows replace same-key rows atomically (R5)") {
+    val path = tmp("graft-upsert")
+    Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(Seq((2L, "c"), (3L, "d")).toDF("k", "v"), Seq("k"), path)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
+    // no staging/old residue left behind
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(parent.toSet == Set(new java.io.File(path).getName))
+  }
+
+  test("foreachBatch streaming upsert converges to last-write-wins (R5 streaming)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("graft-upsert-stream")
+    val input = MemoryStream[(Long, String)]
+    // one checkpoint across both runs: run 2 resumes and processes ONLY the
+    // new data (without it, the restart would replay run 1's rows into the
+    // same micro-batch and within-batch dedup picks arbitrarily)
+    val ckpt = tmp("graft-upsert-ckpt")
+    val q = input.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Sources.upsertBatch(Seq("k"), path))
+      .trigger(Trigger.AvailableNow())
+    input.addData(Seq((1L, "a"), (2L, "b")))
+    val run1 = q.start(); run1.awaitTermination()
+    input.addData(Seq((2L, "c"), (3L, "d")))
+    val run2 = q.start(); run2.awaitTermination()
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
+  }
+}
