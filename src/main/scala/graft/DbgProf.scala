@@ -3,33 +3,30 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only stage profiler (not part of the driver contract): isolates the
   * expensive stages of the heavy bench queries so formulation changes are
-  * measured, not guessed. Run: sbt "runMain graft.DbgProf". */
+  * measured, not guessed. Edit the probes freely; run:
+  * `sbt "runMain graft.DbgProf"`. */
 object DbgProf {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.sql.constraintPropagation.enabled","false")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayExprs.register(spark)
     val d = "/root/testdata/sf0.1"
     def time(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(s"$label out=$n time=${math.round((System.nanoTime()-t0)/1e7)/100.0}")
+      println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    import graft.dedup.Dedup._
-    val docs = Tables.documents(spark, d)
-    time("docs-count")(docs.count())
-    time("shingles-once")(docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .agg(sum(size(col("sh")))).collect()(0).getLong(0))
-    time("shingles+minhash")(docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .agg(sum(size(col("sig")))).collect()(0).getLong(0))
-    time("q42-full")(q42DedupMinhashLsh.fn(spark, d).count())
-    time("q42-full2")(q42DedupMinhashLsh.fn(spark, d).count())
-    time("q41-full")(q41DedupJaccard.fn(spark, d).count())
+    time("warmup")(Tables.documents(spark, d).count())
+    time("q41")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
+    time("q42")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
+    time("q43")(graft.dedup.Dedup.q43DedupSimhash.fn(spark, d).count())
+    time("q50")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
+    time("q30")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
     spark.stop()
   }
 }

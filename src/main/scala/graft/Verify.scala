@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Bench.scala: avoids duplicated expensive projections (2x on q41)
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // bounded AvailableNow runs emit on the data batch; the trailing
+      // watermark-only batch is pure overhead (~0.5 s per streaming query)
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -217,15 +217,12 @@ object Dedup {
       when(cnt * 2 > nTok, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** NOTE: callers should materialize the token-hash array in its own
-    * projection and call [[simhashFromHashes]] on the column — higher-order
-    * functions are interpreted (outside whole-stage codegen), so an
-    * expression referenced 64 times is computed 64 times unless it is a
-    * bound attribute. This convenience form is for small inputs/tests. */
-  def simhash(text: Column): Column = {
-    val th = transform(words(text), w => xxhash64(w))
-    simhashFromHashes(th, size(th))
-  }
+  /** SimHash of a text column via the codegen'd `graft_simhash` (one fused
+    * counting loop; the HOF formula above is its interpreted reference —
+    * DedupSpec pins bit-identity between the two). Callers must have run
+    * `ArrayExprs.register`. */
+  def simhash(text: Column): Column =
+    call_function("graft_simhash", transform(words(text), w => xxhash64(w)))
 
   /** q43: SimHash near-dup pairs at Hamming distance ≤ 3. Pigeonhole
     * blocking: the 64-bit signature splits into 4×16-bit chunks; two
@@ -234,12 +231,11 @@ object Dedup {
     * scan — then popcount(xor) verifies. Hash-seeded → rows-only check;
     * DedupSpec pins the Hamming guarantee. */
   val q43DedupSimhash: Q = Q.rowsOnly("q43_dedup_simhash") { (s, d) =>
+    ArrayExprs.register(s)
     // fan out before the expensive projection (single-file scan = 1 task)
     val sigs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        transform(words(col("text")), w => xxhash64(w)).as("th"))
-      .select(col("doc_id"), simhashFromHashes(col("th"), size(col("th"))).as("sig"))
+      .select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until SimhashChunks).map { c =>

@@ -72,6 +72,8 @@ object ArrayExprs {
       es => MinHashSig(es.head), "internal")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "internal")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "internal")
   }
 }
 
@@ -179,6 +181,60 @@ case class MinHashSig(child: Expression)
          |}
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of element hashes: bit j of the output is
+  * set iff more than half the elements have bit j set. Replaces 64
+  * interpreted `size(filter(...))` passes (each allocating the filtered
+  * array) with one fused counting loop — bit-identical to the HOF formula
+  * in Dedup.simhashFromHashes (DedupSpec pins the equivalence). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with GraftArrayInputCheck {
+  override protected def expectedInputs: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < 64) { cnt(j) += ((x >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (2 * cnt(j) > n) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |int[] $cnt = new int[64];
+         |int $n = $xs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $xs.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) { $cnt[$j] += (int) (($x >>> $j) & 1L); }
+         |}
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if (2 * $cnt[$j] > $n) ${ev.value} |= (1L << $j);
+         |}
        """.stripMargin
     })
 

@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
     assert(sharedFar == 0) // disjoint shingle sets ⇒ no minhash agreement (w.h.p.)
   }
 
+  test("graft_simhash expression is bit-identical to the HOF reference formula") {
+    import org.apache.spark.sql.functions.{size, transform, xxhash64, split}
+    val th = transform(split(col("text"), "\\s+"), w => xxhash64(w))
+    val diff = docs.select(
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashFromHashes(th, size(th)).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("simhash: identical → hamming 0, near-dup closer than unrelated") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
