@@ -170,5 +170,88 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
-  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid)
+  // ---- IVF ANN (q53) ------------------------------------------------------
+  val NumCells = 16 // coarse-quantizer cells
+  val NumProbe = 2 // cells probed per query
+
+  /** Scores of v against each centroid: cn2 − 2·v·c, which orders cells by
+    * L2 distance to v (the ‖v‖² term is constant per row). `cents` is the
+    * centroid matrix, `cn2s` the per-centroid squared norms, both shipped
+    * as plan literals. */
+  private def cellScores(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
+    zip_with(typedLit(cents), typedLit(cn2s),
+      (c, cn) => cn - lit(2.0) * call_function("graft_dot", v, c))
+
+  /** q53: IVF ANN — the classic inverted-file index, fully deterministic:
+    *
+    *  1. **Train** the coarse quantizer: seed centroids = the NumCells
+    *     lowest vec_ids, then one Lloyd iteration where the cell means come
+    *     from the fixed-point [[graft.functions.Aggregators.VectorCentroid]]
+    *     UDAF — so the learned centroids are bit-identical regardless of
+    *     partition layout or merge order (double k-means would not be).
+    *     The collect ships NumCells×Dim doubles to the driver — the
+    *     standard IVF shape: the quantizer is tiny, the corpus is not.
+    *  2. **Index**: each vector's cell = argmin-distance centroid, a
+    *     narrow per-row pass against the centroid literal (no shuffle).
+    *  3. **Probe**: queries explode their NumProbe nearest cells and
+    *     equi-join the index on cell id — candidates ≈ corpus×(nprobe/C)
+    *     per query instead of a linear scan — then exact cosine re-ranks.
+    *
+    * Approximate (recall depends on the quantizer) → rows-only check;
+    * SimilaritySpec pins recall against exact q50. */
+  val q53AnnIvf: Q = Q.rowsOnly("q53_ann_ivf") { (s, d) =>
+    ArrayExprs.register(s)
+    import graft.functions.Aggregators
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
+
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val seedN2s: Seq[Double] = seeds.map(c => c.map(x => x * x).sum)
+
+    def argminCell(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
+      ArrayExprs.letBind(cellScores(cents, cn2s)(v)) { sc =>
+        (array_position(sc, array_min(sc)) - 1).cast("int")
+      }
+
+    // one Lloyd iteration, means via the deterministic fixed-point UDAF
+    val cents: Seq[Seq[Double]] = e
+      .withColumn("cell", argminCell(seeds, seedN2s)(col("v")))
+      .groupBy(col("cell")).agg(Aggregators.centroidAgg(col("v")).as("cs"))
+      .select(col("cell"),
+        transform(col("cs.sums"),
+          x => x.cast("double") / lit(Aggregators.Scale) / col("cs.n")).as("c"))
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val cn2s: Seq[Double] = cents.map(c => c.map(x => x * x).sum)
+
+    val indexed = e
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("cell", argminCell(cents, cn2s)(col("v")))
+    // queries probe their NumProbe best cells (ties include extras — still
+    // deterministic); kth-best threshold via sorted scores
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+      .withColumn("probe", explode(
+        ArrayExprs.letBind(cellScores(cents, cn2s)(col("qv"))) { sc =>
+          filter(sequence(lit(0), lit(NumCells - 1)),
+            i => element_at(sc, i + 1) <= element_at(array_sort(sc), NumProbe))
+        }))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries)
+      .join(indexed, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", round(
+        cosineFromDot(call_function("graft_dot", col("qv"), col("v")),
+          col("qn2"), col("n2")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("int").as("label"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf)
 }

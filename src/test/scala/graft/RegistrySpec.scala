@@ -18,6 +18,7 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are the documented hash-seeded set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q14_approx_distinct", "q42_dedup_minhash_lsh",
-      "q43_dedup_simhash", "q51_ann_lsh", "q65_text_rollinghash"))
+      "q43_dedup_simhash", "q51_ann_lsh", "q53_ann_ivf",
+      "q65_text_rollinghash"))
   }
 }

@@ -37,6 +37,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.2, s"mean recall@5 = $mean")
   }
 
+  test("IVF recall@5 beats the per-cell prior and shape holds") {
+    val ivf = Similarity.q53AnnIvf.fn(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfSets = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivfSets.keySet == bruteSets.keySet)
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong), s"query $q ranks")
+      assert(!rows.map(_._2).contains(q), s"query $q must not match itself")
+    }
+    val recalls = bruteSets.map { case (q, exact) =>
+      ivfSets.get(q).map(a => (a & exact).size.toDouble / exact.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // probing 2/16 cells scans ~12.5% of the corpus; true neighbors
+    // concentrate in the query's own cells, so recall must be far above
+    // that prior (a broken quantizer/probe would sit near it)
+    assert(mean >= 0.4, s"mean IVF recall@5 = $mean")
+  }
+
   test("an exact duplicate vector is always retrieved at rank 1 by ANN") {
     // duplicate of vec 0 under a fresh id: identical vector ⇒ identical
     // sign bits in every table ⇒ guaranteed same bucket ⇒ cosine 1.0
