@@ -62,19 +62,37 @@ object ArrayExprs {
     element_at(transform(array(v), x => f(x)), 1)
   }
 
+  /** (name, builder) for every graft function — the single source for both
+    * the per-session [[register]] and the [[GraftExtensions]] injection. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProductD(es.head, es(1))),
+    "graft_minhash" -> (es => MinHashSig(es.head)),
+    "graft_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
+    "graft_simhash" -> (es => SimHash64(es.head)),
+  )
+
   /** Register the functions on a session (idempotent). Call from any query
     * body that uses them; they become available to `expr("graft_…(…)")`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => DotProductD(es.head, es(1)), "internal")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSig(es.head), "internal")
-    reg.createOrReplaceTempFunction("graft_intersect_size",
-      es => SortedIntersectSize(es.head, es(1)), "internal")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es.head), "internal")
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "internal")
+    }
   }
+}
+
+/** `SparkSessionExtensions` packaging of the graft functions — the
+  * deployment form: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions`) makes every `graft_*` function available to pure
+  * SQL in all sessions, no per-query registration. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ArrayExprs.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.ArrayExprs", name), builder))
+    }
 }
 
 /** Dot product of two double arrays (over the common prefix length), fused

@@ -33,7 +33,12 @@ object DocPipeline {
     * flake-id analog (hex-formatted, mirroring `pollingsvc.js:26-27`),
     * payload fields come from the event row. */
   def documents(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+    project(Tables.events(s, d))
+
+  /** The document projection over (a subset of) events — split out so point
+    * lookups can filter the SOURCE first (see [[q24PointLookup]]). */
+  private def project(events: DataFrame): DataFrame =
+    events.select(
       format_string("0x%x", col("event_id")).as("txn_id"),
       col("event_type"),
       col("value"),
@@ -213,17 +218,20 @@ object DocPipeline {
   }
 
   /** q24: point lookup by txn-id key (R1) — the reference's S3 get-by-key
-    * (aprocess.js:15-32). The equality predicate pushes into the parquet
-    * scan (PushedFilters), so at scale this touches only matching row
-    * groups — and with the doc table partitioned/bucketed by key it is a
-    * single-partition read. */
+    * (aprocess.js:15-32). txn_id is hex(event_id), so the lookup inverts
+    * the key DRIVER-side and filters the source column: the equality
+    * predicate reaches the parquet scan as `event_id = 42` (PushedFilters
+    * — PlanSpec pins this), skipping non-matching row groups via min/max
+    * stats. A filter on the computed txn_id string could never push past
+    * the format_string projection. */
   val q24PointLookup: Q = Q(
     "q24_point_lookup",
     s"""WITH doc AS ($oracleDoc)
        |SELECT txn_id, event_type, value, k FROM doc
        |WHERE txn_id = '0x2a'""".stripMargin,
   ) { (s, d) =>
-    documents(s, d).filter(col("txn_id") === "0x2a")
+    val key = java.lang.Long.decode("0x2a")
+    project(Tables.events(s, d).filter(col("event_id") === key))
   }
 
   val all: Seq[Q] = Seq(q21DocPipeline, q22StatusEvents, q23Correlate, q24PointLookup)

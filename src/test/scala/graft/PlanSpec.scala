@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan shape assertions: the `.explain("formatted")` discipline
+  * made durable. These pin the properties that make the queries survive a
+  * 100× scale-up — pushdown reaching the scan, dimension joins broadcast,
+  * top-k without a global sort, map-side partial aggregation, and narrow
+  * zero-shuffle pipelines — so a refactor that silently degrades a plan
+  * fails here, not at 100 TB. Uses the pre-AQE sparkPlan (deterministic at
+  * plan time; AQE only improves on it at runtime). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+  private def nodes[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf)
+
+  test("q24 point lookup pushes the key equality into the parquet scan") {
+    val p = plan(graft.pipeline.DocPipeline.q24PointLookup.fn(spark, sfDir))
+    val scans = nodes(p) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(event_id,42)"), s"PushedFilters = $pushed")
+  }
+
+  test("q02 joins every dimension via broadcast (no dim-side shuffle)") {
+    val p = plan(graft.relational.Relational.q02RevenueByNation.fn(spark, sfDir))
+    // the 3 hinted dims must broadcast; the stats-based planner may
+    // broadcast more at tiny SF
+    val bhj = nodes(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+  }
+
+  test("q03 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.relational.Relational.q03TopOrders.fn(spark, sfDir))
+    assert(nodes(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q01 aggregates map-side before the shuffle (partial + final)") {
+    val p = plan(graft.relational.Relational.q01PricingSummary.fn(spark, sfDir))
+    // partial+final pair: any exchange carries aggregated rows, not raw
+    // lineitems (at sf0.001 the single-partition scan may need no exchange
+    // at all, so only the agg structure is asserted)
+    val aggs = nodes(p) { case a: BaseAggregateExec => a }
+    assert(aggs.size >= 2, s"expected partial+final aggregate, got ${aggs.size}:\n$p")
+  }
+
+  test("q21 doc pipeline is a narrow zero-shuffle chain") {
+    val p = plan(graft.pipeline.DocPipeline.q21DocPipeline.fn(spark, sfDir))
+    val shuffles = nodes(p) { case e: ShuffleExchangeExec => e }
+    // the single allowed exchange is the final global ORDER BY for the
+    // deterministic oracle compare; the 6-step enrichment itself is narrow
+    assert(shuffles.size <= 1, s"pipeline shuffles ${shuffles.size}×:\n$p")
+  }
+
+  test("q52 centroid scan reads only the needed columns (pruning)") {
+    val p = plan(graft.sim.Similarity.q52Centroid.fn(spark, sfDir))
+    val scans = nodes(p) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val read = scans.head.metadata("ReadSchema")
+    assert(!read.contains("vec_id"), s"unpruned scan: $read")
+  }
+
+  test("GraftExtensions makes graft_* functions available to pure SQL") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark)
+      val d = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+      val sh = s2.sql("SELECT graft_simhash(array(-1L)) AS s").head().getLong(0)
+      assert(sh == -1L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
