@@ -81,18 +81,22 @@ object ArrayExprs {
   }
 }
 
-/** `SparkSessionExtensions` packaging of the graft functions — the
+/** `SparkSessionExtensions` packaging of the graft extension surface — the
   * deployment form: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `.withExtensions`) makes every `graft_*` function available to pure
-  * SQL in all sessions, no per-query registration. */
+  * SQL and installs the as-of join strategy + its pushdown rule in all
+  * sessions, no per-query registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ArrayExprs.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.ArrayExprs", name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsof)
+  }
 }
 
 /** Dot product of two double arrays (over the common prefix length), fused

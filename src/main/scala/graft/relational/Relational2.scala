@@ -16,11 +16,12 @@ object Relational2 {
 
   /** q80: AS-OF join — for each purchase event, the user's most recent
     * prior-or-equal click. Spark has no asof operator, so this uses the
-    * scalable union-and-carry-forward idiom: tag both streams, sort within
-    * user by (ts, clicks-first), carry the last click forward with
-    * last(ignoreNulls) — ONE shuffle on user_id, no range-explosion,
-    * unlike a naive theta join (which is O(clicks×purchases) per user).
-    * The oracle is DuckDB's native ASOF JOIN. */
+    * NATIVE one from graft.plans (LogicalPlan + Rule + Strategy +
+    * SparkPlan): one hash-shuffle per side on user_id, local spillable
+    * (key, ts) sorts, then a single streaming merge pass — no
+    * range-explosion (a naive theta join is O(clicks×purchases) per user)
+    * and no whole-union window sort (the composable fallback, kept as the
+    * reference formulation in AsofSpec). Oracle: DuckDB's ASOF JOIN. */
   val q80AsofJoin: Q = Q(
     "q80_asof_join",
     """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
@@ -31,18 +32,11 @@ object Relational2 {
       |ORDER BY p.event_id""".stripMargin,
   ) { (s, d) =>
     val ev = Tables.events(s, d)
-    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"),
-        when(col("event_type") === "click", col("ts")).as("click_ts_src"))
-    // clicks sort before purchases at identical ts (asof is >=, inclusive)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1),
-        col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("click_ts", last(col("click_ts_src"), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    graft.plans.Asof.join(p, c, Seq("user_id" -> "user_id"), "ts" -> "click_ts")
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
         col("click_ts"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
