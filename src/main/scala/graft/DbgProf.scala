@@ -1,10 +1,5 @@
 package graft
 import org.apache.spark.sql.functions._
-
-/** Dev-only stage profiler (not part of the driver contract): isolates the
-  * expensive stages of the heavy bench queries so formulation changes are
-  * measured, not guessed. Edit the probes freely; run:
-  * `sbt "runMain graft.DbgProf"`. */
 object DbgProf {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -22,11 +17,8 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q41")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
-    time("q42")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
-    time("q43")(graft.dedup.Dedup.q43DedupSimhash.fn(spark, d).count())
-    time("q50")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
-    time("q30")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
+    time("q44")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    time("q44b")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
     spark.stop()
   }
 }

@@ -302,16 +302,22 @@ object Dedup {
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"),
-      col("n2").as("na2"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"),
-      col("n2").as("nb2"))
-    a.join(broadcast(b), Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(
-        cosineFromDot(call_function("graft_dot", col("va"), col("vb")),
-          col("na2"), col("nb2")), 6))
-      .filter(col("cos") >= 0.35)
-      .select(col("vec_a"), col("vec_b"), col("label").cast("int").as("label"), col("cos"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      col("v").as("va"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("v").as("vb"), col("n2").as("nb2"))
+    // id-order and cosine threshold INSIDE the join condition (the q41
+    // lesson): non-matching pairs are never materialized as output rows,
+    // so the two ~512 B vectors are copied only for the rare survivors —
+    // whose cosine is then recomputed once in the projection
+    val cos = round(
+      cosineFromDot(call_function("graft_dot", col("va"), col("vb")),
+        col("na2"), col("nb2")), 6)
+    a.join(broadcast(b),
+        col("label_a") === col("label_b") && col("vec_a") < col("vec_b") &&
+          cos >= 0.35)
+      .select(col("vec_a"), col("vec_b"),
+        col("label_a").cast("int").as("label"), cos.as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
