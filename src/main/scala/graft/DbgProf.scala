@@ -17,8 +17,8 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q44")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
-    time("q44b")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    time("q50")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
+    time("q50b")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
     spark.stop()
   }
 }

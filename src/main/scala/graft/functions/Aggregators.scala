@@ -69,4 +69,38 @@ object Aggregators {
 
   /** The centroid aggregator as a Column function: struct(sums, n). */
   def centroidAgg(v: Column): Column = udaf(new VectorCentroid).apply(v)
+
+  /** One scored candidate for [[TopKHits]]. */
+  final case class Hit(cos: Double, neighborId: Long, label: Int)
+  final case class HitBuf(hits: Seq[Hit])
+
+  /** Bounded top-k by (cos DESC, neighborId ASC) as a typed Aggregator —
+    * the scale-correct alternative to `row_number().over(partitionBy(q))`
+    * for small k: the rank window shuffles EVERY scored row to one task
+    * per query, while this keeps at most k rows per (partition, query)
+    * map-side and merges k-vs-k buffers — the shuffle carries
+    * k·partitions rows regardless of corpus size. Total order on
+    * (cos, neighborId) ⇒ result independent of merge order. */
+  class TopKHits(k: Int) extends Aggregator[Hit, HitBuf, HitBuf] {
+    private val ord: Ordering[Hit] =
+      Ordering.by((h: Hit) => (-h.cos, h.neighborId))
+
+    override def zero: HitBuf = HitBuf(Vector.empty)
+
+    override def reduce(b: HitBuf, h: Hit): HitBuf = {
+      if (b.hits.length == k && ord.gteq(h, b.hits.last)) b
+      else HitBuf(((b.hits :+ h).sorted(ord)).take(k))
+    }
+
+    override def merge(x: HitBuf, y: HitBuf): HitBuf =
+      HitBuf((x.hits ++ y.hits).sorted(ord).take(k))
+
+    override def finish(r: HitBuf): HitBuf = r
+    override def bufferEncoder: Encoder[HitBuf] = Encoders.product[HitBuf]
+    override def outputEncoder: Encoder[HitBuf] = Encoders.product[HitBuf]
+  }
+
+  /** Top-k hits as a Column function over (cos, neighborId, label). */
+  def topKAgg(k: Int)(cos: Column, neighborId: Column, label: Column): Column =
+    udaf(new TopKHits(k)).apply(cos, neighborId, label)
 }

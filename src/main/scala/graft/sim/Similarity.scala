@@ -52,23 +52,36 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
+    import graft.functions.Aggregators
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    // fan the corpus scan (single small file = one partition) across cores
-    val scored = broadcast(q)
-      .join(e.repartition(s.sparkContext.defaultParallelism),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        round(cosineFromDot(call_function("graft_dot", col("qv"), col("v")),
-          col("qn2"), col("n2")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),
-        col("cos"), col("rank"))
+    // The tiny fixed query set ships as a plan literal, so scoring is one
+    // NARROW pass over the corpus — no join, no per-pair vector
+    // materialization (the join formulation copied qv+v ~1 KB per scored
+    // pair). Top-k per query via the bounded TopKHits aggregator: each
+    // partition keeps at most k rows per query, the shuffle carries
+    // k·partitions rows regardless of corpus size — the rank-window
+    // formulation shuffled EVERY scored row to one task per query.
+    val qs: Seq[(Long, Seq[Double], Double)] = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+      .toIndexedSeq
+    val scored = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        explode(transform(typedLit(qs), q =>
+          struct(q.getField("_1").as("query_id"),
+            round(cosineFromDot(
+              call_function("graft_dot", col("v"), q.getField("_2")),
+              q.getField("_3"), col("n2")), 6).as("cos")))).as("qc"))
+      .select(col("qc.query_id"), col("neighbor_id"), col("label"), col("qc.cos"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    scored.groupBy(col("query_id"))
+      .agg(Aggregators.topKAgg(K)(col("cos"), col("neighbor_id"), col("label")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), col("h.neighborId").as("neighbor_id"),
+        col("h.label").cast("int").as("label"), col("h.cos").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
