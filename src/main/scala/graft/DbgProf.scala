@@ -17,8 +17,10 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q50")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
-    time("q50b")(graft.sim.Similarity.q50KnnBrute.fn(spark, d).count())
+    time("q42")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
+    time("q42b")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
+    time("q41")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
+    time("q41b")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
     spark.stop()
   }
 }

@@ -162,12 +162,18 @@ object Dedup {
   val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
     ArrayExprs.register(s)
     val rowsPerBand = NumHashes / NumBands
-    // fan out before the expensive projection (single-file scan = 1 task)
+    // fan out before the expensive projection (single-file scan = 1 task);
+    // PERSIST the signature table: it feeds candidate generation (twice —
+    // self-join) and verification (twice more), and recomputing the
+    // shingle+minhash feature pass 4× dominated the query (measured ~2×
+    // overall). At 100 TB this is the materialize-the-index step every
+    // LSH pipeline has; MEMORY_AND_DISK spills instead of OOMing.
     val sig = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .withColumn("ns", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation travels WITHOUT the shingle arrays — only
     // (band, doc_id, set-size). The arrays rejoin after the pair dedup, so
     // each distinct candidate pair ships its two ~2.4 KB sets exactly once
