@@ -17,10 +17,14 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q42")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
-    time("q42b")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
-    time("q41")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
-    time("q41b")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
+    time("q30-p32")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
+    time("q33-p32")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    time("q30-p8")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
+    time("q33-p8")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    time("q30-p4")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
+    time("q33-p4")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
     spark.stop()
   }
 }

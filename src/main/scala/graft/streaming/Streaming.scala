@@ -58,16 +58,32 @@ object Streaming {
   }
 
   /** Run a (bounded) streaming query to completion into a memory sink and
-    * return the sink table. */
+    * return the sink table.
+    *
+    * State partitioning: a stateful stage's partition count is fixed into
+    * the checkpoint at first start, and EVERY partition pays two state
+    * commit files per micro-batch — so it must be sized to STATE volume,
+    * not to input parallelism (scan/map tasks are planned independently;
+    * the shuffle into the stateful stage is map-side pre-aggregated).
+    * These queries keep small bounded state (windows × types, session per
+    * user, ids in the dedup horizon), where the session default (= cores)
+    * is pure fixed overhead per batch — measured ~0.5 s/query at 32. A
+    * terabyte-state deployment would raise this, not the reverse. */
+  val StatePartitions = 8
+
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
     s.catalog.dropTempView(name) // idempotent re-runs within one session
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
