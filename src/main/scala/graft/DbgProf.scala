@@ -17,14 +17,20 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q30-p32")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
-    time("q33-p32")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    time("q30-p8")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
-    time("q33-p8")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    time("q30-p4")(graft.streaming.Streaming.q30StreamWindowCounts.fn(spark, d).count())
-    time("q33-p4")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
+    time("q03-cur")(graft.relational.Relational.q03TopOrders.fn(spark, d).count())
+    time("q03-cur2")(graft.relational.Relational.q03TopOrders.fn(spark, d).count())
+    // variant: pre-aggregate lineitem per order, then join orders
+    def v2 = {
+      val li = Tables.lineitem(spark, d)
+        .groupBy(col("l_orderkey"))
+        .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      Tables.orders(spark, d).filter(col("o_orderstatus") =!= "F")
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }
+    time("q03-preagg")(v2.count())
+    time("q03-preagg2")(v2.count())
     spark.stop()
   }
 }

@@ -98,10 +98,16 @@ object Relational {
        |LIMIT 10""".stripMargin,
   ) { (s, d) =>
     import s.implicits._
-    Tables.orders(s, d).filter($"o_orderstatus" =!= "F")
-      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
-      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    // aggregate lineitem BEFORE the join: the join then carries one
+    // (orderkey, revenue) row per order instead of ~4 raw lineitems, and
+    // the shuffle on orderkey is shared by the agg and the join. Exact
+    // (decimal sums are associative), so identical to agg-after-join.
+    val revenue = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
       .agg(moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+    Tables.orders(s, d).filter($"o_orderstatus" =!= "F")
+      .join(revenue, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"revenue")
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
   }
