@@ -114,5 +114,53 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[Q] = Seq(q70MultimodalMeta, q71FrameSample)
+  /** STUB resize — recomputes the metadata a real resample would produce
+    * (target box, preserved aspect via integer scaling) without touching
+    * payload bytes. Like [[decodeStub]], a deployment swaps only this for
+    * the codec call; MultimodalSpec pins the metadata contract. */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    struct(
+      greatest(floor(w * scale), lit(1)).cast("int").as("width"),
+      greatest(floor(h * scale), lit(1)).cast("int").as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** q72: per-item feature extraction over the payload — the
+    * decode→histogram→pool shape of an image/audio feature pipeline, on
+    * the byte/char stream: distinct-symbol count, modal symbol count, and
+    * Shannon entropy. Explode → two-level aggregation: the shuffle
+    * carries (item, symbol, partial count), never the payload; entropy is
+    * rounded to absorb sum-order ulps (as q87's stats do). */
+  val q72MultimodalFeatures: Q = Q(
+    "q72_multimodal_features",
+    """WITH chars AS (
+      |  SELECT doc_id AS media_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents),
+      |counts AS (
+      |  SELECT media_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT media_id, SUM(cnt) AS n FROM counts GROUP BY 1)
+      |SELECT c.media_id,
+      |  COUNT(*) AS n_distinct_chars,
+      |  MAX(cnt) AS modal_count,
+      |  ROUND(-SUM((cnt / n) * LN(cnt / n)), 6) AS entropy
+      |FROM counts c JOIN tot t ON c.media_id = t.media_id
+      |GROUP BY c.media_id ORDER BY c.media_id""".stripMargin,
+  ) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("media_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("media_id")).agg(sum(col("cnt")).as("n"))
+    val p = col("cnt") / col("n")
+    counts.join(tot, Seq("media_id"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        max(col("cnt")).as("modal_count"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[Q] = Seq(q70MultimodalMeta, q71FrameSample, q72MultimodalFeatures)
 }

@@ -38,6 +38,25 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("resize stub bounds the longest side, keeps aspect, never upscales") {
+    val r = m.select(Multimodal.decodeStub(col("payload")).as("d"))
+      .select(col("d"), Multimodal.resizeStub(col("d"), 256).as("r"))
+      .select(col("d.width"), col("d.height"), col("r.width"), col("r.height"),
+        col("r.channels"))
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (w, h, rw, rh, c) =>
+      assert(rw <= 256 && rh <= 256 && rw >= 1 && rh >= 1 && c == 3)
+      assert(rw <= w && rh <= h, "must never upscale")
+      if (math.max(w, h) > 256) { // uniform scale, floored, min 1
+        val s = 256.0 / math.max(w, h)
+        assert(rw == math.max(math.floor(w * s).toInt, 1) &&
+          rh == math.max(math.floor(h * s).toInt, 1),
+          s"scaling contract broken: $w x $h -> $rw x $rh")
+      } else assert(rw == w && rh == h)
+    }
+  }
+
   test("frame sampling reassembles to the exact payload length") {
     val frames = Multimodal.sampleFrames(m)
     val bad = frames.groupBy(col("media_id"))
