@@ -484,11 +484,45 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** q25: MapType operators — construction, keys/values, lookup,
+    * entry-wise filter and value transform, concat. The oracle computes
+    * the same RESULT scalars directly (keys are literals to DuckDB), so
+    * the check pins Spark's map semantics without needing cross-engine
+    * map type agreement. All per-row and codegen'd — maps are the
+    * document-as-dictionary shape of the reference's JS objects (R4). */
+  val q25MapFns: Q = Q(
+    "q25_map_fns",
+    """SELECT event_id,
+      |  'type,bucket' AS keys_csv,
+      |  2 AS n_entries,
+      |  event_type AS type_val,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS n_purchase_entries,
+      |  UPPER(event_type) || ',' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS VARCHAR)
+      |    AS upper_vals_csv,
+      |  3 AS n_after_concat
+      |FROM events ORDER BY event_id""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val m = map(
+      lit("type"), $"event_type",
+      lit("bucket"), (get_json_object($"props", "$.k").cast("long") % 10).cast("string"))
+    Tables.events(s, d).select(
+      $"event_id",
+      concat_ws(",", map_keys(m)).as("keys_csv"),
+      size(m).as("n_entries"),
+      element_at(m, "type").as("type_val"),
+      size(map_filter(m, (_, v) => v === "purchase")).as("n_purchase_entries"),
+      concat_ws(",", map_values(transform_values(m, (_, v) => upper(v))))
+        .as("upper_vals_csv"),
+      size(map_concat(m, map(lit("extra"), lit("x")))).as("n_after_concat"),
+    ).orderBy($"event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopOrders, q04SemiJoin,
     q05AntiJoin, q06SelectiveAgg, q07ThetaJoin, q08Rollup, q09Cube,
     q10TopkPerGroup, q11WindowLag, q12RunningSum, q13Distinct,
     q14ApproxDistinct, q15SetOps, q16StringFns, q17DateFns, q18MathFns,
-    q19ArrayFns, q20JsonFns,
+    q19ArrayFns, q20JsonFns, q25MapFns,
   )
 }

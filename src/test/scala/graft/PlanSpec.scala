@@ -67,6 +67,31 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("vec_id"), s"unpruned scan: $read")
   }
 
+  test("bucketed tables join with ZERO exchange (co-located join)") {
+    val events = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+    def save(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      events.write.bucketBy(8, "user_id")
+        .option("path", java.nio.file.Files.createTempDirectory(name).resolve("t").toString)
+        .saveAsTable(name)
+    }
+    save("ev_bucket_a"); save("ev_bucket_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("ev_bucket_a")
+        .join(spark.table("ev_bucket_b"), "user_id")
+      assert(j.count() > 0)
+      val exchanges = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0,
+        s"bucketed join should need no shuffle:\n${j.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GraftExtensions makes graft_* functions available to pure SQL") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
