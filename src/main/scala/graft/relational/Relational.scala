@@ -72,15 +72,23 @@ object Relational {
        |ORDER BY revenue DESC, n_name""".stripMargin,
   ) { (s, d) =>
     import s.implicits._
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+    // pre-aggregate lineitem per order, so the one shuffle join carries a
+    // quarter of the rows; dims broadcast. rev stays DECIMAL through both
+    // aggregation levels (exact, associative) and casts to double once at
+    // the end — summing per-order doubles would be order-dependent.
+    val li = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"),
+        count(lit(1)).as("cnt"))
+    li.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name", $"r_name")
       .agg(
-        moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"),
-        count(lit(1)).as("n_items"),
+        sum($"rev").cast("double").as("revenue"),
+        sum($"cnt").as("n_items"),
       )
       .orderBy($"revenue".desc, $"n_name")
   }
