@@ -480,15 +480,23 @@ object Relational {
     "q20_json_fns",
     """SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS k_bucket,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(json_object('k_bucket', CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10,
+      |                   'n_events', COUNT(*)) AS VARCHAR) AS json_out
       |FROM events
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin,
   ) { (s, d) =>
     import s.implicits._
+    // schema-full parse (from_json) rather than path extraction, plus a
+    // to_json re-serialization — the parse/serialize pair of §2.b's JSON
+    // row (formats agree byte-for-byte with DuckDB's json_object)
     Tables.events(s, d)
-      .groupBy((get_json_object($"props", "$.k").cast("long") % 10).as("k_bucket"))
+      .groupBy((from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+        .getField("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .withColumn("json_out", to_json(struct($"k_bucket", $"n_events")))
       .orderBy($"k_bucket")
   }
 
