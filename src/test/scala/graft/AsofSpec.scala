@@ -55,6 +55,28 @@ class AsofSpec extends SparkSpec {
     ))
   }
 
+  test("empty sides: no right rows -> empty result; no left rows -> empty result") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val p = Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts")
+    val c = Seq((10L, ts(50))).toDF("user_id", "c_ts")
+    assert(native(p, c.filter(col("user_id") < 0)).count() == 0)
+    assert(native(p.filter(col("user_id") < 0), c).count() == 0)
+    assert(native(p, c).count() == 1)
+  }
+
+  test("multi-key as-of join isolates on every key column") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val p = Seq((1L, 10L, "a", ts(100)), (2L, 10L, "b", ts(100)))
+      .toDF("event_id", "user_id", "seg", "ts")
+    val c = Seq((10L, "a", ts(90)), (10L, "b", ts(95)), (10L, "a", ts(99)))
+      .toDF("user_id", "seg", "c_ts")
+    val got = graft.plans.Asof.join(p, c,
+      Seq("user_id" -> "user_id", "seg" -> "seg"), "ts" -> "c_ts")
+      .select(col("event_id"), col("c_ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got == Set((1L, ts(99)), (2L, ts(95))))
+  }
+
   test("physical plan is the streaming merge exec with sorted co-partitioned inputs") {
     val df = native(purchases, clicks)
     val execs = df.queryExecution.sparkPlan.collect { case e: AsofJoinExec => e }
