@@ -54,4 +54,16 @@ object Tables {
   /** SQL-side twin of [[moneySum]] for oracle strings. */
   def moneySumSql(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Fan out narrow per-row work ONLY when the scan under-parallelizes
+    * (the local testdata tables are single parquet files = one split, so
+    * an expensive projection would otherwise run in ONE task). A big
+    * table's scan already has ≥ cores splits, making this a no-op — the
+    * unconditional `repartition` it replaces would have been a full
+    * shuffle of the raw corpus at 100 TB. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 }

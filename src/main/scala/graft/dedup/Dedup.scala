@@ -103,13 +103,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
-    // Fan out BEFORE the shingle projection: the doc table is one small
-    // file (1 scan partition), so without this the whole per-row feature
-    // extraction runs in ONE task (measured 9s single-task vs 0.4s spread;
-    // on a real cluster the scan has many splits and this shuffle of raw
-    // text is one cheap pass).
-    val base = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // Fan out BEFORE the shingle projection (conditional — see
+    // Tables.fanOut): the local doc table is one file = 1 scan partition,
+    // so without this the whole per-row feature extraction runs in ONE
+    // task (measured 9s single-task vs 0.4s spread); a big table's scan
+    // already has ≥ cores splits and skips the shuffle entirely.
+    val base = Tables.fanOut(Tables.documents(s, d))
       .select(
         col("doc_id"), col("lang"),
         floor(col("n_chars") / 100).as("band"),
@@ -168,8 +167,7 @@ object Dedup {
     // shingle+minhash feature pass 4× dominated the query (measured ~2×
     // overall). At 100 TB this is the materialize-the-index step every
     // LSH pipeline has; MEMORY_AND_DISK spills instead of OOMing.
-    val sig = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val sig = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .withColumn("ns", size(col("sh")))
@@ -239,8 +237,7 @@ object Dedup {
   val q43DedupSimhash: Q = Q.rowsOnly("q43_dedup_simhash") { (s, d) =>
     ArrayExprs.register(s)
     // fan out before the expensive projection (single-file scan = 1 task)
-    val sigs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val sigs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
@@ -302,8 +299,7 @@ object Dedup {
   ) { (s, d) =>
     ArrayExprs.register(s)
     // fan out before the cast/norm projection (single-file scan = 1 task)
-    val e = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -10,18 +10,21 @@ import graft.functions.ArrayExprs
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Two paths, mirroring production vector-search architecture:
-  *  - **Brute-force top-k (q50)** — the exact baseline: broadcast the (small)
-  *    query set against the corpus, codegen'd higher-order-function cosine,
-  *    per-query top-k via ranking window. Linear in corpus size with perfect
-  *    scan parallelism; the right answer when the query set is small and a
-  *    full pass is affordable (or as the re-rank stage below).
-  *  - **LSH-bucketed ANN (q51)** — the scale path: random-hyperplane
-  *    signatures (sign of dot with fixed pseudo-random planes) bucket the
-  *    corpus; queries probe only their own buckets across L signature
-  *    tables, then exact-cosine re-rank inside the candidate set. Corpus
-  *    side is computed once (narrow), the probe is an equi-join on
+  * Three paths, mirroring production vector-search architecture:
+  *  - **Brute-force top-k (q50)** — the exact baseline: the small fixed
+  *    query set ships as a plan literal, scoring is one narrow codegen'd
+  *    pass over the corpus, and per-query top-k is the bounded TopKHits
+  *    aggregator (map-side partial top-k; shuffle size independent of
+  *    corpus size). Linear scan — the right answer when the query set is
+  *    small, and the re-rank stage of the ANN paths.
+  *  - **LSH-bucketed ANN (q51)** — random-hyperplane signatures (sign of
+  *    dot with fixed pseudo-random planes) bucket the corpus; queries
+  *    probe only their own buckets across L signature tables, then
+  *    exact-cosine re-rank inside the candidate set. Corpus side is
+  *    computed once (narrow), the probe is an equi-join on
   *    (table_id, signature) — no linear scan per query.
+  *  - **IVF ANN (q53)** — learned coarse quantizer (deterministic Lloyd
+  *    step over the fixed-point centroid UDAF), cell-blocked probing.
   *
   * The reference has no similarity surface (SURVEY.md §2.b north-star).
   */
@@ -67,7 +70,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("n2")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
       .toIndexedSeq
-    val scored = e.repartition(s.sparkContext.defaultParallelism)
+    val scored = Tables.fanOut(e)
       .select(col("vec_id").as("neighbor_id"), col("label"),
         explode(transform(typedLit(qs), q =>
           struct(q.getField("_1").as("query_id"),
@@ -135,7 +138,7 @@ object Similarity {
         explode(probes(col("bits"))).as("p"))
       .select(col("query_id"), col("qv"), col("qn2"), col("p.table_id"), col("p.sig"))
     val cand = broadcast(queries)
-      .join(corpus.repartition(s.sparkContext.defaultParallelism),
+      .join(Tables.fanOut(corpus),
         Seq("table_id", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("qn2"), col("vec_id").as("neighbor_id"),
@@ -240,8 +243,7 @@ object Similarity {
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val cn2s: Seq[Double] = cents.map(c => c.map(x => x * x).sum)
 
-    val indexed = e
-      .repartition(s.sparkContext.defaultParallelism)
+    val indexed = Tables.fanOut(e)
       .withColumn("cell", argminCell(cents, cn2s)(col("v")))
     // queries probe their NumProbe best cells (ties include extras — still
     // deterministic); kth-best threshold via sorted scores
