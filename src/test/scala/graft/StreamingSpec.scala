@@ -78,4 +78,34 @@ class StreamingSpec extends SparkSpec {
     ))
     assert(got.count(_.txnId == "t1") == 1)
   }
+
+  test("file source rate limit: one file per micro-batch, converging agg (R10)") {
+    import org.apache.spark.sql.functions._
+    // the reference polls 5 records per getRecords call (svckinesis.js:193);
+    // the Spark analog is maxFilesPerTrigger — prove the batching actually
+    // happens and that the stateful aggregate converges to the batch answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-rate").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"))
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/ev")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ev")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    spark.catalog.dropTempView("rate_sink")
+    val q = agg.writeStream.format("memory").queryName("rate_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3, s"expected 3 rate-limited micro-batches, got $dataBatches")
+    val got = spark.table("rate_sink").as[(String, Long)].collect().toMap
+    val exp = Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(got == exp)
+  }
 }
