@@ -500,6 +500,44 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** q26: the rest of the ranking/analytic window family over one
+    * deterministic ordering — rank, dense_rank, ntile, percent_rank,
+    * cume_dist, lead, and first/last over an explicit ROWS frame. One
+    * shuffle on the partition key serves all eight functions (a single
+    * Window node — PlanSpec-style sanity by construction). */
+  val q26WindowSuite: Q = Q(
+    "q26_window_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  LEAD(o_orderkey, 2) OVER w AS lead2_key,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS next_or_self
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wf = w.rowsBetween(Window.currentRow, 1)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lead($"o_orderkey", 2).over(w).as("lead2_key"),
+        first($"o_orderkey").over(w).as("first_key"),
+        last($"o_orderkey").over(wf).as("next_or_self"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** q25: MapType operators — construction, keys/values, lookup,
     * entry-wise filter and value transform, concat. The oracle computes
     * the same RESULT scalars directly (keys are literals to DuckDB), so
@@ -539,6 +577,6 @@ object Relational {
     q05AntiJoin, q06SelectiveAgg, q07ThetaJoin, q08Rollup, q09Cube,
     q10TopkPerGroup, q11WindowLag, q12RunningSum, q13Distinct,
     q14ApproxDistinct, q15SetOps, q16StringFns, q17DateFns, q18MathFns,
-    q19ArrayFns, q20JsonFns, q25MapFns,
+    q19ArrayFns, q20JsonFns, q25MapFns, q26WindowSuite,
   )
 }
