@@ -210,6 +210,42 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q35: stream-stream interval join — each purchase joined to the same
+    * user's clicks from the preceding day. BOTH sides carry watermarks and
+    * the join condition bounds event-time distance, so the state store
+    * holds only one day of clicks per user and rows older than the
+    * watermark are evicted — the state stays bounded forever on an
+    * unbounded stream (an unconstrained stream-stream join would buffer
+    * both streams in full). Bounded input → converges to the batch
+    * interval join, which is the oracle. */
+  val q35StreamStreamJoin: Q = Q(
+    "q35_stream_stream_join",
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+      |ORDER BY p_id, c_id""".stripMargin,
+  ) { (s, d) =>
+    val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val c = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    val joined = p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    runToTable(s, joined, "q35_sink", "append")
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
-    q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin)
+    q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
+    q35StreamStreamJoin)
 }
