@@ -500,6 +500,36 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** q27: deterministic hash-based sampling and train/valid/test
+    * splitting — the reproducible-shard operator every training-data
+    * pipeline needs. The bucket is md5-derived from the KEY (not rand()),
+    * so assignment is stable across runs, engines, partitionings, and
+    * retries — a re-crawled document lands in the same split forever.
+    * Narrow per-row pass; exact cross-engine oracle (md5 is md5). */
+  val q27HashSplit: Q = Q(
+    "q27_hash_split",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+      |      AS bucket
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  bucket < 10 AS in_sample
+      |FROM h ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val bucket = (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100).cast("int")
+    Tables.documents(s, d).select(
+      $"doc_id",
+      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+        .as("split"),
+      (bucket < 10).as("in_sample"),
+    ).orderBy($"doc_id")
+  }
+
   /** q26: the rest of the ranking/analytic window family over one
     * deterministic ordering — rank, dense_rank, ntile, percent_rank,
     * cume_dist, lead, and first/last over an explicit ROWS frame. One
@@ -577,6 +607,6 @@ object Relational {
     q05AntiJoin, q06SelectiveAgg, q07ThetaJoin, q08Rollup, q09Cube,
     q10TopkPerGroup, q11WindowLag, q12RunningSum, q13Distinct,
     q14ApproxDistinct, q15SetOps, q16StringFns, q17DateFns, q18MathFns,
-    q19ArrayFns, q20JsonFns, q25MapFns, q26WindowSuite,
+    q19ArrayFns, q20JsonFns, q25MapFns, q26WindowSuite, q27HashSplit,
   )
 }
