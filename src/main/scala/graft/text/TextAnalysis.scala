@@ -216,6 +216,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q66: TF-IDF — top-3 terms per document by tf·ln(N/df). Three
+    * aggregations, all map-side-partial (the shuffles carry (doc, term,
+    * partial-count) and (term, partial-df), never token streams); the
+    * document-frequency table joins back on term. Scores are identical
+    * IEEE arithmetic in both engines; rounding only guards the rank
+    * comparison. */
+  val q66Tfidf: Q = Q(
+    "q66_text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok, tfidf, rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, tok) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
-    q64Fingerprint, q65RollingHash)
+    q64Fingerprint, q65RollingHash, q66Tfidf)
 }
