@@ -62,13 +62,27 @@ object ArrayExprs {
     element_at(transform(array(v), x => f(x)), 1)
   }
 
+  /** Arity-checked builder: wrong argument counts fail analysis with a
+    * clear message instead of silently dropping extras (zip truncates) or
+    * throwing a raw IndexOutOfBounds. */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression = es => {
+    if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name,
+        "expectedNum" -> n.toString, "actualNum" -> es.length.toString,
+        "docroot" -> ""))
+    b(es)
+  }
+
   /** (name, builder) for every graft function — the single source for both
     * the per-session [[register]] and the [[GraftExtensions]] injection. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => DotProductD(es.head, es(1))),
-    "graft_minhash" -> (es => MinHashSig(es.head)),
-    "graft_intersect_size" -> (es => SortedIntersectSize(es.head, es(1))),
-    "graft_simhash" -> (es => SimHash64(es.head)),
+    "graft_dot" -> arity("graft_dot", 2)(es => DotProductD(es.head, es(1))),
+    "graft_minhash" -> arity("graft_minhash", 1)(es => MinHashSig(es.head)),
+    "graft_intersect_size" ->
+      arity("graft_intersect_size", 2)(es => SortedIntersectSize(es.head, es(1))),
+    "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
   )
 
   /** Register the functions on a session (idempotent). Call from any query

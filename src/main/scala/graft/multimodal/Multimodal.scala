@@ -62,8 +62,12 @@ object Multimodal {
     * the explode is sized without reading payload bytes. */
   def sampleFrames(df: DataFrame): DataFrame = {
     val nFrames = ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int")
+    // guard the empty payload: sequence(0, -1) is the DESCENDING sequence
+    // [0, -1] in Spark, not empty — an unguarded explode would emit two
+    // phantom frames; an empty array drops the row (zero frames)
     df.withColumn("frame_no",
-        explode(sequence(lit(0), nFrames - 1)))
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame_bytes",
         expr(s"substring(payload, frame_no * $FrameBytes + 1, $FrameBytes)"))
   }
@@ -85,7 +89,12 @@ object Multimodal {
       col("media_id"),
       col("meta.kind").as("kind"),
       col("meta.n_bytes").as("n_bytes"),
-      base64(expr("substring(payload, 1, 8)")).as("header_b64"),
+      // slice CHARACTERS then encode (matching the oracle's
+      // encode(substring(text,…))): a byte-slice of the payload would
+      // diverge on multi-byte UTF-8 (DuckDB cannot slice blobs to mirror
+      // it); byte-level ops are exercised by n_bytes and frame_bytes
+      base64(substring(col("payload").cast("string"), 1, 8).cast("binary"))
+        .as("header_b64"),
       ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("long").as("n_frames"),
     ).orderBy(col("media_id"))
   }

@@ -48,11 +48,45 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Version-directory names: v1, v2, … */
+  private val VersionRe = "^v(\\d+)$".r
+
+  /** Committed versions (ascending): a version counts only once the
+    * writer's job committer has placed `_SUCCESS` — a version directory
+    * without it is an in-flight or crashed write and is ignored. */
+  private def committedVersions(s: SparkSession, path: String): Seq[(Long, Path)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VersionRe(n) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+          Some((n.toLong, st.getPath))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** Read the current committed version of an upsert table. */
+  def readTable(s: SparkSession, path: String): DataFrame =
+    committedVersions(s, path).lastOption match {
+      case Some((_, p)) => s.read.parquet(p.toString)
+      case None => throw new IllegalArgumentException(
+        s"no committed version under $path")
+    }
+
   /** Keyed whole-row upsert into a parquet table (R5): rows in `batch`
-    * replace existing rows with the same key; other rows carry over. The
-    * merge is one anti-join + union job writing to a staging directory,
-    * then an atomic directory swap — readers never see a half-written
-    * table, and a failed job leaves the target untouched.
+    * replace existing rows with the same key; other rows carry over.
+    *
+    * Crash safety WITHOUT a rename window: each upsert writes a brand-new
+    * immutable version directory (v1, v2, …), which becomes current only
+    * when the job committer drops `_SUCCESS` as its final act. [[readTable]]
+    * resolves the highest committed version — so a reader never sees a
+    * half-written table and a crash mid-write leaves the previous version
+    * current (the orphaned uncommitted directory is swept by the next
+    * successful upsert). This is the poor-man's snapshot pattern the real
+    * table formats (Iceberg/Delta) formalize with a metadata log.
     *
     * Scale: the anti-join broadcasts only the BATCH's keys (a micro-batch
     * is small; the table is not), so the carry-over side streams through
@@ -63,23 +97,37 @@ object Sources {
     */
   def upsert(batch: DataFrame, keys: Seq[String], path: String): Unit = {
     val s = batch.sparkSession
-    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(s, path)
     val deduped = batch.dropDuplicates(keys)
-    val merged =
-      if (fs.exists(target))
-        s.read.parquet(path)
+    val merged = versions.lastOption match {
+      case Some((_, cur)) =>
+        s.read.parquet(cur.toString)
           .join(org.apache.spark.sql.functions.broadcast(
             deduped.select(keys.map(col): _*)), keys, "left_anti")
           .unionByName(deduped)
-      else deduped
-    val staging = new Path(path + ".__staging__")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(path + ".__old__")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
-    fs.delete(old, true)
+      case None => deduped
+    }
+    // number past EVERY existing version dir, committed or crashed — a
+    // crashed vN must not collide with the next write
+    val allVersionNums =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap(_.getPath.getName match {
+          case VersionRe(n) => Some(n.toLong)
+          case _ => None
+        })
+    val nextN = (allVersionNums ++ versions.map(_._1)).maxOption.getOrElse(0L) + 1
+    merged.write.parquet(new Path(root, s"v$nextN").toString)
+    // the new version is committed; sweep everything older (committed
+    // predecessors and crashed in-flight directories alike)
+    fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if n.toLong < nextN => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 
   /** [[upsert]] as a `foreachBatch` sink:

@@ -20,10 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Spark design: `flatMapGroupsWithState` keyed by txnId IS that map —
   * distributed, fault-tolerant, exactly-once. Event-time timeout plus
-  * watermark replaces the wall-clock HTTP timeout; state removal on
-  * terminal status is the dedup-by-completion (late duplicates find no
-  * state and emit nothing). At scale the state store shards by key across
-  * executors — no single-process map, no transition buffer (R14) needed.
+  * watermark replaces the wall-clock HTTP timeout; completion leaves a
+  * bounded-lifetime tombstone (see [[CorrState]]) so duplicate terminals
+  * are suppressed whether they arrive in the same micro-batch, a later
+  * one, or behind the watermark. At scale the state store shards by key
+  * across executors — no single-process map, no transition buffer (R14)
+  * needed.
   *
   * No batch/SQL oracle exists for timeout semantics, so this operator is
   * pinned by StreamingSpec (MemoryStream, multi-batch, watermark-driven
@@ -42,37 +44,56 @@ object Correlate {
   /** 20 s — the reference's end-to-end HTTP timeout (pollingsvc.js:133). */
   val TimeoutMs: Long = 20000L
 
+  /** Keyed state: the latest event time, and whether the txn has already
+    * completed. A completed txn keeps a `done` TOMBSTONE for [[TimeoutMs]]
+    * of event time (the reference's headers-already-sent guard,
+    * svckinesis.js:80-88): an at-least-once source that re-delivers the
+    * terminal in a LATER micro-batch with a re-stamped (above-watermark)
+    * timestamp would otherwise emit a duplicate Completion. The tombstone
+    * is evicted by its own timeout, so state stays bounded; duplicates
+    * arriving later than that are dropped by the watermark instead. */
+  case class CorrState(ts: Long, done: Boolean)
+
   def correlate(events: Dataset[StatusEvent]): Dataset[Completion] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .withWatermark("ts", "0 seconds")
       .groupByKey(_.txnId)
-      .flatMapGroupsWithState[Long, Completion](
+      .flatMapGroupsWithState[CorrState, Completion](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (txnId: String, evs: Iterator[StatusEvent], state: GroupState[Long]) =>
+        (txnId: String, evs: Iterator[StatusEvent], state: GroupState[CorrState]) =>
           if (state.hasTimedOut) {
-            // R13: evict; a late terminal event will find no state and be
-            // dropped (svckinesis.js:80-88 "headers already sent")
+            val wasPending = !state.get.done
             state.remove()
-            Iterator(Completion(txnId, "TIMEOUT"))
+            // pending txn → TIMEOUT (R13); an expiring tombstone → silence
+            if (wasPending) Iterator(Completion(txnId, "TIMEOUT"))
+            else Iterator.empty
           } else {
             val batch = evs.toSeq
             val terminal = batch
               .filter(e => e.status == "SUCCEEDED" || e.status == "FAILED")
               .sortBy(_.ts.getTime)
               .headOption
+            val alreadyDone = state.exists && state.get.done
             terminal match {
-              case Some(e) =>
-                // complete + delete key (svckinesis.js:105); duplicates in
-                // the same batch collapse to the first terminal event
-                if (state.exists) state.remove()
+              case Some(e) if !alreadyDone =>
+                // complete (svckinesis.js:105); same-batch duplicates
+                // collapse to the first terminal; a tombstone suppresses
+                // cross-batch re-deliveries
+                val doneTs = e.ts.getTime
+                state.update(CorrState(doneTs, done = true))
+                state.setTimeoutTimestamp(doneTs + TimeoutMs)
                 Iterator(Completion(txnId, e.status))
+              case Some(_) =>
+                Iterator.empty // duplicate terminal after completion
+              case None if alreadyDone =>
+                Iterator.empty // RUNNING after completion: ignore
               case None =>
                 // RUNNING pass-through (svckinesis.js:92-95): keep waiting,
                 // arm/refresh the 20 s timeout from the latest event time
                 val maxTs = batch.map(_.ts.getTime).max
-                state.update(maxTs)
+                state.update(CorrState(maxTs, done = false))
                 state.setTimeoutTimestamp(maxTs + TimeoutMs)
                 Iterator.empty
             }

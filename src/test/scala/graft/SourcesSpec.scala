@@ -62,15 +62,31 @@ class SourcesSpec extends SparkSpec {
       s"scan selected ${listing.partitionCount} partitions: ${files.mkString(",")}")
   }
 
-  test("keyed upsert: new rows replace same-key rows atomically (R5)") {
+  test("keyed upsert: new rows replace same-key rows, old versions swept (R5)") {
     val path = tmp("graft-upsert")
     Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path)
     Sources.upsert(Seq((2L, "c"), (3L, "d")).toDF("k", "v"), Seq("k"), path)
-    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
-    // no staging/old residue left behind
-    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
-    assert(parent.toSet == Set(new java.io.File(path).getName))
+    // only the latest committed version remains
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("v2"))
+  }
+
+  test("a crashed (uncommitted) version is invisible and swept by the next upsert") {
+    val path = tmp("graft-upsert-crash")
+    Sources.upsert(Seq((1L, "a")).toDF("k", "v"), Seq("k"), path)
+    // simulate a writer that died before commit: version dir, no _SUCCESS
+    val crashed = new java.io.File(path, "v2")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.writeString(crashed.toPath.resolve("part-junk.parquet"), "junk")
+    val got1 = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+    assert(got1 == Set((1L, "a")), "reader must ignore the uncommitted version")
+    // the next upsert allocates PAST the crashed dir and sweeps it
+    Sources.upsert(Seq((2L, "b")).toDF("k", "v"), Seq("k"), path)
+    val got2 = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+    assert(got2 == Set((1L, "a"), (2L, "b")))
+    assert(!crashed.exists())
   }
 
   test("foreachBatch streaming upsert converges to last-write-wins (R5 streaming)") {
@@ -89,7 +105,7 @@ class SourcesSpec extends SparkSpec {
     val run1 = q.start(); run1.awaitTermination()
     input.addData(Seq((2L, "c"), (3L, "d")))
     val run2 = q.start(); run2.awaitTermination()
-    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
   }
 }

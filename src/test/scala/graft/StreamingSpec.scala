@@ -79,6 +79,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.txnId == "t1") == 1)
   }
 
+  test("cross-batch re-delivered terminal with newer ts is suppressed by the tombstone") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(10))),
+      // at-least-once source re-stamps the duplicate ABOVE the watermark:
+      // without the completion tombstone this emitted a second Completion
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(12))),
+      Seq(StatusEvent("t9", "SUCCEEDED", ts(100))), // watermark pusher
+    ))
+    assert(got.count(_.txnId == "t1") == 1)
+    assert(got.count(_.txnId == "t9") == 1)
+  }
+
   test("file source rate limit: one file per micro-batch, converging agg (R10)") {
     import org.apache.spark.sql.functions._
     // the reference polls 5 records per getRecords call (svckinesis.js:193);
