@@ -91,6 +91,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.txnId == "t9") == 1)
   }
 
+  test("session_window merges events EXACTLY one gap apart (oracle boundary pin)") {
+    import org.apache.spark.sql.functions._
+    // q33's oracle marks a new session only when gap > 30 min (`<=` keeps
+    // the session). Spark's session_window must agree at the boundary:
+    // two events exactly 1800 s apart merge into ONE session. Verified
+    // behavior pinned here so an engine-version change surfaces in CI.
+    val df = Seq((1L, ts(0)), (1L, ts(1800))).toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect()
+    assert(sessions.length == 1 && sessions.head.getLong(2) == 2)
+  }
+
   test("file source rate limit: one file per micro-batch, converging agg (R10)") {
     import org.apache.spark.sql.functions._
     // the reference polls 5 records per getRecords call (svckinesis.js:193);
