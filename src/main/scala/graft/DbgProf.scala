@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.functions._
+
+/** Dev-only steady-state profiler: runs every registry query twice and
+  * prints the SECOND time — separates real per-query cost from one-time
+  * codegen/scan warmup and bench noise. */
 object DbgProf {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -12,17 +16,17 @@ object DbgProf {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayExprs.register(spark)
     val d = "/root/testdata/sf0.1"
-    def time(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
+    Tables.documents(spark, d).count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      fn(spark, d).count()
+      val t0 = System.nanoTime()
+      fn(spark, d).count()
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    time("warmup")(Tables.documents(spark, d).count())
-    time("q41")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
-    time("q41b")(graft.dedup.Dedup.q41DedupJaccard.fn(spark, d).count())
-    time("q42")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
-    time("q42b")(graft.dedup.Dedup.q42DedupMinhashLsh.fn(spark, d).count())
-    time("q44")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
-    time("q44b")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    results.sortBy(-_._2).take(8).foreach { case (n, t) =>
+      println(f"[prof] $n%-28s ${t}%6.2f")
+    }
+    println(f"[prof] TOTAL ${results.map(_._2).sum}%.1f")
     spark.stop()
   }
 }
