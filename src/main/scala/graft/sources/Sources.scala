@@ -120,11 +120,15 @@ object Sources {
         })
     val nextN = (allVersionNums ++ versions.map(_._1)).maxOption.getOrElse(0L) + 1
     merged.write.parquet(new Path(root, s"v$nextN").toString)
-    // the new version is committed; sweep everything older (committed
-    // predecessors and crashed in-flight directories alike)
+    // Retention: keep the new version AND its committed predecessor (a
+    // reader that resolved the old current just before this commit can
+    // finish its scan); sweep older committed versions and every crashed
+    // in-flight directory. State stays bounded at two versions.
+    val keep: Set[Long] = Set(nextN) ++ versions.lastOption.map(_._1)
     fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { st =>
       st.getPath.getName match {
-        case VersionRe(n) if n.toLong < nextN => fs.delete(st.getPath, true)
+        case VersionRe(n) if n.toLong < nextN && !keep.contains(n.toLong) =>
+          fs.delete(st.getPath, true)
         case _ => ()
       }
     }

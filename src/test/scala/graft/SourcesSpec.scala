@@ -68,9 +68,13 @@ class SourcesSpec extends SparkSpec {
     Sources.upsert(Seq((2L, "c"), (3L, "d")).toDF("k", "v"), Seq("k"), path)
     val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
-    // only the latest committed version remains
+    // retention: current + committed predecessor (in-flight reader safety)
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.toSet == Set("v2"))
+    assert(dirs.toSet == Set("v1", "v2"))
+    // a third upsert sweeps v1
+    Sources.upsert(Seq((4L, "e")).toDF("k", "v"), Seq("k"), path)
+    val dirs2 = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs2.toSet == Set("v2", "v3"))
   }
 
   test("a crashed (uncommitted) version is invisible and swept by the next upsert") {
