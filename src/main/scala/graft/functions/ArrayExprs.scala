@@ -83,6 +83,7 @@ object ArrayExprs {
     "graft_intersect_size" ->
       arity("graft_intersect_size", 2)(es => SortedIntersectSize(es.head, es(1))),
     "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
+    "graft_ngrams" -> arity("graft_ngrams", 2)(es => WordNgrams(es.head, es(1))),
   )
 
   /** Register the functions on a session (idempotent). Call from any query

@@ -256,6 +256,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** q67: corpus top bigrams via the custom `graft_ngrams` GENERATOR
+    * (functions.Generators.WordNgrams — the UDTF row of §2.b): grams are
+    * emitted as rows straight into the partial aggregation, never
+    * materialized as a per-document array. Same shuffle discipline as
+    * q61: (gram, partial count) pairs, TakeOrderedAndProject top-k. */
+  val q67Bigrams: Q = Q(
+    "q67_text_bigrams",
+    """WITH w AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_transform(range(1, LEN(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+      |  FROM w)
+      |SELECT ngram, COUNT(*) AS n
+      |FROM grams GROUP BY ngram
+      |ORDER BY n DESC, ngram
+      |LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.ArrayExprs.register(s)
+    Tables.documents(s, d)
+      .select(expr("graft_ngrams(text, 2)"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
-    q64Fingerprint, q65RollingHash, q66Tfidf)
+    q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams)
 }
