@@ -35,6 +35,18 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Fault-tolerant JSON-lines scan for dirty corpora: malformed lines do
+    * NOT fail the job (one bad crawl record must not kill a 100 TB read) —
+    * they land intact in a `_corrupt_record` column for quarantine, valid
+    * rows parse normally. Callers split on `_corrupt_record IS NULL`. */
+  def readJsonPermissive(s: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** CSV scan with explicit schema + header. */
   def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("header", "true").csv(path)

@@ -35,6 +35,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows(back) == rows(docs))
   }
 
+  test("permissive JSON scan quarantines malformed lines instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": MALFORMED
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val df = Sources.readJsonPermissive(spark, dir.toString, schema).cache()
+    val good = df.filter($"_corrupt_record".isNull)
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    val bad = df.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect()
+    df.unpersist()
+    assert(good == Set((1L, "ok"), (3L, "fine")))
+    assert(bad.length == 1 && bad.head.contains("MALFORMED"))
+  }
+
   test("CSV roundtrip with explicit schema + header") {
     val region = Tables.region(spark, sfDir)
     val path = tmp("graft-csv")

@@ -103,6 +103,34 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 1 && sessions.head.getLong(2) == 2)
   }
 
+  test("stateful aggregation runs on the RocksDB state store (large-state path)") {
+    import org.apache.spark.sql.functions._
+    // HDFS-backed state (the default) holds state in executor heap — fine
+    // for these bench queries, wrong for terabyte state. The deployment
+    // answer is RocksDB; prove the same stateful plan runs on it and
+    // produces identical results.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      input.addData(Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a")))
+      spark.catalog.dropTempView("rocks_sink")
+      val q = input.toDS().toDF("id", "k")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("rocks_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("rocks_sink").as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 3L, "b" -> 1L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file source rate limit: one file per micro-batch, converging agg (R10)") {
     import org.apache.spark.sql.functions._
     // the reference polls 5 records per getRecords call (svckinesis.js:193);
