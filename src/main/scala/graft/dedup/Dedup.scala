@@ -168,17 +168,28 @@ object Dedup {
     * every LSH pipeline has). Cached per session/dir so repeated
     * invocations reuse ONE persisted copy instead of leaking a new cache
     * entry per call. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // Size-1 cache (synchronized): one (session, dir) is live at a time in
+  // every driver main; replacing an entry unpersists the evicted table, so
+  // neither stopped sessions nor stale cached plans are pinned for the JVM
+  // lifetime (an unbounded map keyed by SparkSession would strongly hold
+  // both).
+  private var sigCache: Option[((SparkSession, String), DataFrame)] = None
 
   private def minhashSigTable(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate((s, d), {
-      Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-        .withColumn("sig", minhashSignature(col("sh")))
-        .withColumn("ns", size(col("sh")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    synchronized {
+      sigCache match {
+        case Some(((cs, cd), df)) if (cs eq s) && cd == d => df
+        case prev =>
+          prev.foreach(_._2.unpersist(blocking = false))
+          val df = Tables.fanOut(Tables.documents(s, d))
+            .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+            .withColumn("sig", minhashSignature(col("sh")))
+            .withColumn("ns", size(col("sh")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sigCache = Some(((s, d), df))
+          df
+      }
+    }
 
   val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
     ArrayExprs.register(s)

@@ -47,7 +47,11 @@ case class WordNgrams(child: Expression, nExpr: Expression)
     val t = child.eval(input)
     if (t == null) Iterator.empty
     else {
-      val words = t.asInstanceOf[UTF8String].toString.split("\\s+")
+      // limit -1: KEEP trailing empty tokens, matching Spark's
+      // split(col, "\\s+") and DuckDB's string_split_regex (Java's
+      // default limit 0 silently drops them — oracle divergence on any
+      // text ending in whitespace)
+      val words = t.asInstanceOf[UTF8String].toString.split("\\s+", -1)
       if (words.length < n) Iterator.empty
       else (0 to words.length - n).iterator.map { i =>
         val sb = new java.lang.StringBuilder

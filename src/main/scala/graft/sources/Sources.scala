@@ -38,7 +38,11 @@ object Sources {
   /** Fault-tolerant JSON-lines scan for dirty corpora: malformed lines do
     * NOT fail the job (one bad crawl record must not kill a 100 TB read) —
     * they land intact in a `_corrupt_record` column for quarantine, valid
-    * rows parse normally. Callers split on `_corrupt_record IS NULL`. */
+    * rows parse normally. Callers split on `_corrupt_record IS NULL`.
+    *
+    * CAVEAT: Spark refuses a query over raw JSON whose referenced columns
+    * are ONLY `_corrupt_record` — `.cache()` the returned frame (or carry
+    * a data column) before a quarantine-only select, as SourcesSpec does. */
   def readJsonPermissive(s: SparkSession, path: String,
       schema: StructType): DataFrame =
     s.read
@@ -63,30 +67,51 @@ object Sources {
   /** Version-directory names: v1, v2, … */
   private val VersionRe = "^v(\\d+)$".r
 
-  /** Committed versions (ascending): a version counts only once the
-    * writer's job committer has placed `_SUCCESS` — a version directory
-    * without it is an in-flight or crashed write and is ignored. */
-  private def committedVersions(s: SparkSession, path: String): Seq[(Long, Path)] = {
+  /** One listing of an upsert-table root, split into what the protocol
+    * needs: committed versions (ascending; a version counts only once the
+    * writer's job committer has placed `_SUCCESS` — without it the
+    * directory is an in-flight or crashed write), ALL version numbers
+    * (committed or not, for collision-free allocation), and any foreign
+    * entries — data that is NOT in the versioned layout. */
+  private case class TableListing(
+      committed: Seq[(Long, Path)], allVersionNums: Seq[Long], foreign: Seq[Path])
+
+  private def listTable(s: SparkSession, path: String): TableListing = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName match {
-        case VersionRe(n) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
-          Some((n.toLong, st.getPath))
-        case _ => None
-      })
-      .sortBy(_._1)
+    if (!fs.exists(root)) TableListing(Seq.empty, Seq.empty, Seq.empty)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val (versionDirs, foreign) = entries.partition(st =>
+        st.isDirectory && VersionRe.matches(st.getPath.getName))
+      val nums = versionDirs.map(st =>
+        st.getPath.getName match { case VersionRe(n) => n.toLong })
+      val committed = versionDirs.zip(nums)
+        .filter { case (st, _) => fs.exists(new Path(st.getPath, "_SUCCESS")) }
+        .map { case (st, n) => (n, st.getPath) }
+        .sortBy(_._1)
+      TableListing(committed, nums, foreign.map(_.getPath))
+    }
   }
 
+  /** Refuse to operate on a root holding non-versioned data: silently
+    * treating it as an empty table would drop those rows on the first
+    * upsert. */
+  private def requireVersionedLayout(l: TableListing, path: String): Unit =
+    require(l.foreign.isEmpty,
+      s"$path contains non-versioned entries (${l.foreign.map(_.getName).mkString(", ")}); " +
+        "refusing to treat it as an upsert table")
+
   /** Read the current committed version of an upsert table. */
-  def readTable(s: SparkSession, path: String): DataFrame =
-    committedVersions(s, path).lastOption match {
+  def readTable(s: SparkSession, path: String): DataFrame = {
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    listing.committed.lastOption match {
       case Some((_, p)) => s.read.parquet(p.toString)
       case None => throw new IllegalArgumentException(
         s"no committed version under $path")
     }
+  }
 
   /** Keyed whole-row upsert into a parquet table (R5): rows in `batch`
     * replace existing rows with the same key; other rows carry over.
@@ -106,14 +131,19 @@ object Sources {
     * point-update-heavy workloads at 100 TB, partition the table and
     * restrict the rewrite to touched partitions (writePartitioned +
     * filtering carried rows by the batch's partition values).
+    *
+    * SINGLE WRITER: version allocation has no lock/CAS, so exactly one
+    * writer may upsert a path at a time — which `foreachBatch` guarantees
+    * (micro-batches are sequential). Concurrent writers would race on vN.
     */
   def upsert(batch: DataFrame, keys: Seq[String], path: String): Unit = {
     val s = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(s, path)
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
     val deduped = batch.dropDuplicates(keys)
-    val merged = versions.lastOption match {
+    val merged = listing.committed.lastOption match {
       case Some((_, cur)) =>
         s.read.parquet(cur.toString)
           .join(org.apache.spark.sql.functions.broadcast(
@@ -123,26 +153,15 @@ object Sources {
     }
     // number past EVERY existing version dir, committed or crashed — a
     // crashed vN must not collide with the next write
-    val allVersionNums =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq.filter(_.isDirectory)
-        .flatMap(_.getPath.getName match {
-          case VersionRe(n) => Some(n.toLong)
-          case _ => None
-        })
-    val nextN = (allVersionNums ++ versions.map(_._1)).maxOption.getOrElse(0L) + 1
+    val nextN = listing.allVersionNums.maxOption.getOrElse(0L) + 1
     merged.write.parquet(new Path(root, s"v$nextN").toString)
     // Retention: keep the new version AND its committed predecessor (a
     // reader that resolved the old current just before this commit can
-    // finish its scan); sweep older committed versions and every crashed
-    // in-flight directory. State stays bounded at two versions.
-    val keep: Set[Long] = Set(nextN) ++ versions.lastOption.map(_._1)
-    fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { st =>
-      st.getPath.getName match {
-        case VersionRe(n) if n.toLong < nextN && !keep.contains(n.toLong) =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
+    // finish its scan); sweep older committed versions and crashed
+    // in-flight directories. State stays bounded at two versions.
+    val keep: Set[Long] = Set(nextN) ++ listing.committed.lastOption.map(_._1)
+    (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
+      fs.delete(new Path(root, s"v$n"), true)
     }
   }
 

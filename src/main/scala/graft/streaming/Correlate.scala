@@ -64,11 +64,21 @@ object Correlate {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (txnId: String, evs: Iterator[StatusEvent], state: GroupState[CorrState]) =>
           if (state.hasTimedOut) {
-            val wasPending = !state.get.done
-            state.remove()
-            // pending txn → TIMEOUT (R13); an expiring tombstone → silence
-            if (wasPending) Iterator(Completion(txnId, "TIMEOUT"))
-            else Iterator.empty
+            if (!state.get.done) {
+              // pending txn → TIMEOUT (R13); leave a done tombstone so a
+              // terminal re-delivered above the watermark AFTER the
+              // timeout is suppressed too (headers-already-sent)
+              val ts = state.get.ts
+              state.update(CorrState(ts, done = true))
+              // the watermark may have jumped far past ts when this fires;
+              // a timeout timestamp must sit above it
+              state.setTimeoutTimestamp(
+                math.max(ts + 2 * TimeoutMs, state.getCurrentWatermarkMs() + TimeoutMs))
+              Iterator(Completion(txnId, "TIMEOUT"))
+            } else {
+              state.remove() // expiring tombstone → silence
+              Iterator.empty
+            }
           } else {
             val batch = evs.toSeq
             val terminal = batch

@@ -20,9 +20,12 @@ class GeneratorsSpec extends SparkSpec {
     assert(grams("a b", 3).isEmpty)
   }
 
-  test("n=1 equals the whitespace tokenizer") {
+  test("n=1 equals Spark's split semantics, including trailing empties") {
     val t = "one two  three"
     assert(grams(t, 1) == t.split("\\s+").toSeq)
+    // trailing whitespace keeps an empty token (Spark split / DuckDB
+    // string_split_regex semantics — Java's default split would drop it)
+    assert(grams("a b ", 2) == Seq("a b", "b "))
   }
 
   test("null text emits no rows") {

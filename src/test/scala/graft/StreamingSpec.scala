@@ -79,6 +79,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.txnId == "t1") == 1)
   }
 
+  test("terminal re-delivered above the watermark AFTER a timeout is suppressed") {
+    val got = runCorrelate(Seq(
+      Seq(StatusEvent("t1", "RUNNING", ts(5))),
+      Seq(StatusEvent("t2", "RUNNING", ts(100))), // watermark jump -> t1 TIMEOUT
+      // an at-least-once source re-delivers t1's terminal RE-STAMPED above
+      // the watermark: the timeout tombstone must swallow it
+      Seq(StatusEvent("t1", "SUCCEEDED", ts(101))),
+      Seq(StatusEvent("t3", "SUCCEEDED", ts(300))),
+    ))
+    assert(got.count(_.txnId == "t1") == 1)
+    assert(got.find(_.txnId == "t1").get.finalStatus == "TIMEOUT")
+  }
+
   test("cross-batch re-delivered terminal with newer ts is suppressed by the tombstone") {
     val got = runCorrelate(Seq(
       Seq(StatusEvent("t1", "SUCCEEDED", ts(10))),
