@@ -500,6 +500,31 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** q28: UNPIVOT (melt) — wide money columns to long (metric, v) rows,
+    * the inverse of q82's pivot. Narrow per-row generate (each input row
+    * emits 3), no shuffle until the ORDER BY for the compare. */
+  val q28Unpivot: Q = Q(
+    "q28_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, l_extendedprice AS v
+      |FROM lineitem WHERE l_orderkey < 100
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      |FROM lineitem WHERE l_orderkey < 100
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d).filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".as("extendedprice"), $"l_discount".as("discount"),
+        $"l_tax".as("tax"))
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"extendedprice", $"discount", $"tax"), "metric", "v")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
   /** q27: deterministic hash-based sampling and train/valid/test
     * splitting — the reproducible-shard operator every training-data
     * pipeline needs. The bucket is md5-derived from the KEY (not rand()),
@@ -608,5 +633,6 @@ object Relational {
     q10TopkPerGroup, q11WindowLag, q12RunningSum, q13Distinct,
     q14ApproxDistinct, q15SetOps, q16StringFns, q17DateFns, q18MathFns,
     q19ArrayFns, q20JsonFns, q25MapFns, q26WindowSuite, q27HashSplit,
+    q28Unpivot,
   )
 }
