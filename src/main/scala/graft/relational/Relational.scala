@@ -500,6 +500,30 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** q29: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): null
+    * keys match each other instead of dropping — the semantics required
+    * when the join key is itself derived and legitimately null. Join
+    * output is aggregated (null-key pairs form a real group, proving the
+    * nulls joined). */
+  val q29NullSafeJoin: Q = Q(
+    "q29_nullsafe_join",
+    """WITH k AS (
+      |  SELECT CASE WHEN value < 0.1 THEN NULL ELSE event_type END AS k
+      |  FROM events)
+      |SELECT a.k IS NULL AS null_key, COUNT(*) AS n_pairs
+      |FROM k a JOIN k b ON a.k IS NOT DISTINCT FROM b.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    def keyed = Tables.events(s, d)
+      .select(when($"value" < 0.1, lit(null)).otherwise($"event_type").as("k"))
+    val b = keyed.select($"k".as("bk"))
+    keyed.join(b, $"k" <=> $"bk")
+      .groupBy($"k".isNull.as("null_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"null_key")
+  }
+
   /** q28: UNPIVOT (melt) — wide money columns to long (metric, v) rows,
     * the inverse of q82's pivot. Narrow per-row generate (each input row
     * emits 3), no shuffle until the ORDER BY for the compare. */
@@ -633,6 +657,6 @@ object Relational {
     q10TopkPerGroup, q11WindowLag, q12RunningSum, q13Distinct,
     q14ApproxDistinct, q15SetOps, q16StringFns, q17DateFns, q18MathFns,
     q19ArrayFns, q20JsonFns, q25MapFns, q26WindowSuite, q27HashSplit,
-    q28Unpivot,
+    q28Unpivot, q29NullSafeJoin,
   )
 }
