@@ -245,7 +245,28 @@ object Streaming {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** q36: UPDATE output mode — the third output mode (complete re-emits
+    * everything, append only finalized rows; update emits rows whose
+    * aggregate CHANGED in the batch — what a live dashboard sink consumes).
+    * On a bounded run every touched key is emitted with its final value,
+    * so the batch aggregate is the oracle; the memory sink accumulates
+    * updates and the LAST row per key is the answer (earlier micro-batch
+    * emissions are superseded — dedup keeps max n per key). */
+  val q36StreamUpdateMode: Q = Q(
+    "q36_stream_update_mode",
+    """SELECT user_id, COUNT(*) AS n
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin,
+  ) { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "q36_sink", "update")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
-    q35StreamStreamJoin)
+    q35StreamStreamJoin, q36StreamUpdateMode)
 }
