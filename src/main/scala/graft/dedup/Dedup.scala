@@ -346,6 +346,185 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- Duplicate-group clustering (q45) -----------------------------------
+
+  /** Blocked Jaccard near-dup pairs over an arbitrary corpus with columns
+    * (doc_id, lang, band, text) — the q41 pair generator factored out so
+    * clustering can run it on a derived corpus. Same plan shape as q41:
+    * the whole verification lives inside the equi-join condition, so
+    * non-matching pairs are never materialized. */
+  def jaccardPairs(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .select(col("doc_id"), col("lang"), col("band"),
+        shingleHashes(col("text")).as("s"))
+      .withColumn("ns", size(col("s")))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("s").as("sa"), col("ns").as("na"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("s").as("sb"), col("ns").as("nb"))
+    val interSize = call_function("graft_intersect_size", col("sa"), col("sb"))
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
+          interSize * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components by iterative hash-min label propagation: every
+    * node starts labeled with its own id; each round propagates labels
+    * across edges and keeps the per-node minimum, converging in
+    * graph-diameter rounds. Each round is one join + one partial-aggregated
+    * groupBy — the standard distributed CC (GraphFrames' algorithm is a
+    * skew-hardened variant of the same loop), so it scales to edge sets far
+    * beyond single-machine union-find. `localCheckpoint` truncates the
+    * per-round lineage (a cluster deployment would use `checkpoint` to
+    * HDFS for fault tolerance).
+    *
+    * Convergence check: labels only ever decrease, so `sum(comp)` is
+    * strictly decreasing until fixpoint — one cheap scalar aggregate per
+    * round instead of a change-count join.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+    }
+    labels
+  }
+
+  /** q45: duplicate-group clustering — the step after pair generation in
+    * every dedup pipeline: near-dup PAIRS are clustered into groups
+    * (connected components) and each group elects its minimum doc_id as
+    * the canonical document to keep. Input models a 3-generation recrawl
+    * (original, edited v2, edited v2v3 for every 5th doc), so components
+    * chain across generations and the natural near-dup pairs merge chains
+    * — transitivity does real work. Oracle: recursive-CTE transitive
+    * closure over the identical pair set. */
+  val q45DupGroups: Q = Q(
+    "q45_dup_groups",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' v2', lang
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' v2 v3', lang
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |t AS (
+       |  SELECT doc_id, lang, CAST(FLOOR(LENGTH(text) / 100) AS BIGINT) AS band,
+       |    string_split_regex(text, '\\s+') AS w
+       |  FROM corpus),
+       |sh AS (SELECT doc_id, lang, band, $shinglesSql AS s FROM t),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)
+       |SELECT c.doc_id, c.comp_id, g.n_members
+       |FROM comp c JOIN (
+       |  SELECT comp_id, COUNT(*) AS n_members FROM comp GROUP BY comp_id) g
+       |  ON c.comp_id = g.comp_id
+       |ORDER BY c.comp_id, c.doc_id""".stripMargin,
+  ) { (s, d) =>
+    ArrayExprs.register(s)
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val fifth = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs
+      .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang")))
+      .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
+      .withColumn("band", floor(length(col("text")) / 100))
+    val labels = connectedComponents(jaccardPairs(corpus))
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"),
+        col("n_members"))
+      .orderBy(col("comp_id"), col("doc_id"))
+  }
+
+  // ---- Benchmark decontamination (q46) ------------------------------------
+
+  /** Distinct word-4-grams per document (let-bound split, same shape as
+    * [[shingles]]). */
+  def grams4(c: Column): Column =
+    ArrayExprs.letBind(split(c, "\\s+")) { w =>
+      when(size(w) >= 4,
+        array_distinct(transform(sequence(lit(1), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3)))))
+        .otherwise(array(concat_ws(" ", w)))
+    }
+
+  /** q46: benchmark decontamination — flag corpus documents that share any
+    * word-4-gram with a held-out benchmark set (every 50th doc), the
+    * standard eval-leak check before training. Scale shape: the benchmark
+    * gram set is aggregated into a ~1-bit-per-item Bloom filter on the
+    * driver and broadcast; the corpus gram stream is pre-filtered by the
+    * sketch BEFORE the shuffle, so the exact semi-join only ever shuffles
+    * grams that (probably) hit. False positives are killed by the exact
+    * string join that follows — the sketch can only let extra rows
+    * THROUGH to the join, never drop a true hit, so the result is exact
+    * (DedupSpec pins bloom-on == bloom-off). */
+  val q46Decontaminate: Q = Q(
+    "q46_decontaminate",
+    """WITH g AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN LEN(w) >= 4 THEN array_to_string(w[i:i+3], ' ')
+      |         ELSE array_to_string(w, ' ') END AS gram
+      |  FROM g, LATERAL (SELECT unnest(range(1, GREATEST(LEN(w) - 2, 2))) AS i)),
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_hits
+      |  FROM grams g JOIN bench b ON g.gram = b.gram
+      |  WHERE g.doc_id % 50 != 0
+      |  GROUP BY g.doc_id)
+      |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val grams = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(grams4(col("text"))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    // Sketch size: benchmark sets are a fixed, knowable corpus — size from
+    // its stats in a deployment; 1M @ 1% ≈ 1.2 MB broadcast here.
+    val bloom = bench.stat.bloomFilter("gram", 1000000L, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightHit = udf((g: String) => bloomBc.value.mightContain(g))
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .filter(mightHit(col("gram")))
+      .join(bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
-    q43DedupSimhash, q44DedupEmbed)
+    q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate)
 }

@@ -250,7 +250,58 @@ object Relational2 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** q90: stratified sampling — per-stratum rates (downsample the dominant
+    * classes, keep all of the rare one), the class-rebalancing operator of
+    * training-data pipelines. Assignment is md5-of-key bucketed (the q27
+    * discipline): stable across runs, engines, partitionings, and retries
+    * — never `rand()`. The per-stratum rate arrives via a 3-row broadcast
+    * join, so rates can live in config/catalog tables at scale; the pass
+    * itself stays narrow (no shuffle of the fact table). */
+  val q90StratifiedSample: Q = Q(
+    "q90_stratified_sample",
+    """WITH rates AS (
+      |  SELECT * FROM (VALUES ('O', 100), ('F', 500), ('P', 1000))
+      |    AS t(status, rate_pm)),
+      |h AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER)
+      |      % 1000 AS bucket
+      |  FROM orders)
+      |SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice
+      |FROM h JOIN rates r ON h.o_orderstatus = r.status
+      |WHERE h.bucket < r.rate_pm
+      |ORDER BY h.o_orderkey""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val rates = Seq(("O", 100), ("F", 500), ("P", 1000))
+      .toDF("status", "rate_pm")
+    val bucket = (conv(substring(md5($"o_orderkey".cast("string")), 1, 4), 16, 10)
+      .cast("long") % 1000).cast("int")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        bucket.as("bucket"))
+      .join(broadcast(rates), $"o_orderstatus" === $"status")
+      .filter($"bucket" < $"rate_pm")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** q91: approximate percentiles — the sketch form of q88 for the
+    * 100 TB path, where exact `percentile` needs a full sort per group
+    * while `approx_percentile` (Greenwald-Khanna) merges bounded-size
+    * summaries in one partial+final aggregation pass. Sketch internals are
+    * engine-specific → rows-only driver check; ApproxSpec pins the
+    * rank-error guarantee against the exact q88 values. */
+  val q91ApproxPercentiles: Q = Q.rowsOnly("q91_approx_percentiles") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)), 4).as("p50_approx"),
+        round(approx_percentile(col("o_totalprice"), lit(0.95), lit(1000)), 4).as("p95_approx"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
-    q89StringAgg)
+    q89StringAgg, q90StratifiedSample, q91ApproxPercentiles)
 }

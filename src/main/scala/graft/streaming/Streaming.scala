@@ -266,7 +266,31 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** q37: watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`
+    * is the state-bounded form of q31's dedup: q31's keyed state grows with
+    * every id seen forever, while here each key's state is evicted once the
+    * watermark passes its event time — the at-scale way to absorb source
+    * re-delivery (at-least-once Kinesis reads) where duplicates arrive
+    * within a bounded delay, with state proportional to the delay window,
+    * not the stream's lifetime. Input models re-delivery as a second read
+    * of the stream; every duplicate lands within the 1-hour horizon, so
+    * the bounded run converges to exactly-once and the batch DISTINCT is
+    * the oracle. */
+  val q37StreamDedupWatermark: Q = Q(
+    "q37_stream_dedup_watermark",
+    """SELECT event_id, event_type, user_id FROM events
+      |ORDER BY event_id""".stripMargin,
+  ) { (s, d) =>
+    val redelivered = eventsStream(s, d).unionAll(eventsStream(s, d))
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    runToTable(s, redelivered, "q37_sink", "append")
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
-    q35StreamStreamJoin, q36StreamUpdateMode)
+    q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark)
 }

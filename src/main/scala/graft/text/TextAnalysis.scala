@@ -281,6 +281,56 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** Email/phone patterns shared by the Spark impl and the DuckDB oracle —
+    * restricted to syntax both Java regex and RE2 interpret identically
+    * (char classes, bounded repeats, \b; no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** q68: PII detection + redaction — the scrub pass every training corpus
+    * goes through before the tokenizer. The synthetic corpus carries no
+    * PII, so the query first models it deterministically (an email for
+    * every 3rd doc, a phone for every 4th — same in-query corpus-modeling
+    * trick as q40's recrawl), then counts and redacts both patterns.
+    * Narrow per-row regex work, zero shuffles, whole-stage codegen'd;
+    * output pins the redacted text via md5 so the oracle check covers the
+    * exact replacement, not just the counts. */
+  val q68PiiRedaction: Q = Q(
+    "q68_pii_redaction",
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 3 = 0
+       |        THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       |      || CASE WHEN doc_id % 4 = 0
+       |        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |        ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  LEN(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  LEN(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |      '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
+       |FROM corpus ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val withPii = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), withPii.as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
-    q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams)
+    q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction)
 }

@@ -26,4 +26,31 @@ class ApproxSpec extends SparkSpec {
       .head().getLong(0)
     assert(relErr(exact, tight) < 0.015, s"exact=$exact tight=$tight")
   }
+
+  test("q91 approx_percentile stays within the GK rank-error bound") {
+    // accuracy=1000 ⇒ rank error ≤ n/1000; the returned value is an actual
+    // group element whose rank is within that of the target quantile.
+    val approx = graft.relational.Relational2.q91ApproxPercentiles
+      .fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groups = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.keySet == groups.keySet)
+    groups.foreach { case (prio, sorted) =>
+      val n = sorted.length
+      val slack = n / 1000 + 1 // GK bound, +1 for nearest-rank rounding
+      Seq(0.5 -> approx(prio)._1, 0.95 -> approx(prio)._2).foreach {
+        case (p, got) =>
+          val target = (p * (n - 1)).round.toInt
+          val lo = sorted(math.max(0, target - slack))
+          val hi = sorted(math.min(n - 1, target + slack))
+          // query rounds to 4 decimals — compare with the same rounding
+          def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+          assert(r4(lo) <= got && got <= r4(hi),
+            s"$prio p$p: got=$got outside [$lo, $hi] (n=$n)")
+      }
+    }
+  }
 }

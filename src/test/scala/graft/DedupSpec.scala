@@ -66,6 +66,47 @@ class DedupSpec extends SparkSpec {
     assert(v.toSeq == Seq(0.0, 1.0, -1.0))
   }
 
+  test("connectedComponents: transitive chains merge, disjoint groups stay apart") {
+    // 1-2-3 is a path (1 and 3 share NO edge — only transitivity links
+    // them); 10-11 is disjoint. Two propagation rounds needed.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("q45 groups every member of a multi-generation chain under one canonical id") {
+    val grouped = Dedup.q45DupGroups.fn(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val byComp = grouped.groupBy(_._2)
+    // every component has ≥2 members and the comp_id IS the minimum member
+    byComp.foreach { case (comp, members) =>
+      assert(members.length >= 2)
+      assert(members.map(_._1).min == comp)
+      assert(members.forall(_._3 == members.length))
+    }
+    // the 3-generation recrawl chains exist: some component holds an
+    // original (< 100000) AND its v2v3 copy (>= 200000)
+    assert(byComp.exists { case (_, m) =>
+      m.exists(_._1 < 100000) && m.exists(_._1 >= 200000)
+    })
+  }
+
+  test("q46 bloom prefilter is exact: identical to the plain semi-join") {
+    val withBloom = Dedup.q46Decontaminate.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    // reference without the sketch: same grams, plain join
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Dedup.grams4(col("text"))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select(col("gram")).distinct()
+    val plain = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .as[(Long, Long)].collect().toSet
+    assert(withBloom == plain)
+    assert(withBloom.forall(_._1 % 50 != 0)) // benchmark docs never flagged
+  }
+
   test("LSH finds every identical-shingle-set pair (guaranteed candidates)") {
     // jac = 1.0 ⇒ identical minhash signature ⇒ identical in every band ⇒
     // guaranteed candidate. Fixture corpus with two exact-dup groups.

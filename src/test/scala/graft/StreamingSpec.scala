@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Correlate
 import graft.streaming.Correlate.{Completion, StatusEvent}
@@ -172,5 +173,31 @@ class StreamingSpec extends SparkSpec {
     val exp = Tables.events(spark, sfDir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(got == exp)
+  }
+
+  test("dropDuplicatesWithinWatermark: dup inside horizon collapses, evicted key re-emits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .select(col("id"))
+    spark.catalog.dropTempView("ddw_sink")
+    val q = out.writeStream.format("memory").queryName("ddw_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: first sight of 1 and 2 → both emit; watermark after b1 = 0
+      input.addData(Seq((1L, ts(10)), (2L, ts(10)))); q.processAllAvailable()
+      // b2: re-delivery of 1 within the horizon → suppressed; the ts(100)
+      // row pushes the watermark to 90, past id 1's expiry (10 + 10)
+      input.addData(Seq((1L, ts(11)), (9L, ts(100)))); q.processAllAvailable()
+      // b3: id 1's state was evicted → re-delivery now re-emits (the
+      // documented contract: dedup is guaranteed only within the horizon)
+      input.addData(Seq((1L, ts(95)))); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddw_sink").as[Long].collect().toSeq
+    assert(ids.count(_ == 1L) == 2, s"got $ids")
+    assert(ids.count(_ == 2L) == 1)
+    assert(ids.count(_ == 9L) == 1)
   }
 }
