@@ -19,20 +19,24 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q35-1")(graft.streaming.Streaming.q35StreamStreamJoin.fn(spark, d).count())
-    time("q35-2")(graft.streaming.Streaming.q35StreamStreamJoin.fn(spark, d).count())
-    // batch equivalent of the interval join for comparison
-    def batchJoin = {
-      val ev = Tables.events(spark, d)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-      p.join(c, col("c_user") === col("user_id") && col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
-    }
-    time("q35-batch")(batchJoin.count())
-    time("q33-2nd")(graft.streaming.Streaming.q33StreamSessionWindow.fn(spark, d).count())
+    time("q29-1")(graft.relational.Relational.q29NullSafeJoin.fn(spark, d).count())
+    time("q29-2")(graft.relational.Relational.q29NullSafeJoin.fn(spark, d).count())
+    time("q45-1")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
+    time("q45-2")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
+    // q45 decomposition: pair generation vs CC loop
+    val docs = Tables.fanOut(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val fifth = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs
+      .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang")))
+      .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
+      .withColumn("band", floor(length(col("text")) / 100))
+    time("q45-pairs")(graft.dedup.Dedup.jaccardPairs(corpus).count())
+    val pairs = graft.dedup.Dedup.jaccardPairs(corpus)
+    time("q45-cc")(graft.dedup.Dedup.connectedComponents(pairs).count())
+    time("q46-2nd")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
     spark.stop()
   }
 }

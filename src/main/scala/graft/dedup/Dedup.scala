@@ -386,26 +386,36 @@ object Dedup {
     * round instead of a change-count join.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), col("comp"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    val s = pairs.sparkSession
+    // The dup-pair graph is orders of magnitude smaller than the corpus
+    // that produced it (sub-% duplicate rates), so the iteration shuffles
+    // are sized to EDGE volume, not to the session's corpus-scale setting
+    // — same discipline as Streaming.StatePartitions. A deployment with a
+    // huge edge set raises this; the algorithm is unchanged.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-    }
-    labels
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("comp"))
+        val next = labels.unionAll(prop)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels = next
+      }
+      labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** q45: duplicate-group clustering — the step after pair generation in
