@@ -301,7 +301,57 @@ object Relational2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q92: sequence packing (concat-and-chunk) — assign every document its
+    * training-chunk id and offset under a fixed token budget, the layout
+    * step before writing packed training shards. The global running token
+    * count is computed as a DISTRIBUTED PREFIX SUM: per-bucket window
+    * cumsums run in parallel over contiguous doc_id ranges, the ~B bucket
+    * totals get their own tiny prefix pass, and a broadcast join adds the
+    * bucket prefix back — no global single-partition window sort (what a
+    * naive `Window.orderBy(doc_id)` would execute as; at 100 TB that one
+    * task IS the job). Oracle: the naive global window, which DuckDB can
+    * afford at test scale. */
+  val q92SequencePacking: Q = Q(
+    "q92_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, LEN(string_split_regex(text, '\s+')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  (cum - n_tokens) // 2048 AS pack_id,
+      |  (cum - n_tokens) % 2048 AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val budget = 2048L
+    val t = Tables.documents(s, d)
+      .select($"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val localW = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("local_cum", sum($"n_tokens").over(localW))
+    // bucket prefix table: one row per contiguous doc_id range — tiny, so
+    // its global-ordered window is a deliberate single small task
+    val prefixW = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = t.groupBy($"bucket").agg(sum($"n_tokens").as("btotal"))
+      .withColumn("prefix", coalesce(sum($"btotal").over(prefixW), lit(0L)))
+      .select($"bucket", $"prefix")
+    local.join(broadcast(prefixes), "bucket")
+      .withColumn("start", $"prefix" + $"local_cum" - $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        expr("start div 2048").as("pack_id"),
+        ($"start" % budget).as("pack_offset"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
-    q89StringAgg, q90StratifiedSample, q91ApproxPercentiles)
+    q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
+    q92SequencePacking)
 }

@@ -268,5 +268,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf)
+  /** q54: embedding normalization + int8 quantization — the storage /
+    * serving transform of a vector pipeline (4× smaller than float32,
+    * 8× smaller than the double working form). Fully narrow per-row
+    * work. Exactness: both engines cast the same parquet floats to
+    * double and fold sums sequentially from the left (Spark `aggregate`
+    * seeded with 0.0 ≡ DuckDB `list_reduce` seeded with the head — adding
+    * 0.0 is exact), so norm, division, and `floor(x·127+0.5)` are
+    * bit-identical; the quantized vector round-trips through a CSV string
+    * because parquet list columns don't survive the driver's pandas
+    * row-equality check. The norm is let-bound — referenced raw inside
+    * the transform lambda it would re-evaluate the whole fold per
+    * element (64×). */
+  val q54Quantize: Q = Q(
+    "q54_quantize",
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM e)
+      |SELECT vec_id, label, ROUND(nrm, 6) AS l2_norm,
+      |  array_to_string(list_transform(v,
+      |    x -> CAST(CAST(FLOOR(x / nrm * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+      |    AS quant_i8
+      |FROM n ORDER BY vec_id""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        asDouble(col("embedding")).as("v"))
+    val quantized = ArrayExprs.letBind(
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))) {
+      nrm =>
+        struct(
+          round(nrm, 6).as("l2_norm"),
+          concat_ws(",", transform(col("v"),
+            x => floor(x / nrm * 127 + 0.5).cast("long").cast("string")))
+            .as("quant_i8"))
+    }
+    e.select(col("vec_id"), col("label"), quantized.as("q"))
+      .select(col("vec_id"), col("label"), col("q.l2_norm"), col("q.quant_i8"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf,
+    q54Quantize)
 }

@@ -59,6 +59,38 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"pipeline shuffles ${shuffles.size}×:\n$p")
   }
 
+  test("q92 prefix sum never runs a global window over the raw corpus") {
+    val p = plan(graft.relational.Relational2.q92SequencePacking.fn(spark, sfDir))
+    val windows = nodes(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1, s"expected exactly one global window:\n$p")
+    // the single unpartitioned window sorts only the per-bucket TOTALS (an
+    // aggregate output, ~corpus/1000 rows) — the corpus-sized cumsum is the
+    // OTHER window, partitioned by bucket
+    val aggBelow = nodes(global.head) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    assert(aggBelow.nonEmpty, s"global window runs over raw rows:\n$p")
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("q92 distributed prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("start div 2048").as("pack_id"), (col("start") % 2048).as("pack_offset"))
+      .collect().map(_.toSeq).toSet
+    val dist = graft.relational.Relational2.q92SequencePacking.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(dist == naive)
+  }
+
   test("q52 centroid scan reads only the needed columns (pruning)") {
     val p = plan(graft.sim.Similarity.q52Centroid.fn(spark, sfDir))
     val scans = nodes(p) { case s: FileSourceScanExec => s }

@@ -72,4 +72,24 @@ class SimilaritySpec extends SparkSpec {
       .select(col("neighbor_id"), col("cos")).as[(Long, Double)].head()
     assert(top == ((100000L, 1.0)))
   }
+
+  test("q54 int8 quantization: values bounded, dequant error within half a step") {
+    val rows = Similarity.q54Quantize.fn(spark, sfDir)
+      .select(col("vec_id"), col("l2_norm"), col("quant_i8")).collect()
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val nrm = r.getDouble(1)
+      val q = r.getString(2).split(",").map(_.toLong)
+      val v = raw(r.getLong(0)).map(_.toDouble)
+      assert(q.length == v.length)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // dequantized unit vector is within half a quantization step
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x / nrm - qi / 127.0) <= 0.5 / 127 + 1e-9)
+      }
+    }
+  }
 }
