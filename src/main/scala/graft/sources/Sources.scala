@@ -64,6 +64,24 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Range-sharded sorted export — the training-shard layout writer:
+    * `repartitionByRange` splits the keyspace into `numShards` contiguous
+    * ranges (one output file each, ranges disjoint), and each shard is
+    * sorted by the key within its file. Readers that want "shard i of N"
+    * open exactly one file; a sequential consumer (a training loader
+    * streaming packed chunks in q92 order) reads the files in name order
+    * and sees the full corpus globally sorted — WITHOUT any global
+    * single-partition sort having run (range partitioning samples the key
+    * distribution, then each shard sorts locally in parallel).
+    * maxRecordsPerFile bounds file size at scale. */
+  def writeRangeSharded(df: DataFrame, path: String, key: String,
+      numShards: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(numShards, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Version-directory names: v1, v2, … */
   private val VersionRe = "^v(\\d+)$".r
 

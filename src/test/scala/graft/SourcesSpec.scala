@@ -82,6 +82,29 @@ class SourcesSpec extends SparkSpec {
       s"scan selected ${listing.partitionCount} partitions: ${files.mkString(",")}")
   }
 
+  test("range-sharded export: disjoint sorted shards, globally ordered in file order") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+    val path = tmp("graft-shards")
+    Sources.writeRangeSharded(docs, path, "doc_id", numShards = 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    // each shard is internally sorted; shard key ranges are disjoint and
+    // ascend with file name, so concatenation is the global order
+    val perShard = files.map { f =>
+      spark.read.parquet(f).select($"doc_id").as[Long].collect().toSeq
+    }
+    perShard.foreach(ids => assert(ids == ids.sorted))
+    perShard.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.last < b.head)
+      case _         =>
+    }
+    assert(perShard.map(_.size).sum == docs.count())
+    // no shard is empty and the split is roughly balanced (range
+    // partitioning samples the key distribution)
+    assert(perShard.forall(_.nonEmpty))
+  }
+
   test("keyed upsert: new rows replace same-key rows, old versions swept (R5)") {
     val path = tmp("graft-upsert")
     Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path)
