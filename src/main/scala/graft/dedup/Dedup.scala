@@ -418,16 +418,24 @@ object Dedup {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** q45: duplicate-group clustering — the step after pair generation in
-    * every dedup pipeline: near-dup PAIRS are clustered into groups
-    * (connected components) and each group elects its minimum doc_id as
-    * the canonical document to keep. Input models a 3-generation recrawl
-    * (original, edited v2, edited v2v3 for every 5th doc), so components
-    * chain across generations and the natural near-dup pairs merge chains
-    * — transitivity does real work. Oracle: recursive-CTE transitive
-    * closure over the identical pair set. */
-  val q45DupGroups: Q = Q(
-    "q45_dup_groups",
+  /** The q45/q47 input: a 3-generation recrawl corpus (original, edited
+    * v2, edited v2v3 for every 5th doc) with the blocking band recomputed
+    * from the edited text. */
+  def threeGenCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val fifth = docs.filter(col("doc_id") % 5 === 0)
+    docs
+      .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang")))
+      .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
+      .withColumn("band", floor(length(col("text")) / 100))
+  }
+
+  /** The shared q45 oracle prefix: pairs → edges → recursive closure →
+    * per-node component. q47 extends it with the keep/drop application. */
+  private val ccOracleCtes =
     s"""WITH RECURSIVE corpus AS (
        |  SELECT doc_id, text, lang FROM documents
        |  UNION ALL
@@ -454,7 +462,38 @@ object Dedup {
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)""".stripMargin
+
+  /** CC labels over the 3-gen corpus, cached per (session, dir) exactly
+    * like [[minhashSigTable]]: q45 reports the groups and q47 applies
+    * them — recomputing the blocked pair join + iteration twice would
+    * double the cost of the shared build-the-labels step. The labels
+    * frame is localCheckpointed (tiny), so the cache holds materialized
+    * data, not a live lineage. */
+  private var ccCache: Option[((SparkSession, String), DataFrame)] = None
+
+  private def threeGenLabels(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      ccCache match {
+        case Some(((cs, cd), df)) if (cs eq s) && cd == d => df
+        case _ =>
+          val df = connectedComponents(jaccardPairs(threeGenCorpus(s, d)))
+          ccCache = Some(((s, d), df))
+          df
+      }
+    }
+
+  /** q45: duplicate-group clustering — the step after pair generation in
+    * every dedup pipeline: near-dup PAIRS are clustered into groups
+    * (connected components) and each group elects its minimum doc_id as
+    * the canonical document to keep. Input models a 3-generation recrawl
+    * (original, edited v2, edited v2v3 for every 5th doc), so components
+    * chain across generations and the natural near-dup pairs merge chains
+    * — transitivity does real work. Oracle: recursive-CTE transitive
+    * closure over the identical pair set. */
+  val q45DupGroups: Q = Q(
+    "q45_dup_groups",
+    s"""$ccOracleCtes
        |SELECT c.doc_id, c.comp_id, g.n_members
        |FROM comp c JOIN (
        |  SELECT comp_id, COUNT(*) AS n_members FROM comp GROUP BY comp_id) g
@@ -462,21 +501,44 @@ object Dedup {
        |ORDER BY c.comp_id, c.doc_id""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
-    val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("text"), col("lang"))
-    val fifth = docs.filter(col("doc_id") % 5 === 0)
-    val corpus = docs
-      .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" v2")).as("text"), col("lang")))
-      .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
-        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
-      .withColumn("band", floor(length(col("text")) / 100))
-    val labels = connectedComponents(jaccardPairs(corpus))
+    val labels = threeGenLabels(s, d)
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("comp_id"),
         col("n_members"))
       .orderBy(col("comp_id"), col("doc_id"))
+  }
+
+  /** q47: dedup application — the step that actually SHRINKS the corpus:
+    * left-join the CC labels back onto the 3-gen corpus, keep singletons
+    * and each group's canonical (minimum) member, and report kept/dropped
+    * counts per recrawl generation. Canonicals are usually generation 0,
+    * but not always — when band-blocking breaks the orig↔v2 link while
+    * v2↔v3 survives, a generation-1 doc is the group minimum, which this
+    * query surfaces. The labels table is orders of magnitude smaller than
+    * the corpus, so the application join broadcasts at scale (AQE decides
+    * from actual size). */
+  val q47DedupApply: Q = Q(
+    "q47_dedup_apply",
+    s"""$ccOracleCtes
+       |SELECT corpus.doc_id // 100000 AS generation,
+       |  COUNT(*) FILTER (WHERE c.doc_id IS NULL OR c.comp_id = corpus.doc_id)
+       |    AS n_kept,
+       |  COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL AND c.comp_id != corpus.doc_id)
+       |    AS n_dropped
+       |FROM corpus LEFT JOIN comp c ON corpus.doc_id = c.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (s, d) =>
+    ArrayExprs.register(s)
+    val labels = threeGenLabels(s, d)
+      .select(col("id"), col("comp"))
+    val kept = when(col("comp").isNull || col("comp") === col("doc_id"), 1L)
+      .otherwise(0L)
+    threeGenCorpus(s, d)
+      .join(labels, col("doc_id") === col("id"), "left")
+      .groupBy(expr("doc_id div 100000").as("generation"))
+      .agg(sum(kept).as("n_kept"), sum(lit(1L) - kept).as("n_dropped"))
+      .orderBy(col("generation"))
   }
 
   // ---- Benchmark decontamination (q46) ------------------------------------
@@ -536,5 +598,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
-    q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate)
+    q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate,
+    q47DedupApply)
 }
