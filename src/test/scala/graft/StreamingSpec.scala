@@ -145,6 +145,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: status trails accumulate across batches, terminal emits and resets") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatusEvent]
+      val out = graft.streaming.StatusHistory.statusHistory(input.toDS())
+      spark.catalog.dropTempView("twS_sink")
+      val q = out.writeStream.format("memory").queryName("twS_sink")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // t1 accumulates across three batches; t2 completes immediately
+        input.addData(Seq(StatusEvent("t1", "RUNNING", ts(1)),
+          StatusEvent("t2", "SUCCEEDED", ts(1))))
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t1", "RUNNING", ts(2))))
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t1", "FAILED", ts(3)),
+          // post-terminal event in the SAME batch opens a fresh trail
+          StatusEvent("t1", "SUCCEEDED", ts(4))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("twS_sink")
+        .as[graft.streaming.StatusHistory.HistoryResult]
+        .collect().map(r => (r.txnId, r.finalStatus) -> (r.nEvents, r.trail)).toMap
+      assert(got(("t2", "SUCCEEDED")) == ((1, "SUCCEEDED")))
+      assert(got(("t1", "FAILED")) == ((3, "RUNNING,RUNNING,FAILED")))
+      assert(got(("t1", "SUCCEEDED")) == ((1, "SUCCEEDED")))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file source rate limit: one file per micro-batch, converging agg (R10)") {
     import org.apache.spark.sql.functions._
     // the reference polls 5 records per getRecords call (svckinesis.js:193);
