@@ -350,8 +350,71 @@ object Relational2 {
       .orderBy($"doc_id")
   }
 
+  /** q93: value-based RANGE window frame — trailing 6-hour per-user sum
+    * and count, the sliding-by-TIME (not by-rows) aggregate the ROWS
+    * frames elsewhere (q12/q26) can't express. Ordering is exact integer
+    * MICROSECONDS on both engines (`unix_micros` ≡ `epoch_us`) — DuckDB's
+    * `epoch()` returns fractional double seconds while a Spark
+    * timestamp→long cast truncates, so seconds-based frames would
+    * silently disagree on sub-second data. One shuffle on user_id serves
+    * both window functions. */
+  val q93RangeFrame: Q = Q(
+    "q93_range_frame",
+    """WITH t AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS v6h,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW) AS n6h
+      |FROM t ORDER BY event_id""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-21600000000L, 0L)
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"value".cast("decimal(18,2)").as("v"))
+      .select($"event_id", $"user_id",
+        sum($"v").over(w).cast("double").as("v6h"),
+        count(lit(1)).over(w).as("n6h"))
+      .orderBy($"event_id")
+  }
+
+  /** q94: LOCF gap-fill (last observation carried forward) — impute
+    * missing sensor/metric values from the same key's most recent
+    * non-null reading via `last(..., ignoreNulls)` over a running ROWS
+    * frame. Nulls are modeled in-query (readings below 0.2 dropped); a
+    * key's LEADING nulls have nothing to carry forward and stay null in
+    * both engines. Narrow after the one user_id shuffle. */
+  val q94GapFill: Q = Q(
+    "q94_gap_fill",
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, v,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS v_filled
+      |FROM t ORDER BY event_id""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", $"ts",
+        when($"value" < 0.2, lit(null)).otherwise($"value").as("v"))
+      .select($"event_id", $"user_id", $"v",
+        last($"v", ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
-    q92SequencePacking)
+    q92SequencePacking, q93RangeFrame, q94GapFill)
 }
