@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -413,8 +413,69 @@ object Relational2 {
       .orderBy($"event_id")
   }
 
+  /** q95: table profiling — per-column row/null/distinct counts and
+    * min/max in ONE pass over the table (the data-quality report a
+    * pipeline runs before training). All 4 columns' metrics are computed
+    * in a single aggregate (multiple exact DISTINCTs — Spark plans one
+    * scan with an Expand; the at-scale variant swaps in
+    * `approx_count_distinct` to drop the Expand, same query shape), then
+    * the 1-row result unpivots to a (column, metric…) row per column —
+    * the oracle's UNION ALL of per-column scans reads the table 4 times
+    * for the same answer. Numerics format through DECIMAL(18,2) so both
+    * engines render identical strings. */
+  val q95Profile: Q = Q(
+    "q95_profile",
+    """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(o_custkey) AS n_null,
+      |  COUNT(DISTINCT o_custkey) AS n_distinct,
+      |  CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+      |  CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+      |  COUNT(DISTINCT o_orderpriority),
+      |  MIN(o_orderpriority), MAX(o_orderpriority)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+      |  COUNT(DISTINCT o_orderstatus),
+      |  MIN(o_orderstatus), MAX(o_orderstatus)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+      |  COUNT(DISTINCT o_totalprice),
+      |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+      |FROM orders
+      |ORDER BY col_name""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    def metrics(c: String, minMax: Column => Column) = Seq(
+      count(lit(1)).as(s"${c}__n"),
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(minMax(col(c))).cast("string").as(s"${c}__min"),
+      max(minMax(col(c))).cast("string").as(s"${c}__max"))
+    val cols = Seq[(String, Column => Column)](
+      "o_custkey" -> identity,
+      "o_orderpriority" -> identity,
+      "o_orderstatus" -> identity,
+      "o_totalprice" -> (_.cast("decimal(18,2)")))
+    val aggs = cols.flatMap { case (c, f) => metrics(c, f) }
+    val onePass = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    onePass.select(explode(array(cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"), col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+    }: _*)).as("m"))
+      .select($"m.col_name", $"m.n_rows", $"m.n_null", $"m.n_distinct",
+        $"m.min_v", $"m.max_v")
+      .orderBy($"col_name")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
-    q92SequencePacking, q93RangeFrame, q94GapFill)
+    q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile)
 }

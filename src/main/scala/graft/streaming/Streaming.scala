@@ -290,7 +290,51 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q38: streaming materialized view — the stream maintains a queryable
+    * "latest event per user" TABLE through `foreachBatch` + the versioned
+    * upsert sink (R5's streaming form): each micro-batch reduces to its
+    * per-user latest row (ts-desc argmax), upserts by key, and readers see
+    * only committed snapshots (Sources.upsert's _SUCCESS-gated version
+    * swap — a reader never observes a half-written view). On the bounded
+    * file source event time is monotone across batches, so
+    * last-batch-wins == latest-by-event-time and the batch argmax is the
+    * oracle; an out-of-order deployment would compare `ts` in the merge
+    * (same sink, one more join condition). */
+  val q38StreamMaterializedView: Q = Q(
+    "q38_stream_materialized_view",
+    """SELECT user_id, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = java.nio.file.Files.createTempDirectory("graft-q38")
+      .resolve("view").toString
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = eventsStream(s, d).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val latest = batch
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("value").as("last_value"))
+          graft.sources.Sources.upsert(latest, Seq("user_id"), path)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.sources.Sources.readTable(s, path).orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
-    q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark)
+    q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark,
+    q38StreamMaterializedView)
 }
