@@ -23,16 +23,9 @@ object DbgProf {
     time("q29-2")(graft.relational.Relational.q29NullSafeJoin.fn(spark, d).count())
     time("q45-1")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
     time("q45-2")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
-    // q45 decomposition: pair generation vs CC loop
-    val docs = Tables.fanOut(Tables.documents(spark, d))
-      .select(col("doc_id"), col("text"), col("lang"))
-    val fifth = docs.filter(col("doc_id") % 5 === 0)
-    val corpus = docs
-      .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" v2")).as("text"), col("lang")))
-      .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
-        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
-      .withColumn("band", floor(length(col("text")) / 100))
+    // q45 decomposition: pair generation vs CC loop (the SAME corpus
+    // builder q45 uses — an inline copy would silently drift)
+    val corpus = graft.dedup.Dedup.threeGenCorpus(spark, d)
     time("q45-pairs")(graft.dedup.Dedup.jaccardPairs(corpus).count())
     val pairs = graft.dedup.Dedup.jaccardPairs(corpus)
     time("q45-cc")(graft.dedup.Dedup.connectedComponents(pairs).count())

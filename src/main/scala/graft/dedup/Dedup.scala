@@ -354,6 +354,7 @@ object Dedup {
     * the whole verification lives inside the equi-join condition, so
     * non-matching pairs are never materialized. */
   def jaccardPairs(corpus: DataFrame): DataFrame = {
+    ArrayExprs.register(corpus.sparkSession) // graft_intersect_size below
     val base = corpus
       .select(col("doc_id"), col("lang"), col("band"),
         shingleHashes(col("text")).as("s"))
@@ -401,7 +402,10 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+      // coalesce: sum over an EMPTY labels frame is null (no pairs at all
+      // — a legal input); 0 == 0 then converges on the first round
+      var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L)))
+        .head().getLong(0)
       var converged = false
       while (!converged) {
         val prop = edges.join(labels, edges("src") === labels("id"))
@@ -409,7 +413,8 @@ object Dedup {
         val next = labels.unionAll(prop)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
           .localCheckpoint()
-        val nextSum = next.agg(sum(col("comp"))).head().getLong(0)
+        val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L)))
+          .head().getLong(0)
         converged = nextSum == prevSum
         prevSum = nextSum
         labels = next

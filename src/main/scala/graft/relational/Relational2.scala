@@ -345,7 +345,7 @@ object Relational2 {
     local.join(broadcast(prefixes), "bucket")
       .withColumn("start", $"prefix" + $"local_cum" - $"n_tokens")
       .select($"doc_id", $"n_tokens",
-        expr("start div 2048").as("pack_id"),
+        expr(s"start div $budget").as("pack_id"),
         ($"start" % budget).as("pack_offset"))
       .orderBy($"doc_id")
   }
@@ -389,7 +389,11 @@ object Relational2 {
     * non-null reading via `last(..., ignoreNulls)` over a running ROWS
     * frame. Nulls are modeled in-query (readings below 0.2 dropped); a
     * key's LEADING nulls have nothing to carry forward and stay null in
-    * both engines. Narrow after the one user_id shuffle. */
+    * both engines. The oracle window orders by `epoch_us(ts)` — DuckDB
+    * sees the file's full NANOsecond timestamps while Spark reads
+    * microsecond-truncated ones (Tables.events), so ordering raw ts could
+    * pick a different predecessor for events tied at the microsecond (the
+    * q93 lesson). Narrow after the one user_id shuffle. */
   val q94GapFill: Q = Q(
     "q94_gap_fill",
     """WITH t AS (
@@ -398,7 +402,7 @@ object Relational2 {
       |  FROM events)
       |SELECT event_id, user_id, v,
       |  LAST_VALUE(v IGNORE NULLS) OVER (
-      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
       |    ROWS UNBOUNDED PRECEDING) AS v_filled
       |FROM t ORDER BY event_id""".stripMargin,
   ) { (s, d) =>

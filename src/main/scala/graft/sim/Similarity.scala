@@ -289,9 +289,10 @@ object Similarity {
       |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
       |  FROM e)
       |SELECT vec_id, label, ROUND(nrm, 6) AS l2_norm,
-      |  array_to_string(list_transform(v,
-      |    x -> CAST(CAST(FLOOR(x / nrm * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',')
-      |    AS quant_i8
+      |  CASE WHEN nrm = 0 THEN NULL ELSE
+      |    array_to_string(list_transform(v,
+      |      x -> CAST(CAST(FLOOR(x / nrm * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+      |  END AS quant_i8
       |FROM n ORDER BY vec_id""".stripMargin,
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
@@ -302,8 +303,13 @@ object Similarity {
       nrm =>
         struct(
           round(nrm, 6).as("l2_norm"),
-          concat_ws(",", transform(col("v"),
-            x => floor(x / nrm * 127 + 0.5).cast("long").cast("string")))
+          // zero vector → no direction to quantize: NULL (pinned in the
+          // oracle's CASE; without the guard Spark's non-ANSI NaN cast
+          // would emit zeros while DuckDB errors — divergence, not a
+          // shared answer)
+          when(nrm === 0.0, lit(null).cast("string"))
+            .otherwise(concat_ws(",", transform(col("v"),
+              x => floor(x / nrm * 127 + 0.5).cast("long").cast("string"))))
             .as("quant_i8"))
     }
     e.select(col("vec_id"), col("label"), quantized.as("q"))

@@ -310,8 +310,13 @@ object Streaming {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val path = java.nio.file.Files.createTempDirectory("graft-q38")
-      .resolve("view").toString
+    // Stable per-dataset path (NOT a fresh temp dir per call — repeated
+    // invocations would leak an orphaned table each). Re-running over the
+    // same input re-upserts the identical key set, and the sink's
+    // two-version retention keeps the directory bounded.
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q38_view_${math.abs(d.hashCode).toString}").toString
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val prev = s.conf.get("spark.sql.shuffle.partitions")

@@ -37,17 +37,20 @@ class PropertySpec extends SparkSpec {
       } yield (math.min(a, b), math.max(a, b)))
     } yield (n, edges.distinct)
     check("cc-vs-union-find", 12)(Prop.forAll(genGraph) { case (n, edges) =>
-      edges.isEmpty || {
-        val got = graft.dedup.Dedup.connectedComponents(
-          edges.map { case (a, b) => (a.toLong, b.toLong) }
-            .toDF("doc_a", "doc_b"))
-          .as[(Long, Long)].collect().toMap
-        val ref = unionFind(n, edges)
-        // CC labels only nodes that appear in an edge
-        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-        got == touched.map(i => i.toLong -> ref(i).toLong).toMap
-      }
+      val got = graft.dedup.Dedup.connectedComponents(
+        edges.map { case (a, b) => (a.toLong, b.toLong) }
+          .toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val ref = unionFind(n, edges)
+      // CC labels only nodes that appear in an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      got == touched.map(i => i.toLong -> ref(i).toLong).toMap
     })
+  }
+
+  test("connectedComponents on an empty pair set returns an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.dedup.Dedup.connectedComponents(empty).count() == 0)
   }
 
   test("exact dedup is idempotent and keeps the minimum id per distinct text") {
