@@ -331,6 +331,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q69: document chunking — overlapping fixed-size token windows
+    * (32 tokens, stride 24), the split step for context-window-bounded
+    * consumers (RAG indexing, fixed-window encoders); the inverse concern
+    * of q92's concat-and-chunk packing. Narrow per-row generate: each doc
+    * explodes into ceil(len/stride) chunk rows, content pinned via md5 so
+    * the oracle checks the exact chunk text, not just counts. The token
+    * array is let-bound (split runs once per doc, not once per chunk
+    * element). */
+  val q69Chunking: Q = Q(
+    "q69_text_chunking",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_no,
+      |    array_to_string(w[i:i+31], ' ') AS chunk,
+      |    CAST(LEAST(LEN(w) - i + 1, 32) AS BIGINT) AS n_tok
+      |  FROM t, LATERAL (SELECT
+      |    unnest(range(1, GREATEST(LEN(w) - 32 + 24, 1) + 1, 24)) AS i))
+      |SELECT doc_id, chunk_no, n_tok, md5(chunk) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin,
+  ) { (s, d) =>
+    val win = 32
+    val stride = 24
+    val chunks = graft.functions.ArrayExprs.letBind(tokens(col("text"))) { w =>
+      transform(
+        // last start = smallest stride-grid point whose window reaches the
+        // final token (len - win + stride); Spark sequence is
+        // bound-INCLUSIVE, DuckDB range is EXCLUSIVE — the oracle adds +1
+        sequence(lit(1), greatest(size(w) - win + stride, lit(1)), lit(stride)),
+        i => struct(
+          // (i-1)/stride on positive ints: double division + long cast
+          // truncates == floor, exact below 2^53
+          ((i - 1) / stride).cast("long").as("chunk_no"),
+          concat_ws(" ", slice(w, i, lit(win))).as("chunk"),
+          least(size(w) - i + 1, lit(win)).cast("long").as("n_tok")))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_no"), col("c.n_tok"),
+        md5(col("c.chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
-    q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction)
+    q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
+    q69Chunking)
 }
