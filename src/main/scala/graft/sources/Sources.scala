@@ -64,6 +64,20 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Binary-file ingestion — how a multimodal corpus (image/audio/video
+    * files on object storage) actually enters the engine: each file
+    * becomes one row `(path, modificationTime, length, content: binary)`,
+    * ready for the `multimodal` operators' payload+metadata shape.
+    * `pathGlobFilter` selects a modality by extension WITHOUT opening
+    * non-matching files, and the scan parallelizes per file — a million
+    * images fan out across executors with no driver-side listing
+    * bottleneck beyond the initial index. */
+  def readBinaryFiles(s: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Range-sharded sorted export — the training-shard layout writer:
     * `repartitionByRange` splits the keyspace into `numShards` contiguous
     * ranges (one output file each, ranges disjoint), and each shard is

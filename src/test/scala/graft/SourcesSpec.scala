@@ -82,6 +82,26 @@ class SourcesSpec extends SparkSpec {
       s"scan selected ${listing.partitionCount} partitions: ${files.mkString(",")}")
   }
 
+  test("binaryFile ingestion: one row per file, glob selects the modality") {
+    val dir = tmp("graft-bin")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val payloads = Map("a.img" -> "IMGBYTES-A", "b.img" -> "IMGBYTES-BB",
+      "c.wav" -> "WAVBYTES")
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        bytes.getBytes("UTF-8"))
+    }
+    val imgs = Sources.readBinaryFiles(spark, dir, "*.img")
+      .select($"path", $"length", $"content")
+      .collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath).getName ->
+        ((r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8"))))
+      .toMap
+    assert(imgs.keySet == Set("a.img", "b.img")) // .wav filtered by glob
+    assert(imgs("a.img") == ((10L, "IMGBYTES-A")))
+    assert(imgs("b.img") == ((11L, "IMGBYTES-BB")))
+  }
+
   test("range-sharded export: disjoint sorted shards, globally ordered in file order") {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
     val path = tmp("graft-shards")
