@@ -17,7 +17,8 @@ object SparkEntry {
       graft.sim.Similarity.all ++
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
-      graft.relational.Relational2.all
+      graft.relational.Relational2.all ++
+      graft.pipeline.TrainingPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
