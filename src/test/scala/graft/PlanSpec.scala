@@ -59,6 +59,36 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"pipeline shuffles ${shuffles.size}×:\n$p")
   }
 
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footer metadata") {
+    // the 100 TB lever for stats queries: with the v2 parquet reader,
+    // COUNT/MIN/MAX over an unfiltered scan come from row-group metadata
+    // — no data pages are read at all
+    import org.apache.spark.sql.functions._
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val agg = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregation not pushed:\n$planStr")
+      // and the pushed plan still returns the exact answer
+      val viaPush = agg.head()
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val viaScan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(count(lit(1)), min(col("l_quantity")), max(col("l_quantity"))).head()
+      assert(viaPush == viaScan)
+    } finally {
+      prevAgg.fold(spark.conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", _))
+      prevV1.fold(spark.conf.unset("spark.sql.sources.useV1SourceList"))(
+        spark.conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
+
   test("q92 prefix sum never runs a global window over the raw corpus") {
     val p = plan(graft.relational.Relational2.q92SequencePacking.fn(spark, sfDir))
     val windows = nodes(p) {
