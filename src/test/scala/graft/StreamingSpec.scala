@@ -232,6 +232,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: terminal cancels, silence times out") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatusEvent]
+      val out = graft.streaming.StatusHistory.correlateWithTimers(input.toDS())
+      spark.catalog.dropTempView("twt_sink")
+      val q = out.writeStream.format("memory").queryName("twt_sink")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // t1 stays RUNNING (timer armed at 5+20 s); t2 completes (timer
+        // cancelled); watermark pushers fire t1's timer
+        input.addData(Seq(StatusEvent("t1", "RUNNING", ts(5)),
+          StatusEvent("t2", "RUNNING", ts(6))))
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t2", "SUCCEEDED", ts(8))))
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t9", "RUNNING", ts(100)))) // wm → 100
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t8", "RUNNING", ts(200)))) // wm → 200
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("twt_sink")
+        .as[graft.streaming.StatusHistory.HistoryResult]
+        .collect().map(r => r.txnId -> r.finalStatus).toMap
+      assert(got("t1") == "TIMEOUT")
+      assert(got("t2") == "SUCCEEDED") // cancelled timer never fired
+      assert(got("t9") == "TIMEOUT")   // wm 200 > 100+20
+      assert(!got.contains("t8"))      // timer armed, wm never passed it
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file source rate limit: one file per micro-batch, converging agg (R10)") {
     import org.apache.spark.sql.functions._
     // the reference polls 5 records per getRecords call (svckinesis.js:193);
