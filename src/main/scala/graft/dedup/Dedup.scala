@@ -602,7 +602,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q48: record linkage — blocked fuzzy matching by EDIT DISTANCE, the
+    * dedup family for near-identical records that shingle/minhash methods
+    * over-segment (typos, small in-place edits). Corpus models an edited
+    * recrawl (same-length front edit for every 7th doc, so the edit lands
+    * INSIDE the 64-char match key). Pairs come from the same
+    * (lang, length-band) blocking as q41; the distance runs INSIDE the
+    * join condition via Spark's bounded `levenshtein(l, r, threshold)` —
+    * the DP aborts as soon as the distance exceeds the threshold (banded
+    * O(threshold·n) instead of O(n²) per pair), and non-matches are never
+    * materialized. The oracle's unbounded levenshtein agrees exactly on
+    * every surviving pair. */
+  val q48RecordLinkage: Q = Q(
+    "q48_record_linkage",
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'revA ' || substring(text, 6), lang
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |k AS (
+      |  SELECT doc_id, lang, LENGTH(text) // 100 AS band,
+      |    substring(text, 1, 64) AS key FROM corpus)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.key, b.key) AS dist
+      |FROM k a JOIN k b
+      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.key, b.key) <= 5
+      |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), col("lang"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("revA "), expr("substring(text, 6)")).as("text"),
+          col("lang")))
+    val keyed = corpus.select(col("doc_id"), col("lang"),
+      floor(length(col("text")) / 100).as("band"),
+      substring(col("text"), 1, 64).as("key"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("key").as("key_a"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    val dist = levenshtein(col("key_a"), col("key_b"), 5)
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("doc_a") < col("doc_b") && dist =!= -1)
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
     q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate,
-    q47DedupApply)
+    q47DedupApply, q48RecordLinkage)
 }
