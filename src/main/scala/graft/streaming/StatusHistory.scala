@@ -76,24 +76,43 @@ object StatusHistory {
     * `flatMapGroupsWithState`'s single hand-armed timeout timestamp — a
     * processor can hold many independent timers per key, and expiry
     * arrives as its own callback rather than a flag checked at the top of
-    * the input handler. Semantics mirror [[Correlate]]'s core: a terminal
-    * status completes the txn (and cancels its timer); a txn that sees no
-    * terminal within 20 s of event time times out. */
+    * the input handler. Semantics mirror [[Correlate]]'s, tombstones
+    * included: a terminal status completes the txn once (cancelling its
+    * pending timer) and leaves a bounded-lifetime DONE tombstone, so a
+    * re-delivered terminal or a late RUNNING re-stamped above the
+    * watermark can neither duplicate the completion nor arm a spurious
+    * timeout; a txn with no terminal within 20 s of event time emits
+    * TIMEOUT (and keeps the same tombstone). Two timers per key at most:
+    * the pending timeout and the tombstone expiry — per-key MULTI-timer
+    * bookkeeping is exactly what the new API adds over fMGWS.
+    * `nEvents` counts every event observed for the txn up to completion
+    * (post-completion re-deliveries are suppressed, not counted). */
   class TimeoutProcessor
       extends StatefulProcessor[String, StatusEvent, HistoryResult] {
 
-    @transient private var lastTs: ValueState[Long] = _
+    @transient private var lastTs: ValueState[Long] = _   // pending txns
+    @transient private var doneTs: ValueState[Long] = _   // tombstone
+    @transient private var nSeen: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      lastTs = getHandle.getValueState[Long](
-        "lastTs", Encoders.scalaLong, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastTs = getHandle.getValueState[Long]("lastTs", Encoders.scalaLong, TTLConfig.NONE)
+      doneTs = getHandle.getValueState[Long]("doneTs", Encoders.scalaLong, TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("nSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         txnId: String,
         rows: Iterator[StatusEvent],
         timerValues: TimerValues): Iterator[HistoryResult] = {
+      if (doneTs.exists()) return Iterator.empty // completed: suppress all
       val batch = rows.toSeq.sortBy(_.ts.getTime)
-      val terminal = batch.find(e =>
+      val (untilTerminal, _) = {
+        val idx = batch.indexWhere(e =>
+          e.status == "SUCCEEDED" || e.status == "FAILED")
+        if (idx < 0) (batch, Seq.empty) else batch.splitAt(idx + 1)
+      }
+      val seen = (if (nSeen.exists()) nSeen.get() else 0L) + untilTerminal.size
+      val terminal = untilTerminal.lastOption.filter(e =>
         e.status == "SUCCEEDED" || e.status == "FAILED")
       terminal match {
         case Some(e) =>
@@ -101,12 +120,22 @@ object StatusHistory {
             getHandle.deleteTimer(lastTs.get() + Correlate.TimeoutMs)
             lastTs.clear()
           }
-          Iterator(HistoryResult(txnId, e.status, batch.size, e.status))
+          nSeen.clear()
+          // done tombstone, expiring on its own timer (bounded state);
+          // the watermark may sit far ahead of the event time, so the
+          // expiry must clear BOTH horizons or it would fire immediately
+          // (Correlate's same guard)
+          val doneAt = e.ts.getTime
+          doneTs.update(doneAt)
+          getHandle.registerTimer(math.max(doneAt + 2 * Correlate.TimeoutMs,
+            timerValues.getCurrentWatermarkInMs() + Correlate.TimeoutMs))
+          Iterator(HistoryResult(txnId, e.status, seen.toInt, e.status))
         case None =>
           val maxTs = batch.map(_.ts.getTime).max
           if (lastTs.exists()) // re-arm: drop the stale timer
             getHandle.deleteTimer(lastTs.get() + Correlate.TimeoutMs)
           lastTs.update(maxTs)
+          nSeen.update(seen)
           getHandle.registerTimer(maxTs + Correlate.TimeoutMs)
           Iterator.empty
       }
@@ -117,8 +146,20 @@ object StatusHistory {
         timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[HistoryResult] = {
-      lastTs.clear()
-      Iterator(HistoryResult(txnId, "TIMEOUT", 0, "TIMEOUT"))
+      if (doneTs.exists()) {
+        doneTs.clear() // tombstone expiry: silent
+        Iterator.empty
+      } else if (lastTs.exists()) {
+        // pending txn timed out; leave a tombstone like Correlate does so
+        // a terminal re-stamped above the watermark stays suppressed
+        val expiry = expiredTimerInfo.getExpiryTimeInMs()
+        val seen = if (nSeen.exists()) nSeen.get() else 0L
+        lastTs.clear(); nSeen.clear()
+        doneTs.update(expiry)
+        getHandle.registerTimer(math.max(expiry + 2 * Correlate.TimeoutMs,
+          timerValues.getCurrentWatermarkInMs() + Correlate.TimeoutMs))
+        Iterator(HistoryResult(txnId, "TIMEOUT", seen.toInt, "TIMEOUT"))
+      } else Iterator.empty
     }
   }
 

@@ -245,24 +245,36 @@ class StreamingSpec extends SparkSpec {
         .outputMode(OutputMode.Append).start()
       try {
         // t1 stays RUNNING (timer armed at 5+20 s); t2 completes (timer
-        // cancelled); watermark pushers fire t1's timer
+        // cancelled, tombstone armed); re-deliveries and watermark
+        // pushers follow
         input.addData(Seq(StatusEvent("t1", "RUNNING", ts(5)),
           StatusEvent("t2", "RUNNING", ts(6))))
         q.processAllAvailable()
         input.addData(Seq(StatusEvent("t2", "SUCCEEDED", ts(8))))
         q.processAllAvailable()
-        input.addData(Seq(StatusEvent("t9", "RUNNING", ts(100)))) // wm → 100
+        // re-stamped re-delivered terminal: tombstone must swallow it
+        input.addData(Seq(StatusEvent("t2", "SUCCEEDED", ts(30))))
+        q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t9", "RUNNING", ts(100)))) // wm→100; t1 times out
+        q.processAllAvailable()
+        // re-stamped terminal AFTER t1's timeout: timeout tombstone holds
+        input.addData(Seq(StatusEvent("t1", "SUCCEEDED", ts(95))))
         q.processAllAvailable()
         input.addData(Seq(StatusEvent("t8", "RUNNING", ts(200)))) // wm → 200
         q.processAllAvailable()
+        input.addData(Seq(StatusEvent("t7", "RUNNING", ts(300)))) // wm → 300; t9 fires
+        q.processAllAvailable()
       } finally q.stop()
-      val got = spark.table("twt_sink")
-        .as[graft.streaming.StatusHistory.HistoryResult]
-        .collect().map(r => r.txnId -> r.finalStatus).toMap
-      assert(got("t1") == "TIMEOUT")
-      assert(got("t2") == "SUCCEEDED") // cancelled timer never fired
-      assert(got("t9") == "TIMEOUT")   // wm 200 > 100+20
-      assert(!got.contains("t8"))      // timer armed, wm never passed it
+      val all = spark.table("twt_sink")
+        .as[graft.streaming.StatusHistory.HistoryResult].collect()
+      val got = all.map(r => r.txnId -> ((r.finalStatus, r.nEvents))).toMap
+      assert(all.count(_.txnId == "t1") == 1) // timeout emitted exactly once
+      assert(all.count(_.txnId == "t2") == 1) // completion emitted exactly once
+      assert(got("t1") == (("TIMEOUT", 1)))
+      assert(got("t2") == (("SUCCEEDED", 2))) // RUNNING + SUCCEEDED across batches
+      assert(got("t9") == (("TIMEOUT", 1)))
+      assert(got("t8") == (("TIMEOUT", 1))) // wm 300 > 200+20 (no-data batch)
+      assert(!got.contains("t7")) // timer at 320, wm never passed it
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
