@@ -66,7 +66,10 @@ class PropertySpec extends SparkSpec {
       val once = dedup(df).as[(Long, String)].collect().toSet
       val twice = dedup(dedup(df).select($"doc_id", $"text"))
         .as[(Long, String)].collect().toSet
-      val ref = corpus.groupBy(_._2).map { case (t, xs) => (xs.map(_._1).min, t) }.toSet
+      // .toSeq first: mapping the Map directly would rebuild a Map keyed
+      // by min-id and silently collapse two texts sharing one min id
+      val ref = corpus.groupBy(_._2).toSeq
+        .map { case (t, xs) => (xs.map(_._1).min, t) }.toSet
       once == ref && twice == once
     })
   }
