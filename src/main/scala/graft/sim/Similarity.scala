@@ -327,28 +327,34 @@ object Similarity {
     * would first prefilter candidates to a hash band sized ~k·margin per
     * anchor, then rank only those — same expression, one extra cheap
     * filter. */
+  val NumNegatives = 4
+
   val q55NegativeSampling: Q = Q(
     "q55_negative_sampling",
-    """WITH anchors AS (
-      |  SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 8),
-      |ranked AS (
-      |  SELECT a.a_id, e.vec_id AS neg_id, e.label AS neg_label,
-      |    ROW_NUMBER() OVER (PARTITION BY a.a_id
-      |      ORDER BY md5(a.a_id || ':' || e.vec_id), e.vec_id) AS rnk
-      |  FROM anchors a JOIN embeddings e ON e.label != a.a_label)
-      |SELECT a_id, neg_id, neg_label, CAST(rnk AS BIGINT) AS rnk
-      |FROM ranked WHERE rnk <= 4 ORDER BY a_id, rnk""".stripMargin,
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS a_id, label AS a_label FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT a.a_id, e.vec_id AS neg_id, e.label AS neg_label,
+       |    ROW_NUMBER() OVER (PARTITION BY a.a_id
+       |      ORDER BY md5(a.a_id || ':' || e.vec_id), e.vec_id) AS rnk
+       |  FROM anchors a JOIN embeddings e ON e.label != a.a_label)
+       |SELECT a_id, neg_id, neg_label, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $NumNegatives ORDER BY a_id, rnk""".stripMargin,
   ) { (s, d) =>
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val anchors = e.filter(col("vec_id") < 8)
+    // no broadcast hint on the corpus-derived anchor side: AQE broadcasts
+    // from its actual (bounded) size, and widening the anchor predicate
+    // later can't silently cap the operator at driver memory
+    val anchors = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("a_id"), col("label").as("a_label"))
     val w = Window.partitionBy(col("a_id")).orderBy(
       md5(concat(col("a_id").cast("string"), lit(":"),
         col("vec_id").cast("string"))),
       col("vec_id"))
-    broadcast(anchors).join(e, col("label") =!= col("a_label"))
+    anchors.join(e, col("label") =!= col("a_label"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 4)
+      .filter(col("rnk") <= NumNegatives)
       .select(col("a_id"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"), col("rnk"))
       .orderBy(col("a_id"), col("rnk"))

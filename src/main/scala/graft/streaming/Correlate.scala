@@ -102,7 +102,11 @@ object Correlate {
               case None =>
                 // RUNNING pass-through (svckinesis.js:92-95): keep waiting,
                 // arm/refresh the 20 s timeout from the latest event time
-                val maxTs = batch.map(_.ts.getTime).max
+                // seen so far — the deadline only advances, so an
+                // out-of-order row below the prior max can't pull the
+                // timeout earlier
+                val maxTs = (batch.map(_.ts.getTime) ++
+                  (if (state.exists) Seq(state.get.ts) else Nil)).max
                 state.update(CorrState(maxTs, done = false))
                 state.setTimeoutTimestamp(maxTs + TimeoutMs)
                 Iterator.empty

@@ -106,10 +106,10 @@ object StatusHistory {
         timerValues: TimerValues): Iterator[HistoryResult] = {
       if (doneTs.exists()) return Iterator.empty // completed: suppress all
       val batch = rows.toSeq.sortBy(_.ts.getTime)
-      val (untilTerminal, _) = {
+      val untilTerminal = {
         val idx = batch.indexWhere(e =>
           e.status == "SUCCEEDED" || e.status == "FAILED")
-        if (idx < 0) (batch, Seq.empty) else batch.splitAt(idx + 1)
+        if (idx < 0) batch else batch.take(idx + 1)
       }
       val seen = (if (nSeen.exists()) nSeen.get() else 0L) + untilTerminal.size
       val terminal = untilTerminal.lastOption.filter(e =>
@@ -131,7 +131,10 @@ object StatusHistory {
             timerValues.getCurrentWatermarkInMs() + Correlate.TimeoutMs))
           Iterator(HistoryResult(txnId, e.status, seen.toInt, e.status))
         case None =>
-          val maxTs = batch.map(_.ts.getTime).max
+          // deadline only ever advances: an out-of-order row below the
+          // prior max must not pull the timeout earlier
+          val maxTs = (batch.map(_.ts.getTime) ++
+            (if (lastTs.exists()) Seq(lastTs.get()) else Nil)).max
           if (lastTs.exists()) // re-arm: drop the stale timer
             getHandle.deleteTimer(lastTs.get() + Correlate.TimeoutMs)
           lastTs.update(maxTs)
@@ -147,7 +150,20 @@ object StatusHistory {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[HistoryResult] = {
       if (doneTs.exists()) {
-        doneTs.clear() // tombstone expiry: silent
+        // tombstone expiry. The timer may fire in a batch whose watermark
+        // has already jumped far past the expiry (the arming batch saw an
+        // older watermark) — clearing now would cut the suppression
+        // horizon short, so roll the timer forward ONCE to a
+        // watermark-relative expiry (fMGWS gets this for free: its
+        // timeout callback reads the post-jump watermark). The roll is
+        // bounded: a rolled timer's expiry exceeds doneTs + 2·timeout and
+        // therefore clears on its next firing — no tombstone outlives two
+        // timer rounds.
+        val wm = timerValues.getCurrentWatermarkInMs()
+        val expiry = expiredTimerInfo.getExpiryTimeInMs()
+        if (expiry < wm && expiry <= doneTs.get() + 2 * Correlate.TimeoutMs) {
+          getHandle.registerTimer(wm + Correlate.TimeoutMs)
+        } else doneTs.clear()
         Iterator.empty
       } else if (lastTs.exists()) {
         // pending txn timed out; leave a tombstone like Correlate does so

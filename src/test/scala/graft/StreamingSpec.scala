@@ -257,8 +257,9 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
         input.addData(Seq(StatusEvent("t9", "RUNNING", ts(100)))) // wm→100; t1 times out
         q.processAllAvailable()
-        // re-stamped terminal AFTER t1's timeout: timeout tombstone holds
-        input.addData(Seq(StatusEvent("t1", "SUCCEEDED", ts(95))))
+        // re-stamped terminal AFTER t1's timeout, ABOVE the watermark
+        // (100 < 120): only the timeout tombstone can suppress it
+        input.addData(Seq(StatusEvent("t1", "SUCCEEDED", ts(120))))
         q.processAllAvailable()
         input.addData(Seq(StatusEvent("t8", "RUNNING", ts(200)))) // wm → 200
         q.processAllAvailable()
