@@ -562,10 +562,11 @@ object Dedup {
   /** q46: benchmark decontamination — flag corpus documents that share any
     * word-4-gram with a held-out benchmark set (every 50th doc), the
     * standard eval-leak check before training. Scale shape: the benchmark
-    * gram set is aggregated into a ~1-bit-per-item Bloom filter on the
-    * driver and broadcast; the corpus gram stream is pre-filtered by the
-    * sketch BEFORE the shuffle, so the exact semi-join only ever shuffles
-    * grams that (probably) hit. False positives are killed by the exact
+    * gram set is folded into a ~1-bit-per-item Bloom sketch by a
+    * distributed aggregate (native `BloomFilterAggregate`), delivered to
+    * the probe side as a scalar-subquery plan result; the corpus gram
+    * stream is pre-filtered by the sketch BEFORE the shuffle, so the exact
+    * semi-join only ever shuffles grams that (probably) hit. False positives are killed by the exact
     * string join that follows — the sketch can only let extra rows
     * THROUGH to the join, never drop a true hit, so the result is exact
     * (DedupSpec pins bloom-on == bloom-off). */
@@ -586,17 +587,23 @@ object Dedup {
       |  GROUP BY g.doc_id)
       |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
   ) { (s, d) =>
+    ArrayExprs.register(s)
     val grams = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(grams4(col("text"))).as("gram"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
-    // Sketch size: benchmark sets are a fixed, knowable corpus — size from
-    // its stats in a deployment; 1M @ 1% ≈ 1.2 MB broadcast here.
-    val bloom = bench.stat.bloomFilter("gram", 1000000L, 0.01)
-    val bloomBc = s.sparkContext.broadcast(bloom)
-    val mightHit = udf((g: String) => bloomBc.value.mightContain(g))
+    // Sketch: Spark's NATIVE BloomFilterAggregate/BloomFilterMightContain
+    // (the expressions behind runtime row-level filtering), exposed as
+    // graft_bloom_agg / graft_might_contain. The sketch is built as a
+    // distributed aggregate, lands in the plan as a scalar-subquery result
+    // (~1 MB at conf-default 1M-item sizing — benchmark sets are a fixed,
+    // knowable corpus; size from stats in a deployment), and the probe is
+    // whole-stage-codegen'd — no Scala closure, no per-row boxing.
+    bench.agg(call_function("graft_bloom_agg", xxhash64(col("gram"))).as("bf"))
+      .createOrReplaceTempView("q46_bench_bloom")
     grams.filter(col("doc_id") % 50 =!= 0)
-      .filter(mightHit(col("gram")))
+      .filter(expr(
+        "graft_might_contain((SELECT bf FROM q46_bench_bloom), xxhash64(gram))"))
       .join(bench, "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))

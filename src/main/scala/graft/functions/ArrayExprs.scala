@@ -84,6 +84,19 @@ object ArrayExprs {
       arity("graft_intersect_size", 2)(es => SortedIntersectSize(es.head, es(1))),
     "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
     "graft_ngrams" -> arity("graft_ngrams", 2)(es => WordNgrams(es.head, es(1))),
+    // Spark ships native bloom-filter expressions (used internally by
+    // runtime row-level filtering) but does not register them in the
+    // public function registry — expose them under graft_* names. Probe
+    // stays inside whole-stage codegen, unlike a Scala-closure UDF, and
+    // the sketch travels as a scalar-subquery result in the plan.
+    // `graft_bloom_agg(xxhash64(x))` → binary sketch (conf-default sizing:
+    // 1M items / 8.4M bits ≈ 1 MB); `graft_might_contain(bf, xxhash64(x))`.
+    "graft_bloom_agg" -> arity("graft_bloom_agg", 1)(es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head)),
+    "graft_might_contain" -> arity("graft_might_contain", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))),
   )
 
   /** Register the functions on a session (idempotent). Call from any query

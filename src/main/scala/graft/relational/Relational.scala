@@ -14,9 +14,11 @@ import graft.Tables.{moneySum, moneySumSql}
   *
   * All queries are declarative DataFrame plans: Catalyst pushes filters and
   * prunes columns into the parquet scans, AQE handles join-strategy and skew
-  * at runtime. Dimension tables (region, nation, supplier, part at TPC-H
-  * proportions) are explicitly `broadcast()` so the big fact tables never
-  * shuffle for those joins — at 100 TB the fact side stays partition-local.
+  * at runtime. Only FIXED-cardinality dimension tables (region 5 rows,
+  * nation 25 — constant at every SF) carry explicit `broadcast()` hints so
+  * the big fact tables never shuffle for those joins. SF-scaled tables
+  * (customer, supplier, part, …) are never hinted: AQE picks broadcast vs
+  * shuffle from actual sizes, so the same plan survives a 100× scale-up.
   *
   * Reference basis: the reference itself (d-smith/sfs3-kinesis) contains no
   * relational operators — see SURVEY.md §2.b (verified absent); this suite is
@@ -55,9 +57,11 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** TPC-H Q5-shaped revenue rollup through the full star join. Dimension
-    * sides (customer/nation/region) are broadcast; the orders⋈lineitem join
-    * shuffles on orderkey (or broadcasts under AQE when orders is small). */
+  /** TPC-H Q5-shaped revenue rollup through the full star join. Fixed-size
+    * dims (nation 25 rows, region 5) are hint-broadcast; customer is
+    * SF-scaled so its join strategy is left to AQE (a hardcoded hint would
+    * force a multi-GB broadcast at 100×); the orders⋈lineitem join shuffles
+    * on orderkey (or broadcasts under AQE when orders is small). */
   val q02RevenueByNation: Q = Q(
     "q02_revenue_by_nation",
     s"""SELECT n_name, r_name,
@@ -82,7 +86,7 @@ object Relational {
           .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"),
         count(lit(1)).as("cnt"))
     li.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name", $"r_name")
@@ -265,7 +269,7 @@ object Relational {
     val w = Window.partitionBy($"c_mktsegment")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)

@@ -188,7 +188,9 @@ object Streaming {
     * pending request state, svckinesis.js:173-185; unmatched records are
     * dropped with inner-join semantics, :178-181) + the status dispatch
     * CASE (sendResponseBasedOnState, :90-106). The static side (customer)
-    * is broadcast per micro-batch — no stream shuffle. */
+    * is SF-scaled, so no hardcoded broadcast hint: the planner broadcasts
+    * it per micro-batch while it fits the threshold and falls back to a
+    * shuffle join when it doesn't — a forced hint would OOM at 100×. */
   val q34StreamStaticJoin: Q = Q(
     "q34_stream_static_join",
     """SELECT e.event_id, e.user_id, c.c_mktsegment,
@@ -201,7 +203,7 @@ object Streaming {
   ) { (s, d) =>
     val joined = eventsStream(s, d)
       .filter(col("value") > 0.9)
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("user_id"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("user_id"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         when(col("event_type").isin("purchase", "signup"), "http_200")
           .when(col("event_type") === "error", "http_500")

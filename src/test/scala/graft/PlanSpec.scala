@@ -30,8 +30,9 @@ class PlanSpec extends SparkSpec {
 
   test("q02 joins every dimension via broadcast (no dim-side shuffle)") {
     val p = plan(graft.relational.Relational.q02RevenueByNation.fn(spark, sfDir))
-    // the 3 hinted dims must broadcast; the stats-based planner may
-    // broadcast more at tiny SF
+    // nation/region broadcast by hint; customer (SF-scaled, unhinted) is
+    // broadcast here by the stats-based planner because it's tiny at spec
+    // SF — at scale AQE would shuffle it instead
     val bhj = nodes(p) { case j: BroadcastHashJoinExec => j }
     assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
   }
@@ -189,6 +190,45 @@ class PlanSpec extends SparkSpec {
       assert(exchanges == 0,
         s"bucketed join should need no shuffle:\n${j.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q46 bloom probe is the native expression — no ScalaUDF in the plan") {
+    // the sketch probe must stay inside whole-stage codegen: a Scala
+    // closure UDF would break the codegen span and box every gram
+    val df = graft.dedup.Dedup.q46Decontaminate.fn(spark, sfDir)
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("ScalaUDF"), s"ScalaUDF in q46 plan:\n$planStr")
+    assert(planStr.contains("might_contain"),
+      s"native bloom probe missing from q46 plan:\n$planStr")
+  }
+
+  test("no user broadcast hint on SF-scaled tables (only fixed dims may be hinted)") {
+    // a hardcoded broadcast() on a table that GROWS with SF (customer,
+    // orders, lineitem, supplier, part, events, documents, embeddings)
+    // forces a multi-GB broadcast at 100× where AQE would pick a shuffle
+    // join — only nation (25 rows) and region (5) are constant-size and
+    // may carry hints. Walks every batch query's analyzed plan; streaming
+    // queries (q30-q38) execute eagerly and read back from a memory sink,
+    // so their stream-side plan is not inspectable here — their static
+    // sides are covered by the same rule in code review.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val sfScaled = Seq("customer", "orders", "lineitem", "supplier", "part",
+      "events", "documents", "embeddings")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- SparkEntry.registry if !q.name.matches("q3[0-8].*")) {
+      val analyzed = q.fn(spark, sfDir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val leafPaths = h.child.collectLeaves().collect {
+            case l: LogicalRelation => l.relation.toString
+          }
+          for (p <- leafPaths; t <- sfScaled
+               if p.contains(s"$t.parquet")) offenders += s"${q.name}: hint over $t"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty, s"broadcast hints on SF-scaled tables:\n${offenders.mkString("\n")}")
   }
 
   test("GraftExtensions makes graft_* functions available to pure SQL") {
