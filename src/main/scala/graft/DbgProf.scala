@@ -19,17 +19,20 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q29-1")(graft.relational.Relational.q29NullSafeJoin.fn(spark, d).count())
-    time("q29-2")(graft.relational.Relational.q29NullSafeJoin.fn(spark, d).count())
-    time("q45-1")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
-    time("q45-2")(graft.dedup.Dedup.q45DupGroups.fn(spark, d).count())
+    time("q44-1")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    time("q44-2")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    time("q46-1")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
+    time("q46-2")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
+    time("q48-1")(graft.dedup.Dedup.q48RecordLinkage.fn(spark, d).count())
+    time("q48-2")(graft.dedup.Dedup.q48RecordLinkage.fn(spark, d).count())
     // q45 decomposition: pair generation vs CC loop (the SAME corpus
-    // builder q45 uses — an inline copy would silently drift)
+    // builder q45 uses — an inline copy would silently drift). pairs is
+    // MATERIALIZED (localCheckpoint) before the CC timing so the loop's
+    // number doesn't re-run pair generation.
     val corpus = graft.dedup.Dedup.threeGenCorpus(spark, d)
     time("q45-pairs")(graft.dedup.Dedup.jaccardPairs(corpus).count())
-    val pairs = graft.dedup.Dedup.jaccardPairs(corpus)
+    val pairs = graft.dedup.Dedup.jaccardPairs(corpus).localCheckpoint()
     time("q45-cc")(graft.dedup.Dedup.connectedComponents(pairs).count())
-    time("q46-2nd")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
     spark.stop()
   }
 }

@@ -305,44 +305,79 @@ object Dedup {
   def cosineFromDot(d: Column, na2: Column, nb2: Column): Column =
     d / sqrt(na2 * nb2)
 
-  /** q44: embedding-cosine near-duplicate pairs, blocked by cluster label
-    * (the coarse-quantizer cell at scale — an IVF-style prefilter: only
-    * same-cell pairs are compared; the cross join is label-blocked and the
-    * label side is tiny so AQE broadcasts). Rounded cosine ≥ 0.35. */
+  /** q44: embedding-cosine near-duplicate pairs, blocked by IVF
+    * coarse-quantizer cell (reusing q53's quantizer machinery,
+    * [[graft.sim.Similarity.seedCentroids]]/[[graft.sim.Similarity.probeCells]]):
+    * each vector indexes into its 2 nearest cells (multi-probe, so
+    * boundary-straddling near-dups still collide), and only same-cell
+    * pairs are compared. Unlike the previous `label` blocking, cell count
+    * is a CONFIG knob, not a fixed data cardinality — at 100 TB you raise
+    * NumCells with the corpus and per-cell pair work stays bounded
+    * (O(n²/cells·nprobe²) instead of O(n²/L) with immovable L). Rounded
+    * cosine ≥ 0.35.
+    *
+    * Exact oracle despite the data-adaptive blocking: the seed quantizer
+    * is rebuilt in SQL — `list_reduce` left folds are bit-identical to
+    * `graft_dot`'s 0-seeded loop (CLAUDE.md recipe), so cell scores match
+    * bit-for-bit and ROW_NUMBER over (score, cid) picks the same 2 cells
+    * as the sorted-struct slice in [[graft.sim.Similarity.probeCells]]. */
   val q44DedupEmbed: Q = Q(
     "q44_dedup_embed",
-    """WITH e AS (SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
-      |ORDER BY vec_a, vec_b""".stripMargin,
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < ${graft.sim.Similarity.NumCells}),
+       |probed AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        c.cn2 - 2 * list_reduce(
+       |          list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |          (a, b) -> a + b),
+       |        c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn <= 2)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin,
   ) { (s, d) =>
     ArrayExprs.register(s)
-    // fan out before the cast/norm projection (single-file scan = 1 task)
+    import graft.sim.Similarity
+    val plain = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val (cents, cn2s) = Similarity.seedCentroids(plain)
+    // fan out before the cast/norm projection (single-file scan = 1 task);
+    // cell assignment is narrow per-row work against the centroid literals
     val e = Tables.fanOut(Tables.embeddings(s, d))
-      .select(
-        col("vec_id"), col("label"),
+      .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      .withColumn("cell",
+        explode(Similarity.probeCells(cents, cn2s, 2)(col("v"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"),
       col("v").as("va"), col("n2").as("na2"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+    val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
       col("v").as("vb"), col("n2").as("nb2"))
     // id-order and cosine threshold INSIDE the join condition (the q41
     // lesson): non-matching pairs are never materialized as output rows,
     // so the two ~512 B vectors are copied only for the rare survivors —
-    // whose cosine is then recomputed once in the projection
+    // whose cosine is then recomputed once in the projection. distinct()
+    // collapses pairs colliding in both probed cells (survivors only).
     val cos = round(
       cosineFromDot(call_function("graft_dot", col("va"), col("vb")),
         col("na2"), col("nb2")), 6)
     a.join(b,
-        col("label_a") === col("label_b") && col("vec_a") < col("vec_b") &&
+        col("cell_a") === col("cell_b") && col("vec_a") < col("vec_b") &&
           cos >= 0.35)
-      .select(col("vec_a"), col("vec_b"),
-        col("label_a").cast("int").as("label"), cos.as("cos"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -613,13 +648,25 @@ object Dedup {
     * dedup family for near-identical records that shingle/minhash methods
     * over-segment (typos, small in-place edits). Corpus models an edited
     * recrawl (same-length front edit for every 7th doc, so the edit lands
-    * INSIDE the 64-char match key). Pairs come from the same
-    * (lang, length-band) blocking as q41; the distance runs INSIDE the
-    * join condition via Spark's bounded `levenshtein(l, r, threshold)` —
-    * the DP aborts as soon as the distance exceeds the threshold (banded
-    * O(threshold·n) instead of O(n²) per pair), and non-matches are never
-    * materialized. The oracle's unbounded levenshtein agrees exactly on
-    * every surviving pair. */
+    * INSIDE the 64-char match key).
+    *
+    * Candidate generation is PassJoin-style segment pigeonhole (Li et al.,
+    * VLDB'12 — public algorithm): the 64-char key splits into
+    * MaxDist+1 = 6 fixed segments, so any pair within edit distance 5 has
+    * at least one segment UNTOUCHED by every edit op, which therefore
+    * appears verbatim in the other key at a start position shifted by at
+    * most 5 (one shift per indel). One side emits its 6 segments, the
+    * other its 61 clamped (segment, ±5-shift) substrings; the equi-join
+    * key is (lang, band, seg_id, content) — fine-grained, so candidate
+    * volume tracks true near-dup density instead of the O(n²/blocks) of
+    * pure fixed-cardinality blocking, and the shape survives a 100×
+    * corpus. The bounded `levenshtein(l, r, 5)` verify runs INSIDE the
+    * join condition (banded O(threshold·n) DP, aborts past the threshold;
+    * non-matches never materialized), and `distinct()` collapses pairs
+    * that matched via several segments — survivors only. The prefilter is
+    * semantically invisible (lossless at the threshold — DedupSpec proves
+    * it, indels included), so the oracle is the plain blocked
+    * all-pairs-levenshtein it always was. */
   val q48RecordLinkage: Q = Q(
     "q48_record_linkage",
     """WITH corpus AS (
@@ -647,17 +694,38 @@ object Dedup {
     val keyed = corpus.select(col("doc_id"), col("lang"),
       floor(length(col("text")) / 100).as("band"),
       substring(col("text"), 1, 64).as("key"))
-    val a = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("band").as("band_a"), col("key").as("key_a"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("key").as("key_b"))
-    val dist = levenshtein(col("key_a"), col("key_b"), 5)
-    a.join(b,
+    // a-side: the 6 pigeonhole segments; b-side: every segment-length
+    // substring whose start is within ±MaxDist of the segment's position
+    // (clamped to >=1 — Spark substring treats negatives as from-the-end)
+    val segs = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("key").as("key_a"),
+      explode(array(LinkSegments.zipWithIndex.map { case ((p, l), i) =>
+        struct(lit(i).as("seg_id"), substring(col("key"), p, l).as("piece"))
+      }: _*)).as("seg"))
+    val subs = keyed.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("key").as("key_b"),
+      explode(array((for {
+        ((p, l), i) <- LinkSegments.zipWithIndex
+        start <- math.max(1, p - LinkMaxDist) to (p + LinkMaxDist)
+      } yield struct(lit(i).as("seg_id"),
+        substring(col("key"), start, l).as("piece"))): _*)).as("sub"))
+    val dist = levenshtein(col("key_a"), col("key_b"), LinkMaxDist)
+    segs.join(subs,
         col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("seg.seg_id") === col("sub.seg_id") &&
+          col("seg.piece") === col("sub.piece") &&
           col("doc_a") < col("doc_b") && dist =!= -1)
       .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** PassJoin segmentation of the 64-char linkage key: MaxDist+1 = 6
+    * segments (1-based (pos, len): four 11s then two 10s, covering all 64
+    * chars) — enough that <=MaxDist edits must leave one segment intact. */
+  val LinkMaxDist = 5
+  val LinkSegments: Seq[(Int, Int)] =
+    Seq((1, 11), (12, 11), (23, 11), (34, 11), (45, 10), (55, 10))
 
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
     q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate,

@@ -194,9 +194,38 @@ object Similarity {
     * L2 distance to v (the ‖v‖² term is constant per row). `cents` is the
     * centroid matrix, `cn2s` the per-centroid squared norms, both shipped
     * as plan literals. */
-  private def cellScores(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
+  def cellScores(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
     zip_with(typedLit(cents), typedLit(cn2s),
       (c, cn) => cn - lit(2.0) * call_function("graft_dot", v, c))
+
+  /** Seed coarse quantizer: centroids = the NumCells lowest-vec_id vectors
+    * plus their squared norms. The collect ships NumCells×Dim doubles to
+    * the driver — the standard IVF quantizer shape (quantizer tiny, corpus
+    * not). Deterministic AND SQL-mirrorable: an oracle can rebuild the
+    * identical centroids from the same table. Expects columns (vec_id, v).
+    * Norms fold left from 0.0 like [[graft.functions.DotProductD]], so a
+    * DuckDB `list_reduce` (head-seeded; +0.0 is exact) matches them
+    * bit-for-bit. */
+  def seedCentroids(e: DataFrame): (Seq[Seq[Double]], Seq[Double]) = {
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    (seeds, seeds.map(c => c.foldLeft(0.0)((acc, x) => acc + x * x)))
+  }
+
+  /** The `nprobe` nearest cells of v, deterministically tie-broken by
+    * (score, cell id): sort struct(score, idx) pairs lexicographically and
+    * keep the first nprobe — the multi-probe assignment used by cell-blocked
+    * near-dup (q44) and mirrored exactly by an oracle ROW_NUMBER over
+    * (score, cid). Narrow per-row work against plan literals, no shuffle. */
+  def probeCells(cents: Seq[Seq[Double]], cn2s: Seq[Double], nprobe: Int)(
+      v: Column): Column =
+    ArrayExprs.letBind(cellScores(cents, cn2s)(v)) { sc =>
+      transform(
+        slice(array_sort(zip_with(sc, sequence(lit(0), lit(cents.size - 1)),
+          (sco, i) => struct(sco.as("s"), i.as("i")))), 1, nprobe),
+        p => p.getField("i"))
+    }
 
   /** q53: IVF ANN — the classic inverted-file index, fully deterministic:
     *
@@ -222,10 +251,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
 
-    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id")).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    val seedN2s: Seq[Double] = seeds.map(c => c.map(x => x * x).sum)
+    val (seeds, seedN2s) = seedCentroids(e)
 
     def argminCell(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
       ArrayExprs.letBind(cellScores(cents, cn2s)(v)) { sc =>

@@ -92,6 +92,97 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("q44 cell blocking: only true pairs, and far better recall than label blocking") {
+    // ground truth: brute-force all-pairs cosine >= 0.35 (spec SF only)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("la"),
+      col("v").as("va"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+      col("v").as("vb"), col("n2").as("nb2"))
+    val cos = round(Dedup.cosineFromDot(
+      call_function("graft_dot", col("va"), col("vb")),
+      col("na2"), col("nb2")), 6)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(a.join(b, col("vec_a") < col("vec_b") && cos >= 0.35))
+    val byLabel = pairs(a.join(b,
+      col("la") === col("lb") && col("vec_a") < col("vec_b") && cos >= 0.35))
+    val byCell = pairs(Dedup.q44DedupEmbed.fn(spark, sfDir))
+    // blocking can only MISS pairs, never invent them (precision 1)
+    assert(byCell.subsetOf(truth))
+    val recallCell = byCell.size.toDouble / truth.size
+    val recallLabel = byLabel.size.toDouble / truth.size
+    // measured at sf0.001: cell 0.54 vs label 0.05 — the quantizer adapts
+    // to the data where the fixed label cardinality cannot
+    assert(recallCell >= 0.4, s"cell recall $recallCell")
+    assert(recallCell > recallLabel,
+      s"cell recall $recallCell not above label recall $recallLabel")
+  }
+
+  test("q48 segment prefilter loses no pair at the threshold (corpus + indels)") {
+    // 1. real corpus: the prefiltered plan emits exactly the pairs of the
+    //    plain blocked all-pairs bounded-levenshtein join
+    val withPrefilter = Dedup.q48RecordLinkage.fn(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("revA "), expr("substring(text, 6)")).as("text"),
+          col("lang")))
+    val keyed = corpus.select(col("doc_id"), col("lang"),
+      floor(length(col("text")) / 100).as("band"),
+      substring(col("text"), 1, 64).as("key"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("key").as("key_a"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    val dist = levenshtein(col("key_a"), col("key_b"), 5)
+    val plain = a.join(b,
+        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("doc_a") < col("doc_b") && dist =!= -1)
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withPrefilter == plain)
+    assert(plain.nonEmpty) // the revA edits guarantee true matches exist
+
+    // 2. indels: the corpus's revA edit is substitution-only, so pin the
+    //    position-shift window on synthetic inserts/deletes up to the
+    //    threshold (the case a naive fixed-grid gram join would lose)
+    // keys are 64-char PREFIXES, so a net length increase on a >=64-char
+    // text pushes chars out of the key window and doubles the key
+    // distance — use a 50-char base (key = whole text) so pure indels
+    // keep their nominal distance
+    val base = "the quick brown fox jumps over the lazy dog again!"
+    assert(base.length == 50)
+    val variants = Seq(
+      1L -> base,
+      2L -> ("XYZWV" + base), // 5 front inserts (shift +5)
+      3L -> base.drop(5), // 5 front deletes (shift -5)
+      4L -> (base.take(25) + "AB" + base.drop(28)), // mid: 2 ins + 3 del
+      5L -> (base.take(10) + base.drop(13) + "xy"), // 3 del + 2 append
+      6L -> "completely unrelated text that matches nothing here", // no pair
+    )
+    val fixtureDir = java.nio.file.Files.createTempDirectory("q48spec").toString
+    variants.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$fixtureDir/documents.parquet")
+    val found = Dedup.q48RecordLinkage.fn(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect().toSet
+    // every <=5-edit variant pairs with the base; the unrelated doc never
+    for (id <- Seq(2L, 3L, 4L, 5L))
+      assert(found.exists(p => p._1 == 1L && p._2 == id),
+        s"prefilter lost pair (1,$id) in $found")
+    assert(!found.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("q46 bloom prefilter is exact: identical to the plain semi-join") {
     val withBloom = Dedup.q46Decontaminate.fn(spark, sfDir)
       .as[(Long, Long)].collect().toSet
