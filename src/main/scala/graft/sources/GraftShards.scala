@@ -1,0 +1,353 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.OptionalLong
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Kinesis-shaped streaming source over a sharded directory layout,
+  * built on the PUBLIC DataSource V2 connector API — this is the proof
+  * that the reference's ingestion loop (shard discovery →
+  * `getShardIterator` → rate-limited `getRecords`, threading
+  * `NextShardIterator` by hand; svcsample/svckinesis.js:188-248) reduces
+  * to a `.format("graft-shards")` swap under Structured Streaming.
+  *
+  * Stream layout (what a Kinesis stream looks like as a directory):
+  * {{{
+  *   streamDir/
+  *     shard-0000/000…000-000…500.jsonl   // [startSeq, endSeq) chunk
+  *     shard-0000/000…500-000…900.jsonl
+  *     shard-0001/…
+  * }}}
+  * One JSON record per line; a record's sequence number is its global
+  * line index within its shard. Chunk FILENAMES carry the seq range, so
+  * offset discovery is a directory listing — no data is read on the
+  * driver (the 100 TB discipline: `latestOffset` per micro-batch touches
+  * metadata only).
+  *
+  * Kinesis semantics mapped (all svckinesis.js cites):
+  *  - shard discovery (`describeStream`, :227-236) → subdirectory listing,
+  *    re-run every `latestOffset` — so SPLITS/MERGES (new shard dirs
+  *    appearing mid-stream, which the reference explicitly punts on at
+  *    :187) are picked up at the next micro-batch, children starting from
+  *    their trim horizon;
+  *  - `getShardIterator(LATEST | TRIM_HORIZON)` (:214-222) →
+  *    `startingPosition` option, resolved to per-shard seqs at first start;
+  *  - `getRecords(Limit: 5)` every 1500 ms (:188-211) →
+  *    `maxRecordsPerShardPerTrigger` under `SupportsAdmissionControl`
+  *    (cadence comes from the query trigger, not the source);
+  *  - `NextShardIterator` threading (:205) → checkpointed offsets, which
+  *    also upgrade the reference's at-most-once (records are dropped if
+  *    the process dies mid-loop) to exactly-once replay;
+  *  - per-shard ordering (the Kinesis contract) → exactly one
+  *    `InputPartition` per shard per batch, read in seq order.
+  *
+  * Rows are `(shard STRING, seq LONG, data STRING)` — payloads stay
+  * opaque like real Kinesis records; queries parse with `from_json`.
+  */
+object GraftShardsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("data", StringType, nullable = false),
+  ))
+
+  private val ChunkName = """(\d{18})-(\d{18})\.jsonl""".r
+
+  def chunkFileName(start: Long, end: Long): String = f"$start%018d-$end%018d.jsonl"
+
+  final case class Chunk(start: Long, end: Long, path: Path)
+
+  def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Shard name → shard directory, discovered by listing. */
+  def listShards(streamDir: Path): Map[String, Path] = {
+    val f = fs(streamDir)
+    if (!f.exists(streamDir)) Map.empty
+    else f.listStatus(streamDir).filter(_.isDirectory)
+      .map(s => s.getPath.getName -> s.getPath).toMap
+  }
+
+  /** The chunks of one shard, seq-ordered. Filenames only — no data read. */
+  def shardChunks(shardDir: Path): Seq[Chunk] =
+    fs(shardDir).listStatus(shardDir).flatMap { st =>
+      st.getPath.getName match {
+        case ChunkName(s, e) => Some(Chunk(s.toLong, e.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_.start).toSeq
+
+  /** End seq (exclusive) of every shard — the stream's current head. */
+  def currentEnds(streamDir: Path): Map[String, Long] =
+    listShards(streamDir).map { case (name, dir) =>
+      name -> shardChunks(dir).lastOption.map(_.end).getOrElse(0L)
+    }
+}
+
+/** Checkpointable offset: shard name → next seq to read. */
+case class GraftShardsOffset(positions: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(positions)
+  }
+}
+
+object GraftShardsOffset {
+  def fromJson(json: String): GraftShardsOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    GraftShardsOffset(org.json4s.jackson.Serialization.read[Map[String, Long]](json))
+  }
+}
+
+class GraftShardsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-shards"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftShardsSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftShardsTable(properties.get("path"))
+}
+
+class GraftShardsTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-shards requires .load(<streamDir>)")
+  override def name(): String = s"graft-shards:$path"
+  override def schema(): StructType = GraftShardsSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftShardsSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftShardsMicroBatchStream(path, options)
+    }
+}
+
+class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  import GraftShardsSource._
+
+  private val streamDir = new Path(path)
+  private val startingPosition =
+    options.getOrDefault("startingPosition", "TRIM_HORIZON").toUpperCase
+  require(Seq("TRIM_HORIZON", "LATEST").contains(startingPosition),
+    s"startingPosition must be TRIM_HORIZON or LATEST, got $startingPosition")
+  private val maxPerShard =
+    options.getLong("maxRecordsPerShardPerTrigger", Long.MaxValue)
+  require(maxPerShard > 0, "maxRecordsPerShardPerTrigger must be positive")
+
+  /** AvailableNow contract: the run drains up to the head snapshotted at
+    * prepare time, even while a producer keeps appending. */
+  private var availableNowCap: Option[Map[String, Long]] = None
+
+  override def initialOffset(): Offset = startingPosition match {
+    case "LATEST" => GraftShardsOffset(currentEnds(streamDir))
+    case _ => GraftShardsOffset(currentEnds(streamDir).map { case (s, _) => s -> 0L })
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentEnds(streamDir))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftShardsOffset].positions
+    // re-discovery every batch = resharding support: a shard dir created
+    // after the query started shows up here and reads from ITS trim
+    // horizon (Kinesis children are consumed from their first record)
+    val heads = availableNowCap.getOrElse(currentEnds(streamDir))
+    GraftShardsOffset(heads.map { case (s, head) =>
+      val cur = from.getOrElse(s, 0L)
+      // saturating step: cur + maxPerShard would overflow at the
+      // unlimited default (Long.MaxValue)
+      s -> (cur + math.max(0L, math.min(head - cur, maxPerShard)))
+    } ++ (from -- heads.keys)) // never forget a checkpointed shard
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftShardsOffset].positions
+    val to = end.asInstanceOf[GraftShardsOffset].positions
+    val shards = listShards(streamDir)
+    to.toSeq.sortBy(_._1).flatMap { case (name, endSeq) =>
+      val startSeq = from.getOrElse(name, 0L)
+      // ONE partition per shard — the per-shard ordering contract
+      if (endSeq > startSeq && shards.contains(name))
+        Some(GraftShardPartition(name, shards(name).toString, startSeq, endSeq))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftShardsReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    GraftShardsOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftShardPartition(shard: String, shardDir: String,
+    startSeq: Long, endSeq: Long) extends InputPartition
+
+object GraftShardsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftShardPartition]
+    new PartitionReader[InternalRow] {
+      private val dir = new Path(p.shardDir)
+      private val chunks = GraftShardsSource.shardChunks(dir)
+        .filter(c => c.end > p.startSeq && c.start < p.endSeq).iterator
+      private val shardUtf8 = UTF8String.fromString(p.shard)
+      private var lines: Iterator[String] = Iterator.empty
+      private var reader: java.io.BufferedReader = _
+      private var seq: Long = -1L
+      private var current: InternalRow = _
+
+      private def openNextChunk(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        if (!chunks.hasNext) return false
+        val c = chunks.next()
+        reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          GraftShardsSource.fs(dir).open(c.path), StandardCharsets.UTF_8))
+        seq = c.start - 1
+        lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (lines.hasNext) {
+            val line = lines.next(); seq += 1
+            if (seq >= p.endSeq) return false
+            if (seq >= p.startSeq) {
+              current = new GenericInternalRow(
+                Array[Any](shardUtf8, seq, UTF8String.fromString(line)))
+              return true
+            }
+          } else if (!openNextChunk()) return false
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}
+
+/** Producer-side helpers: write a DataFrame as a sharded stream and keep a
+  * content-versioned sharded copy of the events table for the streaming
+  * queries. */
+object GraftShards {
+  val NumShards = 4
+  val ChunkSize = 5000
+
+  def shardDirName(i: Int): String = f"shard-$i%04d"
+
+  /** Write `df` as a graft-shards stream layout under `dir`: Kinesis-style
+    * key routing (`pmod(hash(key), numShards)` — same key, same shard,
+    * like partition-keying by txnId at aprocess.js:155-159), records
+    * JSON-encoded one per line, per-shard seq assigned in `order` sort.
+    * Each shard is written by the task that owns it after a hash
+    * repartition, so the build is one distributed pass — no driver
+    * collect. */
+  def writeSharded(df: DataFrame, dir: String, numShards: Int = NumShards,
+      key: Column, order: Seq[Column], chunkSize: Int = ChunkSize): Unit = {
+    val dataCols = df.columns.map(col)
+    val target = dir // stable reference for the closure
+    df.withColumn("__shard", pmod(hash(key), lit(numShards)))
+      .withColumn("__data", to_json(struct(dataCols: _*)))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard") +: order: _*)
+      .select(col("__shard"), col("__data"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val f = GraftShardsSource.fs(new Path(target))
+        // hash partitioning can land several shards in one task; rows of
+        // one shard are consecutive after the sort
+        var currentShard = -1
+        var seq = 0L
+        var buf = Vector.empty[String]
+        def flush(): Unit = if (buf.nonEmpty) {
+          val shardDir = new Path(target, shardDirName(currentShard))
+          val name = GraftShardsSource.chunkFileName(seq - buf.size, seq)
+          val out = f.create(new Path(shardDir, name), true)
+          out.write(buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+          out.close()
+          buf = Vector.empty
+        }
+        rows.foreach { r =>
+          val shard = r.getInt(0)
+          if (shard != currentShard) { flush(); currentShard = shard; seq = 0L }
+          buf :+= r.getString(1)
+          seq += 1
+          if (buf.size >= chunkSize) flush()
+        }
+        flush()
+      }
+  }
+
+  /** One-record convenience append (tests / live producers): adds a chunk
+    * of the given JSON lines at the shard's current head. */
+  def append(dir: String, shard: Int, lines: Seq[String]): Unit = {
+    val shardDir = new Path(dir, shardDirName(shard))
+    val end = GraftShardsSource.currentEnds(new Path(dir))
+      .getOrElse(shardDirName(shard), 0L)
+    val f = GraftShardsSource.fs(shardDir)
+    val out = f.create(
+      new Path(shardDir, GraftShardsSource.chunkFileName(end, end + lines.size)), true)
+    out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Sharded copy of `d`'s events table, built at most once per dataset
+    * CONTENT: the directory name carries a fingerprint of the parquet's
+    * (name, length, mtime) stats, so regenerated test data gets a fresh
+    * build instead of silently reusing a stale layout. */
+  def ensureShardedEvents(s: SparkSession, d: String): String = synchronized {
+    val src = new Path(s"$d/events.parquet")
+    val f = GraftShardsSource.fs(src)
+    val stamp = {
+      val st = f.getFileStatus(src)
+      val parts =
+        if (st.isDirectory) f.listStatus(src).map(c =>
+          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}").sorted
+        else Array(s"${st.getLen}:${st.getModificationTime}")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((d + parts.mkString(",")).getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft-shards/events-$stamp"
+    val marker = new Path(s"$target/_SUCCESS")
+    val tfs = GraftShardsSource.fs(marker)
+    if (!tfs.exists(marker)) {
+      tfs.delete(new Path(target), true)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = s.read.schema(graft.streaming.Streaming.eventsRawSchema)
+        .parquet(src.toString)
+      writeSharded(events, target, NumShards,
+        key = col("user_id"), order = Seq(col("ts"), col("event_id")))
+      tfs.create(marker, true).close()
+    }
+    target
+  }
+}

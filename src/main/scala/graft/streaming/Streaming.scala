@@ -41,19 +41,28 @@ object Streaming {
     StructField("props", StringType),
   ))
 
-  /** R10: the stream source. `maxFilesPerTrigger` is the rate-limit analog
-    * of the reference's `Limit: 5` (svckinesis.js:193); `AvailableNow` is
-    * the bounded run used by the driver check — a live deployment would use
-    * `Trigger.ProcessingTime("1500 milliseconds")` to mirror the
-    * reference's poll cadence (svckinesis.js:209-211). */
+  /** R10: the stream source — the Kinesis-shaped
+    * [[graft.sources.GraftShardsMicroBatchStream]] over a sharded copy of
+    * the events table (4 shards, records routed by user_id like the
+    * reference partition-keys by txnId). Shard discovery, iterator starts,
+    * per-shard ordering, rate limiting and resharding live in the SOURCE
+    * (sources/GraftShards.scala), so the query bodies stay source-agnostic
+    * — the literal `.format` swap the reference's hand-rolled consumer
+    * loop (svckinesis.js:188-248) reduces to. Payloads arrive opaque
+    * (`data` JSON string, like Kinesis record blobs) and parse with
+    * `from_json`. Bounded runs leave the per-trigger cap at all-available
+    * (one batch — the batch-oracle check needs no intra-run watermark
+    * races); a live deployment sets `maxRecordsPerShardPerTrigger` (the
+    * `getRecords Limit: 5` analog, svckinesis.js:193) and a
+    * `ProcessingTime` trigger for the 1500 ms poll cadence (:209-211). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shardDir = graft.sources.GraftShards.ensureShardedEvents(s, d)
     s.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      // brace-glob so the source's basePath resolves to the directory (a
-      // bare file path fails with "'basePath' must be a directory")
-      .parquet(s"$d/{events.parquet}")
+      .format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .load(shardDir)
+      .select(from_json(col("data"), eventsRawSchema).as("e"))
+      .select(col("e.*"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
