@@ -44,19 +44,65 @@ object Bench {
     }
     // deterministic name order: Map iteration order would silently shuffle
     // which query pays any residual first-run cost between rounds
-    val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def runPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
+        // a failed query's time-to-crash is noise: record the sentinel and
+        // keep it out of the totals; the errors array carries the signal
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    def fmt(results: Seq[(String, Double)]): (String, Double) = (
+      results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"),
+      results.collect { case (_, v) if v >= 0 => v }.sum)
+    // pass 1 = one-shot (includes per-query first-run codegen, the cost a
+    // cold cluster pays); pass 2 = steady state in the warmed JVM, so
+    // round-over-round per-query deltas aren't masked by fixed costs
+    val (qs, total) = fmt(runPass())
+    val (steadyQs, steadyTotal) = fmt(runPass())
+
+    // Skew mitigation at bench scale (synthesized zipf — TESTDATA is
+    // uniform): one shuffle join with 50% of rows on one key, dim modeled
+    // as non-broadcastable. Reports naive straggler vs AQE skew-split vs
+    // explicit salting; all three checksums must agree.
+    val skewJson = locally {
+      import graft.relational.Skew
+      import org.apache.spark.sql.functions.col
+      val big = Skew.zipfBig(spark, 10000000L)
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (sum1, naive) = timed(
+          Skew.checksum(big.join(Skew.skewDim(spark), "key")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        val (sum2, aqe) = timed(
+          Skew.checksum(big.join(Skew.skewDim(spark), "key")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (sum3, salted) = timed(Skew.checksum(
+          Skew.saltedEquiJoin(big, Skew.skewDim(spark), "key", cpus.toInt)))
+        require(sum1 == sum2 && sum1 == sum3,
+          s"skew plans disagree: $sum1 $sum2 $sum3")
+        s"""{"naive":$naive,"aqe_split":$aqe,"salted":$salted}"""
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
     // a failing query must be visible in the record, not just "fast"
-    val errs = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_total":$steadyTotal,"steady_queries":$steadyQs,"skew":$skewJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -509,16 +509,26 @@ object Dedup {
     * them — recomputing the blocked pair join + iteration twice would
     * double the cost of the shared build-the-labels step. The labels
     * frame is localCheckpointed (tiny), so the cache holds materialized
-    * data, not a live lineage. */
-  private var ccCache: Option[((SparkSession, String), DataFrame)] = None
+    * data, not a live lineage. Keyed (not single-slot) so interleaving
+    * two datasets in one session — Verify iterates datasets — doesn't
+    * thrash; bounded at [[CcCacheMax]] entries with the checkpointed
+    * blocks of evicted entries explicitly unpersisted. */
+  private val CcCacheMax = 4
+  private val ccCache =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
   private def threeGenLabels(s: SparkSession, d: String): DataFrame =
     synchronized {
-      ccCache match {
-        case Some(((cs, cd), df)) if (cs eq s) && cd == d => df
-        case _ =>
+      ccCache.get((s, d)) match {
+        case Some(df) => df
+        case None =>
           val df = connectedComponents(jaccardPairs(threeGenCorpus(s, d)))
-          ccCache = Some(((s, d), df))
+          ccCache.put((s, d), df)
+          if (ccCache.size > CcCacheMax) {
+            val (k, old) = ccCache.head // LinkedHashMap: insertion order
+            old.unpersist()
+            ccCache.remove(k)
+          }
           df
       }
     }

@@ -41,4 +41,30 @@ object Skew {
       .join(replicatedSmall, Seq(key, "__graft_salt"))
       .drop("__graft_salt")
   }
+
+  // ---- Skew demonstration fixture (bench + SkewSpec) ----------------------
+  // TESTDATA is uniform by construction (no natural zipf anywhere — see
+  // CLAUDE.md), so the straggler scenario is synthesized deterministically:
+  // half of the fact rows land on ONE key, the rest spread over the dim's
+  // key space. Used by Bench (timings: naive vs AQE skew-split vs salted)
+  // and SkewSpec (equivalence of all three plans at sf0.1 scale).
+
+  /** `rows` fact rows, ~50% on the hot key 0 — a power-law head turned up
+    * to 11. Deterministic (xxhash64, no rand()). */
+  def zipfBig(s: org.apache.spark.sql.SparkSession, rows: Long): DataFrame =
+    s.range(rows).select(
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("key"),
+      col("id").as("v"))
+
+  /** The 100k-key dimension — small, but modeled as too big to broadcast
+    * (the bench disables auto-broadcast), which is exactly when skew
+    * mitigation matters. */
+  def skewDim(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.range(100000L).select(col("id").as("key"), (col("id") * 7).as("w"))
+
+  /** One number summarizing the join result — identical across the naive,
+    * AQE-split, and salted plans iff the join semantics are preserved. */
+  def checksum(joined: DataFrame): Long =
+    joined.agg(sum(col("v") + col("w"))).head().getLong(0)
 }

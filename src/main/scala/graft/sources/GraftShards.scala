@@ -323,19 +323,26 @@ object GraftShards {
     * CONTENT: the directory name carries a fingerprint of the parquet's
     * (name, length, mtime) stats, so regenerated test data gets a fresh
     * build instead of silently reusing a stale layout. */
+  /** Content fingerprint of a dataset file/dir: its (name, length, mtime)
+    * stats hashed. Any derived artifact keyed by this stamp is rebuilt
+    * when the source data is regenerated — never silently reused stale. */
+  def contentStamp(d: String, file: String): String = {
+    val src = new Path(s"$d/$file")
+    val f = GraftShardsSource.fs(src)
+    val st = f.getFileStatus(src)
+    val parts =
+      if (st.isDirectory) f.listStatus(src).map(c =>
+        s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}").sorted
+      else Array(s"${st.getLen}:${st.getModificationTime}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "/" + file + ":" + parts.mkString(","))
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   def ensureShardedEvents(s: SparkSession, d: String): String = synchronized {
     val src = new Path(s"$d/events.parquet")
-    val f = GraftShardsSource.fs(src)
-    val stamp = {
-      val st = f.getFileStatus(src)
-      val parts =
-        if (st.isDirectory) f.listStatus(src).map(c =>
-          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}").sorted
-        else Array(s"${st.getLen}:${st.getModificationTime}")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest((d + parts.mkString(",")).getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(16)
-    }
+    val stamp = contentStamp(d, "events.parquet")
     val target = s"${System.getProperty("java.io.tmpdir")}/graft-shards/events-$stamp"
     val marker = new Path(s"$target/_SUCCESS")
     val tfs = GraftShardsSource.fs(marker)

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Keyed stream-to-state correlation with timeout eviction — the typed
   * Dataset re-expression of the reference's request/response correlator
@@ -126,4 +126,29 @@ object Correlate {
         .map(e => Completion(txn, e.status)).iterator
     }.collect().toSeq
   }
+
+  /** The reference's LIVE deployment form — the long-running service loop
+    * (doInit → startStreamReader, svckinesis.js:250-256) as a
+    * ProcessingTime-triggered query: consume status events continuously at
+    * the reference's 1500 ms poll cadence (:209-211), correlate, and land
+    * every completion in the versioned upsert table (the durable analog of
+    * completing held HTTP responses — a web tier reads the table instead
+    * of holding sockets in a process map). `foreachBatch` + keyed upsert
+    * gives end-to-end exactly-once: offsets checkpoint the source cursor,
+    * the correlator state is store-backed, and re-delivered terminals are
+    * tombstone-suppressed, so a crash/restart never duplicates or loses a
+    * completion (StreamingSpec proves it across a restart). Empty
+    * micro-batches skip the table rewrite. */
+  def serve(events: Dataset[StatusEvent], tablePath: String,
+      checkpoint: String, intervalMs: Long = 1500): StreamingQuery =
+    correlate(events).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sources.upsert(batch, Seq("txnId"), tablePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .start()
 }

@@ -45,7 +45,12 @@ object StatusHistory {
         txnId: String,
         rows: Iterator[StatusEvent],
         timerValues: TimerValues): Iterator[HistoryResult] = {
-      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.status))
+      // same-ts ties order terminals LAST: a {RUNNING, FAILED} tie must
+      // record RUNNING in the trail before FAILED closes it — an
+      // alphabetical tiebreak ('F' < 'R' < 'S') would close the trail
+      // first for FAILED but not for SUCCEEDED, asymmetrically
+      val batch = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, e.status == "SUCCEEDED" || e.status == "FAILED", e.status))
       val out = Seq.newBuilder[HistoryResult]
       batch.foreach { e =>
         trail.appendValue(e.status)

@@ -321,13 +321,15 @@ object Streaming {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    // Stable per-dataset path (NOT a fresh temp dir per call — repeated
-    // invocations would leak an orphaned table each). Re-running over the
-    // same input re-upserts the identical key set, and the sink's
-    // two-version retention keeps the directory bounded.
+    // Stable per-dataset-CONTENT path (NOT a fresh temp dir per call —
+    // repeated invocations would leak an orphaned table each; NOT keyed by
+    // path alone — upsert never deletes absent keys, so a dataset
+    // regenerated in place would leave stale rows in the view). Re-running
+    // over the same content re-upserts the identical key set, and the
+    // sink's two-version retention keeps the directory bounded.
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_q38_view_${math.abs(d.hashCode).toString}").toString
+      s"graft_q38_view_${graft.sources.GraftShards.contentStamp(d, "events.parquet")}").toString
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val prev = s.conf.get("spark.sql.shuffle.partitions")

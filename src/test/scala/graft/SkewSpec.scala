@@ -33,4 +33,36 @@ class SkewSpec extends SparkSpec {
     val b = Skew.saltedEquiJoin(events, customer, "user_id", 4).count()
     assert(a == b)
   }
+
+  test("bench-scale zipf fixture: naive, AQE-split and salted plans agree (sf0.1 volume)") {
+    // the same fixture Bench times (10M rows, half on one key), here at a
+    // spec-friendly 1M: all three plans must produce the identical join —
+    // checksum AND row count — with broadcast off (the non-broadcastable-
+    // dim scenario skew mitigation exists for)
+    val big = Skew.zipfBig(spark, 1000000L)
+    val dim = Skew.skewDim(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // confs are read at ACTION time — run each plan fully under its own
+      def under[A](skewJoin: Boolean)(f: => A): A = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+        f
+      }
+      val naive = under(skewJoin = false)(
+        (Skew.checksum(big.join(dim, "key")), big.join(dim, "key").count()))
+      val aqe = under(skewJoin = true)(
+        (Skew.checksum(big.join(dim, "key")), big.join(dim, "key").count()))
+      val salted = under(skewJoin = false) {
+        val j = Skew.saltedEquiJoin(big, dim, "key", 8)
+        (Skew.checksum(j), j.count())
+      }
+      assert(Seq(naive, aqe, salted).distinct.size == 1,
+        s"plans diverge: naive=$naive aqe=$aqe salted=$salted")
+      assert(naive._2 == 1000000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+  }
 }
