@@ -97,6 +97,11 @@ object ArrayExprs {
     "graft_might_contain" -> arity("graft_might_contain", 2)(es =>
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es.head, es(1))),
+    // count_min_sketch IS registered in Spark SQL, but no estimator
+    // expression exists — graft_cm_estimate(sketch, key) completes the
+    // pair (sketch arg: constant or scalar subquery, like might_contain)
+    "graft_cm_estimate" -> arity("graft_cm_estimate", 2)(es =>
+      CmEstimate(es.head, es(1))),
   )
 
   /** Register the functions on a session (idempotent). Call from any query
@@ -336,6 +341,81 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Point estimate from a count-min sketch built by Spark's native
+  * `count_min_sketch` aggregate — the missing read half of that pair
+  * (Spark registers the builder but no estimator). The sketch argument
+  * must be a CONSTANT or a SCALAR SUBQUERY (the same contract as
+  * `BloomFilterMightContain`): it is deserialized once per plan and
+  * referenced from generated code, so the per-row probe stays inside
+  * whole-stage codegen. Estimates never under-count (CM guarantee), which
+  * is what makes sketch-prefiltered-but-exact operators possible (q49,
+  * same shape as q46's bloom). */
+case class CmEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cm_estimate"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => left match {
+        case e if e.foldable => TypeCheckResult.TypeCheckSuccess
+        case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: the sketch must be a constant or scalar subquery")
+      }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (BINARY, BIGINT), got ($l, $r)")
+    }
+
+  // deserialized once per plan lifetime; the sketch side is constant by
+  // the checkInputDataTypes contract so eval(null) is legal here
+  @transient private lazy val sketch: CountMinSketch = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (sketch == null) null
+    else {
+      val k = right.eval(input)
+      if (k == null) null else sketch.estimateCount(k.asInstanceOf[Long])
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    if (sketch == null) {
+      ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |long ${ev.value} = -1L;
+         """.stripMargin)
+    } else {
+      val ref = ctx.addReferenceObj("cmSketch", sketch,
+        classOf[CountMinSketch].getName)
+      val keyGen = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+           |${keyGen.code}
+           |boolean ${ev.isNull} = ${keyGen.isNull};
+           |long ${ev.value} = -1L;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = $ref.estimateCount((Object) ${keyGen.value});
+           |}
+         """.stripMargin)
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

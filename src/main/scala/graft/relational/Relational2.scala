@@ -478,8 +478,63 @@ object Relational2 {
       .orderBy($"col_name")
   }
 
+  /** q49: heavy hitters by count-min-sketch prefilter — EXACT result via
+    * the q46 overadmit-only pattern: the sketch can only over-count (CM
+    * guarantee: estimate >= true count), so filtering rows to keys whose
+    * ESTIMATE clears the threshold admits a superset of the true heavy
+    * hitters, and the exact groupBy that follows touches only those rows.
+    * At 100 TB this replaces a full-cardinality shuffle (billions of
+    * distinct keys, most singletons) with a fixed-size sketch aggregate
+    * (map-side mergeable array) + a shuffle of ONLY the hot keys' rows.
+    *
+    * TESTDATA is uniform, so the power-law key is synthesized from
+    * md5(event_id) with INTEGER-ONLY math (exact cross-engine — no
+    * pow/floor boundary risk): 25% of rows draw a zipf-ish head
+    * (`65536 div (h div 4 + 1)` — key 1 gets ~half of them), 75% a
+    * near-unique tail, giving both hot keys and a large distinct count.
+    * Heavy hitter = key holding >= 0.5% of all events (count*200 >= N,
+    * integer compare). Sketch: Spark's native `count_min_sketch`
+    * aggregate, probed by [[graft.functions.CmEstimate]] via scalar
+    * subquery — codegen'd, no ScalaUDF. */
+  val q49HeavyHitters: Q = Q(
+    "q49_heavy_hitters",
+    """WITH k AS (
+      |  SELECT CASE WHEN h16 % 4 = 0 THEN 65536 // (h16 // 4 + 1)
+      |              ELSE 100000 + (tail % 500000) END AS key
+      |  FROM (SELECT
+      |      CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h16,
+      |      CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 5, 8)) AS BIGINT) AS tail
+      |    FROM events))
+      |SELECT key, COUNT(*) AS n_events FROM k
+      |GROUP BY key
+      |HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM events)
+      |ORDER BY key""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.ArrayExprs.register(s)
+    import s.implicits._
+    val keyed = Tables.events(s, d)
+      .select(md5($"event_id".cast("string")).as("h"))
+      .select(
+        conv(substring($"h", 1, 4), 16, 10).cast("long").as("h16"),
+        conv(substring($"h", 5, 8), 16, 10).cast("long").as("tail"))
+      .select(when($"h16" % 4 === 0, expr("65536 div (h16 div 4 + 1)"))
+        .otherwise(lit(100000L) + $"tail" % 500000L).as("key"))
+    val total = Tables.events(s, d).count() // one footer-answered scalar
+    // sketch sized for ~0.1% of N per-key error — far under the 0.5%
+    // threshold, so overadmission stays a small candidate set
+    keyed.agg(expr("count_min_sketch(key, 0.001d, 0.99d, 42)").as("cm"))
+      .createOrReplaceTempView("q49_cm")
+    keyed
+      .filter(expr("graft_cm_estimate((SELECT cm FROM q49_cm), key)") * 200 >= total)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_events"))
+      .filter($"n_events" * 200 >= total)
+      .orderBy($"key")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
-    q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile)
+    q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
+    q49HeavyHitters)
 }

@@ -53,4 +53,46 @@ class ApproxSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_cm_estimate never under-counts — the q49 prefilter is lossless") {
+    graft.functions.ArrayExprs.register(spark)
+    import spark.implicits._
+    // every key's CM estimate must be >= its true count (the one-sided
+    // guarantee the sketch-prefiltered-exact pattern rests on)
+    val keys = Tables.events(spark, sfDir)
+      .select((col("event_id") % 97).as("key")) // 97 distinct keys, exact truth cheap
+    keys.agg(expr("count_min_sketch(key, 0.001d, 0.99d, 42)").as("cm"))
+      .createOrReplaceTempView("cmspec")
+    val both = keys.groupBy($"key")
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("est",
+        expr("graft_cm_estimate((SELECT cm FROM cmspec), key)"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, t, e) =>
+      assert(e >= t, s"key $k under-counted: est=$e true=$t")
+    }
+
+    // and end to end: q49's sketch-prefiltered result equals the plain
+    // unfiltered groupBy-having on the same synthesized key
+    val viaSketch = graft.relational.Relational2.q49HeavyHitters
+      .fn(spark, sfDir).as[(Long, Long)].collect().toSet
+    val keyed = Tables.events(spark, sfDir)
+      .select(md5($"event_id".cast("string")).as("h"))
+      .select(
+        conv(substring($"h", 1, 4), 16, 10).cast("long").as("h16"),
+        conv(substring($"h", 5, 8), 16, 10).cast("long").as("tail"))
+      .select(when($"h16" % 4 === 0, expr("65536 div (h16 div 4 + 1)"))
+        .otherwise(lit(100000L) + $"tail" % 500000L).as("key"))
+    val total = Tables.events(spark, sfDir).count()
+    val plain = keyed.groupBy($"key").agg(count(lit(1)).as("n_events"))
+      .filter($"n_events" * 200 >= total)
+      .as[(Long, Long)].collect().toSet
+    assert(viaSketch == plain)
+    // the probe is codegen'd, not a closure
+    val planStr = graft.relational.Relational2.q49HeavyHitters
+      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(!planStr.contains("ScalaUDF"))
+    assert(planStr.contains("graft_cm_estimate"), planStr.take(2000))
+  }
 }
