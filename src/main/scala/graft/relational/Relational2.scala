@@ -532,9 +532,37 @@ object Relational2 {
       .orderBy($"key")
   }
 
+  /** q56: mergeable distinct-count rollup — per-day HLL sketches of the
+    * user population, UNIONED upward instead of rescanned. This is the
+    * sketch-table architecture behind every large-scale "daily/weekly/
+    * monthly uniques" dashboard: at 100 TB you materialize one tiny
+    * sketch per (day, dimension) ONCE, and every coarser rollup is a
+    * cheap union of sketches — no second pass over the raw events, and
+    * the union is order/partitioning-independent (datasketches HLL is
+    * deterministic, no RNG), so the result is stable across cluster
+    * layouts. Spark ships the full surface natively: `hll_sketch_agg`,
+    * `hll_union_agg`, `hll_sketch_estimate`.
+    *
+    * Output: per-day estimated uniques plus an all-days row (day NULL)
+    * whose estimate comes from the SKETCH UNION, not from the raw data.
+    * DuckDB's approx_distinct is a different sketch → rows-only check;
+    * ApproxSpec pins the estimates against exact distincts and the
+    * union-vs-direct consistency. */
+  val q56SketchRollup: Q = Q.rowsOnly("q56_sketch_rollup") { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val perDay = daily.select($"day", hll_sketch_estimate($"sk").as("est_users"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+      .select(lit(null).cast("timestamp").as("day"), $"est_users")
+    perDay.unionByName(merged).orderBy($"day".asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
-    q49HeavyHitters)
+    q49HeavyHitters, q56SketchRollup)
 }

@@ -340,18 +340,47 @@ object GraftShards {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  def ensureShardedEvents(s: SparkSession, d: String): String = synchronized {
-    val src = new Path(s"$d/events.parquet")
+  def ensureShardedEvents(s: SparkSession, d: String): String =
+    ensureDerivedShards(s, d, "events")(rawEvents(s, d))
+
+  /** [[ensureShardedEvents]] plus one far-future sentinel record per
+    * event_type of interest (event_id/user_id = -1, ts = max + 30 days).
+    * Sentinels exist to ADVANCE THE WATERMARK past all real data at the
+    * end of a bounded run — the only way a stream-stream OUTER join's
+    * null-matches all flush before an AvailableNow query terminates.
+    * Consumers drop rows with negative ids AFTER the sink (filtering
+    * inside the streaming plan would be pushed below the watermark
+    * operator and defeat the sentinel — measured, not hypothetical). */
+  def ensureShardedEventsWithSentinels(s: SparkSession, d: String): String =
+    ensureDerivedShards(s, d, "events-sentinel") {
+      val raw = rawEvents(s, d)
+      val sentTs = raw.agg(max(col("ts"))).head().getLong(0) +
+        30L * 86400L * 1000000000L
+      val schema = graft.streaming.Streaming.eventsRawSchema
+      val sentinels = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, sentTs, -1L, "purchase", 0.0, "{}"),
+          org.apache.spark.sql.Row(-2L, sentTs, -1L, "click", 0.0, "{}")),
+        schema)
+      raw.unionAll(sentinels)
+    }
+
+  private def rawEvents(s: SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.schema(graft.streaming.Streaming.eventsRawSchema)
+      .parquet(s"$d/events.parquet")
+  }
+
+  /** Build-once-per-content sharded copy of a dataset derivation. */
+  private def ensureDerivedShards(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): String = synchronized {
     val stamp = contentStamp(d, "events.parquet")
-    val target = s"${System.getProperty("java.io.tmpdir")}/graft-shards/events-$stamp"
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft-shards/$tag-$stamp"
     val marker = new Path(s"$target/_SUCCESS")
     val tfs = GraftShardsSource.fs(marker)
     if (!tfs.exists(marker)) {
       tfs.delete(new Path(target), true)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = s.read.schema(graft.streaming.Streaming.eventsRawSchema)
-        .parquet(src.toString)
-      writeSharded(events, target, NumShards,
+      writeSharded(build, target, NumShards,
         key = col("user_id"), order = Seq(col("ts"), col("event_id")))
       tfs.create(marker, true).close()
     }

@@ -301,6 +301,65 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q39: watermarked stream-stream LEFT OUTER join — purchases with or
+    * WITHOUT a preceding-day click. Same bounded state as q35 (both sides
+    * watermarked, event-time-constrained), plus the outer-specific
+    * semantics: a purchase's null-match may only emit once the watermark
+    * proves no matching click can still arrive, i.e. outer results are
+    * inherently delayed by state eviction. On a bounded run that means two
+    * extra ingredients (both documented failure modes, both measured):
+    *  - far-future SENTINEL records
+    *    ([[graft.sources.GraftShards.ensureShardedEventsWithSentinels]])
+    *    push the final watermark past all real data, and the run enables
+    *    no-data micro-batches so the post-sentinel flush batch actually
+    *    executes;
+    *  - sentinels are dropped from the BATCH read-back of the sink, never
+    *    inside the streaming plan — a `p_id >= 0` filter there gets pushed
+    *    below the watermark operator and un-advances the watermark.
+    * Converges to the plain batch LEFT JOIN, which is the oracle. */
+  val q39StreamLeftOuter: Q = Q(
+    "q39_stream_left_outer",
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+      |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    def ev = {
+      val shardDir = graft.sources.GraftShards.ensureShardedEventsWithSentinels(s, d)
+      s.readStream.format("graft-shards")
+        .option("startingPosition", "TRIM_HORIZON")
+        .load(shardDir)
+        .select(from_json(col("data"), eventsRawSchema).as("e"))
+        .select(col("e.*"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    val joined = p.join(c,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      runToTable(s, joined, "q39_sink", "append")
+        .filter(col("p_id") >= 0) // batch-side sentinel drop (see Scaladoc)
+        .orderBy(col("p_id"), col("c_id"))
+    } finally
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+  }
+
   /** q38: streaming materialized view — the stream maintains a queryable
     * "latest event per user" TABLE through `foreachBatch` + the versioned
     * upsert sink (R5's streaming form): each micro-batch reduces to its
@@ -354,5 +413,5 @@ object Streaming {
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
     q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark,
-    q38StreamMaterializedView)
+    q38StreamMaterializedView, q39StreamLeftOuter)
 }

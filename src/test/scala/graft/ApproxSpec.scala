@@ -54,6 +54,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q56 sketch rollup: estimates track exact uniques; union consistent with direct") {
+    import spark.implicits._
+    val out = graft.relational.Relational2.q56SketchRollup.fn(spark, sfDir)
+      .collect().map(r => Option(r.getTimestamp(0)) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sfDir)
+    // per-day estimates vs exact per-day distincts
+    val exactDaily = events.groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => Option(r.getTimestamp(0)) -> r.getLong(1)).toMap
+    for ((day, exact) <- exactDaily)
+      assert(relErr(exact, out(day)) < 0.05, s"$day: exact=$exact est=${out(day)}")
+    // the all-days row comes from the sketch UNION — it must agree with a
+    // sketch built directly over the full input (mergeability) and with
+    // the exact overall distinct within the error bound
+    val direct = events.agg(
+      hll_sketch_estimate(hll_sketch_agg($"user_id"))).head().getLong(0)
+    val exactAll = events.select(countDistinct($"user_id")).head().getLong(0)
+    assert(out(None) == direct,
+      s"union estimate ${out(None)} != direct-sketch estimate $direct")
+    assert(relErr(exactAll, out(None)) < 0.05)
+  }
+
   test("graft_cm_estimate never under-counts — the q49 prefilter is lossless") {
     graft.functions.ArrayExprs.register(spark)
     import spark.implicits._

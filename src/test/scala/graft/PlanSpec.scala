@@ -216,7 +216,7 @@ class PlanSpec extends SparkSpec {
     val sfScaled = Seq("customer", "orders", "lineitem", "supplier", "part",
       "events", "documents", "embeddings")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (q <- SparkEntry.registry if !q.name.matches("q3[0-8].*")) {
+    for (q <- SparkEntry.registry if !q.name.matches("q3[0-9].*")) {
       val analyzed = q.fn(spark, sfDir).queryExecution.analyzed
       analyzed.foreach {
         case h: ResolvedHint =>

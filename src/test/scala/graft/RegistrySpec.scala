@@ -19,6 +19,6 @@ class RegistrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q14_approx_distinct", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q51_ann_lsh", "q53_ann_ivf",
-      "q65_text_rollinghash", "q91_approx_percentiles"))
+      "q65_text_rollinghash", "q91_approx_percentiles", "q56_sketch_rollup"))
   }
 }
