@@ -74,29 +74,44 @@ object Bench {
       def timed(f: => Long): (Long, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
-      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // confs are read at action time (CLAUDE.md): set the FULL conf set
+      // symmetrically around each measurement so the timings differ only
+      // by plan strategy, never by a leaked partition-sizing conf
+      val touched = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val prior = touched.map(k => k -> spark.conf.getOption(k)).toMap
+      def under[A](skewJoin: Boolean, thresholds16m: Boolean)(f: => A): A = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+        if (thresholds16m) {
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        } else {
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        }
+        f
+      }
       try {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        val (sum1, naive) = timed(
-          Skew.checksum(big.join(Skew.skewDim(spark), "key")))
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        spark.conf.set(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        val (sum2, aqe) = timed(
-          Skew.checksum(big.join(Skew.skewDim(spark), "key")))
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        val (sum3, salted) = timed(Skew.checksum(
-          Skew.saltedEquiJoin(big, Skew.skewDim(spark), "key", cpus.toInt)))
+        val (sum1, naive) = under(skewJoin = false, thresholds16m = false)(
+          timed(Skew.checksum(big.join(Skew.skewDim(spark), "key"))))
+        // 16m thresholds: the demo's hot partition (~80 MB) must clear the
+        // 256 MB default skew threshold scaled down to bench volume
+        val (sum2, aqe) = under(skewJoin = true, thresholds16m = true)(
+          timed(Skew.checksum(big.join(Skew.skewDim(spark), "key"))))
+        val (sum3, salted) = under(skewJoin = false, thresholds16m = false)(
+          timed(Skew.checksum(
+            Skew.saltedEquiJoin(big, Skew.skewDim(spark), "key", cpus.toInt))))
         require(sum1 == sum2 && sum1 == sum3,
           s"skew plans disagree: $sum1 $sum2 $sum3")
         s"""{"naive":$naive,"aqe_split":$aqe,"salted":$salted}"""
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 

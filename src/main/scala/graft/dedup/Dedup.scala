@@ -511,8 +511,11 @@ object Dedup {
     * frame is localCheckpointed (tiny), so the cache holds materialized
     * data, not a live lineage. Keyed (not single-slot) so interleaving
     * two datasets in one session — Verify iterates datasets — doesn't
-    * thrash; bounded at [[CcCacheMax]] entries with the checkpointed
-    * blocks of evicted entries explicitly unpersisted. */
+    * thrash; bounded at [[CcCacheMax]] entries. Eviction DROPS THE
+    * REFERENCE, which is the actual reclamation mechanism for
+    * localCheckpoint blocks (they free when the RDD is GC'd and the
+    * ContextCleaner runs; `Dataset.unpersist` is a no-op for
+    * checkpointed-not-cached frames). */
   private val CcCacheMax = 4
   private val ccCache =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
@@ -524,11 +527,8 @@ object Dedup {
         case None =>
           val df = connectedComponents(jaccardPairs(threeGenCorpus(s, d)))
           ccCache.put((s, d), df)
-          if (ccCache.size > CcCacheMax) {
-            val (k, old) = ccCache.head // LinkedHashMap: insertion order
-            old.unpersist()
-            ccCache.remove(k)
-          }
+          if (ccCache.size > CcCacheMax)
+            ccCache.remove(ccCache.head._1) // LinkedHashMap: insertion order
           df
       }
     }

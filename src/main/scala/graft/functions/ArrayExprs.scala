@@ -411,7 +411,8 @@ case class CmEstimate(left: Expression, right: Expression)
            |boolean ${ev.isNull} = ${keyGen.isNull};
            |long ${ev.value} = -1L;
            |if (!${ev.isNull}) {
-           |  ${ev.value} = $ref.estimateCount((Object) ${keyGen.value});
+           |  ${ev.value} = $ref.estimateCount(
+           |    java.lang.Long.valueOf(${keyGen.value}));
            |}
          """.stripMargin)
     }

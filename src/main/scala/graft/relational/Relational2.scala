@@ -342,7 +342,9 @@ object Relational2 {
     val prefixes = t.groupBy($"bucket").agg(sum($"n_tokens").as("btotal"))
       .withColumn("prefix", coalesce(sum($"btotal").over(prefixW), lit(0L)))
       .select($"bucket", $"prefix")
-    local.join(broadcast(prefixes), "bucket")
+    // no hardcoded broadcast: the prefix table is ~corpus/1000 rows — small
+    // here, but SF-scaled, so AQE must own the strategy (CLAUDE.md rule)
+    local.join(prefixes, "bucket")
       .withColumn("start", $"prefix" + $"local_cum" - $"n_tokens")
       .select($"doc_id", $"n_tokens",
         expr(s"start div $budget").as("pack_id"),

@@ -119,8 +119,14 @@ class GraftShardsProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftShardsSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // the row shape is fixed (shard, seq, data) — reject a user-supplied
+    // schema loudly instead of mis-binding fields at read time
+    require(schema == GraftShardsSource.Schema,
+      s"graft-shards emits ${GraftShardsSource.Schema.simpleString}; " +
+        s"user schemas are not supported (got ${schema.simpleString})")
     new GraftShardsTable(properties.get("path"))
+  }
 }
 
 class GraftShardsTable(path: String) extends Table with SupportsRead {
@@ -319,10 +325,6 @@ object GraftShards {
     out.close()
   }
 
-  /** Sharded copy of `d`'s events table, built at most once per dataset
-    * CONTENT: the directory name carries a fingerprint of the parquet's
-    * (name, length, mtime) stats, so regenerated test data gets a fresh
-    * build instead of silently reusing a stale layout. */
   /** Content fingerprint of a dataset file/dir: its (name, length, mtime)
     * stats hashed. Any derived artifact keyed by this stamp is rebuilt
     * when the source data is regenerated — never silently reused stale. */

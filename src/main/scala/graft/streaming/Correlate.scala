@@ -145,8 +145,14 @@ object Correlate {
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.Sources.upsert(batch, Seq("txnId"), tablePath)
+        // persist: the un-cached micro-batch plan (stateful correlator)
+        // would otherwise re-execute for each of upsert's two actions
+        // plus the emptiness probe — 3× state-store loads per trigger
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.sources.Sources.upsert(batch, Seq("txnId"), tablePath)
+        } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))

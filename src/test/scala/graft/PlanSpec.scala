@@ -211,23 +211,52 @@ class PlanSpec extends SparkSpec {
     // queries (q30-q38) execute eagerly and read back from a memory sink,
     // so their stream-side plan is not inspectable here — their static
     // sides are covered by the same rule in code review.
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val sfScaled = Seq("customer", "orders", "lineitem", "supplier", "part",
       "events", "documents", "embeddings")
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (q <- SparkEntry.registry if !q.name.matches("q3[0-9].*")) {
-      val analyzed = q.fn(spark, sfDir).queryExecution.analyzed
+    // HadoopFsRelation.toString does NOT include the path — inspect the
+    // file index's root paths, the only place the table identity lives
+    def hintedTables(analyzed: LogicalPlan): Seq[String] = {
+      val found = scala.collection.mutable.ArrayBuffer.empty[String]
       analyzed.foreach {
         case h: ResolvedHint =>
-          val leafPaths = h.child.collectLeaves().collect {
-            case l: LogicalRelation => l.relation.toString
+          h.child.collectLeaves().foreach {
+            case l: LogicalRelation => l.relation match {
+              case fs: HadoopFsRelation =>
+                val roots = fs.location.rootPaths.map(_.toString)
+                found ++= sfScaled.filter(t =>
+                  roots.exists(_.contains(s"$t.parquet")))
+              case _ => ()
+            }
+            case _ => ()
           }
-          for (p <- leafPaths; t <- sfScaled
-               if p.contains(s"$t.parquet")) offenders += s"${q.name}: hint over $t"
         case _ => ()
       }
+      found.toSeq
     }
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // positive self-check: a planted hint over an SF-scaled table IS caught
+    // (guards against the detection itself silently rotting)
+    val planted = hintedTables(
+      Tables.orders(spark, sfDir)
+        .join(broadcast(Tables.customer(spark, sfDir)),
+          col("o_custkey") === col("c_custkey"))
+        .queryExecution.analyzed)
+    assert(planted == Seq("customer"), s"detector broken: $planted")
+    // BOUNDED-by-construction hint subtrees are allowed even though their
+    // leaves are SF-scaled tables: the hinted frame's row count is fixed
+    // by the query itself, not by the data volume
+    val bounded = Set(
+      "q66_text_tfidf: hint over documents", // 1-row corpus-count aggregate
+      "q51_ann_lsh: hint over embeddings", // fixed 8-query set (vec_id < 8)
+      "q53_ann_ivf: hint over embeddings", // fixed 8-query set × nprobe
+    )
+    val offenders = for {
+      q <- SparkEntry.registry if !q.name.matches("q3[0-9].*")
+      t <- hintedTables(q.fn(spark, sfDir).queryExecution.analyzed)
+      o = s"${q.name}: hint over $t" if !bounded(o)
+    } yield o
     assert(offenders.isEmpty, s"broadcast hints on SF-scaled tables:\n${offenders.mkString("\n")}")
   }
 
