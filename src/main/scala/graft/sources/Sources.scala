@@ -58,6 +58,17 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC scan/sink — the other columnar format Spark bundles. Same
+    * pushdown/pruning properties as parquet (predicate pushdown via ORC
+    * search arguments, column projection via the schema — SourcesSpec pins
+    * both), so a deployment standardized on ORC swaps formats without
+    * losing the scan-side scale levers. */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet write: reads filtered on `partCols`
     * prune to matching directories (partition pruning — verified in
     * SourcesSpec via inputFiles). */

@@ -63,6 +63,30 @@ class SourcesSpec extends SparkSpec {
     assert(rows(back) == rows(region))
   }
 
+  test("ORC roundtrip with predicate pushdown and column pruning") {
+    val lineitem = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_discount")
+    val path = tmp("graft-orc")
+    Sources.writeOrc(lineitem, path)
+    val back = Sources.readOrc(spark, path)
+    assert(rows(back) == rows(lineitem))
+    // the scan-side scale levers must survive the format swap: the filter
+    // reaches the ORC reader as a search argument and the projection
+    // narrows the read schema
+    val q = back.filter($"l_orderkey" === 1L).select($"l_quantity")
+    assert(rows(q) == rows(lineitem.filter($"l_orderkey" === 1L)
+      .select($"l_quantity")))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    val pushed = scan.head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(l_orderkey,1)"), s"PushedFilters=$pushed")
+    assert(scan.head.requiredSchema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_quantity"),
+      s"read schema not pruned: ${scan.head.requiredSchema.simpleString}")
+  }
+
   test("partitioned parquet write prunes to one partition directory") {
     val events = Tables.events(spark, sfDir)
     val path = tmp("graft-part")
