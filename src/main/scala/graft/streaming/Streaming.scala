@@ -327,7 +327,9 @@ object Streaming {
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
       |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    def ev = {
+    // ONE source instance self-joined (val, not def): both branches share
+    // the scan+parse, halving source work vs two independent readers
+    val ev = {
       val shardDir = graft.sources.GraftShards.ensureShardedEventsWithSentinels(s, d)
       s.readStream.format("graft-shards")
         .option("startingPosition", "TRIM_HORIZON")
