@@ -73,13 +73,12 @@ object Bench {
       val big = Skew.zipfBig(spark, 10000000L)
       // min of 2 runs: a transient load spike on the shared box can
       // otherwise invert the naive-vs-mitigated ordering entirely
-      def timed(f: => Long): (Long, Double) = {
+      def timed(f: => Long): (Seq[Long], Double) = {
         val runs = Seq.fill(2) {
           val t0 = System.nanoTime(); val r = f
           (r, (System.nanoTime() - t0) / 1e9)
         }
-        require(runs.map(_._1).distinct.size == 1)
-        (runs.head._1, runs.map(_._2).min)
+        (runs.map(_._1), runs.map(_._2).min)
       }
       // confs are read at action time (CLAUDE.md): set the FULL conf set
       // symmetrically around each measurement so the timings differ only
@@ -104,22 +103,26 @@ object Bench {
         f
       }
       try {
-        val (sum1, naive) = under(skewJoin = false, thresholds16m = false)(
+        val (sums1, naive) = under(skewJoin = false, thresholds16m = false)(
           timed(Skew.checksum(big.join(Skew.skewDim(spark), "key"))))
         // 16m thresholds: the demo's hot partition (~80 MB) must clear the
         // 256 MB default skew threshold scaled down to bench volume
-        val (sum2, aqe) = under(skewJoin = true, thresholds16m = true)(
+        val (sums2, aqe) = under(skewJoin = true, thresholds16m = true)(
           timed(Skew.checksum(big.join(Skew.skewDim(spark), "key"))))
         // salt count trades hot-key spread against small-side replication:
         // 16 salts leaves the hot key's half of the rows at ~baseline
         // per-task volume while replicating the dim only 16x (measured
         // sweep at 10M rows: 4/8/16/32 salts -> 3.5/2.7/2.3/2.6 s)
-        val (sum3, salted) = under(skewJoin = false, thresholds16m = false)(
+        val (sums3, salted) = under(skewJoin = false, thresholds16m = false)(
           timed(Skew.checksum(Skew.saltedEquiJoin(
             big, Skew.skewDim(spark), "key", math.min(16, cpus.toInt)))))
-        require(sum1 == sum2 && sum1 == sum3,
-          s"skew plans disagree: $sum1 $sum2 $sum3")
-        s"""{"naive":$naive,"aqe_split":$aqe,"salted":$salted}"""
+        // a checksum disagreement is a FINDING to record, not a reason to
+        // throw away the ~2 min of query measurements already taken — the
+        // hard three-plan-equivalence assertion lives in SkewSpec
+        val allSums = sums1 ++ sums2 ++ sums3
+        val base = s""""naive":$naive,"aqe_split":$aqe,"salted":$salted"""
+        if (allSums.distinct.size == 1) s"{$base}"
+        else s"""{$base,"error":"skew checksums disagree: ${allSums.mkString(" ")}"}"""
       } finally prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

@@ -62,8 +62,22 @@ object Tables {
     * unconditional `repartition` it replaces would have been a full
     * shuffle of the raw corpus at 100 TB. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    val s = df.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    // Estimate scan splits from leaf-relation STATISTICS (driver metadata
+    // only) — probing df.rdd.getNumPartitions would instantiate the whole
+    // RDD lineage just to count partitions, a plan-compile side effect at
+    // scale. Splits ≈ total source bytes / files.maxPartitionBytes is the
+    // same arithmetic FilePartition planning uses (modulo per-file open
+    // cost, which only ADDS splits — so this under-counts, never
+    // over-counts, and an under-count merely repartitions a mid-size
+    // table once: safe).
+    val bytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits = (bytes / math.max(1L, maxPartitionBytes)).toLong + 1
+    if (estSplits >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -73,19 +73,56 @@ object GraftShardsSource {
 
   final case class Chunk(start: Long, end: Long, path: Path)
 
-  def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+  /** Hadoop conf resolution. On the driver (an active/default session
+    * exists) this is the session's `hadoopConfiguration`, so
+    * `spark.hadoop.*` settings — object-store credentials, fs.defaultFS —
+    * reach shard listing and chunk I/O. On executors (no session) the
+    * caller threads the driver's overrides through explicitly
+    * ([[confOverrides]] → [[GraftShardsReaderFactory]]). */
+  def hadoopConf(overrides: Map[String, String] = Map.empty): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => s.sparkContext.hadoopConfiguration
+      case None =>
+        val c = new Configuration()
+        overrides.foreach { case (k, v) => c.set(k, v) }
+        c
+    }
 
-  /** Shard name → shard directory, discovered by listing. */
+  /** The driver-side hadoop conf entries that differ from a vanilla
+    * `Configuration` — the serializable slice (`spark.hadoop.*` overrides
+    * and site-file settings) an executor needs to reconstruct the
+    * driver's view. */
+  def confOverrides(s: SparkSession): Map[String, String] = {
+    val defaults = new Configuration()
+    s.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, v) => defaults.get(k) != v }
+      .toMap
+  }
+
+  def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf())
+  def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
+
+  private val ShardDirRe = """shard-\d{4}""".r
+
+  /** Shard name → shard directory, discovered by listing. Only
+    * `shard-NNNN` dirs count — stream-level metadata (write-epoch
+    * markers, temp staging) must never masquerade as a shard. */
   def listShards(streamDir: Path): Map[String, Path] = {
     val f = fs(streamDir)
     if (!f.exists(streamDir)) Map.empty
-    else f.listStatus(streamDir).filter(_.isDirectory)
+    else f.listStatus(streamDir)
+      .filter(s => s.isDirectory && ShardDirRe.matches(s.getPath.getName))
       .map(s => s.getPath.getName -> s.getPath).toMap
   }
 
-  /** The chunks of one shard, seq-ordered. Filenames only — no data read. */
-  def shardChunks(shardDir: Path): Seq[Chunk] =
-    fs(shardDir).listStatus(shardDir).flatMap { st =>
+  /** The chunks of one shard, seq-ordered. Filenames only — no data read.
+    * In-flight temp files (non-matching names) are invisible: a chunk
+    * exists only once its atomic rename into a ChunkName-shaped name. */
+  def shardChunks(shardDir: Path): Seq[Chunk] = shardChunks(shardDir, hadoopConf())
+
+  def shardChunks(shardDir: Path, conf: Configuration): Seq[Chunk] =
+    fs(shardDir, conf).listStatus(shardDir).flatMap { st =>
       st.getPath.getName match {
         case ChunkName(s, e) => Some(Chunk(s.toLong, e.toLong, st.getPath))
         case _ => None
@@ -170,7 +207,23 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentEnds(streamDir))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission-control contract: advertise the option-derived cap as the
+    * DEFAULT limit and honor whatever `limit` the engine hands back in
+    * [[latestOffset]] — never re-read the option there. `maxRows` is
+    * interpreted PER SHARD (the Kinesis `getRecords(Limit)` shape this
+    * option models, svckinesis.js:198). */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerShard == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerShard)
+
+  private def perShardCap(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows => m.maxRows()
+    case c: CompositeReadLimit =>
+      // AvailableNow composes the default with its own drain bound; the
+      // tightest row cap wins (allAvailable members impose none)
+      c.getReadLimits.map(perShardCap).min
+    case _ => Long.MaxValue // ReadAllAvailable and anything rate-free
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -178,15 +231,16 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardsOffset].positions
+    val cap = perShardCap(limit)
     // re-discovery every batch = resharding support: a shard dir created
     // after the query started shows up here and reads from ITS trim
     // horizon (Kinesis children are consumed from their first record)
     val heads = availableNowCap.getOrElse(currentEnds(streamDir))
     GraftShardsOffset(heads.map { case (s, head) =>
       val cur = from.getOrElse(s, 0L)
-      // saturating step: cur + maxPerShard would overflow at the
-      // unlimited default (Long.MaxValue)
-      s -> (cur + math.max(0L, math.min(head - cur, maxPerShard)))
+      // saturating step: cur + cap would overflow at the unlimited
+      // default (Long.MaxValue)
+      s -> (cur + math.max(0L, math.min(head - cur, cap)))
     } ++ (from -- heads.keys)) // never forget a checkpointed shard
   }
 
@@ -204,7 +258,7 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftShardsReaderFactory
+    GraftShardsReaderFactory(confOverrides(SparkSession.active))
 
   override def deserializeOffset(json: String): Offset =
     GraftShardsOffset.fromJson(json)
@@ -216,12 +270,14 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
 case class GraftShardPartition(shard: String, shardDir: String,
     startSeq: Long, endSeq: Long) extends InputPartition
 
-object GraftShardsReaderFactory extends PartitionReaderFactory {
+case class GraftShardsReaderFactory(confOverrides: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftShardPartition]
     new PartitionReader[InternalRow] {
+      private val conf = GraftShardsSource.hadoopConf(confOverrides)
       private val dir = new Path(p.shardDir)
-      private val chunks = GraftShardsSource.shardChunks(dir)
+      private val chunks = GraftShardsSource.shardChunks(dir, conf)
         .filter(c => c.end > p.startSeq && c.start < p.endSeq).iterator
       private val shardUtf8 = UTF8String.fromString(p.shard)
       private var lines: Iterator[String] = Iterator.empty
@@ -234,7 +290,7 @@ object GraftShardsReaderFactory extends PartitionReaderFactory {
         if (!chunks.hasNext) return false
         val c = chunks.next()
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-          GraftShardsSource.fs(dir).open(c.path), StandardCharsets.UTF_8))
+          GraftShardsSource.fs(dir, conf).open(c.path), StandardCharsets.UTF_8))
         seq = c.start - 1
         lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
         true
@@ -270,6 +326,28 @@ object GraftShards {
 
   def shardDirName(i: Int): String = f"shard-$i%04d"
 
+  /** Atomic chunk publication: the final name advertises the full
+    * [start,end) seq range, and `latestOffset` is metadata-only — so a
+    * chunk created under its final name could be observed MID-WRITE, the
+    * offset committed past `end`, and the unread tail skipped forever.
+    * Write to a temp name the ChunkName regex ignores, then rename into
+    * place (atomic on HDFS/local; on object stores the rename is
+    * copy+delete but the final name still appears only complete). */
+  private def publishChunk(f: FileSystem, shardDir: Path,
+      start: Long, end: Long, lines: Iterable[String]): Unit = {
+    val tmp = new Path(shardDir,
+      s"_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    out.close()
+    val dst = new Path(shardDir, GraftShardsSource.chunkFileName(start, end))
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"chunk rename failed (concurrent writer to the same head?): $dst")
+    }
+  }
+
   /** Write `df` as a graft-shards stream layout under `dir`: Kinesis-style
     * key routing (`pmod(hash(key), numShards)` — same key, same shard,
     * like partition-keying by txnId at aprocess.js:155-159), records
@@ -281,13 +359,15 @@ object GraftShards {
       key: Column, order: Seq[Column], chunkSize: Int = ChunkSize): Unit = {
     val dataCols = df.columns.map(col)
     val target = dir // stable reference for the closure
+    val overrides = GraftShardsSource.confOverrides(df.sparkSession)
     df.withColumn("__shard", pmod(hash(key), lit(numShards)))
       .withColumn("__data", to_json(struct(dataCols: _*)))
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: order: _*)
       .select(col("__shard"), col("__data"))
       .foreachPartition { (rows: Iterator[Row]) =>
-        val f = GraftShardsSource.fs(new Path(target))
+        val f = GraftShardsSource.fs(new Path(target),
+          GraftShardsSource.hadoopConf(overrides))
         // hash partitioning can land several shards in one task; rows of
         // one shard are consecutive after the sort
         var currentShard = -1
@@ -295,10 +375,7 @@ object GraftShards {
         var buf = Vector.empty[String]
         def flush(): Unit = if (buf.nonEmpty) {
           val shardDir = new Path(target, shardDirName(currentShard))
-          val name = GraftShardsSource.chunkFileName(seq - buf.size, seq)
-          val out = f.create(new Path(shardDir, name), true)
-          out.write(buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-          out.close()
+          publishChunk(f, shardDir, seq - buf.size, seq, buf)
           buf = Vector.empty
         }
         rows.foreach { r =>
@@ -313,16 +390,18 @@ object GraftShards {
   }
 
   /** One-record convenience append (tests / live producers): adds a chunk
-    * of the given JSON lines at the shard's current head. */
+    * of the given JSON lines at the shard's current head, published
+    * atomically via [[publishChunk]].
+    *
+    * SINGLE WRITER PER SHARD: head discovery + publish has no CAS, so two
+    * concurrent appenders to one shard would compute the same head and
+    * race on the same final name (exactly Kinesis's per-shard producer
+    * discipline). Concurrent appenders to DIFFERENT shards are fine. */
   def append(dir: String, shard: Int, lines: Seq[String]): Unit = {
     val shardDir = new Path(dir, shardDirName(shard))
     val end = GraftShardsSource.currentEnds(new Path(dir))
       .getOrElse(shardDirName(shard), 0L)
-    val f = GraftShardsSource.fs(shardDir)
-    val out = f.create(
-      new Path(shardDir, GraftShardsSource.chunkFileName(end, end + lines.size)), true)
-    out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    out.close()
+    publishChunk(GraftShardsSource.fs(shardDir), shardDir, end, end + lines.size, lines)
   }
 
   /** Content fingerprint of a dataset file/dir: its (name, length, mtime)
