@@ -145,12 +145,64 @@ object Sources {
       s"$path contains non-versioned entries (${l.foreign.map(_.getName).mkString(", ")}); " +
         "refusing to treat it as an upsert table")
 
+  /** Key-bucket count of a NEW upsert table. Persisted in the table's
+    * manifest at first write, so every later writer/reader agrees; size it
+    * to the TABLE's target volume (rows-per-bucket that one task rewrites
+    * comfortably) — e.g. thousands of buckets for a 100 TB view. */
+  val DefaultBuckets = 16
+
+  /** Version manifest: which version directory holds each key-bucket's
+    * current data, plus the bucket count and row schema (so an empty
+    * table still reads with the right shape). */
+  private case class Manifest(numBuckets: Int, schemaDdl: String,
+      buckets: Map[String, Long])
+
+  private implicit val manifestFormats: org.json4s.Formats =
+    org.json4s.DefaultFormats
+
+  private def manifestPath(versionDir: Path) = new Path(versionDir, "_MANIFEST.json")
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: Path): Option[Manifest] = {
+    val p = manifestPath(versionDir)
+    if (!fs.exists(p)) None // pre-manifest legacy version: data at dir root
+    else {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      Some(org.json4s.jackson.Serialization.read[Manifest](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** The bucket data directories a manifest references, version-resolved. */
+  private def bucketDirs(root: Path, m: Manifest): Seq[Path] =
+    m.buckets.toSeq.sortBy(_._1.toInt).map { case (b, v) =>
+      new Path(root, s"v$v/data/gb=$b")
+    }
+
+  /** Versions a committed version's data depends on (its own dir + every
+    * version its manifest references) — the sweep's liveness set. */
+  private def refs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Set[Long] =
+    Set(version) ++ readManifest(fs, new Path(root, s"v$version"))
+      .map(_.buckets.values.toSet).getOrElse(Set.empty)
+
   /** Read the current committed version of an upsert table. */
   def readTable(s: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
     listing.committed.lastOption match {
-      case Some((_, p)) => s.read.parquet(p.toString)
+      case Some((_, p)) => readManifest(fs, p) match {
+        case Some(m) if m.buckets.isEmpty =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(m.schemaDdl))
+        case Some(m) =>
+          s.read.parquet(bucketDirs(root, m).map(_.toString): _*)
+        case None => s.read.parquet(p.toString) // legacy flat version
+      }
       case None => throw new IllegalArgumentException(
         s"no committed version under $path")
     }
@@ -161,48 +213,100 @@ object Sources {
     *
     * Crash safety WITHOUT a rename window: each upsert writes a brand-new
     * immutable version directory (v1, v2, …), which becomes current only
-    * when the job committer drops `_SUCCESS` as its final act. [[readTable]]
-    * resolves the highest committed version — so a reader never sees a
-    * half-written table and a crash mid-write leaves the previous version
-    * current (the orphaned uncommitted directory is swept by the next
-    * successful upsert). This is the poor-man's snapshot pattern the real
-    * table formats (Iceberg/Delta) formalize with a metadata log.
+    * when `_SUCCESS` lands at the version root as the final act.
+    * [[readTable]] resolves the highest committed version — so a reader
+    * never sees a half-written table and a crash mid-write (including
+    * mid-bucket-write) leaves the previous version current; the orphaned
+    * uncommitted directory is swept by the next successful upsert. This is
+    * the poor-man's snapshot pattern the real table formats (Iceberg/Delta)
+    * formalize with a metadata log.
     *
-    * Scale: the anti-join broadcasts only the BATCH's keys (a micro-batch
-    * is small; the table is not), so the carry-over side streams through
-    * map-side. The rewrite cost is one pass over the table per batch — for
-    * point-update-heavy workloads at 100 TB, partition the table and
-    * restrict the rewrite to touched partitions (writePartitioned +
-    * filtering carried rows by the batch's partition values).
+    * Scale — BUCKETED REWRITE, not table rewrite: rows hash to one of the
+    * manifest's `numBuckets` key-buckets (`pmod(hash(keys…), B)`), and a
+    * version directory physically contains ONLY the buckets its batch
+    * touched (`data/gb=<b>` subdirs); every untouched bucket is carried BY
+    * REFERENCE — the new manifest simply keeps pointing at the version
+    * that last rewrote it. Per-batch I/O is therefore
+    * O(touched buckets) ≈ O(batch keys · table/B), not O(table): the
+    * "latest per user" view over a 100 TB corpus rewrites a few buckets
+    * per micro-batch while the other thousands ride along untouched. The
+    * carry-over anti-join is deliberately unhinted — AQE broadcasts the
+    * batch side when it is actually small instead of trusting a hint that
+    * would cap at driver memory if a bulk batch ever arrived.
     *
     * SINGLE WRITER: version allocation has no lock/CAS, so exactly one
     * writer may upsert a path at a time — which `foreachBatch` guarantees
     * (micro-batches are sequential). Concurrent writers would race on vN.
+    * Bucket membership depends on Spark's Murmur3 `hash` staying stable,
+    * which it is (persisted bucketed tables rely on the same invariant).
     */
-  def upsert(batch: DataFrame, keys: Seq[String], path: String): Unit = {
+  def upsert(batch: DataFrame, keys: Seq[String], path: String,
+      numBuckets: Int = DefaultBuckets): Unit = {
     val s = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
+    val prev = listing.committed.lastOption
+    val prevManifest = prev.flatMap { case (_, dir) => readManifest(fs, dir) }
+    // the table's bucket count is fixed at creation; later calls follow
+    // the manifest (a changed parameter must not silently re-key the table)
+    val b = prevManifest.map(_.numBuckets).getOrElse(numBuckets)
+    require(b > 0, "numBuckets must be positive")
+    val bucketOf = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(keys.map(col): _*),
+      org.apache.spark.sql.functions.lit(b))
     val deduped = batch.dropDuplicates(keys)
-    val merged = listing.committed.lastOption match {
-      case Some((_, cur)) =>
-        s.read.parquet(cur.toString)
-          .join(org.apache.spark.sql.functions.broadcast(
-            deduped.select(keys.map(col): _*)), keys, "left_anti")
-          .unionByName(deduped)
+    // the buckets this batch touches — bounded by min(batch keys, B)
+    val touched: Set[Int] = deduped.select(bucketOf.as("gb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // current rows of ONLY the touched buckets (legacy flat versions have
+    // no bucket layout — migrate by treating the whole table as touched)
+    val carried = prev match {
+      case Some((_, dir)) =>
+        val cur = prevManifest match {
+          case Some(m) =>
+            val dirs = bucketDirs(root, m.copy(buckets =
+              m.buckets.filter { case (bk, _) => touched.contains(bk.toInt) }))
+            if (dirs.isEmpty) None else Some(s.read.parquet(dirs.map(_.toString): _*))
+          case None => Some(s.read.parquet(dir.toString))
+        }
+        cur.map(_.join(deduped.select(keys.map(col): _*), keys, "left_anti"))
+      case None => None
+    }
+    val merged = carried match {
+      case Some(c) => c.unionByName(deduped)
       case None => deduped
     }
     // number past EVERY existing version dir, committed or crashed — a
     // crashed vN must not collide with the next write
     val nextN = listing.allVersionNums.maxOption.getOrElse(0L) + 1
-    merged.write.parquet(new Path(root, s"v$nextN").toString)
-    // Retention: keep the new version AND its committed predecessor (a
-    // reader that resolved the old current just before this commit can
-    // finish its scan); sweep older committed versions and crashed
-    // in-flight directories. State stays bounded at two versions.
-    val keep: Set[Long] = Set(nextN) ++ listing.committed.lastOption.map(_._1)
+    val versionDir = new Path(root, s"v$nextN")
+    merged.withColumn("gb", bucketOf)
+      .write.partitionBy("gb").parquet(new Path(versionDir, "data").toString)
+    // the buckets ACTUALLY written (derived from the output, so a legacy
+    // migration — where "touched" is everything present — is also exact)
+    val dataDir = new Path(versionDir, "data")
+    val written: Set[Int] = fs.listStatus(dataDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
+      .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
+    val newBuckets =
+      prevManifest.map(_.buckets).getOrElse(Map.empty[String, Long])
+        .filter { case (bk, _) => !written.contains(bk.toInt) } ++
+        written.map(bk => bk.toString -> nextN)
+    val manifest = Manifest(b, merged.schema.toDDL, newBuckets)
+    val out = fs.create(manifestPath(versionDir), true)
+    out.write(org.json4s.jackson.Serialization.write(manifest)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.create(new Path(versionDir, "_SUCCESS"), true).close() // commit point
+    // Retention: keep every version the NEW manifest references (carried
+    // buckets live in old version dirs), plus the committed predecessor's
+    // closure (a reader that resolved the old current just before this
+    // commit can finish its scan); sweep the rest, including crashed
+    // in-flight directories. State stays bounded: ≤ B live versions + 1.
+    val keep: Set[Long] = refs(fs, root, nextN) ++
+      prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty)
     (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
       fs.delete(new Path(root, s"v$n"), true)
     }
@@ -210,6 +314,7 @@ object Sources {
 
   /** [[upsert]] as a `foreachBatch` sink:
     * `df.writeStream.foreachBatch(upsertBatch(keys, path)).start()`. */
-  def upsertBatch(keys: Seq[String], path: String): (DataFrame, Long) => Unit =
-    (batch, _) => upsert(batch, keys, path)
+  def upsertBatch(keys: Seq[String], path: String,
+      numBuckets: Int = DefaultBuckets): (DataFrame, Long) => Unit =
+    (batch, _) => upsert(batch, keys, path, numBuckets)
 }

@@ -155,13 +155,64 @@ class SourcesSpec extends SparkSpec {
     Sources.upsert(Seq((2L, "c"), (3L, "d")).toDF("k", "v"), Seq("k"), path)
     val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "c"), (3L, "d")))
-    // retention: current + committed predecessor (in-flight reader safety)
+    // retention is REFERENCE-based: v1 stays alive while a live manifest
+    // still points at a bucket it holds (key 1's bucket was never
+    // rewritten), plus the committed predecessor's closure for in-flight
+    // readers
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.toSet == Set("v1", "v2"))
-    // a third upsert sweeps v1
-    Sources.upsert(Seq((4L, "e")).toDF("k", "v"), Seq("k"), path)
+    // rewrite EVERY key ever seen → no manifest references old versions;
+    // one more upsert ages out the predecessor closure and sweeps all
+    // pre-current versions
+    Sources.upsert(
+      Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "e")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(Seq((1L, "w")).toDF("k", "v"), Seq("k"), path)
     val dirs2 = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs2.toSet == Set("v2", "v3"))
+    assert(dirs2.toSet == Set("v3", "v4"), s"got ${dirs2.toSet}")
+    val got2 = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+    assert(got2 == Set((1L, "w"), (2L, "y"), (3L, "z"), (4L, "e")))
+  }
+
+  test("upsert rewrites ONLY the buckets a batch touches; others carry by reference") {
+    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    val path = tmp("graft-upsert-bucketed")
+    // 64 keys spread over the default 16 buckets
+    val base = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sources.upsert(base, Seq("k"), path)
+    val v1Buckets = new java.io.File(path, "v1/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gb=")).map(_.getName).toSet
+    assert(v1Buckets.size > 1, "base write should span several buckets")
+    // a single-key batch must physically rewrite EXACTLY ONE bucket dir
+    Sources.upsert(Seq((7L, "updated")).toDF("k", "v"), Seq("k"), path)
+    val v2Buckets = new java.io.File(path, "v2/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gb=")).map(_.getName).toSet
+    val expectedBucket = Seq(Tuple1(7L)).toDF("k")
+      .select(pmod(hash($"k"), lit(16)).as("gb")).as[Int].head()
+    assert(v2Buckets == Set(s"gb=$expectedBucket"),
+      s"one-key batch rewrote ${v2Buckets.size} buckets: $v2Buckets")
+    // untouched buckets still live in v1 and the merged view is intact
+    assert(new java.io.File(path, "v1/data").exists())
+    val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+    assert(got == (1L to 64L).map(k =>
+      (k, if (k == 7L) "updated" else s"v$k")).toSet)
+  }
+
+  test("a crash mid-bucket-write leaves the prior version fully readable") {
+    val path = tmp("graft-upsert-bucket-crash")
+    Sources.upsert((1L to 32L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), path)
+    // simulate a writer that died after SOME bucket dirs were written but
+    // before the version-root _SUCCESS: partial data, partial manifest
+    val crashed = new java.io.File(path, "v2/data/gb=3")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.writeString(crashed.toPath.resolve("part-0.parquet"), "junk")
+    val got = Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+    assert(got == (1L to 32L).map(k => (k, s"v$k")).toSet,
+      "reader must resolve the prior committed version, not the torn write")
+    // next upsert numbers past the crashed dir and sweeps it
+    Sources.upsert(Seq((1L, "x")).toDF("k", "v"), Seq("k"), path)
+    assert(!new java.io.File(path, "v2").exists())
+    assert(Sources.readTable(spark, path).filter($"k" === 1L)
+      .as[(Long, String)].head() == (1L, "x"))
   }
 
   test("a crashed (uncommitted) version is invisible and swept by the next upsert") {
