@@ -10,7 +10,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -166,12 +167,13 @@ class GraftShardsProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-class GraftShardsTable(path: String) extends Table with SupportsRead {
+class GraftShardsTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null, "graft-shards requires .load(<streamDir>)")
   override def name(): String = s"graft-shards:$path"
   override def schema(): StructType = GraftShardsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
@@ -179,6 +181,9 @@ class GraftShardsTable(path: String) extends Table with SupportsRead {
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftShardsMicroBatchStream(path, options)
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftShardsWrite.Builder(path,
+      info.options.getInt("numShards", GraftShards.NumShards), info)
 }
 
 class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)

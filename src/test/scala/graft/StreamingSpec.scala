@@ -456,6 +456,85 @@ class StreamingSpec extends SparkSpec {
     assert(drain() == Seq("""{"id":555}"""))
   }
 
+  test("graft-shards sink: status events stream into a shard layout a second " +
+      "query consumes (aprocess→svckinesis), exactly-once across epoch replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kinw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kinw-ck").toString
+    // the doNotification shape: {txnId, status} put partition-keyed by
+    // txnId (aprocess.js:148-163)
+    val input = MemoryStream[(String, String)]
+    def runWriter(): Unit = {
+      val q = input.toDS().toDF("txnId", "status")
+        .select(col("txnId").as("key"),
+          to_json(struct(col("txnId"), col("status"))).as("data"))
+        .writeStream.format("graft-shards")
+        .option("numShards", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dir)
+      q.awaitTermination()
+    }
+    // the consumer is the READ half of the same format — the reference's
+    // aprocess→svckinesis topology, source-to-sink
+    def readBack(): Seq[(String, Long, String)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      val q = spark.readStream.format("graft-shards")
+        .option("startingPosition", "TRIM_HORIZON").load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select(col("shard"), col("seq"), col("data")).collect()
+          got.synchronized {
+            got ++= rows.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSeq.sortBy(r => (r._1, r._2))
+    }
+
+    input.addData(Seq(("t1", "RUNNING"), ("t2", "RUNNING"), ("t1", "SUCCEEDED")))
+    runWriter()
+    val after1 = readBack()
+    assert(after1.size == 3)
+    // Kinesis keying: one key lives in exactly one shard, in send order
+    val t1 = after1.filter(_._3.contains("\"t1\"")).sortBy(_._2)
+    assert(t1.map(_._1).distinct.size == 1, s"t1 spread across shards: $t1")
+    assert(t1.map(_._3.contains("RUNNING")) == Seq(true, false),
+      s"t1 out of send order: $t1")
+    // routing matches writeSharded's pmod(hash(key), n): producer layouts
+    // and sink layouts key identically
+    val expShard = Seq("t1").toDF("k")
+      .select(pmod(hash(col("k")), lit(2))).as[Int].head()
+    assert(t1.head._1 == f"shard-$expShard%04d")
+
+    // run 2 resumes the checkpoint: only the new record appended
+    input.addData(Seq(("t2", "SUCCEEDED")))
+    runWriter()
+    assert(readBack().size == 4)
+
+    // crash window: the sink committed its epoch but the engine died
+    // before recording the batch in the checkpoint → the restart REPLAYS
+    // the epoch; the committed-epoch marker must make it a no-op
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toInt)
+    // the local FS keeps a checksum sidecar; a stale one would make the
+    // replayed commit-log write look like a concurrent query
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    runWriter()
+    val fin = readBack()
+    assert(fin.size == 4, s"replayed epoch duplicated records: $fin")
+    // per-shard seqs stay dense 0..n-1: no gaps, no double-published chunks
+    for ((sh, rows) <- fin.groupBy(_._1))
+      assert(rows.map(_._2).sorted == (0L until rows.size.toLong),
+        s"$sh seqs torn: $rows")
+  }
+
   test("serve: continuous correlate→upsert lands completions across batches and a restart") {
     // the reference's live loop (svckinesis.js:250-256) end to end:
     // Kinesis-shaped source → stateful correlator → versioned upsert table
