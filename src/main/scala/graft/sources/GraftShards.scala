@@ -46,9 +46,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    re-run every `latestOffset` — so SPLITS/MERGES (new shard dirs
   *    appearing mid-stream, which the reference explicitly punts on at
   *    :187) are picked up at the next micro-batch, children starting from
-  *    their trim horizon;
-  *  - `getShardIterator(LATEST | TRIM_HORIZON)` (:214-222) →
-  *    `startingPosition` option, resolved to per-shard seqs at first start;
+  *    their trim horizon — and a child declaring a `_parent` makes no
+  *    progress until its closed parent is fully drained, preserving
+  *    per-key order across a reshard (the Kinesis parent-before-child
+  *    contract);
+  *  - `getShardIterator(LATEST | TRIM_HORIZON | AT_SEQUENCE_NUMBER |
+  *    AT_TIMESTAMP)` (:214-222) → `startingPosition` option, resolved to
+  *    per-shard seqs at first start (timestamps resolve against chunk
+  *    arrival mtimes, the ApproximateArrivalTimestamp analog);
   *  - `getRecords(Limit: 5)` every 1500 ms (:188-211) →
   *    `maxRecordsPerShardPerTrigger` under `SupportsAdmissionControl`
   *    (cadence comes from the query trigger, not the source);
@@ -135,6 +140,47 @@ object GraftShardsSource {
     listShards(streamDir).map { case (name, dir) =>
       name -> shardChunks(dir).lastOption.map(_.end).getOrElse(0L)
     }
+
+  /** Shard lineage metadata (the Kinesis reshard contract): a CHILD shard
+    * carries a `_parent` file naming the shard it was split/merged from; a
+    * CLOSED parent carries a `_closed` marker (Kinesis: the parent's
+    * SequenceNumberRange gains an end and it takes no more writes). */
+  private[sources] val ParentFileName = "_parent"
+  private[sources] val ClosedFileName = "_closed"
+
+  /** The parent shard name a child declares, if any. Immutable once the
+    * child dir exists — callers may cache the answer. */
+  def shardParent(shardDir: Path): Option[String] = {
+    val p = new Path(shardDir, ParentFileName)
+    val f = fs(shardDir)
+    if (!f.exists(p)) None
+    else {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      Some(new String(bytes, StandardCharsets.UTF_8).trim)
+    }
+  }
+
+  /** Whether a shard is closed (will never take another record). Monotone:
+    * once true, always true. */
+  def shardClosed(shardDir: Path): Boolean =
+    fs(shardDir).exists(new Path(shardDir, ClosedFileName))
+
+  /** First seq of the shard whose chunk ARRIVED (file mtime — the analog
+    * of Kinesis ApproximateArrivalTimestamp, at chunk granularity) at or
+    * after `tsMs`; the shard head if every chunk predates it. Metadata
+    * only — no chunk is opened. */
+  def startAtTimestamp(shardDir: Path, tsMs: Long): Long = {
+    val stats = fs(shardDir).listStatus(shardDir).flatMap { st =>
+      st.getPath.getName match {
+        case ChunkName(s, e) => Some((s.toLong, e.toLong, st.getModificationTime))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    stats.find(_._3 >= tsMs).map(_._1)
+      .getOrElse(stats.lastOption.map(_._2).getOrElse(0L))
+  }
 }
 
 /** Checkpointable offset: shard name → next seq to read. */
@@ -194,8 +240,11 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
   private val streamDir = new Path(path)
   private val startingPosition =
     options.getOrDefault("startingPosition", "TRIM_HORIZON").toUpperCase
-  require(Seq("TRIM_HORIZON", "LATEST").contains(startingPosition),
-    s"startingPosition must be TRIM_HORIZON or LATEST, got $startingPosition")
+  require(
+    Seq("TRIM_HORIZON", "LATEST", "AT_SEQUENCE_NUMBER", "AT_TIMESTAMP")
+      .contains(startingPosition),
+    s"startingPosition must be TRIM_HORIZON, LATEST, AT_SEQUENCE_NUMBER " +
+      s"or AT_TIMESTAMP, got $startingPosition")
   private val maxPerShard =
     options.getLong("maxRecordsPerShardPerTrigger", Long.MaxValue)
   require(maxPerShard > 0, "maxRecordsPerShardPerTrigger must be positive")
@@ -204,8 +253,32 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
     * prepare time, even while a producer keeps appending. */
   private var availableNowCap: Option[Map[String, Long]] = None
 
+  /** The remaining two Kinesis iterator types, resolved to per-shard seqs
+    * ONCE at first start (later batches follow the checkpoint):
+    *  - AT_SEQUENCE_NUMBER: `startingSequenceNumber` (every shard) and/or
+    *    the per-shard JSON map `startingSequenceNumbers`
+    *    (`{"shard-0000": 5}` — shards absent from both default to 0);
+    *  - AT_TIMESTAMP: `startingTimestampMs` epoch millis, resolved per
+    *    shard to the first chunk that arrived at/after it
+    *    ([[GraftShardsSource.startAtTimestamp]]). */
   override def initialOffset(): Offset = startingPosition match {
     case "LATEST" => GraftShardsOffset(currentEnds(streamDir))
+    case "AT_SEQUENCE_NUMBER" =>
+      val perShard = Option(options.get("startingSequenceNumbers")).map { j =>
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        org.json4s.jackson.Serialization.read[Map[String, Long]](j)
+      }.getOrElse(Map.empty)
+      val scalar = options.getLong("startingSequenceNumber", 0L)
+      GraftShardsOffset(currentEnds(streamDir).map { case (s, _) =>
+        s -> perShard.getOrElse(s, scalar)
+      })
+    case "AT_TIMESTAMP" =>
+      require(options.containsKey("startingTimestampMs"),
+        "AT_TIMESTAMP requires startingTimestampMs (epoch millis)")
+      val ts = options.getLong("startingTimestampMs", 0L)
+      GraftShardsOffset(listShards(streamDir).map { case (name, dir) =>
+        name -> startAtTimestamp(dir, ts)
+      })
     case _ => GraftShardsOffset(currentEnds(streamDir).map { case (s, _) => s -> 0L })
   }
 
@@ -234,6 +307,11 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
+  // shard lineage cache: a child's _parent link is immutable and _closed
+  // is monotone — cache positives, re-probe unknowns each batch
+  private val parentOf = scala.collection.mutable.Map[String, Option[String]]()
+  private val knownClosed = scala.collection.mutable.Set[String]()
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardsOffset].positions
     val cap = perShardCap(limit)
@@ -241,11 +319,33 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
     // after the query started shows up here and reads from ITS trim
     // horizon (Kinesis children are consumed from their first record)
     val heads = availableNowCap.getOrElse(currentEnds(streamDir))
+    val shards = listShards(streamDir)
+    // Parent→child ordering (the Kinesis reshard contract): a child makes
+    // NO progress until its parent is closed AND fully consumed, so a
+    // key's post-split records can never overtake its pre-split tail.
+    // The gate compares against the parent's FINAL head, never an
+    // AvailableNow cap — a capped snapshot must not unlock a child while
+    // the parent still has a tail beyond the cap.
+    lazy val finalEnds: Map[String, Long] =
+      if (availableNowCap.isEmpty) heads else currentEnds(streamDir)
+    def parentDrained(name: String): Boolean =
+      parentOf.getOrElseUpdate(name, shards.get(name).flatMap(shardParent)) match {
+        case None => true
+        case Some(p) =>
+          val closed = knownClosed.contains(p) || {
+            // a parent whose dir has aged out entirely counts as closed
+            val c = shards.get(p).forall(shardClosed)
+            if (c) knownClosed += p
+            c
+          }
+          closed && from.getOrElse(p, 0L) >= finalEnds.getOrElse(p, 0L)
+      }
     GraftShardsOffset(heads.map { case (s, head) =>
       val cur = from.getOrElse(s, 0L)
       // saturating step: cur + cap would overflow at the unlimited
       // default (Long.MaxValue)
-      s -> (cur + math.max(0L, math.min(head - cur, cap)))
+      val stepped = cur + math.max(0L, math.min(head - cur, cap))
+      s -> (if (stepped > cur && !parentDrained(s)) cur else stepped)
     } ++ (from -- heads.keys)) // never forget a checkpointed shard
   }
 
@@ -407,6 +507,28 @@ object GraftShards {
     val end = GraftShardsSource.currentEnds(new Path(dir))
       .getOrElse(shardDirName(shard), 0L)
     publishChunk(GraftShardsSource.fs(shardDir), shardDir, end, end + lines.size, lines)
+  }
+
+  /** Producer-side reshard: SPLIT `parent` into `children` — close the
+    * parent (it takes no more writes, like a Kinesis parent whose
+    * SequenceNumberRange gains an end) and create the child dirs with
+    * their lineage declared. Consumers ([[GraftShardsMicroBatchStream]])
+    * hold each child until its parent is fully drained, preserving
+    * per-key order across the split — the contract the reference punts on
+    * (svckinesis.js:187). Call AFTER the last parent append. */
+  def split(dir: String, parent: Int, children: Seq[Int]): Unit = {
+    val root = new Path(dir)
+    val f = GraftShardsSource.fs(root)
+    val pDir = new Path(root, shardDirName(parent))
+    f.mkdirs(pDir)
+    f.create(new Path(pDir, GraftShardsSource.ClosedFileName), true).close()
+    children.foreach { c =>
+      val cDir = new Path(root, shardDirName(c))
+      f.mkdirs(cDir)
+      val out = f.create(new Path(cDir, GraftShardsSource.ParentFileName), true)
+      out.write(shardDirName(parent).getBytes(StandardCharsets.UTF_8))
+      out.close()
+    }
   }
 
   /** Content fingerprint of a dataset file/dir: its (name, length, mtime)

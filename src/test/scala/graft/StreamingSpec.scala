@@ -428,6 +428,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-shards: a child shard waits for its closed parent to drain " +
+      "(per-key order across a split)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kin-split").toString
+    // a hot key's pre-split records land in the parent…
+    graft.sources.GraftShards.append(dir, 0, (0 until 4).map(i => s"""{"k":"hot","n":$i}"""))
+    graft.sources.GraftShards.append(dir, 0, (4 until 8).map(i => s"""{"k":"hot","n":$i}"""))
+    // …then the shard splits and the key routes to a child
+    graft.sources.GraftShards.split(dir, 0, Seq(2, 3))
+    graft.sources.GraftShards.append(dir, 2, (8 until 12).map(i => s"""{"k":"hot","n":$i}"""))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    val q = spark.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", "2")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select(col("shard"), col("seq"), col("data")).collect()
+        seen.synchronized {
+          seen ++= rows.map(r => (id, r.getString(0), r.getLong(1), r.getString(2)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.size == 12, s"delivered ${seen.size} of 12")
+    // THE contract: no child record in any batch at or before the batch
+    // that carried the parent's last record — post-split records of a key
+    // can never overtake its pre-split tail
+    val parentBatches = seen.filter(_._2 == "shard-0000").map(_._1)
+    val childBatches = seen.filter(_._2 == "shard-0002").map(_._1)
+    assert(parentBatches.nonEmpty && childBatches.nonEmpty)
+    assert(parentBatches.max < childBatches.min,
+      s"child interleaved with parent: parent batches $parentBatches, " +
+        s"child batches $childBatches")
+    // and the key's payload order is globally the send order
+    val ns = seen.sortBy(r => (r._1, r._3))
+      .map(_._4).map(d => "\"n\":(\\d+)".r.findFirstMatchIn(d).get.group(1).toInt)
+    assert(ns == (0 until 12), s"send order broken: $ns")
+  }
+
+  test("graft-shards: AT_SEQUENCE_NUMBER starts each shard at its requested seq") {
+    val dir = shardLayout(10) // 2 shards
+    val perShard = graft.sources.GraftShardsSource.currentEnds(
+      new org.apache.hadoop.fs.Path(dir))
+    // start shard-0000 two records before its head; shard-0001 at its head
+    val s0Start = perShard("shard-0000") - 2
+    spark.catalog.dropTempView("kin_atseq")
+    val q = spark.readStream.format("graft-shards")
+      .option("startingPosition", "AT_SEQUENCE_NUMBER")
+      .option("startingSequenceNumbers",
+        s"""{"shard-0000": $s0Start, "shard-0001": ${perShard("shard-0001")}}""")
+      .load(dir)
+      .writeStream.format("memory").queryName("kin_atseq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kin_atseq")
+        .select(col("shard"), col("seq")).as[(String, Long)].collect().toSet
+      assert(got == Set(("shard-0000", s0Start), ("shard-0000", s0Start + 1)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("graft-shards: AT_TIMESTAMP starts at the first chunk arriving at/after the timestamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kin-ts").toString
+    graft.sources.GraftShards.append(dir, 0, Seq("""{"id":1}""", """{"id":2}"""))
+    graft.sources.GraftShards.append(dir, 0, Seq("""{"id":3}""", """{"id":4}"""))
+    // pin chunk arrival times around T (mtime = the arrival proxy)
+    val t = System.currentTimeMillis()
+    val chunks = new java.io.File(dir, "shard-0000").listFiles()
+      .filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+    assert(chunks.length == 2)
+    assert(chunks(0).setLastModified(t - 60000))
+    assert(chunks(1).setLastModified(t + 60000))
+    spark.catalog.dropTempView("kin_atts")
+    val q = spark.readStream.format("graft-shards")
+      .option("startingPosition", "AT_TIMESTAMP")
+      .option("startingTimestampMs", t.toString)
+      .load(dir)
+      .writeStream.format("memory").queryName("kin_atts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kin_atts").select(col("data")).as[String].collect().toSet
+      assert(got == Set("""{"id":3}""", """{"id":4}"""), s"got $got")
+    } finally q.stop()
+  }
+
   test("graft-shards: checkpoint restart is exactly-once (NextShardIterator → offsets)") {
     val dir = shardLayout(8)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-kin-ckpt").toString
