@@ -352,15 +352,17 @@ object Dedup {
     val plain = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val (cents, cn2s) = Similarity.seedCentroids(plain)
     // fan out before the cast/norm projection (single-file scan = 1 task);
-    // cell assignment is narrow per-row work against the centroid literals
-    val e = Tables.fanOut(Tables.embeddings(s, d))
+    // cell assignment is narrow per-row work, delivered by scale — plan
+    // literals at this NumCells, a broadcast centroid row beyond
+    // Similarity.LiteralCellLimit (identical assignments either way)
+    val base = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-      .withColumn("cell",
-        explode(Similarity.probeCells(cents, cn2s, 2)(col("v"))))
+    val e = Similarity
+      .withProbeCells(base, plain, Similarity.NumCells, 2, col("v"), "probe")
+      .withColumn("cell", explode(col("probe"))).drop("probe")
     val a = e.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"),
       col("v").as("va"), col("n2").as("na2"))
     val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),

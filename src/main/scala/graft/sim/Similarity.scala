@@ -195,7 +195,12 @@ object Similarity {
     * centroid matrix, `cn2s` the per-centroid squared norms, both shipped
     * as plan literals. */
   def cellScores(cents: Seq[Seq[Double]], cn2s: Seq[Double])(v: Column): Column =
-    zip_with(typedLit(cents), typedLit(cn2s),
+    cellScoresCol(typedLit(cents), typedLit(cn2s))(v)
+
+  /** [[cellScores]] over centroid COLUMNS — the same expression tree with
+    * the quantizer flowing as data instead of plan literals. */
+  def cellScoresCol(cents: Column, cn2s: Column)(v: Column): Column =
+    zip_with(cents, cn2s,
       (c, cn) => cn - lit(2.0) * call_function("graft_dot", v, c))
 
   /** Seed coarse quantizer: centroids = the NumCells lowest-vec_id vectors
@@ -206,8 +211,11 @@ object Similarity {
     * Norms fold left from 0.0 like [[graft.functions.DotProductD]], so a
     * DuckDB `list_reduce` (head-seeded; +0.0 is exact) matches them
     * bit-for-bit. */
-  def seedCentroids(e: DataFrame): (Seq[Seq[Double]], Seq[Double]) = {
-    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
+  def seedCentroids(e: DataFrame): (Seq[Seq[Double]], Seq[Double]) =
+    seedCentroids(e, NumCells)
+
+  def seedCentroids(e: DataFrame, numCells: Int): (Seq[Seq[Double]], Seq[Double]) = {
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < numCells)
       .orderBy(col("vec_id")).select(col("v")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     (seeds, seeds.map(c => c.foldLeft(0.0)((acc, x) => acc + x * x)))
@@ -220,12 +228,52 @@ object Similarity {
     * (score, cid). Narrow per-row work against plan literals, no shuffle. */
   def probeCells(cents: Seq[Seq[Double]], cn2s: Seq[Double], nprobe: Int)(
       v: Column): Column =
-    ArrayExprs.letBind(cellScores(cents, cn2s)(v)) { sc =>
+    probeCellsCol(typedLit(cents), typedLit(cn2s), nprobe)(v)
+
+  /** [[probeCells]] over centroid COLUMNS — identical expression, identical
+    * (score, cell-id) tie-break; only the quantizer's delivery differs. */
+  def probeCellsCol(cents: Column, cn2s: Column, nprobe: Int)(v: Column): Column =
+    ArrayExprs.letBind(cellScoresCol(cents, cn2s)(v)) { sc =>
       transform(
-        slice(array_sort(zip_with(sc, sequence(lit(0), lit(cents.size - 1)),
+        slice(array_sort(zip_with(sc, sequence(lit(0), size(cents) - 1),
           (sco, i) => struct(sco.as("s"), i.as("i")))), 1, nprobe),
         p => p.getField("i"))
     }
+
+  /** Cell count past which the quantizer must flow as DATA, not plan
+    * literals: the literal path's plan size, analysis time and codegen
+    * constant pool all grow linearly with NumCells (fine at ≤ a few
+    * hundred, pathological at 10⁴+). */
+  val LiteralCellLimit = 256
+
+  /** The seed quantizer as a SINGLE-ROW frame `(__cents, __cn2s)`, built
+    * without any driver collect — same seeding rule and the exact
+    * 0.0-seeded norm fold of [[seedCentroids]], so the two delivery paths
+    * are bit-identical. Broadcast-joined onto rows needing assignment. */
+  def centroidRow(e: DataFrame, numCells: Int): DataFrame =
+    e.filter(col("vec_id") < numCells)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("p"))
+      .select(
+        transform(col("p"), x => x.getField("v")).as("__cents"),
+        transform(col("p"), x =>
+          aggregate(x.getField("v"), lit(0.0), (a, y) => a + y * y)).as("__cn2s"))
+
+  /** Attach each row's `nprobe` probe cells, choosing the delivery by
+    * scale: ≤ [[LiteralCellLimit]] cells ship as plan literals (one driver
+    * collect of a tiny quantizer, zero joins); beyond that the centroid
+    * matrix rides a broadcast single-row join and the scoring expression
+    * reads it as a column — plan size stays O(1) in NumCells. Both paths
+    * produce identical assignments (SimilaritySpec pins it). */
+  def withProbeCells(df: DataFrame, e: DataFrame, numCells: Int, nprobe: Int,
+      v: Column, out: String): DataFrame =
+    if (numCells <= LiteralCellLimit) {
+      val (cents, cn2s) = seedCentroids(e, numCells)
+      df.withColumn(out, probeCells(cents, cn2s, nprobe)(v))
+    } else
+      df.crossJoin(broadcast(centroidRow(e, numCells)))
+        .withColumn(out,
+          probeCellsCol(col("__cents"), col("__cn2s"), nprobe)(v))
+        .drop("__cents", "__cn2s")
 
   /** q53: IVF ANN — the classic inverted-file index, fully deterministic:
     *

@@ -16,6 +16,41 @@ class SimilaritySpec extends SparkSpec {
     .select(col("query_id"), col("neighbor_id"), col("rank"))
     .as[(Long, Long, Long)].collect()
 
+  test("table-driven quantizer assigns cells identically to the literal path") {
+    graft.functions.ArrayExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // both below AND above LiteralCellLimit semantics: same cell count,
+    // two deliveries — plan literals vs broadcast centroid row — must
+    // yield bit-identical probe arrays (same scores, same tie-break)
+    for (cells <- Seq(Similarity.NumCells, 48)) {
+      val (cents, cn2s) = Similarity.seedCentroids(e, cells)
+      val viaLiteral = e
+        .withColumn("probe", Similarity.probeCells(cents, cn2s, 2)(col("v")))
+        .select(col("vec_id"), col("probe")).as[(Long, Seq[Int])]
+        .collect().toMap
+      val viaTable = e.crossJoin(broadcast(Similarity.centroidRow(e, cells)))
+        .withColumn("probe",
+          Similarity.probeCellsCol(col("__cents"), col("__cn2s"), 2)(col("v")))
+        .select(col("vec_id"), col("probe")).as[(Long, Seq[Int])]
+        .collect().toMap
+      assert(viaLiteral.size == viaTable.size)
+      val diffs = viaLiteral.collect {
+        case (id, p) if viaTable(id) != p => (id, p, viaTable(id))
+      }
+      assert(diffs.isEmpty, s"cells=$cells diverged: ${diffs.take(5)}")
+    }
+    // the dispatcher routes a quantizer past the literal limit through the
+    // table path and still produces well-formed assignments
+    val big = Similarity.withProbeCells(
+      e, e, Similarity.LiteralCellLimit + 1, 2, col("v"), "probe")
+    assert(!big.columns.contains("__cents"))
+    val probes = big.select(col("probe")).as[Seq[Int]].collect()
+    assert(probes.forall(p => p.length == 2 && p.forall(c =>
+      c >= 0 && c <= Similarity.LiteralCellLimit)))
+  }
+
   test("brute force returns exactly k ranked neighbors per query") {
     val byQuery = brute.groupBy(_._1)
     assert(byQuery.size == 8)
