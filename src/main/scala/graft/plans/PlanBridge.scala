@@ -10,4 +10,20 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(s: org.apache.spark.sql.SparkSession, p: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], p)
+
+  /** The EXECUTED physical plan of a streaming query's most recent
+    * micro-batch — the streaming analog of `df.queryExecution.executedPlan`,
+    * used by StreamingPlanSpec to pin streaming plan shapes the way
+    * PlanSpec pins batch ones. Second (and last) private[sql] surface we
+    * take: StreamingQueryWrapper → StreamExecution.lastExecution. */
+  def lastExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Option[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+    val exec: Option[StreamExecution] = q match {
+      case w: StreamingQueryWrapper => Some(w.streamingQuery)
+      case s: StreamExecution => Some(s)
+      case _ => None
+    }
+    exec.flatMap(se => Option(se.lastExecution)).map(_.executedPlan)
+  }
 }

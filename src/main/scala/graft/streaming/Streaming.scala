@@ -80,6 +80,12 @@ object Streaming {
     * terabyte-state deployment would raise this, not the reverse. */
   val StatePartitions = 8
 
+  /** Executed streaming plan of each sink's most recent run — captured so
+    * StreamingPlanSpec can pin streaming plan shapes (watermark placement,
+    * no ScalaUDF) the way PlanSpec pins batch ones. */
+  val lastPlans =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.execution.SparkPlan]
+
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
     s.catalog.dropTempView(name) // idempotent re-runs within one session
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -92,6 +98,8 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      org.apache.spark.sql.graftshim.PlanBridge.lastExecutedPlan(q)
+        .foreach(lastPlans(name) = _)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -408,6 +416,8 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      org.apache.spark.sql.graftshim.PlanBridge.lastExecutedPlan(q)
+        .foreach(lastPlans("q38_sink") = _)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     graft.sources.Sources.readTable(s, path).orderBy(col("user_id"))
   }
