@@ -347,6 +347,13 @@ object Dedup {
        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin,
   ) { (s, d) =>
+    embedNearDupPairs(s, d, graft.sim.Similarity.NumCells)
+  }
+
+  /** The q44 pipeline with the cell count as the explicit scale knob — at
+    * 10× the corpus you run 10× the cells and per-cell pair work stays
+    * put (ScaleProbe measures exactly this). */
+  def embedNearDupPairs(s: SparkSession, d: String, numCells: Int): DataFrame = {
     ArrayExprs.register(s)
     import graft.sim.Similarity
     val plain = Tables.embeddings(s, d)
@@ -354,14 +361,14 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     // fan out before the cast/norm projection (single-file scan = 1 task);
     // cell assignment is narrow per-row work, delivered by scale — plan
-    // literals at this NumCells, a broadcast centroid row beyond
+    // literals at small cell counts, a broadcast centroid row beyond
     // Similarity.LiteralCellLimit (identical assignments either way)
     val base = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
     val e = Similarity
-      .withProbeCells(base, plain, Similarity.NumCells, 2, col("v"), "probe")
+      .withProbeCells(base, plain, numCells, 2, col("v"), "probe")
       .withColumn("cell", explode(col("probe"))).drop("probe")
     val a = e.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"),
       col("v").as("va"), col("n2").as("na2"))
@@ -521,6 +528,16 @@ object Dedup {
   private val CcCacheMax = 4
   private val ccCache =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop the cross-call caches (minhash signature table, CC labels) —
+    * for probes/specs that must measure a genuinely cold execution; a
+    * warm-cached 1× run against a cold 10× run would fabricate a growth
+    * factor (ScaleProbe measured exactly that before this hook existed). */
+  def clearCaches(): Unit = synchronized {
+    sigCache.foreach(_._2.unpersist(blocking = true))
+    sigCache = None
+    ccCache.clear()
+  }
 
   private def threeGenLabels(s: SparkSession, d: String): DataFrame =
     synchronized {
