@@ -148,17 +148,19 @@ object GraftShardsSource {
   private[sources] val ParentFileName = "_parent"
   private[sources] val ClosedFileName = "_closed"
 
-  /** The parent shard name a child declares, if any. Immutable once the
-    * child dir exists — callers may cache the answer. */
-  def shardParent(shardDir: Path): Option[String] = {
+  /** The parent shard names a child declares (one per line): one for a
+    * SPLIT child, two for a MERGE child, empty for an original shard.
+    * Immutable once the child dir exists — callers may cache the answer. */
+  def shardParents(shardDir: Path): Seq[String] = {
     val p = new Path(shardDir, ParentFileName)
     val f = fs(shardDir)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) Seq.empty
     else {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       val in = f.open(p)
       try in.readFully(0L, bytes) finally in.close()
-      Some(new String(bytes, StandardCharsets.UTF_8).trim)
+      new String(bytes, StandardCharsets.UTF_8).split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSeq
     }
   }
 
@@ -307,9 +309,9 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  // shard lineage cache: a child's _parent link is immutable and _closed
+  // shard lineage cache: a child's _parent links are immutable and _closed
   // is monotone — cache positives, re-probe unknowns each batch
-  private val parentOf = scala.collection.mutable.Map[String, Option[String]]()
+  private val parentsOf = scala.collection.mutable.Map[String, Seq[String]]()
   private val knownClosed = scala.collection.mutable.Set[String]()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -321,24 +323,23 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
     val heads = availableNowCap.getOrElse(currentEnds(streamDir))
     val shards = listShards(streamDir)
     // Parent→child ordering (the Kinesis reshard contract): a child makes
-    // NO progress until its parent is closed AND fully consumed, so a
-    // key's post-split records can never overtake its pre-split tail.
-    // The gate compares against the parent's FINAL head, never an
-    // AvailableNow cap — a capped snapshot must not unlock a child while
-    // the parent still has a tail beyond the cap.
+    // NO progress until EVERY parent (one for a split, two for a merge) is
+    // closed AND fully consumed, so a key's post-reshard records can never
+    // overtake its pre-reshard tail. The gate compares against a parent's
+    // FINAL head, never an AvailableNow cap — a capped snapshot must not
+    // unlock a child while a parent still has a tail beyond the cap.
     lazy val finalEnds: Map[String, Long] =
       if (availableNowCap.isEmpty) heads else currentEnds(streamDir)
     def parentDrained(name: String): Boolean =
-      parentOf.getOrElseUpdate(name, shards.get(name).flatMap(shardParent)) match {
-        case None => true
-        case Some(p) =>
-          val closed = knownClosed.contains(p) || {
-            // a parent whose dir has aged out entirely counts as closed
-            val c = shards.get(p).forall(shardClosed)
-            if (c) knownClosed += p
-            c
-          }
-          closed && from.getOrElse(p, 0L) >= finalEnds.getOrElse(p, 0L)
+      parentsOf.getOrElseUpdate(name,
+        shards.get(name).map(shardParents).getOrElse(Seq.empty)).forall { p =>
+        val closed = knownClosed.contains(p) || {
+          // a parent whose dir has aged out entirely counts as closed
+          val c = shards.get(p).forall(shardClosed)
+          if (c) knownClosed += p
+          c
+        }
+        closed && from.getOrElse(p, 0L) >= finalEnds.getOrElse(p, 0L)
       }
     GraftShardsOffset(heads.map { case (s, head) =>
       val cur = from.getOrElse(s, 0L)
@@ -516,17 +517,29 @@ object GraftShards {
     * hold each child until its parent is fully drained, preserving
     * per-key order across the split — the contract the reference punts on
     * (svckinesis.js:187). Call AFTER the last parent append. */
-  def split(dir: String, parent: Int, children: Seq[Int]): Unit = {
+  def split(dir: String, parent: Int, children: Seq[Int]): Unit =
+    reshard(dir, Seq(parent), children)
+
+  /** Producer-side reshard: MERGE `parents` into one `child` (Kinesis
+    * MergeShards — both adjacent parents close, the child carries both
+    * lineages and consumers drain BOTH parents before reading it). */
+  def merge(dir: String, parents: Seq[Int], child: Int): Unit =
+    reshard(dir, parents, Seq(child))
+
+  private def reshard(dir: String, parents: Seq[Int], children: Seq[Int]): Unit = {
     val root = new Path(dir)
     val f = GraftShardsSource.fs(root)
-    val pDir = new Path(root, shardDirName(parent))
-    f.mkdirs(pDir)
-    f.create(new Path(pDir, GraftShardsSource.ClosedFileName), true).close()
+    parents.foreach { p =>
+      val pDir = new Path(root, shardDirName(p))
+      f.mkdirs(pDir)
+      f.create(new Path(pDir, GraftShardsSource.ClosedFileName), true).close()
+    }
+    val lineage = parents.map(shardDirName).mkString("\n")
     children.foreach { c =>
       val cDir = new Path(root, shardDirName(c))
       f.mkdirs(cDir)
       val out = f.create(new Path(cDir, GraftShardsSource.ParentFileName), true)
-      out.write(shardDirName(parent).getBytes(StandardCharsets.UTF_8))
+      out.write(lineage.getBytes(StandardCharsets.UTF_8))
       out.close()
     }
   }

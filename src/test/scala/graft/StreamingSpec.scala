@@ -468,6 +468,37 @@ class StreamingSpec extends SparkSpec {
     assert(ns == (0 until 12), s"send order broken: $ns")
   }
 
+  test("graft-shards: a merge child waits for BOTH closed parents to drain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kin-merge").toString
+    graft.sources.GraftShards.append(dir, 0, (0 until 4).map(i => s"""{"n":$i}"""))
+    graft.sources.GraftShards.append(dir, 1, (4 until 10).map(i => s"""{"n":$i}"""))
+    // Kinesis MergeShards: both parents close, one child carries both
+    graft.sources.GraftShards.merge(dir, Seq(0, 1), 2)
+    graft.sources.GraftShards.append(dir, 2, (10 until 14).map(i => s"""{"n":$i}"""))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", "2")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select(col("shard")).collect()
+        seen.synchronized { seen ++= rows.map(r => (id, r.getString(0))) }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.size == 14, s"delivered ${seen.size} of 14")
+    val childBatches = seen.filter(_._2 == "shard-0002").map(_._1)
+    // the child must start only after the SLOWER parent drains (shard-0001
+    // needs 3 rate-limited batches; shard-0000 only 2)
+    for (parent <- Seq("shard-0000", "shard-0001")) {
+      val pb = seen.filter(_._2 == parent).map(_._1)
+      assert(pb.nonEmpty && pb.max < childBatches.min,
+        s"child overtook $parent: parent batches $pb, child $childBatches")
+    }
+  }
+
   test("graft-shards: AT_SEQUENCE_NUMBER starts each shard at its requested seq") {
     val dir = shardLayout(10) // 2 shards
     val perShard = graft.sources.GraftShardsSource.currentEnds(
