@@ -203,8 +203,10 @@ object GraftShardsWrite {
       new ShardStagingWriter(path, numShards, overrides, partitionId, epochId)
   }
 
-  /** One commit message per task: shard → (staged temp file, record count). */
-  private case class CommitMsg(partitionId: Int,
+  /** One commit message per task: shard → (staged temp file, record count).
+    * private[sources] so the commit-protocol spec can exercise the
+    * roll-forward branch directly. */
+  private[sources] case class CommitMsg(partitionId: Int,
       perShard: Map[Int, (String, Long)]) extends WriterCommitMessage
 
   /** Streams rows into one temp file per touched shard — per-shard order

@@ -69,6 +69,20 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML scan/sink — Spark 4 bundles the (formerly external spark-xml)
+    * data source natively. Schema-explicit like the JSON/CSV scans (no
+    * inference pass over 100 TB); `rowTag` selects the repeating record
+    * element. XML gets no parquet-style predicate/aggregate pushdown — it
+    * is an INGESTION format here (crawl dumps, wiki exports, feed
+    * archives): read once, filter in Spark, persist columnar. SourcesSpec
+    * pins the round-trip. */
+  def readXml(s: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    s.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   /** Hive-style partitioned parquet write: reads filtered on `partCols`
     * prune to matching directories (partition pruning — verified in
     * SourcesSpec via inputFiles). */

@@ -87,6 +87,22 @@ class SourcesSpec extends SparkSpec {
       s"read schema not pruned: ${scan.head.requiredSchema.simpleString}")
   }
 
+  test("XML roundtrip with explicit schema (the ingestion-format contract)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+    val path = tmp("graft-xml")
+    Sources.writeXml(docs, path, rowTag = "doc")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+    val back = Sources.readXml(spark, path, schema, rowTag = "doc")
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+    assert(rows(back) == rows(docs))
+    // no pushdown promises for XML: it is read-once-then-go-columnar;
+    // filtering still works, just engine-side
+    assert(back.filter($"lang" === "en").count() ==
+      docs.filter($"lang" === "en").count())
+  }
+
   test("partitioned parquet write prunes to one partition directory") {
     val events = Tables.events(spark, sfDir)
     val path = tmp("graft-part")

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Unit-level pins for the sink's two-phase epoch commit — the branches an
+  * end-to-end run can't reach deterministically:
+  *
+  *  - INTENT ROLL-FORWARD: a previous attempt crashed after persisting the
+  *    intent manifest (seqs assigned) but before finishing its renames.
+  *    The replay must complete the ORIGINAL plan — including renames the
+  *    crashed attempt already performed — and discard its own staged
+  *    temps, or records double-publish.
+  *  - COMMITTED-MARKER SKIP: a replay of a fully committed epoch must drop
+  *    its temps and change nothing.
+  *
+  * Lives in package graft.sources to drive `EpochWrite.commit` with
+  * hand-built commit messages. */
+class GraftShardsWriteProtocolSpec extends graft.SparkSpec {
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def stage(dir: String, shard: Int, name: String, lines: Seq[String]): String = {
+    val shardDir = new Path(dir, GraftShards.shardDirName(shard))
+    val f = GraftShardsSource.fs(shardDir)
+    f.mkdirs(shardDir)
+    val p = new Path(shardDir, name)
+    val out = f.create(p, true)
+    out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    out.close()
+    p.toString
+  }
+
+  private def chunkLines(dir: String, shard: Int): Seq[(String, Seq[String])] = {
+    val shardDir = new Path(dir, GraftShards.shardDirName(shard))
+    GraftShardsSource.shardChunks(shardDir).map { c =>
+      val f = GraftShardsSource.fs(shardDir)
+      val bytes = new Array[Byte](f.getFileStatus(c.path).getLen.toInt)
+      val in = f.open(c.path)
+      try in.readFully(0L, bytes) finally in.close()
+      c.path.getName ->
+        new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+    }
+  }
+
+  test("a crashed epoch's intent rolls forward: original plan completes, replay temps dropped") {
+    spark // fixture touch: an active session for hadoopConf resolution
+    val dir = java.nio.file.Files.createTempDirectory("graft-wproto").toString
+    val f = GraftShardsSource.fs(new Path(dir))
+    // the CRASHED attempt: staged two temps, persisted its intent, then
+    // performed only the FIRST rename before dying
+    val t1a = stage(dir, 0, "_wtmp-7-0-aaaa", Seq("r0", "r1"))
+    val t1b = stage(dir, 1, "_wtmp-7-0-bbbb", Seq("r2"))
+    val intent = Seq(
+      GraftShardsWrite.PlannedRename(t1a, 0, 0L, 2L),
+      GraftShardsWrite.PlannedRename(t1b, 1, 0L, 1L))
+    val epochs = new Path(dir, GraftShardsWrite.EpochsDirName)
+    f.mkdirs(epochs)
+    val out = f.create(new Path(epochs, "7.intent"), true)
+    out.write(org.json4s.jackson.Serialization.write(intent)
+      .getBytes(StandardCharsets.UTF_8))
+    out.close()
+    assert(f.rename(new Path(t1a),
+      new Path(new Path(dir, GraftShards.shardDirName(0)),
+        GraftShardsSource.chunkFileName(0L, 2L)))) // the rename that DID land
+    // the REPLAY attempt: re-staged the same records as fresh temps
+    val t2a = stage(dir, 0, "_wtmp-7-0-cccc", Seq("r0", "r1"))
+    val t2b = stage(dir, 1, "_wtmp-7-0-dddd", Seq("r2"))
+    val write = new GraftShardsWrite.EpochWrite(dir, 2, Map.empty)
+    write.commit(7L, Array[WriterCommitMessage](
+      GraftShardsWrite.CommitMsg(0, Map(0 -> (t2a, 2L), 1 -> (t2b, 1L)))))
+    // exactly the ORIGINAL plan's chunks, exactly once
+    assert(chunkLines(dir, 0) ==
+      Seq(GraftShardsSource.chunkFileName(0L, 2L) -> Seq("r0", "r1")))
+    assert(chunkLines(dir, 1) ==
+      Seq(GraftShardsSource.chunkFileName(0L, 1L) -> Seq("r2")))
+    // replay temps dropped, intent gone, marker present
+    for (s <- Seq(0, 1)) {
+      val names = f.listStatus(new Path(dir, GraftShards.shardDirName(s)))
+        .map(_.getPath.getName).toSet
+      assert(!names.exists(_.startsWith("_wtmp-")), s"stray temps in shard $s: $names")
+    }
+    assert(!f.exists(new Path(epochs, "7.intent")))
+    assert(f.exists(new Path(epochs, "7.committed")))
+
+    // a SECOND replay of the committed epoch: temps dropped, nothing changes
+    val t3 = stage(dir, 0, "_wtmp-7-1-eeee", Seq("dup"))
+    write.commit(7L, Array[WriterCommitMessage](
+      GraftShardsWrite.CommitMsg(1, Map(0 -> (t3, 1L)))))
+    assert(chunkLines(dir, 0) ==
+      Seq(GraftShardsSource.chunkFileName(0L, 2L) -> Seq("r0", "r1")))
+    assert(!f.exists(new Path(t3)))
+  }
+
+  test("a fresh epoch assigns contiguous per-shard seqs in partition order") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-wproto2").toString
+    GraftShards.append(dir, 0, Seq("pre0", "pre1")) // existing head at 2
+    val tA = stage(dir, 0, "_wtmp-3-0-aaaa", Seq("p0r0"))
+    val tB = stage(dir, 0, "_wtmp-3-1-bbbb", Seq("p1r0", "p1r1"))
+    val write = new GraftShardsWrite.EpochWrite(dir, 1, Map.empty)
+    // partition 1's message listed FIRST: commit must still order by
+    // partitionId, so partition 0's records take the earlier seqs
+    write.commit(3L, Array[WriterCommitMessage](
+      GraftShardsWrite.CommitMsg(1, Map(0 -> (tB, 2L))),
+      GraftShardsWrite.CommitMsg(0, Map(0 -> (tA, 1L)))))
+    assert(chunkLines(dir, 0) == Seq(
+      GraftShardsSource.chunkFileName(0L, 2L) -> Seq("pre0", "pre1"),
+      GraftShardsSource.chunkFileName(2L, 3L) -> Seq("p0r0"),
+      GraftShardsSource.chunkFileName(3L, 5L) -> Seq("p1r0", "p1r1")))
+  }
+}
