@@ -370,6 +370,49 @@ object Streaming {
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
   }
 
+  /** q57: the full notification LOOP under the exact batch oracle —
+    * source → transform → exactly-once graft-shards SINK → read-back →
+    * aggregate. This is R8→R10 end to end: one query's sink layout IS a
+    * shard stream another pipeline consumes (the reference's aprocess
+    * writes the Kinesis stream svckinesis reads; doNotification keyed by
+    * txnId ↔ records keyed by user here). The sink's chunks are plain
+    * JSON lines in seq-named files, so the read-back side is an ordinary
+    * BATCH glob scan — the layout needs no special reader. Counts match
+    * the oracle exactly BECAUSE the sink is exactly-once (staged temps →
+    * intent → atomic renames → epoch marker); any duplicate or loss in
+    * the epoch protocol fails the hash check. Fresh sink+checkpoint dirs
+    * per invocation: the write leg is measured work, never a cached
+    * artifact. */
+  val q57StreamSinkRoundtrip: Q = Q(
+    "q57_stream_sink_roundtrip",
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-q57-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q57-ck").toString
+    val q = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"))).as("data"))
+      .writeStream.format("graft-shards")
+      .option("numShards", "4")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    org.apache.spark.sql.graftshim.PlanBridge.lastExecutedPlan(q)
+      .foreach(lastPlans("q57_sink") = _)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    s.read.schema(schema).json(s"$out/shard-*/*.jsonl")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Tables.moneySum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** q38: streaming materialized view — the stream maintains a queryable
     * "latest event per user" TABLE through `foreachBatch` + the versioned
     * upsert sink (R5's streaming form): each micro-batch reduces to its
@@ -425,5 +468,5 @@ object Streaming {
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
     q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark,
-    q38StreamMaterializedView, q39StreamLeftOuter)
+    q38StreamMaterializedView, q39StreamLeftOuter, q57StreamSinkRoundtrip)
 }
