@@ -19,8 +19,9 @@ object DbgProf {
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
     time("warmup")(Tables.documents(spark, d).count())
-    time("q44-1")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
-    time("q44-2")(graft.dedup.Dedup.q44DedupEmbed.fn(spark, d).count())
+    time("q66-1")(graft.text.TextAnalysis.q66Tfidf.fn(spark, d).count())
+    time("q66-2")(graft.text.TextAnalysis.q66Tfidf.fn(spark, d).count())
+    time("q66-3")(graft.text.TextAnalysis.q66Tfidf.fn(spark, d).count())
     time("q46-1")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
     time("q46-2")(graft.dedup.Dedup.q46Decontaminate.fn(spark, d).count())
     time("q48-1")(graft.dedup.Dedup.q48RecordLinkage.fn(spark, d).count())

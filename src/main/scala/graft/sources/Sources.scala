@@ -204,21 +204,44 @@ object Sources {
 
   /** Read the current committed version of an upsert table. */
   def readTable(s: SparkSession, path: String): DataFrame = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
     listing.committed.lastOption match {
-      case Some((_, p)) => readManifest(fs, p) match {
-        case Some(m) if m.buckets.isEmpty =>
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType.fromDDL(m.schemaDdl))
-        case Some(m) =>
-          s.read.parquet(bucketDirs(root, m).map(_.toString): _*)
-        case None => s.read.parquet(p.toString) // legacy flat version
-      }
+      case Some((n, _)) => readVersion(s, path, n)
       case None => throw new IllegalArgumentException(
         s"no committed version under $path")
+    }
+  }
+
+  /** Time-travel read: the table AS OF a specific committed version — the
+    * snapshot-read half of the poor-man's table format. Every version the
+    * retention policy still holds (the current one plus its committed
+    * predecessor's closure) is readable; older snapshots have been swept
+    * and raise. `committedVersions` lists what is available. */
+  def readTableAt(s: SparkSession, path: String, version: Long): DataFrame = {
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    require(listing.committed.exists(_._1 == version),
+      s"version v$version is not a committed version of $path " +
+        s"(available: ${listing.committed.map(v => s"v${v._1}").mkString(", ")})")
+    readVersion(s, path, version)
+  }
+
+  /** The committed version numbers currently readable, ascending. */
+  def committedVersions(s: SparkSession, path: String): Seq[Long] =
+    listTable(s, path).committed.map(_._1)
+
+  private def readVersion(s: SparkSession, path: String, n: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, s"v$n")
+    readManifest(fs, dir) match {
+      case Some(m) if m.buckets.isEmpty =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(m.schemaDdl))
+      case Some(m) =>
+        s.read.parquet(bucketDirs(root, m).map(_.toString): _*)
+      case None => s.read.parquet(dir.toString) // legacy flat version
     }
   }
 

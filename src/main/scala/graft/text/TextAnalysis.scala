@@ -244,8 +244,11 @@ object TextAnalysis {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df DERIVED from tf — one row per (doc, tok) exists there, so
+    // count-per-tok ≡ countDistinct(doc_id) over raw tokens, WITHOUT a
+    // second tokenize+explode pass over the corpus (at 100 TB the raw
+    // scan dominates; tf is orders of magnitude smaller)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),

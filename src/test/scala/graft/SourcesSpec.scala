@@ -213,6 +213,50 @@ class SourcesSpec extends SparkSpec {
       (k, if (k == 7L) "updated" else s"v$k")).toSet)
   }
 
+  test("time travel: the retained predecessor version reads as its exact snapshot") {
+    val path = tmp("graft-upsert-tt")
+    Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(Seq((2L, "c"), (3L, "d")).toDF("k", "v"), Seq("k"), path)
+    assert(Sources.committedVersions(spark, path) == Seq(1L, 2L))
+    assert(Sources.readTableAt(spark, path, 1L).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")), "v1 snapshot must be pre-second-upsert")
+    assert(Sources.readTableAt(spark, path, 2L).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "c"), (3L, "d")))
+    // a swept version refuses loudly instead of returning wrong data
+    val e = intercept[IllegalArgumentException](
+      Sources.readTableAt(spark, path, 99L))
+    assert(e.getMessage.contains("not a committed version"))
+  }
+
+  test("property: upsert over random batches ≡ last-write-wins map fold") {
+    val rnd = new scala.util.Random(42)
+    val path = tmp("graft-upsert-prop")
+    var model = Map.empty[Long, String]
+    for (i <- 0 until 8) {
+      // distinct keys within a batch (a micro-batch arrives pre-reduced,
+      // as q38 does with its per-key argmax); keys collide ACROSS batches
+      val batch = rnd.shuffle((0L until 30L).toList)
+        .take(rnd.nextInt(20) + 1).map(k => (k, s"b$i-$k"))
+      // a different numBuckets on later calls must be ignored — the
+      // manifest's B from the first write governs the table forever
+      Sources.upsert(batch.toDF("k", "v"), Seq("k"), path,
+        numBuckets = if (i == 0) 7 else 64)
+      model = model ++ batch
+      val got = Sources.readTable(spark, path).as[(Long, String)].collect()
+      assert(got.length == got.map(_._1).distinct.length,
+        s"duplicate keys after batch $i")
+      assert(got.toMap == model, s"diverged from model at batch $i")
+    }
+    // physical invariant: every bucket dir on disk belongs to the 7-bucket
+    // keying of the FIRST write
+    val buckets = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .flatMap(v => Option(new java.io.File(v, "data").listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("gb="))
+      .map(_.getName.stripPrefix("gb=").toInt)
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 7),
+      s"bucket ids outside the persisted B=7: ${buckets.toSeq.distinct.sorted}")
+  }
+
   test("a crash mid-bucket-write leaves the prior version fully readable") {
     val path = tmp("graft-upsert-bucket-crash")
     Sources.upsert((1L to 32L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), path)
