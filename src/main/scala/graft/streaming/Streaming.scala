@@ -390,6 +390,19 @@ object Streaming {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin,
   ) { (s, d) =>
+    // fresh dirs per invocation (the write leg must be measured work, and
+    // a checkpoint reuse would skip it); stale siblings from previous
+    // processes are swept so repeated bench/verify runs don't grow /tmp
+    locally {
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft-q57-") && f.lastModified < cutoff)
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f.toString)
+          graft.sources.GraftShardsSource.fs(p).delete(p, true)
+        }
+    }
     val out = java.nio.file.Files.createTempDirectory("graft-q57-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q57-ck").toString
     val q = eventsStream(s, d)
