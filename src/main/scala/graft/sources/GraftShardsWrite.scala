@@ -173,13 +173,20 @@ object GraftShardsWrite {
     }
 
     /** Bounded housekeeping after a successful commit: stray temps of THIS
-      * epoch (earlier crashed attempts) and epoch markers older than a
-      * replay could ever reach (only the latest epoch can replay). */
+      * epoch (earlier crashed attempts), stray temps of long-gone epochs
+      * (a query that died without restart leaves them invisible but
+      * permanent), and epoch markers older than a replay could ever reach
+      * (only the latest epoch can replay). */
     private def sweep(f: FileSystem, root: Path, epochId: Long): Unit = {
+      val TempEpoch = """_wtmp-(\d+)-.*""".r
       listShards(root).values.foreach { dir =>
-        f.listStatus(dir).map(_.getPath)
-          .filter(_.getName.startsWith(s"_wtmp-$epochId-"))
-          .foreach(p => f.delete(p, false))
+        f.listStatus(dir).map(_.getPath).foreach { p =>
+          p.getName match {
+            case TempEpoch(e) if e.toLong == epochId || e.toLong < epochId - 10 =>
+              f.delete(p, false)
+            case _ => ()
+          }
+        }
       }
       val epochs = new Path(root, EpochsDirName)
       f.listStatus(epochs).map(_.getPath).foreach { p =>
@@ -253,6 +260,12 @@ object GraftShardsWrite {
       }
     }
 
-    override def close(): Unit = ()
+    // the engine always calls close() last, including paths where neither
+    // commit nor abort ran — never leak an open stream (BufferedWriter
+    // close is idempotent, so the post-commit call is a no-op)
+    override def close(): Unit =
+      open.values.foreach { case (_, w, _) =>
+        try w.close() catch { case _: Exception => () }
+      }
   }
 }

@@ -213,6 +213,21 @@ class SourcesSpec extends SparkSpec {
       (k, if (k == 7L) "updated" else s"v$k")).toSet)
   }
 
+  test("an empty micro-batch upserts as a carry-only version; empty first write reads empty") {
+    // idle micro-batches are routine in a foreachBatch deployment
+    val path = tmp("graft-upsert-empty")
+    Sources.upsert(Seq((1L, "a")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(spark.emptyDataset[(Long, String)].toDF("k", "v"), Seq("k"), path)
+    assert(Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+      == Set((1L, "a")))
+    val p2 = tmp("graft-upsert-empty2")
+    Sources.upsert(spark.emptyDataset[(Long, String)].toDF("k", "v"), Seq("k"), p2)
+    assert(Sources.readTable(spark, p2).count() == 0) // schema from manifest
+    Sources.upsert(Seq((2L, "b")).toDF("k", "v"), Seq("k"), p2)
+    assert(Sources.readTable(spark, p2).as[(Long, String)].collect().toSet
+      == Set((2L, "b")))
+  }
+
   test("time travel: the retained predecessor version reads as its exact snapshot") {
     val path = tmp("graft-upsert-tt")
     Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path)
