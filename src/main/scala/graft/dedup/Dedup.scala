@@ -85,7 +85,14 @@ object Dedup {
     * 3-gram shingle sets is computed on hashed shingles and pairs ≥ 0.5
     * survive. The oracle runs the identical blocking on string shingles, so
     * the driver check is exact. At scale this runs AFTER the MinHash-LSH
-    * candidate filter (q42) rather than over all blocked pairs. */
+    * candidate filter (q42) rather than over all blocked pairs.
+    *
+    * The two join inputs each recompute the shingle projection (verified:
+    * Spark does not exchange-reuse the aliased self-join sides). That is
+    * the intended trade at scale — the projection is a narrow CPU pass,
+    * while persisting it would materialize a corpus-sized (~2.4 KB/doc)
+    * intermediate; the cacheable form is q42's SIGNATURE table, bounded
+    * by NumHashes per doc, not shingle count. */
   val q41DedupJaccard: Q = Q(
     "q41_dedup_jaccard",
     s"""WITH t AS (

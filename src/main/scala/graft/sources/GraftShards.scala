@@ -317,19 +317,24 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardsOffset].positions
     val cap = perShardCap(limit)
-    // re-discovery every batch = resharding support: a shard dir created
-    // after the query started shows up here and reads from ITS trim
-    // horizon (Kinesis children are consumed from their first record)
-    val heads = availableNowCap.getOrElse(currentEnds(streamDir))
+    // ONE listing pass per trigger (shards + per-shard chunk heads from
+    // the same snapshot) — on an object store the listing IS the dominant
+    // per-batch metadata cost. Re-discovery every batch = resharding
+    // support: a shard dir created after the query started shows up here
+    // and reads from ITS trim horizon.
     val shards = listShards(streamDir)
+    val liveEnds: Map[String, Long] = shards.map { case (name, dir) =>
+      name -> shardChunks(dir).lastOption.map(_.end).getOrElse(0L)
+    }
+    val heads = availableNowCap.getOrElse(liveEnds)
     // Parent→child ordering (the Kinesis reshard contract): a child makes
     // NO progress until EVERY parent (one for a split, two for a merge) is
     // closed AND fully consumed, so a key's post-reshard records can never
     // overtake its pre-reshard tail. The gate compares against a parent's
-    // FINAL head, never an AvailableNow cap — a capped snapshot must not
-    // unlock a child while a parent still has a tail beyond the cap.
-    lazy val finalEnds: Map[String, Long] =
-      if (availableNowCap.isEmpty) heads else currentEnds(streamDir)
+    // FINAL head (liveEnds — this trigger's uncapped snapshot), never an
+    // AvailableNow cap: a capped snapshot must not unlock a child while a
+    // parent still has a tail beyond the cap.
+    val finalEnds: Map[String, Long] = liveEnds
     def parentDrained(name: String): Boolean =
       parentsOf.getOrElseUpdate(name,
         shards.get(name).map(shardParents).getOrElse(Seq.empty)).forall { p =>
@@ -529,6 +534,15 @@ object GraftShards {
   private def reshard(dir: String, parents: Seq[Int], children: Seq[Int]): Unit = {
     val root = new Path(dir)
     val f = GraftShardsSource.fs(root)
+    // children must be NEW shards (the Kinesis model): a pre-existing dir
+    // may already sit in a consumer's lineage cache as parentless, which
+    // would permanently bypass the drain gate — refuse loudly
+    children.foreach { c =>
+      val cDir = new Path(root, shardDirName(c))
+      require(!f.exists(cDir),
+        s"reshard child ${shardDirName(c)} already exists under $dir — " +
+          "children must be brand-new shards")
+    }
     parents.foreach { p =>
       val pDir = new Path(root, shardDirName(p))
       f.mkdirs(pDir)
@@ -536,11 +550,21 @@ object GraftShards {
     }
     val lineage = parents.map(shardDirName).mkString("\n")
     children.foreach { c =>
-      val cDir = new Path(root, shardDirName(c))
-      f.mkdirs(cDir)
-      val out = f.create(new Path(cDir, GraftShardsSource.ParentFileName), true)
+      // lineage-first atomicity: build the child under a temp name the
+      // shard-dir regex ignores and rename into place, so no consumer can
+      // ever list the child dir WITHOUT its _parent file (a parentless
+      // sighting would be cached and never re-probed)
+      val tmp = new Path(root,
+        s"_tmp-shard-${java.util.UUID.randomUUID().toString.take(8)}")
+      f.mkdirs(tmp)
+      val out = f.create(new Path(tmp, GraftShardsSource.ParentFileName), true)
       out.write(lineage.getBytes(StandardCharsets.UTF_8))
       out.close()
+      val cDir = new Path(root, shardDirName(c))
+      if (!f.rename(tmp, cDir)) {
+        f.delete(tmp, true)
+        throw new java.io.IOException(s"reshard child publish failed: $cDir")
+      }
     }
   }
 

@@ -233,6 +233,14 @@ object GraftShardsWrite {
       require(key != null, "graft-shards sink: key must not be null " +
         "(it is the partition key)")
       val data = row.getUTF8String(1)
+      require(data != null, "graft-shards sink: data must not be null " +
+        "(the record payload; Kinesis PutRecord requires Data)")
+      // the layout is line-per-seq: an embedded newline would stage as two
+      // lines but count as one record, silently corrupting every seq after
+      // it — refuse loudly (JSON-encoded payloads never contain raw \n)
+      require(!data.toString.contains('\n'),
+        "graft-shards sink: data must not contain newlines " +
+          "(line-delimited layout; JSON-encode the payload)")
       val shard = GraftShardsWrite.shardOf(key, numShards)
       val (p, w, n) = open.getOrElseUpdate(shard, {
         val dir = new Path(root, GraftShards.shardDirName(shard))
@@ -242,7 +250,7 @@ object GraftShardsWrite {
         (tmp, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           f.create(tmp, true), StandardCharsets.UTF_8)), 0L)
       })
-      w.write(if (data == null) "" else data.toString)
+      w.write(data.toString)
       w.write('\n')
       open(shard) = (p, w, n + 1)
     }

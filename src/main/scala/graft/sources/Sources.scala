@@ -293,7 +293,13 @@ object Sources {
     val bucketOf = org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.hash(keys.map(col): _*),
       org.apache.spark.sql.functions.lit(b))
-    val deduped = batch.dropDuplicates(keys)
+    // MATERIALIZE the batch once: `touched` (below) and the merged write
+    // would otherwise evaluate it twice, and any non-determinism between
+    // the evaluations (limit/sample, a re-read mutable source) could emit
+    // a bucket whose prior rows were never carried — silent data loss.
+    // A micro-batch is small by the sink's contract, so the checkpoint is
+    // cheap; the written⊆touched guard below backstops the invariant.
+    val deduped = batch.dropDuplicates(keys).localCheckpoint()
     // the buckets this batch touches — bounded by min(batch keys, B)
     val touched: Set[Int] = deduped.select(bucketOf.as("gb")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -327,6 +333,15 @@ object Sources {
     val written: Set[Int] = fs.listStatus(dataDir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
       .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
+    // invariant check BEFORE the commit marker: a bucket written outside
+    // the touched set means its prior rows were not carried — fail with
+    // the version uncommitted (table intact) rather than commit data loss.
+    // (Legacy migration reads the whole table, so every bucket is carried
+    // and any written bucket is legal.)
+    if (prevManifest.isDefined || prev.isEmpty)
+      require((written -- touched).isEmpty,
+        s"upsert wrote buckets ${(written -- touched).toSeq.sorted.mkString(",")} " +
+          "outside the batch's touched set — non-deterministic batch?")
     val newBuckets =
       prevManifest.map(_.buckets).getOrElse(Map.empty[String, Long])
         .filter { case (bk, _) => !written.contains(bk.toInt) } ++
@@ -342,7 +357,7 @@ object Sources {
     // closure (a reader that resolved the old current just before this
     // commit can finish its scan); sweep the rest, including crashed
     // in-flight directories. State stays bounded: ≤ B live versions + 1.
-    val keep: Set[Long] = refs(fs, root, nextN) ++
+    val keep: Set[Long] = Set(nextN) ++ newBuckets.values ++
       prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty)
     (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
       fs.delete(new Path(root, s"v$n"), true)

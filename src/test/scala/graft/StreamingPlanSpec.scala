@@ -93,11 +93,14 @@ class StreamingPlanSpec extends SparkSpec {
         .replaceFirst("^q(\\d+)_sink$", "q$1_sink")
       if (!Streaming.lastPlans.contains(sink)) q.fn(spark, sfDir).count()
     }
+    // assert over EXACTLY the q30–q39 (+q57 sink) plans — lastPlans is a
+    // JVM-global map other specs also write to (planted UDFs included)
+    val scope = (30 to 39).map(i => s"q${i}_sink") :+ "q57_sink"
     val plans = Streaming.lastPlans.toMap
-    (30 to 39).map(i => s"q${i}_sink").foreach(n =>
+    scope.foreach(n =>
       assert(plans.contains(n), s"missing streaming plan for $n: ${plans.keySet}"))
-    for ((name, plan) <- plans if name != "q39_planted_sink") {
-      val udfs = scalaUdfs(plan)
+    for (name <- scope) {
+      val udfs = scalaUdfs(plans(name))
       assert(udfs.isEmpty, s"$name has ScalaUDF in its streaming plan: $udfs")
     }
   }
