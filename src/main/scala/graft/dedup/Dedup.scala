@@ -585,6 +585,24 @@ object Dedup {
       .orderBy(col("comp_id"), col("doc_id"))
   }
 
+  /** q58: duplicate-group clustering in its AT-SCALE composition — the
+    * connected components run over MinHash-LSH candidate pairs (q42)
+    * instead of the fixed lang×band blocked generator q45's exact oracle
+    * requires. This is the pipeline a 100 TB dedup actually runs
+    * (candidates track duplicate DENSITY, not block count — measured
+    * 1.9× per 10× data in BENCH_SCALE_r04 vs 24.8× for the fixed-block
+    * form). Rows-only like q42 (hash-seeded signatures); DedupSpec pins
+    * the semantic relation: every LSH edge is a verified true pair, so
+    * these groups REFINE the exact blocked-pair components. Groups are
+    * reported q45-style: component, size, canonical (minimum) doc. */
+  val q58DupGroupsLsh: Q = Q.rowsOnly("q58_dup_groups_lsh") { (s, d) =>
+    val pairs = q42DedupMinhashLsh.fn(s, d).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_doc"))
+      .orderBy(col("comp"))
+  }
+
   /** q47: dedup application — the step that actually SHRINKS the corpus:
     * left-join the CC labels back onto the 3-gen corpus, keep singletons
     * and each group's canonical (minimum) member, and report kept/dropped
@@ -765,5 +783,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
     q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate,
-    q47DedupApply, q48RecordLinkage)
+    q47DedupApply, q48RecordLinkage, q58DupGroupsLsh)
 }

@@ -198,6 +198,38 @@ class DedupSpec extends SparkSpec {
     assert(withBloom.forall(_._1 % 50 != 0)) // benchmark docs never flagged
   }
 
+  test("q58 LSH-derived groups refine the exact blocked-pair components") {
+    import graft.dedup.Dedup
+    // exact components over ALL true pairs — constant blocking keys turn
+    // the blocked generator into an exhaustive one (LSH candidates are
+    // not lang/band-blocked, so the blocked pair set would be the wrong
+    // baseline: a true cross-band pair appears in LSH but not there)
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", lit("x").as("lang"), lit(0L).as("band"), $"text")
+    val exact = Dedup.connectedComponents(Dedup.jaccardPairs(corpus))
+      .as[(Long, Long)].collect().toMap
+    // q58's groups come from LSH candidates — a SUBSET of the true pairs
+    // (every candidate is Jaccard-verified), so each LSH component must
+    // sit wholly inside one exact component
+    val lshLabels = Dedup.connectedComponents(
+      Dedup.q42DedupMinhashLsh.fn(spark, sfDir).select($"doc_a", $"doc_b"))
+      .as[(Long, Long)].collect()
+    assert(lshLabels.nonEmpty)
+    for ((comp, members) <- lshLabels.groupBy(_._2)) {
+      val exactComps = members.map(m => exact(m._1)).distinct
+      assert(exactComps.length == 1,
+        s"LSH component $comp spans exact components $exactComps")
+    }
+    // and the reported group shape matches: sizes ≥ 2, canonical = min id
+    val groups = Dedup.q58DupGroupsLsh.fn(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(groups.forall(_._2 >= 2))
+    val byComp = lshLabels.groupBy(_._2)
+    groups.foreach { case (comp, n, canon) =>
+      assert(byComp(comp).length == n && byComp(comp).map(_._1).min == canon)
+    }
+  }
+
   test("LSH finds every identical-shingle-set pair (guaranteed candidates)") {
     // jac = 1.0 ⇒ identical minhash signature ⇒ identical in every band ⇒
     // guaranteed candidate. Fixture corpus with two exact-dup groups.

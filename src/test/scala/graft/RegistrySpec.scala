@@ -19,6 +19,10 @@ class RegistrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q14_approx_distinct", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q51_ann_lsh", "q53_ann_ivf",
-      "q65_text_rollinghash", "q91_approx_percentiles", "q56_sketch_rollup"))
+      "q65_text_rollinghash", "q91_approx_percentiles", "q56_sketch_rollup",
+      // q58 = CC over q42's hash-seeded LSH candidates — rows-only for the
+      // same reason as q42; DedupSpec pins that its groups refine the
+      // exact blocked-pair components
+      "q58_dup_groups_lsh"))
   }
 }
