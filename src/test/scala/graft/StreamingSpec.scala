@@ -654,6 +654,55 @@ class StreamingSpec extends SparkSpec {
         s"$sh seqs torn: $rows")
   }
 
+  test("property: random multi-epoch sink round-trip is exactly-once and per-key ordered") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kinw-prop").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kinw-propck").toString
+    val input = MemoryStream[(String, String)]
+    var expected = Vector.empty[(String, String)]
+    for (epoch <- 0 until 4) {
+      val batch = Seq.fill(rnd.nextInt(40) + 5)(
+        (s"k${rnd.nextInt(20)}", s"e$epoch-${rnd.nextInt(1000)}"))
+      expected ++= batch
+      input.addData(batch)
+      val q = input.toDS().toDF("k", "v")
+        .select(col("k").as("key"), to_json(struct(col("k"), col("v"))).as("data"))
+        .writeStream.format("graft-shards")
+        .option("numShards", "3")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dir)
+      q.awaitTermination()
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)]
+    val reader = spark.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON").load(dir)
+      .select(col("shard"), col("seq"),
+        from_json(col("data"), org.apache.spark.sql.types.StructType.fromDDL(
+          "k STRING, v STRING")).as("r"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select(col("shard"), col("seq"), col("r.k"), col("r.v")).collect()
+        got.synchronized {
+          got ++= rows.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    reader.awaitTermination()
+    // exactly-once across all epochs
+    assert(got.size == expected.size, s"${got.size} != ${expected.size}")
+    // key-stable routing, and each key's payloads in seq order = send order
+    for ((k, sent) <- expected.groupBy(_._1)) {
+      val rows = got.filter(_._3 == k)
+      assert(rows.map(_._1).distinct.size == 1, s"key $k spread across shards")
+      assert(rows.sortBy(_._2).map(_._4) == sent.map(_._2),
+        s"key $k out of send order")
+    }
+  }
+
   test("serve: continuous correlate→upsert lands completions across batches and a restart") {
     // the reference's live loop (svckinesis.js:250-256) end to end:
     // Kinesis-shaped source → stateful correlator → versioned upsert table
