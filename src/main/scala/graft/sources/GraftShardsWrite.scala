@@ -40,6 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SINGLE WRITING QUERY per stream dir (micro-batch epochs are
   * sequential within a query): seq-range assignment has no cross-writer
   * CAS, exactly like [[GraftShards.append]]'s per-shard discipline.
+  * Keep `numShards` CONSTANT for a stream's lifetime — changing it
+  * re-routes keys mid-stream and breaks per-key order; growing a stream
+  * is a reshard ([[GraftShards.split]]/[[GraftShards.merge]]), exactly
+  * as in Kinesis.
   */
 object GraftShardsWrite {
   val WriteSchema: StructType = StructType(Seq(
