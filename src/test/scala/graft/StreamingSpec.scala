@@ -654,6 +654,32 @@ class StreamingSpec extends SparkSpec {
         s"$sh seqs torn: $rows")
   }
 
+  test("sink rejects a payload containing a newline (line-format corruption guard)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kinw-nl").toString
+    val input = MemoryStream[(String, String)]
+    input.addData(Seq(("k1", "a\nb"))) // would stage 2 lines, count 1 record
+    val q = input.toDS().toDF("key", "data")
+      .writeStream.format("graft-shards")
+      .option("numShards", "1")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-kinw-nlck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c => Option(c.getMessage).exists(_.contains("newline"))),
+      s"expected the newline guard, got: ${causes(e).map(_.getMessage)}")
+    // nothing was published: the failed epoch left no readable chunk
+    val shardDir = new java.io.File(dir, "shard-0000")
+    assert(!shardDir.exists() ||
+      shardDir.listFiles().forall(!_.getName.endsWith(".jsonl")))
+  }
+
   test("property: random multi-epoch sink round-trip is exactly-once and per-key ordered") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
