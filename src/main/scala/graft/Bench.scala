@@ -131,7 +131,11 @@ object Bench {
 
     // a failing query must be visible in the record, not just "fast"
     val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_total":$steadyTotal,"steady_queries":$steadyQs,"skew":$skewJson,"errors":$errs,"sf":"$sfDir"}""")
+    // every scalar (totals, errors, sf) LEADS the line and the long
+    // per-query maps trail it: the driver's capture truncated r04's line
+    // mid-map and lost the totals ("parsed": null) — with this ordering
+    // any prefix that survives still carries the machine-readable numbers
+    println(s"""{"metric":"total","value":$total,"steady_total":$steadyTotal,"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,"sf":"$sfDir","skew":$skewJson,"queries":$qs,"steady_queries":$steadyQs}""")
     spark.stop()
   }
 }

@@ -30,9 +30,12 @@ object DbgProf {
     // builder q45 uses — an inline copy would silently drift). pairs is
     // MATERIALIZED (localCheckpoint) before the CC timing so the loop's
     // number doesn't re-run pair generation.
-    val corpus = graft.dedup.Dedup.threeGenCorpus(spark, d)
-    time("q45-pairs")(graft.dedup.Dedup.jaccardPairs(corpus).count())
-    val pairs = graft.dedup.Dedup.jaccardPairs(corpus).localCheckpoint()
+    val feat = graft.dedup.Dedup
+      .lshFeatures(graft.dedup.Dedup.threeGenCorpus(spark, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("q45-pairs")(graft.dedup.Dedup.lshVerifiedPairs(feat).count())
+    val pairs = graft.dedup.Dedup.lshVerifiedPairs(feat)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     time("q45-cc")(graft.dedup.Dedup.connectedComponents(pairs).count())
     spark.stop()
   }

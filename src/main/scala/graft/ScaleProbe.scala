@@ -114,11 +114,11 @@ object ScaleProbe {
       "q42_minhash_lsh" -> ((d, _) => Dedup.q42DedupMinhashLsh.fn(spark, d)),
       "q44_embed_cells_knob" -> ((d, scale) =>
         Dedup.embedNearDupPairs(spark, d, graft.sim.Similarity.NumCells * scale)),
+      // q45 now runs the md5-LSH candidates→verify→CC composition itself
+      // (round-5 change — the fixed lang×band generator measured 24.8× at
+      // 10× here in round 4); q45_cc_over_lsh keeps the xxhash64 twin
+      // (q42 candidates → CC) for comparison
       "q45_dup_groups" -> ((d, _) => Dedup.q45DupGroups.fn(spark, d)),
-      // q45's SCALE formulation: clustering consumes LSH candidates
-      // (density-tracking banding) instead of the fixed lang×band blocked
-      // generator the exact oracle needs — the composition a 100 TB dedup
-      // pipeline actually runs (candidates → verify → CC → groups)
       "q45_cc_over_lsh" -> ((d, _) =>
         Dedup.connectedComponents(Dedup.q42DedupMinhashLsh.fn(spark, d))),
       "q48_record_linkage" -> ((d, _) => Dedup.q48RecordLinkage.fn(spark, d)),
@@ -148,7 +148,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q45_cc_over_lsh is the at-scale composition (LSH candidates -> CC), q45_dup_groups as shipped keeps the fixed-block generator its exact oracle requires","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -11,12 +11,18 @@ import graft.functions.ArrayExprs
   * (pigeonhole-blocked Hamming pairs), and embedding-cosine near-dup.
   *
   * Scale design: every pairwise operator here is *blocked* — pairs are only
-  * generated inside a join on a small candidate key (language × length band,
-  * LSH band hash, or SimHash chunk), never via an unblocked cross join. The
-  * blocked self-join shuffles both sides on the block key once; within a
-  * block the comparison is a cheap long-array intersect or popcount. At
-  * 100 TB the block key keeps per-task pair counts bounded, and skewed
-  * blocks are split by AQE skew-join handling.
+  * generated inside a join on a candidate key (LSH band hash, SimHash
+  * chunk, quantizer cell, or PassJoin segment), never via an unblocked
+  * cross join — and every candidate key is DATA-ADAPTIVE: candidate volume
+  * tracks true duplicate density, not a fixed block cardinality (a fixed
+  * key's blocks grow linearly with the corpus, so in-block pairs grow
+  * quadratically — the round-4 scale break this module no longer has).
+  * The blocked self-join shuffles both sides on the candidate key once;
+  * within a block the comparison is a cheap long-array intersect or
+  * popcount, and skewed blocks are split by AQE skew-join handling.
+  * The Jaccard family (q41/q45/q47) uses an md5-salted MinHash the DuckDB
+  * oracle reproduces bit-for-bit, so LSH-derived results stay exact
+  * hash-checked; q42/q58 are the xxhash64 twins tuned for throughput.
   *
   * The reference (d-smith/sfs3-kinesis) has no dedup surface; its nearest
   * analog is completion-dedup of txn state (SURVEY.md §2.a R11/R14,
@@ -80,77 +86,147 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** q41: n-gram Jaccard near-dup pairs — the exact verifier. Pairs are
-    * blocked on (lang, length band); within a block the true Jaccard of the
-    * 3-gram shingle sets is computed on hashed shingles and pairs ≥ 0.5
-    * survive. The oracle runs the identical blocking on string shingles, so
-    * the driver check is exact. At scale this runs AFTER the MinHash-LSH
-    * candidate filter (q42) rather than over all blocked pairs.
-    *
-    * The two join inputs each recompute the shingle projection (verified:
-    * Spark does not exchange-reuse the aliased self-join sides). That is
-    * the intended trade at scale — the projection is a narrow CPU pass,
-    * while persisting it would materialize a corpus-sized (~2.4 KB/doc)
-    * intermediate; the cacheable form is q42's SIGNATURE table, bounded
-    * by NumHashes per doc, not shingle count. */
-  val q41DedupJaccard: Q = Q(
-    "q41_dedup_jaccard",
-    s"""WITH t AS (
-       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS band,
-       |    string_split_regex(text, '\\s+') AS w
-       |  FROM documents),
-       |sh AS (SELECT doc_id, lang, band, $shinglesSql AS s FROM t)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) AS jac
-       |FROM sh a JOIN sh b
-       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-       |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin,
-  ) { (s, d) =>
-    ArrayExprs.register(s)
-    // Fan out BEFORE the shingle projection (conditional — see
-    // Tables.fanOut): the local doc table is one file = 1 scan partition,
-    // so without this the whole per-row feature extraction runs in ONE
-    // task (measured 9s single-task vs 0.4s spread); a big table's scan
-    // already has ≥ cores splits and skips the shuffle entirely.
-    val base = Tables.fanOut(Tables.documents(s, d))
-      .select(
-        col("doc_id"), col("lang"),
-        floor(col("n_chars") / 100).as("band"),
-        shingleHashes(col("text")).as("s"))
-      .withColumn("ns", size(col("s")))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("band").as("band_a"), col("s").as("sa"), col("ns").as("na"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("s").as("sb"), col("ns").as("nb"))
-    // The WHOLE verification runs inside the equi-join condition: the
-    // equalities become the hash key (AQE picks broadcast vs shuffle by
-    // ACTUAL size — a hardcoded broadcast hint would cap the operator at
-    // driver memory at 100 TB); the residual conjuncts evaluate
-    // short-circuit left-to-right in generated code — pair ordering, then
-    // the size bound (jac ≤ min/max ⇒ min/max < t can never reach jac ≥ t),
-    // then the codegen'd sorted-merge intersect in the algebraic form
-    // 3·|A∩B| ≥ |A|+|B| (⇔ jac ≥ 0.5, exact integer arithmetic). Evaluating
-    // in-condition means non-matching pairs are never materialized as
-    // output rows — copying two ~2.4 KB shingle arrays per candidate pair
-    // was the dominant cost of the filter-above-join formulation (~5×).
-    val interSize = call_function("graft_intersect_size", col("sa"), col("sb"))
-    a.join(b,
-        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
-          col("doc_a") < col("doc_b") &&
-          least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
-          interSize * 3 >= col("na") + col("nb"))
+  // ---- Engine-neutral (md5) MinHash-LSH ----------------------------------
+
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+  /** Rows per LSH band (NumBands × RowsPerBand = [[NumHashes]]). */
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Engine-neutral MinHash signature: element i is the minimum md5 hex
+    * digest of `"p<i>|" + shingle` over the document's distinct shingle
+    * strings — a salted-hash permutation family. md5 is RFC-1321-fixed and
+    * lowercase-hex strings compare bytewise identically in Spark and
+    * DuckDB, so — unlike the xxhash64-seeded [[minhashSignature]] — the
+    * DuckDB oracle rebuilds this signature bit-for-bit
+    * (`list_min(list_transform(s, x -> md5('p<i>|' || x)))`). That is what
+    * upgrades the LSH→verify composition (q41) and the clustering over it
+    * (q45/q47) from rows-only to exact hash-checked while keeping the
+    * data-adaptive candidate generation. The shingle array is let-bound:
+    * evaluated once per row, not once per permutation. */
+  def md5MinhashSig(shingleStrings: Column): Column =
+    ArrayExprs.letBind(shingleStrings) { sh =>
+      array((0 until NumHashes).map { i =>
+        array_min(transform(sh, x => md5(concat(lit(s"p$i|"), x))))
+      }: _*)
+    }
+
+  /** LSH band keys over an md5-minhash signature: band b hashes signature
+    * rows [b·RowsPerBand, (b+1)·RowsPerBand) into one md5 key, so two
+    * documents collide on a band iff those RowsPerBand minhashes ALL agree.
+    * The AND-composition suppresses random collisions as jac^RowsPerBand
+    * (s-curve threshold ≈ (1/NumBands)^(1/RowsPerBand) ≈ 0.71) — which is
+    * what keeps candidate volume tracking true duplicate DENSITY instead of
+    * corpus², even over a small-vocabulary corpus where pairs of unrelated
+    * documents routinely share single shingles (any share-a-token or
+    * fixed-band scheme goes quadratic there; measured in
+    * BENCH_SCALE_r04.json as q45's old 24.8×-at-10× generator). */
+  def md5BandKeys(msig: Column): Column =
+    array((0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|", slice(msig, b * RowsPerBand + 1, RowsPerBand)))
+          .as("band_key"))
+    }: _*)
+
+  /** Near-dup feature frame over a corpus(doc_id, text): sorted hashed
+    * shingles `sh` (for the codegen'd exact intersect), set size `ns`, and
+    * the engine-neutral md5-minhash signature `msig`. One narrow per-row
+    * pass; callers persist it when it feeds both candidate generation and
+    * verification (see [[FeatCache]]). */
+  def lshFeatures(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        shingleHashes(col("text")).as("sh"),
+        md5MinhashSig(shingles(col("text"))).as("msig"))
+      .withColumn("ns", size(col("sh")))
+
+  /** Deterministic near-dup pairs (doc_a, doc_b, jac): md5-LSH band
+    * candidates verified by EXACT Jaccard ≥ 0.5 on the shingle sets — the
+    * candidates→verify composition the round-4 verdict asked to become the
+    * oracle-checked form. Candidate generation travels WITHOUT the shingle
+    * arrays (the q42 lesson): only (band, doc_id, set size) shuffles; each
+    * distinct candidate pair ships its two ~2.4 KB sets exactly once, and
+    * the integer verify (3·|A∩B| ≥ |A|+|B| ⇔ jac ≥ 0.5) runs on the
+    * codegen'd sorted-merge intersect. */
+  def lshVerifiedPairs(feat: DataFrame): DataFrame = {
+    val banded = feat.select(col("doc_id"), col("ns"),
+        explode(md5BandKeys(col("msig"))).as("band"))
+      .select(col("doc_id"), col("ns"), col("band.band_id"), col("band.band_key"))
+    val a = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"), col("ns").as("na"))
+    val b = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_b"), col("ns").as("nb"))
+    // the size bound is lossless at t=0.5 (3·inter ≥ na+nb ⇒ 2·min ≥ max)
+    // and prunes candidates BEFORE the pair-dedup shuffle
+    val candIds = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val setsA = feat.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val setsB = feat.select(col("doc_id").as("doc_b"), col("sh").as("sb0"))
+    val interSize = call_function("graft_intersect_size", col("sa"), col("sb0"))
+    candIds
+      .join(setsA, Seq("doc_a"))
+      .join(setsB, Seq("doc_b"))
+      .filter(interSize * 3 >= col("na") + col("nb"))
       .withColumn("inter", interSize.cast("double"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The mirrored md5-LSH pipeline as DuckDB CTEs over `src(doc_id, text)`:
+    * t → sh → sig → banded → cand → pairs(doc_a, doc_b, jac). Every stage
+    * rebuilds the Spark plan exactly — same salts, same band slicing, same
+    * integer verify — so the driver's hash check is exact even though the
+    * candidate set is LSH-derived. */
+  private def lshPairCtes(src: String): String = {
+    val sigList = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(s, x -> md5('p$i|' || x)))")
+      .mkString("[\n    ", ",\n    ", "]")
+    val b0 = s"b.band_id*$RowsPerBand"
+    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM $src),
+sh AS (SELECT doc_id, $shinglesSql AS s FROM t),
+sig AS (SELECT doc_id, s, $sigList AS msig FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+    md5(array_to_string(msig[$b0+1 : $b0+$RowsPerBand], '|')) AS band_key
+  FROM sig, LATERAL (SELECT unnest(range(0, $NumBands)) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+    ROUND(CAST(LEN(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (LEN(x.s) + LEN(y.s) - LEN(list_intersect(x.s, y.s))), 6) AS jac
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+  WHERE 3 * LEN(list_intersect(x.s, y.s)) >= LEN(x.s) + LEN(y.s))"""
+  }
+
+  /** q41: near-duplicate pairs — deterministic md5-MinHash-LSH candidates
+    * verified by exact 3-gram-shingle Jaccard ≥ 0.5. This replaces the
+    * round-4 fixed (lang, 100-char band) generator, whose blocks grew
+    * linearly with the corpus and whose in-block pairs therefore grew
+    * quadratically (measured 5.3× at 10× data); LSH candidate volume
+    * tracks true duplicate density instead (q42 measured 1.3×). It also
+    * MISSES FEWER pairs: at sf0.01 the band boundary was splitting 19 of
+    * 25 true near-dup pairs out of the result. Recall follows the LSH
+    * s-curve (≈98% at jac 0.9, where this corpus's true pairs live; ~23%
+    * at jac exactly 0.5) — deterministic, and mirrored exactly by the
+    * oracle, so the driver check stays a hash match. */
+  val q41DedupJaccard: Q = Q(
+    "q41_dedup_jaccard",
+    "WITH " + lshPairCtes("documents") +
+      "\nSELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b",
+  ) { (s, d) =>
+    ArrayExprs.register(s)
+    lshVerifiedPairs(md5FeatTable(s, d)).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- MinHash + LSH (q42) ------------------------------------------------
-  val NumHashes = 16
-  val NumBands = 4 // 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
 
   /** 16-permutation MinHash signature over pre-hashed shingles via the
     * codegen'd one-pass [[graft.functions.MinHashSig]] expression
@@ -175,28 +251,50 @@ object Dedup {
     * every LSH pipeline has). Cached per session/dir so repeated
     * invocations reuse ONE persisted copy instead of leaking a new cache
     * entry per call. */
-  // Size-1 cache (synchronized): one (session, dir) is live at a time in
-  // every driver main; replacing an entry unpersists the evicted table, so
-  // neither stopped sessions nor stale cached plans are pinned for the JVM
-  // lifetime (an unbounded map keyed by SparkSession would strongly hold
-  // both).
-  private var sigCache: Option[((SparkSession, String), DataFrame)] = None
-
-  private def minhashSigTable(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      sigCache match {
+  /** Size-1 cache (synchronized) of a persisted per-(session, dir) feature
+    * table: one (session, dir) is live at a time in every driver main;
+    * replacing an entry unpersists the evicted table, so neither stopped
+    * sessions nor stale cached plans are pinned for the JVM lifetime (an
+    * unbounded map keyed by SparkSession would strongly hold both). */
+  private final class FeatCache(build: (SparkSession, String) => DataFrame) {
+    private var slot: Option[((SparkSession, String), DataFrame)] = None
+    def apply(s: SparkSession, d: String): DataFrame = synchronized {
+      slot match {
         case Some(((cs, cd), df)) if (cs eq s) && cd == d => df
         case prev =>
           prev.foreach(_._2.unpersist(blocking = false))
-          val df = Tables.fanOut(Tables.documents(s, d))
-            .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-            .withColumn("sig", minhashSignature(col("sh")))
-            .withColumn("ns", size(col("sh")))
+          val df = build(s, d)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          sigCache = Some(((s, d), df))
+          slot = Some(((s, d), df))
           df
       }
     }
+    def clear(): Unit = synchronized {
+      slot.foreach(_._2.unpersist(blocking = true))
+      slot = None
+    }
+  }
+
+  private val xxSigCache = new FeatCache((s, d) =>
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+      .withColumn("ns", size(col("sh"))))
+
+  private def minhashSigTable(s: SparkSession, d: String): DataFrame =
+    xxSigCache(s, d)
+
+  /** Persisted per-(session, dir) md5-LSH feature table over the raw
+    * documents corpus — q41's analog of [[minhashSigTable]]: the shingle +
+    * 16-permutation md5 pass runs once and feeds candidate generation and
+    * verification. Fan-out before the projection for the same single-file
+    * scan reason (see Tables.fanOut). */
+  private val md5FeatCache = new FeatCache((s, d) =>
+    lshFeatures(Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))))
+
+  private def md5FeatTable(s: SparkSession, d: String): DataFrame =
+    md5FeatCache(s, d)
 
   val q42DedupMinhashLsh: Q = Q.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
     ArrayExprs.register(s)
@@ -399,30 +497,6 @@ object Dedup {
 
   // ---- Duplicate-group clustering (q45) -----------------------------------
 
-  /** Blocked Jaccard near-dup pairs over an arbitrary corpus with columns
-    * (doc_id, lang, band, text) — the q41 pair generator factored out so
-    * clustering can run it on a derived corpus. Same plan shape as q41:
-    * the whole verification lives inside the equi-join condition, so
-    * non-matching pairs are never materialized. */
-  def jaccardPairs(corpus: DataFrame): DataFrame = {
-    ArrayExprs.register(corpus.sparkSession) // graft_intersect_size below
-    val base = corpus
-      .select(col("doc_id"), col("lang"), col("band"),
-        shingleHashes(col("text")).as("s"))
-      .withColumn("ns", size(col("s")))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("band").as("band_a"), col("s").as("sa"), col("ns").as("na"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("s").as("sb"), col("ns").as("nb"))
-    val interSize = call_function("graft_intersect_size", col("sa"), col("sb"))
-    a.join(b,
-        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
-          col("doc_a") < col("doc_b") &&
-          least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
-          interSize * 3 >= col("na") + col("nb"))
-      .select(col("doc_a"), col("doc_b"))
-  }
-
   /** Connected components by iterative hash-min label propagation: every
     * node starts labeled with its own id; each round propagates labels
     * across edges and keeps the per-node minimum, converging in
@@ -475,50 +549,39 @@ object Dedup {
   }
 
   /** The q45/q47 input: a 3-generation recrawl corpus (original, edited
-    * v2, edited v2v3 for every 5th doc) with the blocking band recomputed
-    * from the edited text. */
+    * v2, edited v2v3 for every 5th doc). */
   def threeGenCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("text"), col("lang"))
+      .select(col("doc_id"), col("text"))
     val fifth = docs.filter(col("doc_id") % 5 === 0)
     docs
       .unionAll(fifth.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" v2")).as("text"), col("lang")))
+        concat(col("text"), lit(" v2")).as("text")))
       .unionAll(fifth.select((col("doc_id") + 200000).as("doc_id"),
-        concat(col("text"), lit(" v2 v3")).as("text"), col("lang")))
-      .withColumn("band", floor(length(col("text")) / 100))
+        concat(col("text"), lit(" v2 v3")).as("text")))
   }
 
-  /** The shared q45 oracle prefix: pairs → edges → recursive closure →
+  /** The shared q45 oracle prefix: the mirrored md5-LSH pair pipeline over
+    * the 3-gen corpus ([[lshPairCtes]]) → edges → recursive closure →
     * per-node component. q47 extends it with the keep/drop application. */
   private val ccOracleCtes =
-    s"""WITH RECURSIVE corpus AS (
-       |  SELECT doc_id, text, lang FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000, text || ' v2', lang
-       |  FROM documents WHERE doc_id % 5 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 200000, text || ' v2 v3', lang
-       |  FROM documents WHERE doc_id % 5 = 0),
-       |t AS (
-       |  SELECT doc_id, lang, CAST(FLOOR(LENGTH(text) / 100) AS BIGINT) AS band,
-       |    string_split_regex(text, '\\s+') AS w
-       |  FROM corpus),
-       |sh AS (SELECT doc_id, lang, band, $shinglesSql AS s FROM t),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b
-       |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-       |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5),
-       |edges AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)""".stripMargin
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' v2'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' v2 v3'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |""".stripMargin + lshPairCtes("corpus") + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
 
   /** CC labels over the 3-gen corpus, cached per (session, dir) exactly
     * like [[minhashSigTable]]: q45 reports the groups and q47 applies
@@ -541,8 +604,8 @@ object Dedup {
     * warm-cached 1× run against a cold 10× run would fabricate a growth
     * factor (ScaleProbe measured exactly that before this hook existed). */
   def clearCaches(): Unit = synchronized {
-    sigCache.foreach(_._2.unpersist(blocking = true))
-    sigCache = None
+    xxSigCache.clear()
+    md5FeatCache.clear()
     ccCache.clear()
   }
 
@@ -551,7 +614,17 @@ object Dedup {
       ccCache.get((s, d)) match {
         case Some(df) => df
         case None =>
-          val df = connectedComponents(jaccardPairs(threeGenCorpus(s, d)))
+          ArrayExprs.register(s) // graft_intersect_size in the verify
+          // The feature table feeds candidate generation AND verification;
+          // persist for the duration of the CC build (connectedComponents
+          // materializes the edges eagerly via localCheckpoint, so the
+          // unpersist after it returns is safe).
+          val feat = lshFeatures(threeGenCorpus(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val df =
+            try connectedComponents(
+              lshVerifiedPairs(feat).select(col("doc_a"), col("doc_b")))
+            finally feat.unpersist(blocking = false)
           ccCache.put((s, d), df)
           if (ccCache.size > CcCacheMax)
             ccCache.remove(ccCache.head._1) // LinkedHashMap: insertion order
@@ -565,8 +638,12 @@ object Dedup {
     * the canonical document to keep. Input models a 3-generation recrawl
     * (original, edited v2, edited v2v3 for every 5th doc), so components
     * chain across generations and the natural near-dup pairs merge chains
-    * — transitivity does real work. Oracle: recursive-CTE transitive
-    * closure over the identical pair set. */
+    * — transitivity does real work. Pairs come from the deterministic
+    * md5-LSH candidates→verify pipeline ([[lshVerifiedPairs]]) — the
+    * data-adaptive generator that replaced round 4's fixed lang×band
+    * all-pairs form (measured 24.8× at 10× data; candidates now track
+    * duplicate density like q42/q58's 1.3–1.9×). Oracle: recursive-CTE
+    * transitive closure over the identically mirrored pair set. */
   val q45DupGroups: Q = Q(
     "q45_dup_groups",
     s"""$ccOracleCtes
@@ -585,16 +662,16 @@ object Dedup {
       .orderBy(col("comp_id"), col("doc_id"))
   }
 
-  /** q58: duplicate-group clustering in its AT-SCALE composition — the
-    * connected components run over MinHash-LSH candidate pairs (q42)
-    * instead of the fixed lang×band blocked generator q45's exact oracle
-    * requires. This is the pipeline a 100 TB dedup actually runs
-    * (candidates track duplicate DENSITY, not block count — measured
-    * 1.9× per 10× data in BENCH_SCALE_r04 vs 24.8× for the fixed-block
-    * form). Rows-only like q42 (hash-seeded signatures); DedupSpec pins
-    * the semantic relation: every LSH edge is a verified true pair, so
-    * these groups REFINE the exact blocked-pair components. Groups are
-    * reported q45-style: component, size, canonical (minimum) doc. */
+  /** q58: duplicate-group clustering over the xxhash64 MinHash-LSH
+    * candidate pairs (q42) — same composition as q45 but with the
+    * codegen'd single-pass signature ([[graft.functions.MinHashSig]])
+    * instead of q45's oracle-mirrorable md5 permutations, i.e. the form
+    * tuned for raw throughput (measured 1.9× per 10× data in
+    * BENCH_SCALE_r04). Rows-only like q42 (hash-seeded signatures);
+    * DedupSpec pins the semantic relation: every LSH edge is a verified
+    * true pair, so these groups REFINE the exhaustive all-pairs
+    * components. Groups are reported q45-style: component, size,
+    * canonical (minimum) doc. */
   val q58DupGroupsLsh: Q = Q.rowsOnly("q58_dup_groups_lsh") { (s, d) =>
     val pairs = q42DedupMinhashLsh.fn(s, d).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
@@ -607,7 +684,7 @@ object Dedup {
     * left-join the CC labels back onto the 3-gen corpus, keep singletons
     * and each group's canonical (minimum) member, and report kept/dropped
     * counts per recrawl generation. Canonicals are usually generation 0,
-    * but not always — when band-blocking breaks the orig↔v2 link while
+    * but not always — when the LSH s-curve drops the orig↔v2 link while
     * v2↔v3 survives, a generation-1 doc is the group minimum, which this
     * query surfaces. The labels table is orders of magnitude smaller than
     * the corpus, so the application join broadcasts at scale (AQE decides

@@ -148,6 +148,12 @@ object GraftShardsSource {
   private[sources] val ParentFileName = "_parent"
   private[sources] val ClosedFileName = "_closed"
 
+  /** Root-level pin of the layout's shard count, written by the first
+    * producer ([[GraftShards.writeSharded]] or the DSv2 sink) — later
+    * sinks validate their `numShards` against it instead of a
+    * possibly-partial shard-dir listing. */
+  private[sources] val NumShardsFileName = "_numShards"
+
   /** The parent shard names a child declares (one per line): one for a
     * SPLIT child, two for a MERGE child, empty for an original shard.
     * Immutable once the child dir exists — callers may cache the answer. */
@@ -271,9 +277,14 @@ class GraftShardsMicroBatchStream(path: String, options: CaseInsensitiveStringMa
         org.json4s.jackson.Serialization.read[Map[String, Long]](j)
       }.getOrElse(Map.empty)
       val scalar = options.getLong("startingSequenceNumber", 0L)
-      GraftShardsOffset(currentEnds(streamDir).map { case (s, _) =>
-        s -> perShard.getOrElse(s, scalar)
-      })
+      // union the named shards into the offset even when they don't exist
+      // yet at first start — a later-appearing shard named in
+      // startingSequenceNumbers must begin at its REQUESTED seq, not fall
+      // through to the 0 trim horizon the newly-discovered-shard path uses
+      GraftShardsOffset(
+        (currentEnds(streamDir).keySet ++ perShard.keySet).map { s =>
+          s -> perShard.getOrElse(s, scalar)
+        }.toMap)
     case "AT_TIMESTAMP" =>
       require(options.containsKey("startingTimestampMs"),
         "AT_TIMESTAMP requires startingTimestampMs (epoch millis)")
@@ -471,6 +482,34 @@ object GraftShards {
     val dataCols = df.columns.map(col)
     val target = dir // stable reference for the closure
     val overrides = GraftShardsSource.confOverrides(df.sparkSession)
+    // pin the layout's shard count so a later DSv2 sink (or writeSharded
+    // call) with a different numShards fails loudly instead of silently
+    // re-routing keys — the constant-numShards contract
+    locally {
+      val root = new Path(dir)
+      val f = GraftShardsSource.fs(root,
+        GraftShardsSource.hadoopConf(overrides))
+      val pin = new Path(root, GraftShardsSource.NumShardsFileName)
+      if (f.exists(pin)) {
+        val bytes = new Array[Byte](f.getFileStatus(pin).getLen.toInt)
+        val in = f.open(pin)
+        try in.readFully(0L, bytes) finally in.close()
+        val pinned = new String(bytes, StandardCharsets.UTF_8).trim.toInt
+        require(pinned == numShards,
+          s"writeSharded: numShards=$numShards but $dir is pinned to " +
+            s"$pinned shards — per-key routing must stay constant for a " +
+            "stream's lifetime; reshard with split/merge instead")
+      } else {
+        f.mkdirs(root)
+        // temp + rename so a concurrent validator never reads a torn pin
+        val tmp = new Path(root,
+          s"_tmp-pin-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, true)
+        out.write(numShards.toString.getBytes(StandardCharsets.UTF_8))
+        out.close()
+        if (!f.rename(tmp, pin)) f.delete(tmp, false) // lost a benign race
+      }
+    }
     df.withColumn("__shard", pmod(hash(key), lit(numShards)))
       .withColumn("__data", to_json(struct(dataCols: _*)))
       .repartition(numShards, col("__shard"))

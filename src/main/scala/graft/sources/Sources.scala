@@ -213,23 +213,60 @@ object Sources {
     }
   }
 
+  /** Whether version n's snapshot is FULLY readable: every bucket dir its
+    * manifest references still exists. A version dir can outlive its own
+    * snapshot — retention keeps a dir as long as any LIVE manifest
+    * references one of its buckets, so v2 may survive (with `_SUCCESS`)
+    * while the OTHER versions v2's manifest points at were swept. Reading
+    * such a version would fail with a raw path-does-not-exist mid-scan;
+    * the read/list API reports it as swept instead. */
+  private def versionReadable(root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, n: Long): Boolean =
+    readManifest(fs, new Path(root, s"v$n")) match {
+      case Some(m) => bucketDirs(root, m).forall(fs.exists)
+      case None => true // legacy flat version: its own dir IS the data
+    }
+
   /** Time-travel read: the table AS OF a specific committed version — the
     * snapshot-read half of the poor-man's table format. Every version the
     * retention policy still holds (the current one plus its committed
     * predecessor's closure) is readable; older snapshots have been swept
-    * and raise. `committedVersions` lists what is available. */
+    * — including a version whose DIR survives only because a later
+    * manifest still references one of its buckets — and raise loudly
+    * here. `committedVersions` lists what is actually readable. */
   def readTableAt(s: SparkSession, path: String, version: Long): DataFrame = {
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
     require(listing.committed.exists(_._1 == version),
       s"version v$version is not a committed version of $path " +
         s"(available: ${listing.committed.map(v => s"v${v._1}").mkString(", ")})")
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(versionReadable(root, fs, version),
+      s"version v$version of $path has been swept by retention (its dir " +
+        "survives only as a bucket reference of a later version); " +
+        s"readable versions: ${committedVersions(s, path).map(n => s"v$n").mkString(", ")}")
     readVersion(s, path, version)
   }
 
-  /** The committed version numbers currently readable, ascending. */
-  def committedVersions(s: SparkSession, path: String): Seq[Long] =
+  /** The committed version numbers currently readable (their full manifest
+    * closure intact — partially swept bucket-reference survivors are
+    * excluded), ascending. */
+  def committedVersions(s: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     listTable(s, path).committed.map(_._1)
+      .filter(versionReadable(root, fs, _))
+  }
+
+  /** The manifest's recorded schema, nullable: bucket dirs carried from
+    * versions OLDER than a column's introduction physically lack it, and
+    * the explicit-schema read fills it with null (parquet by-name
+    * resolution) — which is exactly the monotone schema-evolution
+    * semantics. nullable also covers legacy manifests recorded from
+    * NOT-NULL batch schemas. */
+  private def manifestSchema(m: Manifest): StructType =
+    StructType(StructType.fromDDL(m.schemaDdl).fields.map(_.copy(nullable = true)))
 
   private def readVersion(s: SparkSession, path: String, n: Long): DataFrame = {
     val root = new Path(path)
@@ -238,9 +275,14 @@ object Sources {
     readManifest(fs, dir) match {
       case Some(m) if m.buckets.isEmpty =>
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType.fromDDL(m.schemaDdl))
+          manifestSchema(m))
       case Some(m) =>
-        s.read.parquet(bucketDirs(root, m).map(_.toString): _*)
+        // the explicit schema (the version's recorded table shape) is what
+        // makes a multi-version bucket read schema-stable: no mergeSchema
+        // footer pass, missing columns null-filled, and time travel reads
+        // the SHAPE the table had at that version
+        s.read.schema(manifestSchema(m))
+          .parquet(bucketDirs(root, m).map(_.toString): _*)
       case None => s.read.parquet(dir.toString) // legacy flat version
     }
   }
@@ -276,6 +318,14 @@ object Sources {
     * (micro-batches are sequential). Concurrent writers would race on vN.
     * Bucket membership depends on Spark's Murmur3 `hash` staying stable,
     * which it is (persisted bucketed tables rely on the same invariant).
+    *
+    * SCHEMA EVOLUTION is monotone add-only, like the reference's document
+    * whose fields grow as steps append (aprocess.js:57, :177-179): a batch
+    * carrying a new column widens the table (the manifest records the
+    * union schema; carried buckets read null for it via the
+    * explicit-schema parquet read), a batch omitting a column writes null
+    * for it on its own rows, and a type change refuses loudly. Time travel
+    * reads each version in the SHAPE its manifest recorded.
     */
   def upsert(batch: DataFrame, keys: Seq[String], path: String,
       numBuckets: Int = DefaultBuckets): Unit = {
@@ -303,6 +353,26 @@ object Sources {
     // the buckets this batch touches — bounded by min(batch keys, B)
     val touched: Set[Int] = deduped.select(bucketOf.as("gb")).distinct()
       .collect().map(_.getInt(0)).toSet
+    // Monotone schema evolution (the reference's document grows fields as
+    // steps append, aprocess.js:57,177-179): the table schema is
+    // prev ∪ batch BY NAME — new batch columns append and old rows read
+    // null for them; a batch may also OMIT table columns (whole-document
+    // replace: the rewritten row carries null). A same-name column may
+    // never change type — loud failure, not a silent cast.
+    val prevSchema = prevManifest.map(manifestSchema)
+    prevSchema.foreach(_.foreach { f =>
+      deduped.schema.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"upsert cannot change the type of column ${f.name}: " +
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+            "(schema evolution is add-only)")
+      }
+    })
+    val tableSchema = StructType((prevSchema match {
+      case Some(ps) => ps.fields ++
+        deduped.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+      case None => deduped.schema.fields
+    }).map(_.copy(nullable = true)).toSeq)
     // current rows of ONLY the touched buckets (legacy flat versions have
     // no bucket layout — migrate by treating the whole table as touched)
     val carried = prev match {
@@ -311,14 +381,16 @@ object Sources {
           case Some(m) =>
             val dirs = bucketDirs(root, m.copy(buckets =
               m.buckets.filter { case (bk, _) => touched.contains(bk.toInt) }))
-            if (dirs.isEmpty) None else Some(s.read.parquet(dirs.map(_.toString): _*))
+            if (dirs.isEmpty) None
+            else Some(s.read.schema(manifestSchema(m))
+              .parquet(dirs.map(_.toString): _*))
           case None => Some(s.read.parquet(dir.toString))
         }
         cur.map(_.join(deduped.select(keys.map(col): _*), keys, "left_anti"))
       case None => None
     }
     val merged = carried match {
-      case Some(c) => c.unionByName(deduped)
+      case Some(c) => c.unionByName(deduped, allowMissingColumns = true)
       case None => deduped
     }
     // number past EVERY existing version dir, committed or crashed — a
@@ -346,7 +418,9 @@ object Sources {
       prevManifest.map(_.buckets).getOrElse(Map.empty[String, Long])
         .filter { case (bk, _) => !written.contains(bk.toInt) } ++
         written.map(bk => bk.toString -> nextN)
-    val manifest = Manifest(b, merged.schema.toDDL, newBuckets)
+    // record the UNION schema even when no bucket was carried (an empty or
+    // narrow batch must never shrink the table's recorded shape)
+    val manifest = Manifest(b, tableSchema.toDDL, newBuckets)
     val out = fs.create(manifestPath(versionDir), true)
     out.write(org.json4s.jackson.Serialization.write(manifest)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

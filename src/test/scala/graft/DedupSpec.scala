@@ -198,16 +198,80 @@ class DedupSpec extends SparkSpec {
     assert(withBloom.forall(_._1 % 50 != 0)) // benchmark docs never flagged
   }
 
-  test("q58 LSH-derived groups refine the exact blocked-pair components") {
+  /** Exhaustive all-pairs Jaccard ≥ 0.5 components — the ground-truth
+    * baseline for the LSH-derived forms (spec SF only: O(n²) intersects). */
+  private def exhaustiveComponents(): Map[Long, Long] = {
     import graft.dedup.Dedup
-    // exact components over ALL true pairs — constant blocking keys turn
-    // the blocked generator into an exhaustive one (LSH candidates are
-    // not lang/band-blocked, so the blocked pair set would be the wrong
-    // baseline: a true cross-band pair appears in LSH but not there)
-    val corpus = Tables.documents(spark, sfDir)
-      .select($"doc_id", lit("x").as("lang"), lit(0L).as("band"), $"text")
-    val exact = Dedup.connectedComponents(Dedup.jaccardPairs(corpus))
+    Dedup.connectedComponents(exhaustivePairs().select($"doc_a", $"doc_b"))
       .as[(Long, Long)].collect().toMap
+  }
+
+  private def exhaustivePairs(): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.Dedup
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("s"))
+      .withColumn("ns", size($"s"))
+    val a = sh.select($"doc_id".as("doc_a"), $"s".as("sa"), $"ns".as("na"))
+    val b = sh.select($"doc_id".as("doc_b"), $"s".as("sb"), $"ns".as("nb"))
+    val inter = call_function("graft_intersect_size", $"sa", $"sb")
+    a.join(b, $"doc_a" < $"doc_b" && inter * 3 >= $"na" + $"nb")
+      .withColumn("inter", inter.cast("double"))
+      .select($"doc_a", $"doc_b",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+  }
+
+  test("q41 md5-LSH verified pairs: precision 1 vs exhaustive truth; exact dups guaranteed") {
+    import graft.dedup.Dedup
+    val truth = exhaustivePairs().as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val found = Dedup.q41DedupJaccard.fn(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(found.nonEmpty)
+    // every reported pair is a true pair with the true jac (precision 1)
+    found.foreach { case (a, b, j) =>
+      assert(truth.get((a, b)).contains(j), s"pair ($a,$b,$j) not in truth")
+    }
+    // identical shingle sets ⇒ identical md5 signature ⇒ identical in every
+    // band ⇒ guaranteed candidate: every jac=1.0 truth pair must be found
+    val foundSet = found.map(p => (p._1, p._2)).toSet
+    val exactDups = truth.filter(_._2 == 1.0).keySet
+    assert(exactDups.subsetOf(foundSet),
+      s"missed exact-dup pairs ${exactDups -- foundSet}")
+    // determinism: md5 permutations are salt-fixed, not seed-dependent
+    val again = Dedup.q41DedupJaccard.fn(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(found.toSeq == again.toSeq)
+  }
+
+  test("q41 finds cross-band / cross-lang pairs the round-4 fixed blocking lost") {
+    import graft.dedup.Dedup
+    // near-identical docs placed in DIFFERENT langs and straddling a
+    // 100-char length band boundary — the round-4 (lang, n_chars/100)
+    // blocking could never pair these; the planted positive pins that the
+    // LSH generator has no such fixed-key blind spot
+    // 28 six-char words = 195 chars (band 1); + " tail99" = 202 (band 2);
+    // jac = 26/27 ≈ 0.963 — all four md5 bands collide (checked offline
+    // against the RFC md5 of the salted shingles; md5 is deterministic,
+    // so this planted positive can never flake)
+    val base = (1 to 28).map(i => f"word$i%02d").mkString(" ")
+    val fixture = Seq(
+      (1L, base, "en", "s"),
+      (2L, base + " tail99", "fr", "s"),
+      (3L, "totally unrelated words that share nothing with the others at all", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    assert(fixture.filter($"doc_id" === 1).head().getLong(4) < 200)
+    assert(fixture.filter($"doc_id" === 2).head().getLong(4) >= 200)
+    val dir = java.nio.file.Files.createTempDirectory("q41spec").toString
+    fixture.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val found = Dedup.q41DedupJaccard.fn(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((1L, 2L)))
+  }
+
+  test("q58 LSH-derived groups refine the exhaustive all-pairs components") {
+    import graft.dedup.Dedup
+    val exact = exhaustiveComponents()
     // q58's groups come from LSH candidates — a SUBSET of the true pairs
     // (every candidate is Jaccard-verified), so each LSH component must
     // sit wholly inside one exact component

@@ -243,6 +243,59 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("not a committed version"))
   }
 
+  test("a bucket-reference survivor whose own snapshot was swept is reported, not advertised") {
+    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    val path = tmp("graft-upsert-sweepref")
+    val bucketOf = (1L to 50L).map(k => k ->
+      Seq(Tuple1(k)).toDF("k").select(pmod(hash($"k"), lit(16))).as[Int].head()).toMap
+    // three keys in three distinct buckets
+    val Seq(a, b, c) = (1L to 50L).groupBy(bucketOf).values.map(_.head).take(3).toSeq
+    Sources.upsert(Seq((a, "a1"), (b, "b1"), (c, "c1")).toDF("k", "v"), Seq("k"), path) // v1
+    Sources.upsert(Seq((a, "a2")).toDF("k", "v"), Seq("k"), path) // v2: refs v1
+    Sources.upsert(Seq((b, "b3")).toDF("k", "v"), Seq("k"), path) // v3
+    Sources.upsert(Seq((b, "b4"), (c, "c4")).toDF("k", "v"), Seq("k"), path) // v4
+    Sources.upsert(Seq((b, "b5")).toDF("k", "v"), Seq("k"), path) // v5 sweeps v1, v3
+    // v2's DIR survives (v5 still references its bucket) and carries
+    // _SUCCESS — but its own manifest points at swept v1, so as a SNAPSHOT
+    // it is gone: it must not be advertised, and reading it must say
+    // "swept" instead of failing mid-scan on a missing path
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("v2", "v4", "v5"), s"got $dirs")
+    assert(Sources.committedVersions(spark, path) == Seq(4L, 5L))
+    val e = intercept[IllegalArgumentException](
+      Sources.readTableAt(spark, path, 2L))
+    assert(e.getMessage.contains("swept"))
+    // the readable snapshots still read exactly
+    assert(Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+      == Set((a, "a2"), (b, "b5"), (c, "c4")))
+    assert(Sources.readTableAt(spark, path, 4L).as[(Long, String)].collect().toSet
+      == Set((a, "a2"), (b, "b4"), (c, "c4")))
+  }
+
+  test("schema evolution: a new column merge-widens; time travel keeps the old shape") {
+    val path = tmp("graft-upsert-evolve")
+    Sources.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), path) // v1 {k,v}
+    // v2's batch grows the document with a new field w (aprocess.js:57)
+    Sources.upsert(Seq((2L, "c", 9L)).toDF("k", "v", "w"), Seq("k"), path)
+    val cur = Sources.readTable(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "v", "w"))
+    assert(cur.as[(Long, String, Option[Long])].collect().toSet
+      == Set((1L, "a", None), (2L, "c", Some(9L))),
+      "carried rows must read null for the new column")
+    // time travel still reads v1 in its ORIGINAL shape
+    assert(Sources.readTableAt(spark, path, 1L).columns.toSeq == Seq("k", "v"))
+    // a batch OMITTING w whole-document-replaces: its rows carry null w,
+    // and the table schema does not shrink
+    Sources.upsert(Seq((2L, "d")).toDF("k", "v"), Seq("k"), path)
+    assert(Sources.readTable(spark, path).as[(Long, String, Option[Long])]
+      .collect().toSet == Set((1L, "a", None), (2L, "d", None)))
+    // a type change refuses loudly (evolution is add-only)
+    val e = intercept[IllegalArgumentException](
+      Sources.upsert(Seq((3L, 42L)).toDF("k", "v"), Seq("k"), path))
+    assert(e.getMessage.contains("cannot change the type"))
+  }
+
   test("property: upsert over random batches ≡ last-write-wins map fold") {
     val rnd = new scala.util.Random(42)
     val path = tmp("graft-upsert-prop")

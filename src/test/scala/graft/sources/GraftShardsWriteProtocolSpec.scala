@@ -94,6 +94,113 @@ class GraftShardsWriteProtocolSpec extends graft.SparkSpec {
     assert(!f.exists(new Path(t3)))
   }
 
+  test("layout validation: the numShards pin is written, enforced, and matched") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-wpin").toString
+    val f = GraftShardsSource.fs(new Path(dir))
+    // fresh dir: any numShards passes and pins the layout
+    new GraftShardsWrite.EpochWrite(dir, 2, Map.empty)
+      .createStreamingWriterFactory(null)
+    assert(f.exists(new Path(dir, GraftShardsSource.NumShardsFileName)))
+    // a later sink with a different numShards refuses loudly
+    val e = intercept[IllegalArgumentException](
+      new GraftShardsWrite.EpochWrite(dir, 4, Map.empty)
+        .createStreamingWriterFactory(null))
+    assert(e.getMessage.contains("pinned"))
+    // the matching count keeps working
+    new GraftShardsWrite.EpochWrite(dir, 2, Map.empty)
+      .createStreamingWriterFactory(null)
+  }
+
+  test("layout validation: unpinned layouts fall back to live-dir count; reshards refuse") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-wdirs").toString
+    (0 to 2).foreach(s => GraftShards.append(dir, s, Seq(s"r$s")))
+    // 3 live dirs, no pin (appends don't pin): numShards=2 re-routes keys
+    val e = intercept[IllegalArgumentException](
+      new GraftShardsWrite.EpochWrite(dir, 2, Map.empty)
+        .createStreamingWriterFactory(null))
+    assert(e.getMessage.contains("live shard dirs"))
+    // the matching count passes and pins for the future
+    new GraftShardsWrite.EpochWrite(dir, 3, Map.empty)
+      .createStreamingWriterFactory(null)
+    // a reshard closes a parent: the flat sink refuses even at the pinned
+    // count — its hash cannot target the children
+    GraftShards.split(dir, 0, Seq(3, 4))
+    val e2 = intercept[IllegalArgumentException](
+      new GraftShardsWrite.EpochWrite(dir, 3, Map.empty)
+        .createStreamingWriterFactory(null))
+    assert(e2.getMessage.contains("resharded"))
+  }
+
+  test("writeSharded pins numShards and a mismatched writeSharded refuses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wspin").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    GraftShards.writeSharded(df, dir, 2, col("k"), Seq(col("k")))
+    val e = intercept[IllegalArgumentException](
+      GraftShards.writeSharded(df, dir, 4, col("k"), Seq(col("k"))))
+    assert(e.getMessage.contains("pinned"))
+    // a sink at the pinned count is accepted on the producer's layout
+    new GraftShardsWrite.EpochWrite(dir, 2, Map.empty)
+      .createStreamingWriterFactory(null)
+  }
+
+  test("staging writer refuses a shard closed by a mid-run reshard") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-wclosed").toString
+    val numShards = 2
+    val factory = new GraftShardsWrite.EpochWrite(dir, numShards, Map.empty)
+      .createStreamingWriterFactory(null) // validates + pins BEFORE the reshard
+    // reshard happens while the query runs: shard 0 closes
+    GraftShards.split(dir, 0, Seq(2, 3))
+    // a key routed to the closed parent must refuse at write time
+    val key = (0 to 100).map(_.toString).find(k =>
+      GraftShardsWrite.shardOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k), numShards) == 0).get
+    val writer = factory.createWriter(0, 0L, 0L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.unsafe.types.UTF8String.fromString("payload")))
+    val e = intercept[IllegalArgumentException](writer.write(row))
+    assert(e.getMessage.contains("closed"))
+    writer.abort()
+    // the open sibling shard still accepts
+    val okKey = (0 to 100).map(_.toString).find(k =>
+      GraftShardsWrite.shardOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k), numShards) == 1).get
+    val writer2 = factory.createWriter(0, 0L, 1L)
+    writer2.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(okKey),
+        org.apache.spark.unsafe.types.UTF8String.fromString("payload"))))
+    writer2.commit()
+  }
+
+  test("AT_SEQUENCE_NUMBER keeps requested seqs for shards that appear later") {
+    spark
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("graft-atseq").toString
+    GraftShards.append(dir, 0, Seq("a", "b"))
+    val stream = new GraftShardsMicroBatchStream(dir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map(
+        "startingPosition" -> "AT_SEQUENCE_NUMBER",
+        "startingSequenceNumbers" -> """{"shard-0001": 2}""").asJava))
+    // the named-but-not-yet-existing shard is in the initial offset at its
+    // REQUESTED seq (round-4 behavior dropped it, so it re-read from 0)
+    val init = stream.initialOffset().asInstanceOf[GraftShardsOffset]
+    assert(init.positions == Map("shard-0000" -> 0L, "shard-0001" -> 2L))
+    // the shard appears with 4 records: the first batch reads [2, 4), not [0, 4)
+    GraftShards.append(dir, 1, Seq("x0", "x1", "x2", "x3"))
+    val next = stream.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardsOffset]
+    assert(next.positions("shard-0001") == 4L)
+    val part = stream.planInputPartitions(init, next)
+      .collectFirst { case p: GraftShardPartition if p.shard == "shard-0001" => p }
+    assert(part.map(p => (p.startSeq, p.endSeq)).contains((2L, 4L)))
+  }
+
   test("a fresh epoch assigns contiguous per-shard seqs in partition order") {
     spark
     val dir = java.nio.file.Files.createTempDirectory("graft-wproto2").toString
