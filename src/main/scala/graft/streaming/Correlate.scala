@@ -138,11 +138,22 @@ object Correlate {
     * the correlator state is store-backed, and re-delivered terminals are
     * tombstone-suppressed, so a crash/restart never duplicates or loses a
     * completion (StreamingSpec proves it across a restart). Empty
-    * micro-batches skip the table rewrite. */
+    * micro-batches skip the table rewrite.
+    *
+    * `monitorDir` (optional) attaches the live dashboard
+    * ([[Monitor.ProgressListener]], dashboard.yml:14-57 analog): one
+    * progress row per trigger lands in the dir while the service runs,
+    * and the listener detaches itself when this query terminates. */
   def serve(events: Dataset[StatusEvent], tablePath: String,
-      checkpoint: String, intervalMs: Long = 1500): StreamingQuery =
+      checkpoint: String, intervalMs: Long = 1500,
+      monitorDir: Option[String] = None): StreamingQuery = {
+    val s = events.sparkSession
+    monitorDir.foreach(dir => s.streams.addListener(
+      new Monitor.ProgressListener(s, dir, Set("correlate_serve"),
+        detachOnTerminate = true)))
     correlate(events).toDF()
       .writeStream
+      .queryName("correlate_serve")
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         // persist: the un-cached micro-batch plan (stateful correlator)
@@ -157,4 +168,5 @@ object Correlate {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
       .start()
+  }
 }

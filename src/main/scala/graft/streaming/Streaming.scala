@@ -459,8 +459,12 @@ object Streaming {
       .orderBy(col("ts").desc, col("event_id").desc)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    // the live view carries the dashboard listener (dashboard.yml analog):
+    // per-batch progress of the view maintenance lands next to the view
+    val mon = Monitor.attach(s, s"${path}_monitor", Set("q38_view"))
     try {
       val q = eventsStream(s, d).writeStream
+        .queryName("q38_view")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val latest = batch
             .withColumn("rn", row_number().over(w))
@@ -474,12 +478,56 @@ object Streaming {
       q.awaitTermination()
       org.apache.spark.sql.graftshim.PlanBridge.lastExecutedPlan(q)
         .foreach(lastPlans("q38_sink") = _)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      Monitor.detach(s, mon)
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     graft.sources.Sources.readTable(s, path).orderBy(col("user_id"))
+  }
+
+  /** q59: the LIVE monitoring dashboard (R17's missing half — the
+    * reference's CloudWatch board, dashboard.yml:14-57, is a view of a
+    * RUNNING pipeline, not a batch query): a rate-limited multi-batch run
+    * drains the event stream while a [[Monitor.ProgressListener]] publishes
+    * one row per completed trigger; the result is [[Monitor.dashboard]]'s
+    * per-(query, minute) aggregate — batches, rows ingested, ingest rate,
+    * batch latency, state footprint. Rows-only: batch boundaries (and so
+    * trigger counts/rates) are scheduling-dependent; StreamingSpec pins the
+    * exact one-row-per-completed-batch contract with planted negatives. */
+  val q59MonitoringDashboard: Q = Q.rowsOnly("q59_monitoring_dashboard") { (s, d) =>
+    val monDir = java.nio.file.Files.createTempDirectory("graft-q59-mon").toString
+    val shardDir = graft.sources.GraftShards.ensureShardedEvents(s, d)
+    val mon = Monitor.attach(s, monDir, Set("q59_monitored"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      s.catalog.dropTempView("q59_monitored")
+      // the per-trigger cap forces a genuinely multi-batch bounded drain —
+      // the dashboard has several progress rows to aggregate, like a live
+      // ProcessingTime deployment sampled over time
+      val agg = s.readStream.format("graft-shards")
+        .option("startingPosition", "TRIM_HORIZON")
+        .option("maxRecordsPerShardPerTrigger", "2500")
+        .load(shardDir)
+        .select(from_json(col("data"), eventsRawSchema).as("e"))
+        .select(col("e.*"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      val q = agg.writeStream.format("memory").queryName("q59_monitored")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener delivery is async-but-ordered: the terminated marker is
+      // the barrier after which every progress row is on disk
+      Monitor.awaitRunPublished(s, monDir, q.runId.toString)
+    } finally {
+      Monitor.detach(s, mon)
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    Monitor.dashboard(s, monDir)
   }
 
   val all: Seq[Q] = Seq(q30StreamWindowCounts, q31StreamUnionDedup,
     q32StreamSlidingWindow, q33StreamSessionWindow, q34StreamStaticJoin,
     q35StreamStreamJoin, q36StreamUpdateMode, q37StreamDedupWatermark,
-    q38StreamMaterializedView, q39StreamLeftOuter, q57StreamSinkRoundtrip)
+    q38StreamMaterializedView, q39StreamLeftOuter, q57StreamSinkRoundtrip,
+    q59MonitoringDashboard)
 }

@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
   }
 
-  test("rows-only queries are the documented hash-seeded set") {
+  test("rows-only queries are the documented hash-seeded or timing-dependent set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q14_approx_distinct", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q51_ann_lsh", "q53_ann_ivf",
@@ -23,6 +23,9 @@ class RegistrySpec extends AnyFunSuite {
       // q58 = CC over q42's hash-seeded LSH candidates — rows-only for the
       // same reason as q42; DedupSpec pins that its groups refine the
       // exact blocked-pair components
-      "q58_dup_groups_lsh"))
+      "q58_dup_groups_lsh",
+      // q59 aggregates per-trigger progress: batch boundaries and rates are
+      // scheduling-dependent; StreamingSpec pins one-row-per-completed-batch
+      "q59_monitoring_dashboard"))
   }
 }

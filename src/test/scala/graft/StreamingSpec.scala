@@ -654,6 +654,63 @@ class StreamingSpec extends SparkSpec {
         s"$sh seqs torn: $rows")
   }
 
+  test("monitor publishes one progress row per completed batch; dashboard aggregates") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Monitor
+    val monDir = java.nio.file.Files.createTempDirectory("graft-mon").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-mon-src").toString
+    graft.sources.GraftShards.append(dir, 0,
+      (1 to 6).map(i => s"""{"n":$i}"""))
+    val mon = Monitor.attach(spark, monDir, Set("mon_test_q"))
+    try {
+      // PLANTED NEGATIVE first: a query the listener does not monitor —
+      // the bus is ordered, so once the monitored run's terminated marker
+      // lands, this run's events have long been (not) published
+      def run(name: String): String = {
+        val q = spark.readStream.format("graft-shards")
+          .option("startingPosition", "TRIM_HORIZON")
+          .option("maxRecordsPerShardPerTrigger", "2") // 6 records → ≥3 batches
+          .load(dir)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.catalog.dropTempView(name)
+        q.runId.toString
+      }
+      val otherRun = run("mon_other_q")
+      val monitoredRun = run("mon_test_q")
+      Monitor.awaitRunPublished(spark, monDir, monitoredRun)
+      val prog = Monitor.progressTable(spark, monDir)
+      // the unmonitored query left NO trace (any kind)
+      assert(prog.filter(col("query_name") === "mon_other_q" ||
+        col("run_id") === otherRun).count() == 0)
+      // lifecycle rows: one started, one clean terminated
+      assert(prog.filter(col("kind") === "started" &&
+        col("run_id") === monitoredRun).count() == 1)
+      assert(prog.filter(col("kind") === "terminated" &&
+        col("run_id") === monitoredRun && col("error").isNull).count() == 1)
+      // ONE progress row per completed batch: ids dense from 0, the
+      // rate-limited drain took >= 3 data batches, rows add up exactly
+      val batches = prog.filter(col("kind") === "progress" &&
+          col("run_id") === monitoredRun)
+        .select(col("batch_id"), col("num_input_rows"), col("batch_duration_ms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(batches.map(_._1).toSeq == (0L until batches.length),
+        s"batch ids not dense: ${batches.toSeq}")
+      assert(batches.count(_._2 > 0) >= 3, s"expected >=3 data batches: ${batches.toSeq}")
+      assert(batches.map(_._2).sum == 6)
+      assert(batches.forall(_._3 >= 0))
+      // the dashboard aggregate carries the same totals
+      val dash = Monitor.dashboard(spark, monDir)
+        .agg(sum(col("n_batches")), sum(col("rows_in")))
+        .collect().head
+      assert(dash.getLong(0) == batches.length && dash.getLong(1) == 6)
+    } finally Monitor.detach(spark, mon)
+  }
+
   test("sink rejects a payload containing a newline (line-format corruption guard)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-kinw-nl").toString
@@ -752,7 +809,9 @@ class StreamingSpec extends SparkSpec {
           assert(vs.length == 1, s"duplicate completions for $k"); k -> vs.head._2
         }
 
-    val q1 = Correlate.serve(statusStream, table, ckpt, intervalMs = 100)
+    val monDir = java.nio.file.Files.createTempDirectory("graft-serve-mon").toString
+    val q1 = Correlate.serve(statusStream, table, ckpt, intervalMs = 100,
+      monitorDir = Some(monDir))
     try {
       graft.sources.GraftShards.append(dir, 0,
         Seq(ev("t1", "RUNNING", 1), ev("t2", "SUCCEEDED", 2)))
@@ -763,6 +822,15 @@ class StreamingSpec extends SparkSpec {
       assert(q1.recentProgress.count(_.numInputRows > 0) == 2)
     } finally q1.stop()
     assert(tableRows() == Map("t1" -> "SUCCEEDED", "t2" -> "SUCCEEDED"))
+    // the service published its live dashboard while it ran, and the
+    // self-detaching listener sealed the run with a clean terminated row
+    graft.streaming.Monitor.awaitRunPublished(spark, monDir, q1.runId.toString)
+    val monRows = graft.streaming.Monitor.progressTable(spark, monDir)
+    assert(monRows.filter(col("kind") === "progress" &&
+      col("query_name") === "correlate_serve" &&
+      col("num_input_rows") > 0).count() >= 2)
+    assert(monRows.filter(col("kind") === "terminated" &&
+      col("error").isNull).count() == 1)
 
     // restart from the checkpoint: a re-delivered terminal (t2) must not
     // duplicate, a genuinely new txn (t3) must land — exactly-once

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** A FileSystem modeling the OBJECT-STORE rename (S3A): not an atomic
+  * metadata move but copy-then-delete, stretched by an injectable pause.
+  * The destination still materializes COMPLETE or not at all (S3 PUT/COPY
+  * is atomic per object — there is no partially-visible object), but it
+  * appears LATE, and the source outlives the copy — so a multi-file
+  * commit has a long window in which a concurrent lister sees only part
+  * of the commit's renames. Directory renames (the parquet committer's
+  * task/job promotion) keep the same late-visibility window.
+  *
+  * The reference's storage IS S3 (aprocess.js:34-45 put, :15-32 get), and
+  * Sources.scala claims path/FileSystem scheme-agnosticism — this spec is
+  * where that claim is enforced for the two exactly-once commit
+  * protocols: every read path must be gated on manifests/markers, never
+  * on "the rename window was too fast to observe". */
+class SlowRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: java.net.URI = java.net.URI.create("slowfs:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    val d = SlowRenameFileSystem.renameDelayMs
+    if (d > 0) Thread.sleep(d)
+    if (getFileStatus(src).isDirectory) return super.rename(src, dst)
+    // S3A file shape: server-side copy (dst appears complete, never
+    // partial), then source delete. Under a local FS: stage the copy
+    // beneath a dot-name no reader pattern matches, then one local atomic
+    // rename as the stand-in for the atomic object PUT.
+    val tmp = new Path(dst.getParent,
+      s"._slowcopy-${java.util.UUID.randomUUID().toString.take(8)}")
+    val in = super.open(src)
+    try {
+      val out = super.create(tmp, true)
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+    } finally in.close()
+    if (!super.rename(tmp, dst)) { super.delete(tmp, false); return false }
+    if (d > 0) Thread.sleep(d)
+    super.delete(src, false)
+    true
+  }
+}
+
+object SlowRenameFileSystem {
+  @volatile var renameDelayMs: Long = 0L
+}
+
+/** Round-4 verdict "what's missing #1": both exactly-once sinks were only
+  * ever exercised where rename is atomic. Here a concurrent reader races
+  * each commit protocol over [[SlowRenameFileSystem]] and must never
+  * observe a partial version/epoch. */
+class ObjectStoreSafetySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def slowPath(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.slowfs.impl", classOf[SlowRenameFileSystem].getName)
+    "slowfs:" + java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  test("upsert: a reader racing slow object-store renames sees only full committed snapshots") {
+    val path = slowPath("graft-slowup")
+    val v1 = Set((1L, "a"), (2L, "b"), (3L, "c"))
+    val v2 = Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"))
+    Sources.upsert(v1.toSeq.toDF("k", "v"), Seq("k"), path) // fast seed
+    val stop = new AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var probes = 0
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // every mid-commit observation must be one of the two committed
+          // snapshots — a partial vN (data visible before its marker, a
+          // torn manifest, a half-promoted parquet job) is a protocol bug
+          val got = Sources.readTable(spark, path)
+            .as[(Long, String)].collect().toSet
+          if (got != v1 && got != v2) bad.add(s"partial snapshot: $got")
+          probes += 1
+        } catch {
+          case e: Exception => bad.add(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    SlowRenameFileSystem.renameDelayMs = 40
+    try Sources.upsert(Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"), path)
+    finally {
+      SlowRenameFileSystem.renameDelayMs = 0
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.isEmpty, s"unsafe observations: ${bad.toArray.mkString("; ")}")
+    assert(probes >= 3, s"reader only probed $probes times — race window too small to trust")
+    assert(Sources.readTable(spark, path).as[(Long, String)].collect().toSet == v2)
+  }
+
+  test("graft-shards epoch commit: a reader racing slow renames sees only complete chunk prefixes") {
+    val dir = slowPath("graft-slowshards")
+    val f = GraftShardsSource.fs(new Path(dir))
+    def stage(shard: Int, name: String, lines: Seq[String]): String = {
+      val shardDir = new Path(dir, GraftShards.shardDirName(shard))
+      f.mkdirs(shardDir)
+      val p = new Path(shardDir, name)
+      val out = f.create(p, true)
+      out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      out.close()
+      p.toString
+    }
+    // two tasks, three staged temps: shard 0 gets chunks [0,2) then [2,4),
+    // shard 1 gets [0,3) — the epoch's renames are spread over ~6 slow ops
+    val tA = stage(0, "_wtmp-1-0-aaaa", Seq("a0", "a1"))
+    val tB = stage(1, "_wtmp-1-0-bbbb", Seq("b0", "b1", "b2"))
+    val tC = stage(0, "_wtmp-1-1-cccc", Seq("c0", "c1"))
+    // chunk-name visibility is the reader's only gate: every visible
+    // chunk must be COMPLETE (exactly end-start lines) and each shard's
+    // chunk set a contiguous prefix from seq 0 — the per-shard order
+    // rollForward promises
+    def scanViolations(root: Path): Seq[String] =
+      GraftShardsSource.listShards(root).toSeq.flatMap { case (name, d) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        GraftShardsSource.shardChunks(d).foldLeft(0L) { (expect, c) =>
+          if (c.start != expect)
+            out += s"$name gap: chunk ${c.start}-${c.end} after head $expect"
+          val bytes = new Array[Byte](f.getFileStatus(c.path).getLen.toInt)
+          val in = f.open(c.path)
+          try in.readFully(0L, bytes) finally in.close()
+          val n = new String(bytes, StandardCharsets.UTF_8)
+            .split("\n").count(_.nonEmpty)
+          if (n != (c.end - c.start))
+            out += s"$name torn chunk ${c.start}-${c.end}: $n lines"
+          c.end
+        }
+        out.toSeq
+      }
+    // planted positive: the detector must actually flag a torn chunk and a
+    // gapped prefix, or the race assertions below are vacuous
+    locally {
+      val plantDir = slowPath("graft-slowshards-plant")
+      val pf = GraftShardsSource.fs(new Path(plantDir))
+      val sd = new Path(plantDir, GraftShards.shardDirName(0))
+      pf.mkdirs(sd)
+      val torn = pf.create(
+        new Path(sd, GraftShardsSource.chunkFileName(0L, 3L)), true)
+      torn.write("only-one-line\n".getBytes(StandardCharsets.UTF_8))
+      torn.close()
+      val gapped = pf.create(
+        new Path(sd, GraftShardsSource.chunkFileName(5L, 6L)), true)
+      gapped.write("x\n".getBytes(StandardCharsets.UTF_8))
+      gapped.close()
+      val flagged = scanViolations(new Path(plantDir))
+      assert(flagged.exists(_.contains("torn")) && flagged.exists(_.contains("gap")),
+        s"detector missed planted violations: $flagged")
+    }
+    val stop = new AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var probes = 0
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          scanViolations(new Path(dir)).foreach(bad.add)
+          probes += 1
+        } catch {
+          case e: Exception => bad.add(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    SlowRenameFileSystem.renameDelayMs = 40
+    try {
+      new GraftShardsWrite.EpochWrite(dir, 2, Map.empty).commit(1L,
+        Array[WriterCommitMessage](
+          GraftShardsWrite.CommitMsg(0, Map(0 -> (tA, 2L), 1 -> (tB, 3L))),
+          GraftShardsWrite.CommitMsg(1, Map(0 -> (tC, 2L)))))
+    } finally {
+      SlowRenameFileSystem.renameDelayMs = 0
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.isEmpty, s"unsafe observations: ${bad.toArray.mkString("; ")}")
+    assert(probes >= 3, s"reader only probed $probes times — race window too small to trust")
+    // the committed epoch is fully visible
+    assert(GraftShardsSource.currentEnds(new Path(dir))
+      == Map("shard-0000" -> 4L, "shard-0001" -> 3L))
+  }
+}
