@@ -90,6 +90,10 @@ object Dedup {
 
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+  // the oracle's salted-md5 CTEs are generated from NumHashes; the Spark
+  // side evaluates through the fused expression — they must agree
+  require(NumHashes == graft.functions.Md5MinHashSig.NumHashes,
+    "Dedup.NumHashes must match Md5MinHashSig.NumHashes")
 
   /** Rows per LSH band (NumBands × RowsPerBand = [[NumHashes]]). */
   val RowsPerBand: Int = NumHashes / NumBands
@@ -103,9 +107,18 @@ object Dedup {
     * (`list_min(list_transform(s, x -> md5('p<i>|' || x)))`). That is what
     * upgrades the LSH→verify composition (q41) and the clustering over it
     * (q45/q47) from rows-only to exact hash-checked while keeping the
-    * data-adaptive candidate generation. The shingle array is let-bound:
-    * evaluated once per row, not once per permutation. */
+    * data-adaptive candidate generation.
+    *
+    * Computed by the one-pass [[graft.functions.Md5MinHashSig]] expression
+    * (requires [[ArrayExprs.register]]); [[md5MinhashSigHof]] is the
+    * interpreted reference formula — DedupSpec pins bit-identity. */
   def md5MinhashSig(shingleStrings: Column): Column =
+    call_function("graft_md5_minhash", shingleStrings)
+
+  /** The HOF reference formula for [[md5MinhashSig]] (16 let-bound
+    * `array_min(transform(...))` passes) — kept as the readable spec of
+    * the signature's semantics and the fuzz target. */
+  def md5MinhashSigHof(shingleStrings: Column): Column =
     ArrayExprs.letBind(shingleStrings) { sh =>
       array((0 until NumHashes).map { i =>
         array_min(transform(sh, x => md5(concat(lit(s"p$i|"), x))))

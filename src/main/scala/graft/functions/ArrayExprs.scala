@@ -83,6 +83,8 @@ object ArrayExprs {
     "graft_intersect_size" ->
       arity("graft_intersect_size", 2)(es => SortedIntersectSize(es.head, es(1))),
     "graft_simhash" -> arity("graft_simhash", 1)(es => SimHash64(es.head)),
+    "graft_md5_minhash" ->
+      arity("graft_md5_minhash", 1)(es => Md5MinHashSig(es.head)),
     "graft_ngrams" -> arity("graft_ngrams", 2)(es => WordNgrams(es.head, es(1))),
     // Spark ships native bloom-filter expressions (used internally by
     // runtime row-level filtering) but does not register them in the
@@ -238,6 +240,89 @@ case class MinHashSig(child: Expression)
          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5MinHashSig {
+  val NumHashes = 16
+  /** Per-permutation salt prefixes — the SAME strings the DuckDB oracle
+    * bakes into `md5('p<i>|' || shingle)`. */
+  val Salts: Array[Array[Byte]] = Array.tabulate(NumHashes)(i =>
+    s"p$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  // MessageDigest is stateful and Expression instances are shared across
+  // concurrently running tasks (codegen reference arrays) — thread-local
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Hex = "0123456789abcdef".getBytes
+  private def hex(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(b(i) & 0xf)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
+/** One-pass 16-permutation md5 MinHash signature over an array of shingle
+  * STRINGS: sig[i] = min over shingles s of lowercaseHex(md5("p<i>|" + s)).
+  * Bit-identical to the 16× `array_min(transform(sh, x -> md5(...)))` HOF
+  * formulation (DedupSpec pins it) — lowercase hex preserves the unsigned
+  * byte order, so digests compare as raw bytes and only the 16 winners are
+  * hex-encoded. Replaces 16 interpreted HOF passes (each allocating a
+  * corpus-width hex-string array) with one loop; the md5 work itself is
+  * inherent to the salted-permutation family the ORACLE can mirror
+  * (engine-seeded xxhash permutations are faster — [[MinHashSig]] — but
+  * not reproducible in DuckDB). CodegenFallback: per-row feature
+  * extraction, not a per-pair hot loop. Input must not contain null
+  * elements (shingle arrays never do). */
+case class Md5MinHashSig(child: Expression)
+    extends UnaryExpression with GraftArrayInputCheck
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import Md5MinHashSig._
+  override protected def expectedInputs: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val mins = new Array[Array[Byte]](NumHashes)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      val bytes = xs.getUTF8String(i).getBytes
+      var j = 0
+      while (j < NumHashes) {
+        digest.reset()
+        digest.update(Salts(j))
+        digest.update(bytes)
+        val d = digest.digest()
+        if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+        j += 1
+      }
+      i += 1
+    }
+    // empty input ≡ the HOF form: array_min over an empty array is null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(m => if (m == null) null else hex(m)).asInstanceOf[Array[Any]])
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -504,10 +504,12 @@ object Streaming {
       s.catalog.dropTempView("q59_monitored")
       // the per-trigger cap forces a genuinely multi-batch bounded drain —
       // the dashboard has several progress rows to aggregate, like a live
-      // ProcessingTime deployment sampled over time
+      // ProcessingTime deployment sampled over time (sized so the demo
+      // stays a few batches at bench SFs; StreamingSpec pins the
+      // per-batch contract at 1-record granularity)
       val agg = s.readStream.format("graft-shards")
         .option("startingPosition", "TRIM_HORIZON")
-        .option("maxRecordsPerShardPerTrigger", "2500")
+        .option("maxRecordsPerShardPerTrigger", "12500")
         .load(shardDir)
         .select(from_json(col("data"), eventsRawSchema).as("e"))
         .select(col("e.*"))

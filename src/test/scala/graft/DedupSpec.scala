@@ -220,6 +220,24 @@ class DedupSpec extends SparkSpec {
         round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jac"))
   }
 
+  test("graft_md5_minhash expression is bit-identical to the HOF reference formula") {
+    // the oracle mirrors the HOF formula's salted md5 mins; the fused
+    // expression must produce the identical hex strings on the real corpus
+    val diff = Tables.documents(spark, sfDir)
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .select(Dedup.md5MinhashSig(col("sh")).as("fast"),
+        Dedup.md5MinhashSigHof(col("sh")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+    // short-doc fallback path (single shingle) included
+    val one = Seq("two words").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .select(Dedup.md5MinhashSig(col("sh")).as("fast"),
+        Dedup.md5MinhashSigHof(col("sh")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(one == 0)
+  }
+
   test("q41 md5-LSH verified pairs: precision 1 vs exhaustive truth; exact dups guaranteed") {
     import graft.dedup.Dedup
     val truth = exhaustivePairs().as[(Long, Long, Double)].collect()

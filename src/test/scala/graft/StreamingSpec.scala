@@ -786,6 +786,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-consumer: independent checkpoints over one layout, per-consumer rate limits, no cross-talk") {
+    // the reference runs pollingsvc and svckinesis side by side on one
+    // stream — two consumers, each with its own iterator state. Here: two
+    // CONCURRENT queries over one layout, each with its own checkpoint and
+    // its own rate limit.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    graft.sources.GraftShards.append(dir, 0, Seq("a0", "a1", "a2", "a3"))
+    graft.sources.GraftShards.append(dir, 1, Seq("b0", "b1", "b2"))
+    val all7 = Set(("shard-0000", 0L, "a0"), ("shard-0000", 1L, "a1"),
+      ("shard-0000", 2L, "a2"), ("shard-0000", 3L, "a3"),
+      ("shard-0001", 0L, "b0"), ("shard-0001", 1L, "b1"), ("shard-0001", 2L, "b2"))
+    final class Consumer(ck: String, maxPerShard: Option[Int]) {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      var dataBatches = 0
+      def run(): Unit = {
+        val base = spark.readStream.format("graft-shards")
+          .option("startingPosition", "TRIM_HORIZON")
+        val limited = maxPerShard.fold(base)(l =>
+          base.option("maxRecordsPerShardPerTrigger", l.toString))
+        val q = limited.load(dir).writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.select(col("shard"), col("seq"), col("data")).collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+            got.synchronized { got ++= rows; if (rows.nonEmpty) dataBatches += 1 }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    val a = new Consumer(
+      java.nio.file.Files.createTempDirectory("graft-multi-ckA").toString, None)
+    val b = new Consumer(
+      java.nio.file.Files.createTempDirectory("graft-multi-ckB").toString, Some(1))
+    // genuinely concurrent: both queries run over the layout at once
+    val tA = new Thread(() => a.run()); val tB = new Thread(() => b.run())
+    tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+    // no cross-talk: each consumer saw the complete stream exactly once,
+    // with identical per-shard seqs
+    assert(a.got.toSet == all7, s"consumer A: ${a.got.sorted}")
+    assert(b.got.toSet == all7, s"consumer B: ${b.got.sorted}")
+    assert(a.got.size == 7 && b.got.size == 7)
+    // per-consumer rate limit: B's 1-record/shard/trigger drain needed at
+    // least 4 data batches (shard 0 has 4 records); A drained in one
+    assert(b.dataBatches >= 4, s"B batches: ${b.dataBatches}")
+    assert(a.dataBatches == 1, s"A batches: ${a.dataBatches}")
+    // independent offsets: new records arrive; each consumer resumes from
+    // ITS OWN checkpoint and reads exactly the delta
+    graft.sources.GraftShards.append(dir, 0, Seq("a4", "a5"))
+    val delta = Set(("shard-0000", 4L, "a4"), ("shard-0000", 5L, "a5"))
+    b.got.clear(); b.run()
+    assert(b.got.toSet == delta, s"B delta: ${b.got.sorted}")
+    a.got.clear(); a.run()
+    assert(a.got.toSet == delta, s"A delta: ${a.got.sorted}")
+  }
+
   test("serve: continuous correlate→upsert lands completions across batches and a restart") {
     // the reference's live loop (svckinesis.js:250-256) end to end:
     // Kinesis-shaped source → stateful correlator → versioned upsert table
