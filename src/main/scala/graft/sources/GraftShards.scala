@@ -154,6 +154,67 @@ object GraftShardsSource {
     * possibly-partial shard-dir listing. */
   private[sources] val NumShardsFileName = "_numShards"
 
+  private[sources] def readSmall(f: FileSystem, p: Path): String = {
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  /** The ONE numShards contract check, shared by every producer (the DSv2
+    * sink and [[GraftShards.writeSharded]] — a weaker per-producer copy is
+    * how the batch path shipped without the reshard check). Enforces, in
+    * order:
+    *  - a resharded layout (any `_closed` shard) never takes a flat
+    *    `pmod(hash, numShards)` producer — its routing set is the reshard
+    *    CHILDREN;
+    *  - an existing `_numShards` pin must match exactly;
+    *  - absent a pin, existing live shard dirs must count exactly
+    *    numShards (0 dirs = fresh stream), after which the pin is
+    *    published atomically so later runs validate against the producer's
+    *    own declaration rather than a possibly-partial dir listing. */
+  private[sources] def validateAndPinNumShards(f: FileSystem, root: Path,
+      numShards: Int, who: String): Unit = {
+    val shards = listShards(root)
+    val (closed, live) =
+      shards.values.partition(d => f.exists(new Path(d, ClosedFileName)))
+    require(closed.isEmpty,
+      s"$who: $root has been resharded (closed: " +
+        s"${closed.map(_.getName).toSeq.sorted.mkString(", ")}) — a flat " +
+        "pmod(hash, numShards) producer cannot target a reshard lineage; " +
+        "write to a fresh stream dir")
+    val pin = new Path(root, NumShardsFileName)
+    if (f.exists(pin)) {
+      val pinned = readSmall(f, pin).trim.toInt
+      require(pinned == numShards,
+        s"$who: numShards=$numShards but $root is pinned to $pinned " +
+          s"shards ($NumShardsFileName) — changing shard count re-routes " +
+          "keys mid-stream and breaks per-key ordering; grow a stream by " +
+          "resharding (GraftShards.split/merge), not by changing numShards")
+    } else {
+      require(live.isEmpty || live.size == numShards,
+        s"$who: numShards=$numShards does not match the ${live.size} live " +
+          s"shard dirs under $root — pass the shard count this layout was " +
+          "ORIGINALLY written with (a partial layout can have fewer dirs " +
+          "than its true count: if shards simply never received data, " +
+          "pre-create the missing shard-NNNN dirs to disambiguate); a " +
+          "mismatched value re-routes keys and breaks per-key ordering")
+      // temp + rename so a concurrent validator never reads a torn pin;
+      // losing the publish race to an identical pin is benign
+      f.mkdirs(root)
+      val tmp = new Path(root,
+        s"_tmp-pin-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      out.write(numShards.toString.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      if (!f.rename(tmp, pin)) {
+        f.delete(tmp, false)
+        require(f.exists(pin) && readSmall(f, pin).trim.toInt == numShards,
+          s"$who: failed to publish the $NumShardsFileName pin at $root")
+      }
+    }
+  }
+
   /** The parent shard names a child declares (one per line): one for a
     * SPLIT child, two for a MERGE child, empty for an original shard.
     * Immutable once the child dir exists — callers may cache the answer. */
@@ -482,34 +543,12 @@ object GraftShards {
     val dataCols = df.columns.map(col)
     val target = dir // stable reference for the closure
     val overrides = GraftShardsSource.confOverrides(df.sparkSession)
-    // pin the layout's shard count so a later DSv2 sink (or writeSharded
-    // call) with a different numShards fails loudly instead of silently
-    // re-routing keys — the constant-numShards contract
-    locally {
-      val root = new Path(dir)
-      val f = GraftShardsSource.fs(root,
-        GraftShardsSource.hadoopConf(overrides))
-      val pin = new Path(root, GraftShardsSource.NumShardsFileName)
-      if (f.exists(pin)) {
-        val bytes = new Array[Byte](f.getFileStatus(pin).getLen.toInt)
-        val in = f.open(pin)
-        try in.readFully(0L, bytes) finally in.close()
-        val pinned = new String(bytes, StandardCharsets.UTF_8).trim.toInt
-        require(pinned == numShards,
-          s"writeSharded: numShards=$numShards but $dir is pinned to " +
-            s"$pinned shards — per-key routing must stay constant for a " +
-            "stream's lifetime; reshard with split/merge instead")
-      } else {
-        f.mkdirs(root)
-        // temp + rename so a concurrent validator never reads a torn pin
-        val tmp = new Path(root,
-          s"_tmp-pin-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = f.create(tmp, true)
-        out.write(numShards.toString.getBytes(StandardCharsets.UTF_8))
-        out.close()
-        if (!f.rename(tmp, pin)) f.delete(tmp, false) // lost a benign race
-      }
-    }
+    // the constant-numShards contract — the same reshard/pin/live-dir
+    // check the DSv2 sink runs (shared helper: a weaker per-producer copy
+    // is how this path shipped without the reshard refusal)
+    GraftShardsSource.validateAndPinNumShards(
+      GraftShardsSource.fs(new Path(dir), GraftShardsSource.hadoopConf(overrides)),
+      new Path(dir), numShards, "writeSharded")
     df.withColumn("__shard", pmod(hash(key), lit(numShards)))
       .withColumn("__data", to_json(struct(dataCols: _*)))
       .repartition(numShards, col("__shard"))

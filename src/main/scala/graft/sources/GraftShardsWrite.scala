@@ -105,64 +105,18 @@ object GraftShardsWrite {
     // once per query run (the factory hook fires per micro-batch)
     @volatile private var layoutValidated = false
 
-    /** Enforce the constant-numShards contract BEFORE the first row is
-      * staged: a sink whose `pmod(hash, numShards)` disagrees with the
-      * layout it writes into re-routes keys mid-stream and silently breaks
-      * per-key ordering. Three checks, all loud:
-      *  - a `_numShards` pin written by a previous sink/writeSharded must
-      *    match exactly;
-      *  - absent a pin, existing live (non-closed) shard dirs must count
-      *    exactly numShards (0 dirs = fresh stream: anything goes);
-      *  - no shard in [0, numShards) may be closed — a resharded layout's
-      *    routing set is its CHILDREN, which this sink's flat hash cannot
-      *    target (start a new stream or route into the post-reshard one).
-      * The pin is then published atomically so every later run validates
-      * against the sink's own declaration, not a possibly-partial dir
-      * listing (early batches only mkdir the shards they touch). */
-    private def validateLayout(f: FileSystem, root: Path): Unit = {
-      if (layoutValidated) return
-      // a resharded layout never takes this sink regardless of any pin:
-      // its routing set is the reshard CHILDREN, which a flat hash cannot
-      // target (per-batch reshards are caught by the writer-side guard)
-      val shards = listShards(root)
-      val (closed, live) =
-        shards.values.partition(d => f.exists(new Path(d, ClosedFileName)))
-      require(closed.isEmpty,
-        s"graft-shards sink: $root has been resharded (closed: " +
-          s"${closed.map(_.getName).toSeq.sorted.mkString(", ")}) — this " +
-          "sink's flat pmod(hash, numShards) routing cannot target a " +
-          "reshard lineage; write to a fresh stream dir")
-      val pin = new Path(root, NumShardsFileName)
-      if (f.exists(pin)) {
-        val pinned = readSmall(f, pin).trim.toInt
-        require(pinned == numShards,
-          s"graft-shards sink: numShards=$numShards but $root is pinned to " +
-            s"$pinned shards ($NumShardsFileName) — changing shard count " +
-            "re-routes keys mid-stream and breaks per-key ordering; grow " +
-            "a stream by resharding (GraftShards.split/merge), not by " +
-            "changing numShards")
-      } else {
-        require(live.isEmpty || live.size == numShards,
-          s"graft-shards sink: numShards=$numShards does not match the " +
-            s"${live.size} live shard dirs under $root — a mismatched " +
-            s"value re-routes keys mid-stream; pass numShards=${live.size} " +
-            "or use a fresh stream dir")
-        writeAtomic(f, pin, numShards.toString)
-      }
-      layoutValidated = true
-    }
-
-    private def readSmall(f: FileSystem, p: Path): String = {
-      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-      val in = f.open(p)
-      try in.readFully(0L, bytes) finally in.close()
-      new String(bytes, StandardCharsets.UTF_8)
-    }
-
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-      val root = new Path(path)
-      validateLayout(fs(root, hadoopConf(overrides)), root)
+      // the constant-numShards contract, enforced BEFORE the first row is
+      // staged ([[GraftShardsSource.validateAndPinNumShards]]): reshard
+      // refusal, pin match, live-dir fallback + atomic pin publication
+      // (mid-RUN reshards are caught by the writer-side _closed guard)
+      if (!layoutValidated) {
+        val root = new Path(path)
+        GraftShardsSource.validateAndPinNumShards(
+          fs(root, hadoopConf(overrides)), root, numShards, "graft-shards sink")
+        layoutValidated = true
+      }
       WriterFactory(path, numShards, overrides)
     }
 

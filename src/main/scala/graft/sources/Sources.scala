@@ -259,14 +259,33 @@ object Sources {
       .filter(versionReadable(root, fs, _))
   }
 
-  /** The manifest's recorded schema, nullable: bucket dirs carried from
-    * versions OLDER than a column's introduction physically lack it, and
-    * the explicit-schema read fills it with null (parquet by-name
+  /** Deep-nullable form of a type: top-level AND nested (array element,
+    * map value, struct field) nullability relaxed. Used both to read (old
+    * buckets lack late columns) and to compare types across the manifest
+    * DDL round-trip, which strips nested non-nullability — comparing raw
+    * DataTypes would reject a re-upsert of an IDENTICAL array/struct
+    * column as a "type change". */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(deepNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(deepNullable(k), deepNullable(v),
+        valueContainsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case t => t
+  }
+
+  /** The manifest's recorded schema, deep-nullable: bucket dirs carried
+    * from versions OLDER than a column's introduction physically lack it,
+    * and the explicit-schema read fills it with null (parquet by-name
     * resolution) — which is exactly the monotone schema-evolution
     * semantics. nullable also covers legacy manifests recorded from
     * NOT-NULL batch schemas. */
   private def manifestSchema(m: Manifest): StructType =
-    StructType(StructType.fromDDL(m.schemaDdl).fields.map(_.copy(nullable = true)))
+    deepNullable(StructType.fromDDL(m.schemaDdl)).asInstanceOf[StructType]
 
   private def readVersion(s: SparkSession, path: String, n: Long): DataFrame = {
     val root = new Path(path)
@@ -358,11 +377,20 @@ object Sources {
     // prev ∪ batch BY NAME — new batch columns append and old rows read
     // null for them; a batch may also OMIT table columns (whole-document
     // replace: the rewritten row carries null). A same-name column may
-    // never change type — loud failure, not a silent cast.
-    val prevSchema = prevManifest.map(manifestSchema)
+    // never change type — loud failure, not a silent cast. Name matching
+    // is case-INsensitive (Spark's default resolution): a case-twin column
+    // must unify with the existing one, not duplicate it in the recorded
+    // DDL (a duplicate would make every later explicit-schema read throw).
+    // The prev schema for a LEGACY flat version comes from its parquet
+    // footer — recording only the batch's columns there would silently
+    // drop every carried legacy column from all future reads.
+    val prevSchema: Option[StructType] = prevManifest.map(manifestSchema)
+      .orElse(prev.map { case (_, dir) =>
+        deepNullable(s.read.parquet(dir.toString).schema).asInstanceOf[StructType]
+      })
     prevSchema.foreach(_.foreach { f =>
-      deduped.schema.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+      deduped.schema.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
+        require(deepNullable(g.dataType) == deepNullable(f.dataType),
           s"upsert cannot change the type of column ${f.name}: " +
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
             "(schema evolution is add-only)")
@@ -370,9 +398,10 @@ object Sources {
     })
     val tableSchema = StructType((prevSchema match {
       case Some(ps) => ps.fields ++
-        deduped.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+        deduped.schema.fields.filterNot(f =>
+          ps.fields.exists(_.name.equalsIgnoreCase(f.name)))
       case None => deduped.schema.fields
-    }).map(_.copy(nullable = true)).toSeq)
+    }).map(f => f.copy(dataType = deepNullable(f.dataType), nullable = true)).toSeq)
     // current rows of ONLY the touched buckets (legacy flat versions have
     // no bucket layout — migrate by treating the whole table as touched)
     val carried = prev match {

@@ -148,25 +148,35 @@ object Correlate {
       checkpoint: String, intervalMs: Long = 1500,
       monitorDir: Option[String] = None): StreamingQuery = {
     val s = events.sparkSession
-    monitorDir.foreach(dir => s.streams.addListener(
+    // registered before start() so batch 0 is captured; if start() itself
+    // throws, the self-detach never fires (no run ever terminates) — remove
+    // the listener on the failure path or every retry leaks one
+    val listener = monitorDir.map(dir =>
       new Monitor.ProgressListener(s, dir, Set("correlate_serve"),
-        detachOnTerminate = true)))
-    correlate(events).toDF()
-      .writeStream
-      .queryName("correlate_serve")
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // persist: the un-cached micro-batch plan (stateful correlator)
-        // would otherwise re-execute for each of upsert's two actions
-        // plus the emptiness probe — 3× state-store loads per trigger
-        batch.persist()
-        try {
-          if (!batch.isEmpty)
-            graft.sources.Sources.upsert(batch, Seq("txnId"), tablePath)
-        } finally batch.unpersist()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
-      .start()
+        detachOnTerminate = true))
+    listener.foreach(s.streams.addListener)
+    try {
+      correlate(events).toDF()
+        .writeStream
+        .queryName("correlate_serve")
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // persist: the un-cached micro-batch plan (stateful correlator)
+          // would otherwise re-execute for each of upsert's two actions
+          // plus the emptiness probe — 3× state-store loads per trigger
+          batch.persist()
+          try {
+            if (!batch.isEmpty)
+              graft.sources.Sources.upsert(batch, Seq("txnId"), tablePath)
+          } finally batch.unpersist()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .start()
+    } catch {
+      case t: Throwable =>
+        listener.foreach(s.streams.removeListener)
+        throw t
+    }
   }
 }

@@ -78,8 +78,14 @@ object Monitor {
       out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
       out.close()
       val dst = new Path(root, name)
-      if (!f.rename(tmp, dst)) { // lost a benign idempotent race
+      if (!f.rename(tmp, dst)) {
         f.delete(tmp, false)
+        // ONLY an idempotent re-delivery (dst already published) is
+        // benign; anything else (throttle, permissions, quota) must
+        // surface — Spark logs listener exceptions — instead of silently
+        // under-reporting the dashboard
+        if (!f.exists(dst))
+          throw new java.io.IOException(s"progress publish failed: $dst")
       }
     }
 

@@ -296,6 +296,40 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot change the type"))
   }
 
+  test("schema evolution edge cases: nested nullability, case twins, legacy carry") {
+    // 1. re-upserting an IDENTICAL array column must not trip the
+    //    type-change guard: the manifest DDL round-trip strips nested
+    //    non-nullability, so comparison must be nullability-blind
+    val p1 = tmp("graft-upsert-nested")
+    Sources.upsert(Seq((1L, Seq(2L, 3L))).toDF("k", "v"), Seq("k"), p1)
+    Sources.upsert(Seq((2L, Seq(4L))).toDF("k", "v"), Seq("k"), p1)
+    assert(Sources.readTable(spark, p1).as[(Long, Seq[Long])]
+      .collect().toSet == Set((1L, Seq(2L, 3L)), (2L, Seq(4L))))
+    // 2. a case-twin column name unifies with the existing column (Spark's
+    //    case-insensitive resolution) instead of duplicating it in the
+    //    recorded DDL — a duplicate would break every later explicit read
+    val p2 = tmp("graft-upsert-case")
+    Sources.upsert(Seq((1L, "a")).toDF("k", "v"), Seq("k"), p2)
+    Sources.upsert(Seq((2L, "b")).toDF("k", "V"), Seq("k"), p2)
+    val cur = Sources.readTable(spark, p2)
+    assert(cur.columns.map(_.toLowerCase).toSeq == Seq("k", "v"))
+    assert(cur.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // ... and a case-twin with a DIFFERENT type still refuses
+    val e = intercept[IllegalArgumentException](
+      Sources.upsert(Seq((3L, 42L)).toDF("k", "V"), Seq("k"), p2))
+    assert(e.getMessage.contains("cannot change the type"))
+    // 3. legacy flat-version migration: a NARROWER batch must not shrink
+    //    the recorded schema — carried legacy columns stay readable
+    val p3 = tmp("graft-upsert-legacy")
+    val legacyV1 = new java.io.File(p3, "v1")
+    Seq((1L, "a", 7L), (2L, "b", 8L)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(legacyV1.toString)
+    new java.io.File(legacyV1, "_SUCCESS").createNewFile()
+    Sources.upsert(Seq((2L, "B")).toDF("k", "v"), Seq("k"), p3)
+    assert(Sources.readTable(spark, p3).as[(Long, String, Option[Long])]
+      .collect().toSet == Set((1L, "a", Some(7L)), (2L, "B", None)))
+  }
+
   test("property: upsert over random batches ≡ last-write-wins map fold") {
     val rnd = new scala.util.Random(42)
     val path = tmp("graft-upsert-prop")

@@ -147,6 +147,27 @@ class GraftShardsWriteProtocolSpec extends graft.SparkSpec {
       .createStreamingWriterFactory(null)
   }
 
+  test("writeSharded enforces the FULL contract: reshards and unpinned mismatches refuse") {
+    // the batch producer shares the sink's validateAndPinNumShards — it
+    // must not keep a weaker private variant (the pin alone would pass a
+    // post-reshard layout whose pin still names the pre-split count)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsfull").toString
+    GraftShards.writeSharded(df, dir, 2, col("k"), Seq(col("k")))
+    GraftShards.split(dir, 0, Seq(2, 3))
+    val e = intercept[IllegalArgumentException](
+      GraftShards.writeSharded(df, dir, 2, col("k"), Seq(col("k"))))
+    assert(e.getMessage.contains("resharded"))
+    // unpinned layout (manual appends) with a mismatched count refuses too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-wsfull2").toString
+    (0 to 2).foreach(s => GraftShards.append(dir2, s, Seq(s"r$s")))
+    val e2 = intercept[IllegalArgumentException](
+      GraftShards.writeSharded(df, dir2, 2, col("k"), Seq(col("k"))))
+    assert(e2.getMessage.contains("live shard dirs"))
+  }
+
   test("staging writer refuses a shard closed by a mid-run reshard") {
     spark
     val dir = java.nio.file.Files.createTempDirectory("graft-wclosed").toString
