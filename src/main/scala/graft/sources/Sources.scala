@@ -467,6 +467,93 @@ object Sources {
     }
   }
 
+  /** Change-data feed between two committed snapshots of an upsert table:
+    * every row whose key was INSERTED after `fromVersion` or whose row
+    * content CHANGED, as of `toVersion`, tagged `_change` ∈
+    * {insert, update}. (Whole-row upsert never deletes keys, so there is
+    * no delete stream.)
+    *
+    * Scale shape — metadata-first, like the write side: the two manifests
+    * identify the buckets whose version pointer MOVED; only those bucket
+    * dirs are opened on either side, so a one-key micro-batch's CDF reads
+    * two bucket dirs no matter how large the table is. Rows rewritten
+    * with identical content are filtered by the null-safe row comparison
+    * (a carried-over bucket rewrite is not a change). Schema evolution is
+    * honored: the diff runs over `toVersion`'s (wider) schema, with the
+    * from-side null-filled for late columns — a row whose only change is
+    * a newly-populated column IS an update.
+    *
+    * This is the incremental-consumption half of the materialized-view
+    * story: a downstream pipeline polls `committedVersions`, calls
+    * `readChanges(last, current)`, and processes deltas instead of
+    * re-scanning the view. */
+  def readChanges(s: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"readChanges needs fromVersion < toVersion, got v$fromVersion >= v$toVersion")
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    def manifestOf(v: Long): Manifest = {
+      require(listing.committed.exists(_._1 == v),
+        s"v$v is not a committed version of $path " +
+          s"(available: ${listing.committed.map(x => s"v${x._1}").mkString(", ")})")
+      require(versionReadable(root, fs, v),
+        s"version v$v of $path has been swept by retention; readable: " +
+          committedVersions(s, path).map(n => s"v$n").mkString(", "))
+      readManifest(fs, new Path(root, s"v$v")).getOrElse(throw
+        new IllegalArgumentException(
+          s"v$v is a legacy flat version — readChanges needs the bucketed layout"))
+    }
+    val mFrom = manifestOf(fromVersion)
+    val mTo = manifestOf(toVersion)
+    require(mFrom.numBuckets == mTo.numBuckets,
+      "bucket count changed between versions — not an upsert lineage")
+    val toSchema = manifestSchema(mTo)
+    // the buckets whose pointer moved — the ONLY dirs the diff opens
+    val changed = mTo.buckets.filter { case (b, v) =>
+      !mFrom.buckets.get(b).contains(v)
+    }.keys.toSeq.sortBy(_.toInt)
+    if (changed.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        toSchema.add("_change", org.apache.spark.sql.types.StringType))
+    val newSide = s.read.schema(toSchema).parquet(
+      changed.map(b => new Path(root, s"v${mTo.buckets(b)}/data/gb=$b").toString): _*)
+    val oldBuckets = changed.filter(mFrom.buckets.contains)
+    if (oldBuckets.isEmpty)
+      return newSide.withColumn("_change",
+        org.apache.spark.sql.functions.lit("insert"))
+    // the from-side reads ITS schema and null-fills up to toVersion's —
+    // so a newly-populated late column registers as an update
+    val fromSchema = manifestSchema(mFrom)
+    val oldSide0 = s.read.schema(fromSchema).parquet(
+      oldBuckets.map(b => new Path(root, s"v${mFrom.buckets(b)}/data/gb=$b").toString): _*)
+    val oldSide = toSchema.fields.foldLeft(oldSide0) { (df, f) =>
+      if (fromSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))) df
+      else df.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }.select(toSchema.fieldNames.map(col): _*)
+    val valueCols = toSchema.fieldNames.filterNot(keys.contains).toSeq
+    // one shuffle over the CHANGED buckets only: a left join classifies
+    // insert (no old row — detected via a presence marker, never via a
+    // value column that could legitimately be all-null) vs update (any
+    // value column differs, null-safe)
+    val oldMarked = oldSide.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"__old_$c")): _*)
+      .withColumn("__old_present", org.apache.spark.sql.functions.lit(true))
+    val j = newSide.join(oldMarked, keys, "left")
+    val differs = valueCols
+      .map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduceOption(_ || _)
+      .getOrElse(org.apache.spark.sql.functions.lit(false))
+    j.withColumn("_change",
+        org.apache.spark.sql.functions.when(col("__old_present").isNull, "insert")
+          .otherwise(org.apache.spark.sql.functions.when(differs, "update")))
+      .filter(col("_change").isNotNull)
+      .select(toSchema.fieldNames.map(col) :+ col("_change"): _*)
+  }
+
   /** [[upsert]] as a `foreachBatch` sink:
     * `df.writeStream.foreachBatch(upsertBatch(keys, path)).start()`. */
   def upsertBatch(keys: Seq[String], path: String,

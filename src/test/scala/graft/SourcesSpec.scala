@@ -330,6 +330,40 @@ class SourcesSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a", Some(7L)), (2L, "B", None)))
   }
 
+  test("change-data feed: inserts/updates between versions, reading ONLY changed buckets") {
+    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    val path = tmp("graft-upsert-cdf")
+    val base = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sources.upsert(base, Seq("k"), path) // v1 spans many buckets
+    // v2: one update (same key, new value), one insert (new key), one
+    // REWRITE with identical content (must NOT appear as a change)
+    Sources.upsert(Seq((7L, "updated"), (100L, "new"), (9L, "v9"))
+      .toDF("k", "v"), Seq("k"), path)
+    val ch = Sources.readChanges(spark, path, 1L, 2L, Seq("k"))
+    assert(ch.select($"k", $"v", $"_change").as[(Long, String, String)]
+      .collect().toSet == Set((7L, "updated", "update"), (100L, "new", "insert")))
+    // metadata-first: only the buckets of the touched keys are opened —
+    // every input file sits under a gb dir of keys 7, 100 or 9
+    val touchedBuckets = Seq(7L, 100L, 9L).map(k =>
+      Seq(Tuple1(k)).toDF("k").select(pmod(hash($"k"), lit(16))).as[Int].head())
+      .toSet.map((b: Int) => s"gb=$b")
+    val leaked = ch.inputFiles.filterNot(f => touchedBuckets.exists(f.contains))
+    assert(leaked.isEmpty, s"CDF opened untouched buckets: ${leaked.toSeq}")
+    // schema widening across the window: v3 adds column w — a row whose
+    // only change is the newly-populated column IS an update
+    Sources.upsert(Seq((7L, "updated", 5L)).toDF("k", "v", "w"), Seq("k"), path)
+    val ch13 = Sources.readChanges(spark, path, 1L, 3L, Seq("k"))
+      .select($"k", $"v", $"w", $"_change")
+      .as[(Long, String, Option[Long], String)].collect().toSet
+    assert(ch13 == Set((7L, "updated", Some(5L), "update"),
+      (100L, "new", None, "insert")))
+    // an empty window (same version twice) refuses; a no-change window is empty
+    intercept[IllegalArgumentException](
+      Sources.readChanges(spark, path, 2L, 2L, Seq("k")))
+    assert(Sources.readChanges(spark, path, 2L, 3L, Seq("k"))
+      .filter($"k" =!= 7L).count() == 0)
+  }
+
   test("property: upsert over random batches ≡ last-write-wins map fold") {
     val rnd = new scala.util.Random(42)
     val path = tmp("graft-upsert-prop")
