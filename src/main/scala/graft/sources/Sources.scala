@@ -467,6 +467,67 @@ object Sources {
     }
   }
 
+  /** Maintenance compaction (the OPTIMIZE of the poor-man's table format):
+    * rewrite the CURRENT snapshot as one fresh version whose manifest
+    * references only itself. A long-running `foreachBatch` deployment
+    * accumulates one small parquet job per touched bucket per batch and a
+    * version-dir lineage as long as the oldest still-referenced bucket;
+    * compaction collapses both — each bucket becomes one freshly-written
+    * dir, and after the NEXT upsert the whole pre-compaction lineage ages
+    * out of retention. Readers are never disturbed: the rewrite commits
+    * through the same manifest + `_SUCCESS` protocol, so a concurrent
+    * reader resolves either the old snapshot or the compacted one.
+    *
+    * Scan shape: one parquet read per DISTINCT source version (≤ buckets,
+    * usually a handful), each recovering `gb` as a partition column via
+    * basePath — no per-bucket union sprawl, no key recomputation (bucket
+    * membership is carried by directory, not re-hashed). */
+  def compact(s: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    val (prevN, prevDir) = listing.committed.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $path"))
+    val m = readManifest(fs, prevDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"v$prevN is a legacy flat version — run one upsert to migrate it " +
+          "to the bucketed layout before compacting"))
+    if (m.buckets.isEmpty) return // empty table: nothing to rewrite
+    val nextN = listing.allVersionNums.maxOption.getOrElse(0L) + 1
+    val versionDir = new Path(root, s"v$nextN")
+    val schemaWithGb = manifestSchema(m)
+      .add("gb", org.apache.spark.sql.types.IntegerType)
+    val byVersion = m.buckets.groupBy(_._2).toSeq.sortBy(_._1)
+    byVersion.map { case (v, bs) =>
+      val dataDir = new Path(root, s"v$v/data")
+      s.read.option("basePath", dataDir.toString)
+        .schema(schemaWithGb)
+        .parquet(bs.keys.toSeq.sortBy(_.toInt)
+          .map(b => new Path(dataDir, s"gb=$b").toString): _*)
+    }.reduce(_.unionByName(_))
+      .write.partitionBy("gb").parquet(new Path(versionDir, "data").toString)
+    val written: Set[Int] = fs.listStatus(new Path(versionDir, "data"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
+      .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
+    require(written == m.buckets.keySet.map(_.toInt),
+      s"compaction wrote buckets $written but the manifest references " +
+        s"${m.buckets.keySet} — aborting uncommitted (table intact)")
+    val manifest = Manifest(m.numBuckets, m.schemaDdl,
+      written.map(b => b.toString -> nextN).toMap)
+    val out = fs.create(manifestPath(versionDir), true)
+    out.write(org.json4s.jackson.Serialization.write(manifest)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.create(new Path(versionDir, "_SUCCESS"), true).close() // commit point
+    // retention, same policy as upsert: the new self-contained version
+    // plus the committed predecessor's closure for in-flight readers
+    val keep: Set[Long] = Set(nextN) ++ refs(fs, root, prevN)
+    (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
+      fs.delete(new Path(root, s"v$n"), true)
+    }
+  }
+
   /** Change-data feed between two committed snapshots of an upsert table:
     * every row whose key was INSERTED after `fromVersion` or whose row
     * content CHANGED, as of `toVersion`, tagged `_change` ∈

@@ -330,6 +330,35 @@ class SourcesSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a", Some(7L)), (2L, "B", None)))
   }
 
+  test("compact rewrites the snapshot into one self-contained version; lineage then ages out") {
+    val path = tmp("graft-upsert-compact")
+    Sources.upsert((1L to 64L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(Seq((7L, "u7")).toDF("k", "v"), Seq("k"), path)
+    Sources.upsert(Seq((9L, "u9")).toDF("k", "v"), Seq("k"), path)
+    val before = Sources.readTable(spark, path)
+      .as[(Long, String)].collect().toSet
+    Sources.compact(spark, path)
+    // identical data; the compacted manifest references ONLY itself
+    assert(Sources.readTable(spark, path)
+      .as[(Long, String)].collect().toSet == before)
+    val compactedV = Sources.committedVersions(spark, path).max
+    assert(Sources.readTable(spark, path).inputFiles
+      .forall(_.contains(s"/v$compactedV/")),
+      "compacted snapshot must be self-contained")
+    // the next upsert ages the whole pre-compaction lineage out
+    Sources.upsert(Seq((7L, "post")).toDF("k", "v"), Seq("k"), path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set(s"v$compactedV", s"v${compactedV + 1}"), s"got $dirs")
+    assert(Sources.readTable(spark, path).as[(Long, String)].collect().toSet
+      == before - ((7L, "u7")) + ((7L, "post")))
+    // CDF still classifies across the compaction boundary: compaction
+    // itself is change-free, so the only delta is the post-compaction row
+    assert(Sources.readChanges(spark, path, compactedV, compactedV + 1, Seq("k"))
+      .select($"k", $"v", $"_change").as[(Long, String, String)]
+      .collect().toSet == Set((7L, "post", "update")))
+  }
+
   test("change-data feed: inserts/updates between versions, reading ONLY changed buckets") {
     import org.apache.spark.sql.functions.{hash, pmod, lit}
     val path = tmp("graft-upsert-cdf")
