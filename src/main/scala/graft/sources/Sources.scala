@@ -227,6 +227,23 @@ object Sources {
       case None => true // legacy flat version: its own dir IS the data
     }
 
+  /** The ONE "is this version addressable" rule, shared by every
+    * snapshot-addressed read (readTableAt, readChanges): committed
+    * (`_SUCCESS`) AND its manifest closure intact — a dir surviving only
+    * as a bucket reference of a later version is reported as swept, not
+    * read into a mid-scan missing-path failure. */
+  private def requireReadableVersion(s: SparkSession, path: String,
+      listing: TableListing, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, version: Long): Unit = {
+    require(listing.committed.exists(_._1 == version),
+      s"version v$version is not a committed version of $path " +
+        s"(available: ${listing.committed.map(v => s"v${v._1}").mkString(", ")})")
+    require(versionReadable(root, fs, version),
+      s"version v$version of $path has been swept by retention (its dir " +
+        "survives only as a bucket reference of a later version); " +
+        s"readable versions: ${committedVersions(s, path).map(n => s"v$n").mkString(", ")}")
+  }
+
   /** Time-travel read: the table AS OF a specific committed version — the
     * snapshot-read half of the poor-man's table format. Every version the
     * retention policy still holds (the current one plus its committed
@@ -237,15 +254,9 @@ object Sources {
   def readTableAt(s: SparkSession, path: String, version: Long): DataFrame = {
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
-    require(listing.committed.exists(_._1 == version),
-      s"version v$version is not a committed version of $path " +
-        s"(available: ${listing.committed.map(v => s"v${v._1}").mkString(", ")})")
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(versionReadable(root, fs, version),
-      s"version v$version of $path has been swept by retention (its dir " +
-        "survives only as a bucket reference of a later version); " +
-        s"readable versions: ${committedVersions(s, path).map(n => s"v$n").mkString(", ")}")
+    requireReadableVersion(s, path, listing, root, fs, version)
     readVersion(s, path, version)
   }
 
@@ -448,20 +459,30 @@ object Sources {
         .filter { case (bk, _) => !written.contains(bk.toInt) } ++
         written.map(bk => bk.toString -> nextN)
     // record the UNION schema even when no bucket was carried (an empty or
-    // narrow batch must never shrink the table's recorded shape)
-    val manifest = Manifest(b, tableSchema.toDDL, newBuckets)
-    val out = fs.create(manifestPath(versionDir), true)
-    out.write(org.json4s.jackson.Serialization.write(manifest)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.create(new Path(versionDir, "_SUCCESS"), true).close() // commit point
+    // narrow batch must never shrink the table's recorded shape).
     // Retention: keep every version the NEW manifest references (carried
     // buckets live in old version dirs), plus the committed predecessor's
     // closure (a reader that resolved the old current just before this
     // commit can finish its scan); sweep the rest, including crashed
     // in-flight directories. State stays bounded: ≤ B live versions + 1.
-    val keep: Set[Long] = Set(nextN) ++ newBuckets.values ++
-      prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty)
+    commitVersion(fs, root, versionDir, Manifest(b, tableSchema.toDDL, newBuckets),
+      listing, nextN,
+      keep = Set(nextN) ++ newBuckets.values ++
+        prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty))
+  }
+
+  /** The shared commit tail of every table writer (upsert, compact):
+    * manifest JSON, then the `_SUCCESS` marker as the commit point, then
+    * the retention sweep of everything outside `keep` — one copy, so the
+    * two writers' crash-safety semantics can never fork. */
+  private def commitVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      versionDir: Path, manifest: Manifest, listing: TableListing,
+      nextN: Long, keep: Set[Long]): Unit = {
+    val out = fs.create(manifestPath(versionDir), true)
+    out.write(org.json4s.jackson.Serialization.write(manifest)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.create(new Path(versionDir, "_SUCCESS"), true).close() // commit point
     (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
       fs.delete(new Path(root, s"v$n"), true)
     }
@@ -477,6 +498,13 @@ object Sources {
     * out of retention. Readers are never disturbed: the rewrite commits
     * through the same manifest + `_SUCCESS` protocol, so a concurrent
     * reader resolves either the old snapshot or the compacted one.
+    *
+    * SINGLE WRITER — the same exclusion slot as [[upsert]]: version
+    * allocation has no lock/CAS, so compaction must NOT run concurrently
+    * with a live upsert (both would allocate the same vN and interleave
+    * output). In a `foreachBatch` deployment, call it FROM the batch
+    * function (micro-batches are sequential — e.g. every Nth batch) or
+    * with the stream stopped; readers need no coordination either way.
     *
     * Scan shape: one parquet read per DISTINCT source version (≤ buckets,
     * usually a handful), each recovering `gb` as a partition column via
@@ -513,19 +541,16 @@ object Sources {
     require(written == m.buckets.keySet.map(_.toInt),
       s"compaction wrote buckets $written but the manifest references " +
         s"${m.buckets.keySet} — aborting uncommitted (table intact)")
-    val manifest = Manifest(m.numBuckets, m.schemaDdl,
-      written.map(b => b.toString -> nextN).toMap)
-    val out = fs.create(manifestPath(versionDir), true)
-    out.write(org.json4s.jackson.Serialization.write(manifest)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.create(new Path(versionDir, "_SUCCESS"), true).close() // commit point
     // retention, same policy as upsert: the new self-contained version
-    // plus the committed predecessor's closure for in-flight readers
-    val keep: Set[Long] = Set(nextN) ++ refs(fs, root, prevN)
-    (listing.allVersionNums.toSet -- keep).filter(_ < nextN).foreach { n =>
-      fs.delete(new Path(root, s"v$n"), true)
-    }
+    // plus the committed predecessor's closure for in-flight readers —
+    // computed from the manifest already in hand (no re-read: on an
+    // object store the extra GET is latency and a failure point between
+    // commit and sweep)
+    commitVersion(fs, root, versionDir,
+      Manifest(m.numBuckets, m.schemaDdl,
+        written.map(b => b.toString -> nextN).toMap),
+      listing, nextN,
+      keep = Set(nextN, prevN) ++ m.buckets.values)
   }
 
   /** Change-data feed between two committed snapshots of an upsert table:
@@ -552,17 +577,15 @@ object Sources {
       toVersion: Long, keys: Seq[String]): DataFrame = {
     require(fromVersion < toVersion,
       s"readChanges needs fromVersion < toVersion, got v$fromVersion >= v$toVersion")
+    require(keys.nonEmpty,
+      "readChanges needs the table's key columns (empty keys would turn " +
+        "the classification join into a cross product)")
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = listTable(s, path)
     requireVersionedLayout(listing, path)
     def manifestOf(v: Long): Manifest = {
-      require(listing.committed.exists(_._1 == v),
-        s"v$v is not a committed version of $path " +
-          s"(available: ${listing.committed.map(x => s"v${x._1}").mkString(", ")})")
-      require(versionReadable(root, fs, v),
-        s"version v$v of $path has been swept by retention; readable: " +
-          committedVersions(s, path).map(n => s"v$n").mkString(", "))
+      requireReadableVersion(s, path, listing, root, fs, v)
       readManifest(fs, new Path(root, s"v$v")).getOrElse(throw
         new IllegalArgumentException(
           s"v$v is a legacy flat version — readChanges needs the bucketed layout"))
@@ -572,6 +595,8 @@ object Sources {
     require(mFrom.numBuckets == mTo.numBuckets,
       "bucket count changed between versions — not an upsert lineage")
     val toSchema = manifestSchema(mTo)
+    keys.foreach(k => require(toSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"key column $k is not in the table schema ${toSchema.fieldNames.mkString(",")}"))
     // the buckets whose pointer moved — the ONLY dirs the diff opens
     val changed = mTo.buckets.filter { case (b, v) =>
       !mFrom.buckets.get(b).contains(v)

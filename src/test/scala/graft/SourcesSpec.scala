@@ -372,12 +372,19 @@ class SourcesSpec extends SparkSpec {
     assert(ch.select($"k", $"v", $"_change").as[(Long, String, String)]
       .collect().toSet == Set((7L, "updated", "update"), (100L, "new", "insert")))
     // metadata-first: only the buckets of the touched keys are opened —
-    // every input file sits under a gb dir of keys 7, 100 or 9
+    // every input file sits under a gb dir of keys 7, 100 or 9. Match on
+    // the FULL path segment ("/gb=N/"): a substring needle like "gb=1"
+    // would false-match gb=12..15 and hide real leaks
+    def leaks(files: Seq[String], buckets: Set[Int]): Seq[String] =
+      files.filterNot(f => buckets.exists(b => f.contains(s"/gb=$b/")))
     val touchedBuckets = Seq(7L, 100L, 9L).map(k =>
-      Seq(Tuple1(k)).toDF("k").select(pmod(hash($"k"), lit(16))).as[Int].head())
-      .toSet.map((b: Int) => s"gb=$b")
-    val leaked = ch.inputFiles.filterNot(f => touchedBuckets.exists(f.contains))
-    assert(leaked.isEmpty, s"CDF opened untouched buckets: ${leaked.toSeq}")
+      Seq(Tuple1(k)).toDF("k").select(pmod(hash($"k"), lit(16))).as[Int].head()).toSet
+    // planted positive: the detector must flag a file in a prefix-sharing
+    // untouched bucket (gb=12 while gb=1 is touched), or it is vacuous
+    assert(leaks(Seq("/t/v1/data/gb=12/part-0.parquet"), Set(1)).nonEmpty)
+    assert(leaks(Seq("/t/v1/data/gb=12/part-0.parquet"), Set(12)).isEmpty)
+    val leaked = leaks(ch.inputFiles.toSeq, touchedBuckets)
+    assert(leaked.isEmpty, s"CDF opened untouched buckets: $leaked")
     // schema widening across the window: v3 adds column w — a row whose
     // only change is the newly-populated column IS an update
     Sources.upsert(Seq((7L, "updated", 5L)).toDF("k", "v", "w"), Seq("k"), path)
