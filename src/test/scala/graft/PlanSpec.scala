@@ -60,6 +60,58 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"pipeline shuffles ${shuffles.size}×:\n$p")
   }
 
+  test("q41 candidate shuffles travel WITHOUT the shingle arrays (planted positive)") {
+    // the q42 lesson, pinned for q41: band-key candidate generation must
+    // shuffle only (band, doc_id, set size) — a ~2.4 KB hashed-shingle
+    // array riding every exploded band row (4× per doc) would dominate
+    // the exchange at corpus scale. Arrays may ship ONLY on the two
+    // sets-rejoin exchanges (exactly once per distinct candidate pair).
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.Dedup
+    // exchanges are inserted by EnsureRequirements, which runs AFTER
+    // sparkPlan — inspect the executedPlan (AQE scoped off below, so it
+    // is a plain tree, not an AdaptiveSparkPlanExec wrapper)
+    def arrayCarryingBandShuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+      nodes(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec
+            if e.output.exists(_.name == "band_key") &&
+              e.output.exists(_.dataType.isInstanceOf[
+                org.apache.spark.sql.types.ArrayType]) => e
+      }
+    // spec-SF inputs are broadcast-small and would plan with NO exchange —
+    // force the shuffle path (scoped) so both checks exercise the plan
+    // shape the operator has at corpus scale
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val feat = Dedup.lshFeatures(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      assert(arrayCarryingBandShuffles(Dedup.lshVerifiedPairs(feat)).isEmpty,
+        "a band-key exchange carries an array column")
+      // planted positive: a naive variant that keeps the shingle array on
+      // the banded rows MUST trip the detector, or it is vacuous
+      import org.apache.spark.sql.functions.{explode, least, greatest}
+      val banded = feat.select(col("doc_id"), col("ns"), col("sh"),
+          explode(Dedup.md5BandKeys(col("msig"))).as("band"))
+        .select(col("doc_id"), col("ns"), col("sh"),
+          col("band.band_id"), col("band.band_key"))
+      val a = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_a"), col("ns").as("na"), col("sh").as("sa"))
+      val b = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_b"), col("ns").as("nb"), col("sh").as("sb0"))
+      val naive = a.join(b, Seq("band_id", "band_key"))
+        .filter(col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      assert(arrayCarryingBandShuffles(naive).nonEmpty,
+        "detector missed the planted array-carrying band shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("dynamic partition pruning: fact partitions pruned by the dim filter at runtime") {
     // the star-schema scale feature: a filter on the DIMENSION prunes the
     // partitioned FACT scan at runtime (the partition values surviving
