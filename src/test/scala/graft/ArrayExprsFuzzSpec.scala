@@ -57,6 +57,32 @@ class ArrayExprsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("graft_md5_minhash matches a driver-side MessageDigest reference on random strings") {
+    // independent reference: plain java.security MessageDigest + hex +
+    // string min — not the Spark HOF formula, so a shared Catalyst bug
+    // can't mask itself. Unicode chars included (UTF-8 byte paths).
+    def refSig(shingles: Seq[String]): Seq[String] =
+      (0 until graft.functions.Md5MinHashSig.NumHashes).map { i =>
+        if (shingles.isEmpty) null
+        else shingles.map { x =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"p$i|$x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+        }.min
+      }
+    val alphabet = "abc XYZ09-éπ漢"
+    val data = Seq.fill(N) {
+      Seq.fill(rnd.nextInt(20))(
+        Seq.fill(rnd.nextInt(12) + 1)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = data.toDF("sh")
+      .select(call_function("graft_md5_minhash", col("sh")))
+      .as[Seq[String]].collect()
+    data.zip(got).foreach { case (sh, g) =>
+      assert(g == refSig(sh), s"md5_minhash($sh)")
+    }
+  }
+
   test("graft_simhash matches the per-bit majority formula on random hash sets") {
     val data = Seq.fill(N)(Seq.fill(rnd.nextInt(50))(rnd.nextLong()))
     val got = data.toDF("th")
