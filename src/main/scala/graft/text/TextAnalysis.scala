@@ -284,6 +284,64 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** q73: repetition scoring — the Gopher/FineWeb-style quality signal q62
+    * does not cover: documents dominated by REPEATED content (boilerplate,
+    * templating, degenerate generations) are flagged by (a) the duplicate
+    * word fraction, (b) the duplicate bigram fraction, and (c) the mass of
+    * the single most frequent bigram. Per-row word stats are narrow HOFs;
+    * the bigram stats stream through the `graft_ngrams` generator into a
+    * (doc_id, bigram) partial aggregation — map-side combined, so the
+    * shuffle carries per-doc-distinct bigram counts, not the raw gram
+    * stream. Fractions are irrational doubles → round(…, 6) on both
+    * engines (the CLAUDE.md recipe). */
+  val q73Repetition: Q = Q(
+    "q73_text_repetition",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |ws AS (
+      |  SELECT doc_id, LEN(w) AS n_words,
+      |    LEN(list_distinct(w)) AS n_distinct_words
+      |  FROM t WHERE LEN(w) >= 2),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, LEN(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM t WHERE LEN(w) >= 2),
+      |counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+      |  FROM counts GROUP BY doc_id)
+      |SELECT ws.doc_id, ws.n_words,
+      |  ROUND(1 - CAST(ws.n_distinct_words AS DOUBLE) / ws.n_words, 6)
+      |    AS dup_word_frac,
+      |  ROUND(1 - CAST(agg.n_distinct AS DOUBLE) / agg.total, 6)
+      |    AS dup_bigram_frac,
+      |  ROUND(CAST(agg.top AS DOUBLE) / agg.total, 6) AS top_bigram_frac
+      |FROM ws JOIN agg ON ws.doc_id = agg.doc_id
+      |ORDER BY ws.doc_id""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.ArrayExprs.register(s)
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val ws = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+    val agg = docs
+      .filter(size(split(col("text"), "\\s+")) >= 2)
+      .select(col("doc_id"), expr("graft_ngrams(text, 2)"))
+      .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top"))
+    ws.join(agg, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(lit(1) - col("n_distinct").cast("double") / col("total"), 6)
+          .as("dup_bigram_frac"),
+        round(col("top").cast("double") / col("total"), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Email/phone patterns shared by the Spark impl and the DuckDB oracle —
     * restricted to syntax both Java regex and RE2 interpret identically
     * (char classes, bounded repeats, \b; no lookaround). */
@@ -378,5 +436,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
-    q69Chunking)
+    q69Chunking, q73Repetition)
 }

@@ -68,4 +68,34 @@ class TextAnalysisSpec extends SparkSpec {
       .select(md5(regexp_replace(col("text"), "\\s+", " "))).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("q73 repetition: a templated doc scores high, unique text scores zero") {
+    import graft.text.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("q73spec").toString
+    Seq(
+      // all-unique words: every metric is exactly 0 except top-bigram 1/n
+      (1L, "one two three four five six seven eight nine"),
+      // degenerate boilerplate: "buy now" repeated — the doc a repetition
+      // filter exists to catch
+      (2L, "buy now buy now buy now buy now buy now buy now"),
+      (3L, "x"), // single word: below the 2-word floor, excluded entirely
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q73Repetition.fn(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (n1, dw1, db1, tb1) = got(1L)
+    assert(n1 == 9 && dw1 == 0.0 && db1 == 0.0 && tb1 == 0.125) // 1/8 bigrams
+    val (n2, dw2, db2, tb2) = got(2L)
+    // 12 words, 2 distinct → dup_word 10/12; 11 bigrams: "buy now"×6 +
+    // "now buy"×5 → 2 distinct → dup_bigram 9/11, top 6/11
+    assert(n2 == 12 && dw2 == math.rint((1 - 2.0 / 12) * 1e6) / 1e6)
+    assert(db2 == math.rint((1 - 2.0 / 11) * 1e6) / 1e6)
+    assert(tb2 == math.rint(6.0 / 11 * 1e6) / 1e6)
+    // the signal orders the docs as a filter needs
+    assert(db2 > db1 && tb2 > tb1)
+  }
 }
