@@ -325,8 +325,10 @@ object TextAnalysis {
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+    // no <2-word filter here: graft_ngrams emits zero rows for such docs
+    // (non-outer Generate drops them) and the ws-side join excludes them
+    // anyway — an explicit filter would just re-split every text
     val agg = docs
-      .filter(size(split(col("text"), "\\s+")) >= 2)
       .select(col("doc_id"), expr("graft_ngrams(text, 2)"))
       .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
