@@ -434,6 +434,145 @@ object Similarity {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  // ---- Product quantization (q74) -----------------------------------------
+
+  val PqSubspaces = 8
+  val PqSubDim = 8 // 8 × 8 = the 64-dim embedding
+  val PqCodebook = 16 // centroids per subspace (seed vectors, like the IVF quantizer)
+  private val PqTopK = 5
+
+  /** q74: product-quantization ANN (Jégou et al., TPAMI'11 — the public
+    * memory-compression path production vector search uses when vectors no
+    * longer fit): the 64-dim embedding splits into 8×8-dim subspaces, each
+    * with its own 16-centroid codebook (seed quantizer, like q44/q53), so
+    * a vector compresses 512 B → 8 CODE BYTES; search is the asymmetric
+    * distance computation — per query, one 8×16 lookup table of exact
+    * subspace distances, then each vector's approximate distance is 8
+    * table lookups summed. The corpus pass reads only the codes (at scale
+    * the 8-byte codes are the resident index; raw vectors stay in cold
+    * storage for re-ranking), and the per-query work is a narrow
+    * codegen'd scan — the LUT rides the plan as literals the way q50's
+    * queries do.
+    *
+    * EXACT oracle despite the approximation: codebooks are
+    * seed-deterministic, encode argmin is min-by-(score, cid) (struct
+    * array_min ≡ ROW_NUMBER over (score, cid)), every distance is an
+    * ascending fold (`list_reduce` ≡ the driver-side Scala loops,
+    * CLAUDE.md recipe), and ADC sums its 8 terms in FIXED m-order as an
+    * expression on both engines — never a float aggregate whose
+    * accumulation order could differ on same-code ties. */
+  val q74AnnPq: Q = Q(
+    "q74_ann_pq", {
+      val sd = PqSubDim; val cbn = PqCodebook
+      val encwCols = (0 until PqSubspaces)
+        .map(m => s"MAX(CASE WHEN m=$m THEN code END) AS c$m")
+        .mkString(",\n    ")
+      val adcExpr = (0 until PqSubspaces)
+        .map(m => s"l.ds[${m * cbn}+w.c$m+1]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (
+         |  SELECT m.m, e.vec_id AS cid, e.v[m.m*$sd+1 : m.m*$sd+$sd] AS c,
+         |    list_reduce(list_transform(range(1, $sd+1),
+         |      i -> e.v[m.m*$sd+i] * e.v[m.m*$sd+i]), (a,b) -> a+b) AS cn2
+         |  FROM e, LATERAL (SELECT unnest(range(0, $PqSubspaces)) AS m) m
+         |  WHERE e.vec_id < $cbn),
+         |enc AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT e.vec_id, cb.m, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+         |        cb.cn2 - 2 * list_reduce(list_transform(range(1, $sd+1),
+         |          i -> e.v[cb.m*$sd+i] * cb.c[i]), (a,b) -> a+b),
+         |        cb.cid) AS rn
+         |    FROM e, cb)
+         |  WHERE rn = 1),
+         |encw AS (SELECT vec_id,
+         |    $encwCols
+         |  FROM enc GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |lut AS (
+         |  SELECT q.qid, cb.m, cb.cid,
+         |    list_reduce(list_transform(range(1, $sd+1),
+         |      i -> (q.qv[cb.m*$sd+i] - cb.c[i]) * (q.qv[cb.m*$sd+i] - cb.c[i])),
+         |      (a,b) -> a+b) AS d2
+         |  FROM q, cb),
+         |lutq AS (SELECT qid, list(d2 ORDER BY m, cid) AS ds FROM lut GROUP BY qid),
+         |adc AS (
+         |  SELECT l.qid, w.vec_id, $adcExpr AS dist
+         |  FROM encw w, lutq l),
+         |ranked AS (
+         |  SELECT qid, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+         |  FROM adc WHERE qid != vec_id)
+         |SELECT qid, rnk, vec_id, ROUND(dist, 6) AS adc_dist
+         |FROM ranked WHERE rnk <= $PqTopK ORDER BY qid, rnk""".stripMargin
+    },
+  ) { (s, d) =>
+    ArrayExprs.register(s)
+    val plain = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // codebooks: seed vectors' sub-slices + norms; norms and LUTs use
+    // ascending Scala loops — the same fold order as the oracle's
+    // list_reduce, so every distance is bit-identical across engines
+    val (seeds, _) = seedCentroids(plain, PqCodebook)
+    val cent: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSubspaces, PqCodebook) { (m, c) =>
+        seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim).toArray
+      }
+    val cn2: Array[Array[Double]] = cent.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < PqSubDim) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+    val queries = plain.filter(col("vec_id") < NumQueries).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def lutFor(q: Array[Double]): Seq[Double] =
+      for { m <- 0 until PqSubspaces; c <- 0 until PqCodebook } yield {
+        var acc = 0.0; var i = 0
+        while (i < PqSubDim) {
+          val dlt = q(m * PqSubDim + i) - cent(m)(c)(i)
+          acc += dlt * dlt; i += 1
+        }
+        acc
+      }
+    // ONE encode pass: per subspace, argmin = struct array_min over the 16
+    // (score, cid) pairs — min-by-(score, cid), exactly the oracle's
+    // ROW_NUMBER pick; the sub-slice is let-bound (16 dots, one slice)
+    val coded = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: (0 until PqSubspaces).map { m =>
+        ArrayExprs.letBind(slice(col("v"), m * PqSubDim + 1, PqSubDim)) { sb =>
+          array_min(array((0 until PqCodebook).map { c =>
+            struct(
+              (lit(cn2(m)(c)) - lit(2.0) *
+                call_function("graft_dot", sb, typedLit(cent(m)(c).toSeq))).as("score"),
+              lit(c).as("cid"))
+          }: _*)).getField("cid")
+        }.as(s"c$m")
+      }: _*)
+    // ADC: per query a FIXED-ORDER 8-term sum of LUT lookups (plan
+    // literals), all queries evaluated in the same single corpus pass
+    val withDists = coded.select(col("vec_id") +: queries.map { case (qid, qv) =>
+      val lut = typedLit(lutFor(qv))
+      (0 until PqSubspaces)
+        .map(m => element_at(lut, col(s"c$m") + lit(m * PqCodebook) + 1))
+        .reduce(_ + _).as(s"d$qid")
+    }: _*)
+    val long = withDists.select(col("vec_id"),
+        explode(array(queries.map { case (qid, _) =>
+          struct(lit(qid).as("qid"), col(s"d$qid").as("dist"))
+        }: _*)).as("p"))
+      .select(col("p.qid"), col("vec_id"), col("p.dist"))
+      .filter(col("qid") =!= col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    long.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        round(col("dist"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf,
-    q54Quantize, q55NegativeSampling)
+    q54Quantize, q55NegativeSampling, q74AnnPq)
 }

@@ -93,6 +93,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall@5 = $mean")
   }
 
+  test("PQ ADC recall@5 against exact L2 is far above random; shape holds") {
+    val pq = Similarity.q74AnnPq.fn(spark, sfDir)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+      .as[(Long, Long, Long)].collect()
+    // exact squared-L2 top-5 per query — PQ approximates L2, so cosine
+    // (q50's metric) would be the wrong ground truth
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val exact = e.filter(_._1 < 8).map { case (q, qv) =>
+      q -> e.filter(_._1 != q).map { case (id, v) => (l2(qv, v), id) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pqSets.keySet == exact.keySet)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L), s"query $q ranks")
+      assert(!rows.map(_._2).contains(q), s"query $q must not match itself")
+    }
+    val recalls = exact.map { case (q, ex) => (pqSets(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // 8-byte codes vs 512-byte vectors: quantization distortion costs
+    // recall (seed codebooks, not k-means-trained — measured 0.25 at
+    // sf0.001), but random top-5 from the corpus would sit near 0.01, so
+    // the floor guards a broken encode/LUT path, not the training quality
+    assert(mean >= 0.15, s"mean PQ recall@5 = $mean")
+  }
+
   test("an exact duplicate vector is always retrieved at rank 1 by ANN") {
     // duplicate of vec 0 under a fresh id: identical vector ⇒ identical
     // sign bits in every table ⇒ guaranteed same bucket ⇒ cosine 1.0
