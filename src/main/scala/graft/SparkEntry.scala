@@ -18,6 +18,7 @@ object SparkEntry {
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++
+      graft.graph.Graph.all ++
       graft.pipeline.TrainingPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,148 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Iterative graph analytics over a derived business graph — the second
+  * iterative-loop operator family next to duplicate-group clustering
+  * (Dedup.connectedComponents): PageRank by damped power iteration.
+  *
+  * The reference (d-smith/sfs3-kinesis) has no graph surface; this module is
+  * part of the large-scale training-data extension (influence/centrality
+  * scoring of a citation- or link-graph is a standard corpus-curation
+  * signal). The graph here is derived from the TPC-H-ish tables: customers
+  * link to the suppliers they bought from (orders ⋈ lineitem), suppliers
+  * link back to customers who RETURNED items (`l_returnflag = 'R'`) — a
+  * cyclic directed graph whose rank distribution is non-trivial on both
+  * sides.
+  *
+  * Scale design: edge derivation is one equi-join + DISTINCT (one shuffle,
+  * AQE-sized); each power iteration is one join on `src` + one
+  * partial-aggregated groupBy on `dst` — O(|E|) per round with map-side
+  * combine, the same shape GraphX/Pregel lowers to. The loop
+  * `localCheckpoint`s per round to truncate lineage (a cluster deployment
+  * uses `checkpoint` to HDFS) and scopes shuffle partitions to graph
+  * volume, not corpus volume — same discipline as Dedup's CC loop.
+  *
+  * Exactness: ranks are FIXED-POINT longs (scale 1e9), all updates integer
+  * (`div` floor on positives) — a float PageRank's accumulation order would
+  * differ across partitionings and engines, but integer sums are
+  * associative, so the DuckDB oracle (the same five iterations unrolled as
+  * chained CTEs over hugeint arithmetic) hash-matches bit-for-bit. The
+  * dangling-mass scalar per round is a deliberate driver-side aggregate
+  * (one long per iteration, like CC's convergence sum), not a data
+  * collect.
+  */
+object Graph {
+
+  /** Fixed-point scale for ranks: 1e9 units = rank 1.0. */
+  val Scale = 1000000000L
+
+  /** Damping 0.85 expressed as integer arithmetic: d(x) = 85*x div 100. */
+  private val Iters = 5
+
+  /** Directed purchase/return graph. Supplier node ids are offset by 1e6 so
+    * the two key spaces cannot collide. */
+  def purchaseGraph(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val fwd = j.select(col("o_custkey").as("src"),
+      (col("l_suppkey") + 1000000L).as("dst"))
+    val back = j.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+    fwd.unionAll(back).distinct()
+  }
+
+  /** Damped PageRank over an (src, dst) edge frame, `iters` rounds of
+    * power iteration in fixed-point long arithmetic. Returns (node, rank).
+    *
+    * rank_0 = Scale div N for every node;
+    * rank_k(v) = T + 85*(Σ_{u→v} rank_{k-1}(u) div outdeg(u) + share) div 100
+    * where T = 15*(Scale div N) div 100 is the teleport term and
+    * share = (Σ over dangling u of rank_{k-1}(u)) div N redistributes
+    * dangling mass. All divisions are positive-integer floor — exact and
+    * order-independent.
+    */
+  def pageRank(edgesRaw: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = edgesRaw.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // Iteration shuffles sized to GRAPH volume (nodes/edges), not the
+    // corpus-scale session setting — the graph is a distilled fraction of
+    // the fact table that produced it.
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val deg = edgesRaw.groupBy(col("src"))
+        .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      val edges = edgesRaw.join(deg, "src").localCheckpoint()
+      val nodes = edgesRaw.select(col("src").as("node"))
+        .unionAll(edgesRaw.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      val n = nodes.count()
+      val r0 = Scale / n
+      val teleport = 15L * r0 / 100L
+      var ranks = nodes.select(col("node"), lit(r0).as("rank")).localCheckpoint()
+      for (_ <- 1 to iters) {
+        // dangling mass: one scalar per round (ranks of nodes with no
+        // out-edges), redistributed uniformly
+        val danglingSum = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        val share = danglingSum / n
+        val contrib = edges.join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"85 * (coalesce(contrib, 0L) + ${share}L) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // ---- q75: PageRank over the purchase/return graph -----------------------
+
+  /** The DuckDB oracle unrolls the same five integer iterations as chained
+    * CTEs (hugeint arithmetic; `//` is floor division on positives, same as
+    * Spark `div`). Generated from the same constants so the two can never
+    * drift. */
+  private def oracleSql(iters: Int): String = {
+    val base =
+      """WITH edges_raw AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  UNION
+        |  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R'),
+        |nodes AS (SELECT src AS node FROM edges_raw UNION SELECT dst FROM edges_raw),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges_raw GROUP BY src),
+        |edges AS (SELECT e.src, e.dst, d.outdeg FROM edges_raw e JOIN deg d ON e.src = d.src),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, (1000000000 // (SELECT n FROM nn)) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s""",
+         |dang$k AS (SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn) AS share
+         |  FROM $p r WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.node)),
+         |c$k AS (SELECT e.dst AS node, SUM(r.rank // e.outdeg) AS contrib
+         |  FROM edges e JOIN $p r ON r.node = e.src GROUP BY e.dst),
+         |r$k AS (SELECT n.node,
+         |  (15 * (1000000000 // (SELECT n FROM nn))) // 100
+         |   + (85 * (COALESCE(c.contrib, 0) + (SELECT share FROM dang$k))) // 100 AS rank
+         |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+    }.mkString
+    base + steps +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node"
+  }
+
+  val q75PageRank: Q = Q("q75_pagerank", oracleSql(Iters)) { (s, d) =>
+    pageRank(purchaseGraph(s, d), Iters).orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q75PageRank)
+}

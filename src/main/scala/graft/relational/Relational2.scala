@@ -562,9 +562,83 @@ object Relational2 {
     perDay.unionByName(merged).orderBy($"day".asc_nulls_first)
   }
 
+  /** q76: mergeable equi-width histogram sketch → approximate quantiles,
+    * the deterministic sibling of q91's approx_percentile and q56's HLL
+    * rollup. The sketch is a (group, bin, count) table over FIXED bin
+    * boundaries (64 bins spanning the l_extendedprice domain), built
+    * per-(group, linestatus) partition and MERGED by summing counts —
+    * the mergeability that makes it a sketch: at 100 TB the per-partition
+    * histograms are 64 longs each, partial aggregation collapses them
+    * map-side, and any coarser rollup (per-day → per-month) is a sum over
+    * sketch rows, never a second pass over raw data. Quantile estimation
+    * is linear interpolation inside the covering bin.
+    *
+    * Exactness (unlike HLL/approx_percentile, this sketch IS
+    * oracle-checkable): bin assignment is IEEE double arithmetic identical
+    * in both engines (W = 1626.5625 is a dyadic rational), counts and rank
+    * targets are integer (`div` ≡ `//` on positives), and the interpolation
+    * is the same double formula — so the DuckDB mirror hash-matches
+    * bit-for-bit while still being an *approximate* quantile (ApproxSpec
+    * pins the estimate within one bin width of the exact percentile). */
+  val q76HistogramQuantiles: Q = Q(
+    "q76_histogram_quantiles",
+    """WITH binned AS (
+      |  SELECT l_returnflag AS grp, l_linestatus AS part,
+      |         LEAST(63, GREATEST(0, CAST(FLOOR((l_extendedprice - 900.0) / 1626.5625) AS INTEGER))) AS bin,
+      |         COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |merged AS (SELECT grp, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM binned GROUP BY 1, 2),
+      |cum AS (SELECT grp, bin, cnt,
+      |        CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum FROM merged),
+      |target AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS total,
+      |           (CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS t50,
+      |           (95 * CAST(SUM(cnt) AS BIGINT) + 99) // 100 AS t95 FROM merged GROUP BY 1),
+      |pick AS (
+      |  SELECT t.grp, t.total, t.t50, t.t95,
+      |    (SELECT MIN(c.bin) FROM cum c WHERE c.grp = t.grp AND c.cum >= t.t50) AS b50,
+      |    (SELECT MIN(c.bin) FROM cum c WHERE c.grp = t.grp AND c.cum >= t.t95) AS b95
+      |  FROM target t)
+      |SELECT p.grp AS l_returnflag, p.total AS total_cnt,
+      |  ROUND(900.0 + 1626.5625 * (c50.bin + CAST(p.t50 - (c50.cum - c50.cnt) AS DOUBLE) / c50.cnt), 6) AS est_p50,
+      |  ROUND(900.0 + 1626.5625 * (c95.bin + CAST(p.t95 - (c95.cum - c95.cnt) AS DOUBLE) / c95.cnt), 6) AS est_p95
+      |FROM pick p
+      |JOIN cum c50 ON c50.grp = p.grp AND c50.bin = p.b50
+      |JOIN cum c95 ON c95.grp = p.grp AND c95.bin = p.b95
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val lo = 900.0
+    val w = 1626.5625 // (105000 - 900) / 64 — dyadic, exactly representable
+    // build: one histogram per (grp, part) — the mergeable sketch unit
+    val binned = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag".as("grp"), $"l_linestatus".as("part"),
+        least(lit(63), greatest(lit(0),
+          floor(($"l_extendedprice" - lo) / w).cast("int"))).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // merge: sum counts across parts — sketch union, no raw-data pass
+    val merged = binned.groupBy($"grp", $"bin").agg(sum($"cnt").as("cnt"))
+    val cum = merged.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy($"grp").orderBy($"bin")))
+    val target = merged.groupBy($"grp").agg(sum($"cnt").as("total"))
+      .withColumn("t50", expr("(total + 1) div 2"))
+      .withColumn("t95", expr("(95 * total + 99) div 100"))
+    val b50 = cum.join(target, "grp").filter($"cum" >= $"t50")
+      .groupBy($"grp").agg(min($"bin").as("b50"))
+    val b95 = cum.join(target, "grp").filter($"cum" >= $"t95")
+      .groupBy($"grp").agg(min($"bin").as("b95"))
+    def est(c: String, tcol: Column): Column = round(
+      lit(lo) + lit(w) * (col(s"$c.bin") +
+        (tcol - (col(s"$c.cum") - col(s"$c.cnt"))).cast("double") / col(s"$c.cnt")), 6)
+    target.join(b50, "grp").join(b95, "grp").as("t")
+      .join(cum.as("c50"), $"t.grp" === $"c50.grp" && $"t.b50" === $"c50.bin")
+      .join(cum.as("c95"), $"t.grp" === $"c95.grp" && $"t.b95" === $"c95.bin")
+      .select($"t.grp".as("l_returnflag"), $"t.total".as("total_cnt"),
+        est("c50", $"t.t50").as("est_p50"), est("c95", $"t.t95").as("est_p95"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
-    q49HeavyHitters, q56SketchRollup)
+    q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles)
 }

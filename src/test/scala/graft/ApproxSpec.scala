@@ -117,4 +117,37 @@ class ApproxSpec extends SparkSpec {
     assert(!planStr.contains("ScalaUDF"))
     assert(planStr.contains("graft_cm_estimate"), planStr.take(2000))
   }
+
+  test("q76 histogram sketch: estimates within one bin width of exact percentiles; sketch is mergeable") {
+    import spark.implicits._
+    val w = 1626.5625
+    val got = graft.relational.Relational2.q76HistogramQuantiles
+      .fn(spark, sfDir)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (g, (e50, e95)) =>
+      assert(math.abs(e50 - exact(g)._1) <= w, s"$g p50: $e50 vs ${exact(g)._1}")
+      assert(math.abs(e95 - exact(g)._2) <= w, s"$g p95: $e95 vs ${exact(g)._2}")
+    }
+
+    // mergeability: the histogram of the whole table equals the summed
+    // histograms of ANY disjoint split (here: by linestatus, the same
+    // split the query merges over)
+    def bin = least(lit(63), greatest(lit(0),
+      floor(($"l_extendedprice" - 900.0) / w).cast("int")))
+    val li = Tables.lineitem(spark, sfDir)
+    val whole = li.groupBy($"l_returnflag".as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = li.groupBy($"l_returnflag".as("grp"), $"l_linestatus".as("part"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"grp", $"bin").agg(sum($"cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
 }
