@@ -165,11 +165,20 @@ object Sources {
     * comfortably) — e.g. thousands of buckets for a 100 TB view. */
   val DefaultBuckets = 16
 
+  /** Per-bucket, per-column min/max for manifest-level data skipping.
+    * Values are canonically encoded strings (numbers via toString,
+    * timestamps as epoch-micros longs) compared under the column's type.
+    * `(None, None)` = the bucket's column is entirely null (prunable for
+    * any range); a MISSING entry = stats unknown (bucket must be read). */
+  private[sources] case class ColStat(min: Option[String], max: Option[String])
+
   /** Version manifest: which version directory holds each key-bucket's
     * current data, plus the bucket count and row schema (so an empty
-    * table still reads with the right shape). */
+    * table still reads with the right shape). `stats` (absent on legacy
+    * manifests) carries bucket → column → min/max for range pruning. */
   private case class Manifest(numBuckets: Int, schemaDdl: String,
-      buckets: Map[String, Long])
+      buckets: Map[String, Long],
+      stats: Option[Map[String, Map[String, ColStat]]] = None)
 
   private implicit val manifestFormats: org.json4s.Formats =
     org.json4s.DefaultFormats
@@ -317,6 +326,190 @@ object Sources {
     }
   }
 
+  // ---- Manifest-level data skipping (min/max bucket stats) ----------------
+
+  /** Column types whose min/max order is canonically string-encodable. */
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  private def statCompare(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = dt match {
+    case org.apache.spark.sql.types.DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case org.apache.spark.sql.types.StringType => a.compareTo(b)
+    case _ => java.lang.Long.compare(a.toLong, b.toLong) // int/long/ts-micros
+  }
+
+  /** A user-supplied range bound in the column's canonical encoding. */
+  private def encodeBound(dt: org.apache.spark.sql.types.DataType,
+      v: Any): String = (dt, v) match {
+    case (org.apache.spark.sql.types.TimestampType, t: java.sql.Timestamp) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t).toString
+    case (org.apache.spark.sql.types.TimestampType, i: java.time.Instant) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i).toString
+    case (org.apache.spark.sql.types.DoubleType, n: Number) =>
+      n.doubleValue().toString
+    case (_, n: Number) => n.longValue().toString
+    case (_, other) => other.toString
+  }
+
+  /** Min/max per (bucket, eligible column) of a just-written version data
+    * dir, derived from the PARQUET FOOTERS the write already produced —
+    * driver-side metadata reads only, no second pass over the data (the
+    * same place Iceberg/Delta manifests get their file stats). Bounded by
+    * touched buckets × files per bucket; a compaction over thousands of
+    * buckets would parallelize the footer loop, a micro-batch touches a
+    * handful.
+    *
+    * Soundness rules (pruning must never skip a matching row; "unknown"
+    * — no entry — is always safe):
+    *  - INT96 timestamps (legacy writer default) carry no trustworthy
+    *    stats → unknown. Our writers emit INT64 TIMESTAMP_MICROS.
+    *  - A chunk with no min/max but nulls < values (parquet-mr drops
+    *    double stats containing NaN) → unknown.
+    *  - String bounds containing chars ≥ U+D800 → unknown: parquet orders
+    *    UTF-8 bytes (code points), the read-side compare is Java UTF-16
+    *    order, and the two disagree exactly when surrogates/supplementary
+    *    planes are involved (also covers truncated-bound increments that
+    *    decode to replacement chars). */
+  private def bucketStats(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, dataDir: Path,
+      schema: StructType): Map[String, Map[String, ColStat]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val fields = schema.fields.filter(f => statsEligible(f.dataType)).toSeq
+    if (fields.isEmpty) return Map.empty
+    val byLower = fields.map(f => f.name.toLowerCase -> f).toMap
+    // per column: None = unknown (poisoned); Some((None, None)) = all-null
+    // so far; Some((Some(mn), Some(mx))) = observed range
+    type Acc = Option[(Option[String], Option[String])]
+    def jokerFree(s: String): Boolean = s.forall(_ < '\uD800')
+    fs.listStatus(dataDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
+      .map { bdir =>
+        val acc = scala.collection.mutable.Map[String, Acc](
+          fields.map(f => f.name.toLowerCase -> (Some((None, None)): Acc)): _*)
+        fs.listStatus(bdir.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            try {
+              reader.getFooter.getBlocks.forEach { block =>
+                block.getColumns.forEach { cc =>
+                  val path = cc.getPath.toArray
+                  if (path.length == 1 && byLower.contains(path(0).toLowerCase)) {
+                    val key = path(0).toLowerCase
+                    val field = byLower(key)
+                    val stats = cc.getStatistics
+                    val chunk: Acc =
+                      if (cc.getPrimitiveType.getPrimitiveTypeName ==
+                            PrimitiveTypeName.INT96 || stats == null) None
+                      else if (stats.hasNonNullValue) {
+                        val mn = encodeParquetStat(
+                          stats.genericGetMin.asInstanceOf[AnyRef])
+                        val mx = encodeParquetStat(
+                          stats.genericGetMax.asInstanceOf[AnyRef])
+                        if (field.dataType == org.apache.spark.sql.types.StringType
+                            && !(jokerFree(mn) && jokerFree(mx))) None
+                        else Some((Some(mn), Some(mx)))
+                      } else if (stats.isNumNullsSet &&
+                          stats.getNumNulls == cc.getValueCount)
+                        Some((None, None)) // all-null chunk
+                      else None // e.g. NaN-dropped double stats
+                    val merged: Acc = (acc(key), chunk) match {
+                      case (Some((amn, amx)), Some((cmn, cmx))) =>
+                        def pick(a: Option[String], c: Option[String],
+                            takeMin: Boolean): Option[String] = (a, c) match {
+                          case (Some(x), Some(y)) =>
+                            val cmpv = statCompare(field.dataType, x, y)
+                            Some(if ((cmpv <= 0) == takeMin) x else y)
+                          case (x, y) => x.orElse(y)
+                        }
+                        Some((pick(amn, cmn, takeMin = true),
+                          pick(amx, cmx, takeMin = false)))
+                      case _ => None
+                    }
+                    acc(key) = merged
+                  }
+                }
+              }
+            } finally reader.close()
+          }
+        bdir.getPath.getName.stripPrefix("gb=") ->
+          acc.toMap.collect { case (k, Some((mn, mx))) => k -> ColStat(mn, mx) }
+      }.toMap
+  }
+
+  /** Canonical string encoding of a parquet footer min/max value. */
+  private def encodeParquetStat(v: AnyRef): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString // Integer, Long (incl. ts micros), Double
+  }
+
+  /** Range read over the current snapshot with MANIFEST-LEVEL data
+    * skipping: `column BETWEEN lo AND hi`, opening only the buckets whose
+    * recorded [min, max] intersects the range (and skipping all-null
+    * buckets outright). This is the poor-man's form of Iceberg/Delta file
+    * skipping: the stats ride the one manifest JSON the read already
+    * fetches, so pruning costs zero extra I/O — no footer pass over
+    * thousands of bucket dirs. At 100 TB a predicate correlated with the
+    * key space (tenant ranges, time-bucketed ids) opens a handful of
+    * dirs; an uncorrelated predicate degrades to the plain read, never
+    * worse. Buckets without stats (legacy versions; NaN-poisoned doubles)
+    * are read — pruning is only ever an optimization, the residual filter
+    * keeps semantics exact. */
+  def readTableRange(s: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (_, dir) = listing.committed.lastOption.getOrElse(throw
+      new IllegalArgumentException(s"no committed version under $path"))
+    def bounded(df: DataFrame): DataFrame =
+      df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    readManifest(fs, dir) match {
+      case None => bounded(s.read.parquet(dir.toString)) // legacy: no stats
+      case Some(m) =>
+        val schema = manifestSchema(m)
+        val field = schema.find(_.name.equalsIgnoreCase(column)).getOrElse(
+          throw new IllegalArgumentException(s"column $column is not in " +
+            s"the table schema ${schema.fieldNames.mkString(",")}"))
+        val stats = m.stats.getOrElse(Map.empty)
+        val keep =
+          if (!statsEligible(field.dataType)) m.buckets
+          else {
+            val loS = encodeBound(field.dataType, lo)
+            val hiS = encodeBound(field.dataType, hi)
+            m.buckets.filter { case (bk, _) =>
+              stats.get(bk).flatMap(_.get(field.name.toLowerCase)) match {
+                case None => true // unknown — must read
+                case Some(ColStat(None, None)) => false // all-null bucket
+                case Some(ColStat(Some(mn), Some(mx))) =>
+                  statCompare(field.dataType, mx, loS) >= 0 &&
+                    statCompare(field.dataType, mn, hiS) <= 0
+                case _ => true // half-recorded stats: read
+              }
+            }
+          }
+        if (keep.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        else bounded(s.read.schema(schema).parquet(
+          keep.toSeq.sortBy(_._1.toInt).map { case (b, v) =>
+            new Path(root, s"v$v/data/gb=$b").toString
+          }: _*))
+    }
+  }
+
   /** Keyed whole-row upsert into a parquet table (R5): rows in `batch`
     * replace existing rows with the same key; other rows carry over.
     *
@@ -437,8 +630,10 @@ object Sources {
     // crashed vN must not collide with the next write
     val nextN = listing.allVersionNums.maxOption.getOrElse(0L) + 1
     val versionDir = new Path(root, s"v$nextN")
-    merged.withColumn("gb", bucketOf)
-      .write.partitionBy("gb").parquet(new Path(versionDir, "data").toString)
+    writeMicros(s) {
+      merged.withColumn("gb", bucketOf)
+        .write.partitionBy("gb").parquet(new Path(versionDir, "data").toString)
+    }
     // the buckets ACTUALLY written (derived from the output, so a legacy
     // migration — where "touched" is everything present — is also exact)
     val dataDir = new Path(versionDir, "data")
@@ -458,6 +653,15 @@ object Sources {
       prevManifest.map(_.buckets).getOrElse(Map.empty[String, Long])
         .filter { case (bk, _) => !written.contains(bk.toInt) } ++
         written.map(bk => bk.toString -> nextN)
+    // data-skipping stats: fresh min/max for the buckets this version
+    // wrote, carried entries for the rest (a bucket carried from a
+    // pre-stats version simply has no entry and is never pruned)
+    val newStats =
+      prevManifest.flatMap(_.stats).getOrElse(
+        Map.empty[String, Map[String, ColStat]])
+        .filter { case (bk, _) =>
+          newBuckets.contains(bk) && !written.contains(bk.toInt) } ++
+        bucketStats(fs, s.sparkContext.hadoopConfiguration, dataDir, tableSchema)
     // record the UNION schema even when no bucket was carried (an empty or
     // narrow batch must never shrink the table's recorded shape).
     // Retention: keep every version the NEW manifest references (carried
@@ -465,10 +669,23 @@ object Sources {
     // closure (a reader that resolved the old current just before this
     // commit can finish its scan); sweep the rest, including crashed
     // in-flight directories. State stays bounded: ≤ B live versions + 1.
-    commitVersion(fs, root, versionDir, Manifest(b, tableSchema.toDDL, newBuckets),
+    commitVersion(fs, root, versionDir,
+      Manifest(b, tableSchema.toDDL, newBuckets, Some(newStats)),
       listing, nextN,
       keep = Set(nextN) ++ newBuckets.values ++
         prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty))
+  }
+
+  /** Table writers emit INT64 TIMESTAMP_MICROS (not the legacy INT96
+    * default): INT96 footers carry no usable min/max, which would leave
+    * timestamp columns permanently unprunable. Scoped set-and-restore is
+    * safe under the documented single-writer contract; readers handle a
+    * mixed INT96/INT64 lineage transparently (per-file decoding). */
+  private def writeMicros[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally s.conf.set(key, prev)
   }
 
   /** The shared commit tail of every table writer (upsert, compact):
@@ -527,14 +744,19 @@ object Sources {
     val schemaWithGb = manifestSchema(m)
       .add("gb", org.apache.spark.sql.types.IntegerType)
     val byVersion = m.buckets.groupBy(_._2).toSeq.sortBy(_._1)
-    byVersion.map { case (v, bs) =>
-      val dataDir = new Path(root, s"v$v/data")
-      s.read.option("basePath", dataDir.toString)
-        .schema(schemaWithGb)
-        .parquet(bs.keys.toSeq.sortBy(_.toInt)
-          .map(b => new Path(dataDir, s"gb=$b").toString): _*)
-    }.reduce(_.unionByName(_))
-      .write.partitionBy("gb").parquet(new Path(versionDir, "data").toString)
+    locally {
+      val compacted = byVersion.map { case (v, bs) =>
+        val dataDir = new Path(root, s"v$v/data")
+        s.read.option("basePath", dataDir.toString)
+          .schema(schemaWithGb)
+          .parquet(bs.keys.toSeq.sortBy(_.toInt)
+            .map(b => new Path(dataDir, s"gb=$b").toString): _*)
+      }.reduce(_.unionByName(_))
+      writeMicros(s) {
+        compacted.write.partitionBy("gb")
+          .parquet(new Path(versionDir, "data").toString)
+      }
+    }
     val written: Set[Int] = fs.listStatus(new Path(versionDir, "data"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
       .map(_.getPath.getName.stripPrefix("gb=").toInt).toSet
@@ -546,9 +768,13 @@ object Sources {
     // computed from the manifest already in hand (no re-read: on an
     // object store the extra GET is latency and a failure point between
     // commit and sweep)
+    // compaction recomputes stats for every bucket — which also BACKFILLS
+    // data-skipping stats onto a table created before stats existed
     commitVersion(fs, root, versionDir,
       Manifest(m.numBuckets, m.schemaDdl,
-        written.map(b => b.toString -> nextN).toMap),
+        written.map(b => b.toString -> nextN).toMap,
+        Some(bucketStats(fs, s.sparkContext.hadoopConfiguration,
+          new Path(versionDir, "data"), manifestSchema(m)))),
       listing, nextN,
       keep = Set(nextN, prevN) ++ m.buckets.values)
   }
