@@ -18,10 +18,10 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    val d01 = "/root/testdata/sf0.1"
-    time("q38-1")(graft.streaming.Streaming.q38StreamMaterializedView.fn(spark, d01).count())
-    time("q38-2")(graft.streaming.Streaming.q38StreamMaterializedView.fn(spark, d01).count())
-    time("q57-1")(graft.streaming.Streaming.q57StreamSinkRoundtrip.fn(spark, d01).count())
+    time("q77-1")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").count())
+    time("q77-2")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").count())
+    graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").coalesce(1).write.mode("overwrite").parquet("/tmp/q77_spark")
+    time("q77-sf01")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.1").count())
     spark.stop()
   }
 }

@@ -573,6 +573,100 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // ---- q77: k-means embedding clustering (Lloyd iterations) ---------------
+
+  /** K-means state after `iters` Lloyd rounds: (vec_id, cluster, dist2) —
+    * the semantic-clustering primitive of a training-data pipeline (topic
+    * bucketing, diversity sampling, the coarse quantizer ANN training).
+    *
+    * Everything runs in FIXED-POINT LONG space (coordinates scaled 1e6):
+    * a float k-means' accumulation order would differ across partitionings
+    * and engines, but integer sums are associative, so assignments,
+    * centroid updates AND the final distances are bit-identical to the
+    * DuckDB oracle (the same `iters` rounds unrolled as chained CTEs).
+    * Centroid means use an offset floor division — `(sum + n·1e6) div n −
+    * 1e6` — because Spark `div` truncates toward zero while DuckDB `//`
+    * floors: offsetting the numerator positive makes them agree on
+    * negative sums. Ties in the argmin break on (dist2, cid), the
+    * documented q44/q74 recipe (min-of-struct ≡ ROW_NUMBER). Empty
+    * clusters keep their previous centroid.
+    *
+    * Scale: one Lloyd round = a K-row broadcast-size cross join (AQE
+    * decides; K is a constant knob) + one partial-aggregated shuffle of
+    * K×D update rows — the textbook distributed Lloyd. The loop
+    * localCheckpoints per round like the CC/PageRank iteratives; a
+    * cluster run would `checkpoint` to HDFS. */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    // fixed-point encode once; init: the k smallest vec_ids seed centroids
+    val x = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v * 1000000d + 0.5d).cast("long")).as("X"))
+      .localCheckpoint()
+    var cent = x.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("X").as("C"))
+      .localCheckpoint()
+    def assigned = {
+      val d2 = aggregate(
+        zip_with(col("X"), col("C"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v).as("dist2")
+      x.crossJoin(cent).select(col("vec_id"), col("X"), col("cid"), d2)
+        .groupBy(col("vec_id"), col("X"))
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("X"),
+          col("m.cid").as("cluster"), col("m.dist2").as("dist2"))
+    }
+    for (_ <- 1 until iters) {
+      val a = assigned
+      val upd = a.select(col("cluster"), posexplode(col("X")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(expr("(sum(v) + count(1) * 1000000L) div count(1) - 1000000L")
+          .as("mean"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mean")))),
+          p => p("mean")).as("Cnew"))
+      cent = cent.join(upd, cent("cid") === upd("cluster"), "left")
+        .select(col("cid"), coalesce(col("Cnew"), col("C")).as("C"))
+        .localCheckpoint()
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+    val base =
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS X
+         |  FROM embeddings),
+         |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, X AS C FROM vecs WHERE vec_id < $k)""".stripMargin
+    def assign(r: Int) =
+      s""",
+         |d$r AS (
+         |  SELECT v.vec_id, v.X, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> (v.X[i] - c.C[i]) * (v.X[i] - c.C[i]))) AS BIGINT) AS dist2
+         |  FROM vecs v CROSS JOIN cent${r - 1} c),
+         |a$r AS (
+         |  SELECT vec_id, X, cid, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM d$r)""".stripMargin
+    def update(r: Int) =
+      s""",
+         |cent$r AS (
+         |  SELECT p.cid, COALESCE(m.C, p.C) AS C
+         |  FROM cent${r - 1} p LEFT JOIN (
+         |    SELECT cid, list(mean ORDER BY i) AS C FROM (
+         |      SELECT a.cid, u.i,
+         |        (SUM(a.X[u.i]) + COUNT(*) * 1000000) // COUNT(*) - 1000000 AS mean
+         |      FROM (SELECT cid, X FROM a$r WHERE rn = 1) a,
+         |           LATERAL (SELECT UNNEST(range(1, ${dims + 1})) AS i) u
+         |      GROUP BY a.cid, u.i) GROUP BY cid) m ON p.cid = m.cid)""".stripMargin
+    (1 to iters).map(r =>
+      assign(r) + (if (r < iters) update(r) else "")).mkString(base, "",
+      s"\nSELECT vec_id, cid AS cluster, dist2 FROM a$iters WHERE rn = 1 ORDER BY vec_id")
+  }
+
+  val q77KMeans: Q = Q("q77_kmeans", kmeansOracle(8, 3, 64)) { (s, d) =>
+    kmeans(Tables.embeddings(s, d), 8, 3).orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf,
-    q54Quantize, q55NegativeSampling, q74AnnPq)
+    q54Quantize, q55NegativeSampling, q74AnnPq, q77KMeans)
 }

@@ -159,4 +159,61 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q77 k-means matches an independent integer reference on the real embeddings") {
+    // reference: plain Scala maps/arrays, the same fixed-point recurrence,
+    // sharing no code with the Spark implementation
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1000000d + 0.5d).toLong)
+      }.sortBy(_._1)
+    val k = 8; val iters = 3
+    var cent: Map[Int, Array[Long]] =
+      vecs.take(k).map { case (id, x) => id.toInt -> x }.toMap
+    def assign() = vecs.map { case (id, x) =>
+      val best = cent.toSeq.map { case (cid, c) =>
+        (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min
+      (id, best._2, best._1)
+    }
+    var a = assign()
+    for (_ <- 1 until iters) {
+      val byC = a.groupBy(_._2)
+      cent = cent.map { case (cid, old) =>
+        cid -> byC.get(cid).map { members =>
+          val xs = members.map(m => vecs(m._1.toInt)._2)
+          val n = xs.length.toLong
+          Array.tabulate(64)(i =>
+            (xs.map(_(i)).sum + n * 1000000L) / n - 1000000L)
+        }.getOrElse(old)
+      }
+      a = assign()
+    }
+    val expected = a.map(t => (t._1, t._2, t._3)).toSet
+    val got = Similarity.kmeans(Tables.embeddings(spark, sfDir), k, iters)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q77 k-means recovers planted well-separated clusters") {
+    val seeds = Seq(
+      Array.fill(64)(1.0f), Array.fill(64)(-1.0f),
+      Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f),
+      Array.tabulate(64)(i => if (i < 32) -1.0f else 1.0f))
+    // ids 0..3 are the pure seeds (also the init centroids); 4.. are
+    // jittered copies — jitter 0.01 vs inter-seed distance 2
+    val rows = seeds.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      (0 until 20).map { j =>
+        val s = seeds(j % 4)
+        ((4 + j).toLong, s.zipWithIndex.map { case (x, i) =>
+          x + 0.01f * (((i * 7 + j * 13) % 5) - 2) })
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(df, 4, 3)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> t._2).toMap
+    rows.foreach { case (id, _) =>
+      assert(out(id) == (id % 4).toInt, s"vec $id -> cluster ${out(id)}")
+    }
+  }
 }
