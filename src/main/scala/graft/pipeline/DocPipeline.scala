@@ -234,5 +234,31 @@ object DocPipeline {
     project(Tables.events(s, d).filter(col("event_id") === key))
   }
 
-  val all: Seq[Q] = Seq(q21DocPipeline, q22StatusEvents, q23Correlate, q24PointLookup)
+  /** q78: R1 point lookup at UPSERT-TABLE scale — q24 pushes the key into
+    * a parquet scan's row-group stats; this one goes further and prunes at
+    * the table layout itself: the orders table is loaded into the bucketed
+    * upsert store once (content-stamped dir, committed `_SUCCESS` gates
+    * reuse across runs), then `readTableKeyed` hashes each requested key
+    * to its bucket and opens ONLY those dirs — O(keys) I/O on a 100 TB
+    * view. The oracle is the plain key filter on the source table, so any
+    * round-trip or pruning defect breaks the hash match. */
+  val q78KeyedLookup: Q = Q(
+    "q78_keyed_lookup",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey IN (7, 42, 777)
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { (s, d) =>
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q78_table_${graft.sources.GraftShards.contentStamp(d, "orders.parquet")}").toString
+    if (!new java.io.File(path, "v1/_SUCCESS").exists())
+      graft.sources.Sources.upsert(Tables.orders(s, d), Seq("o_orderkey"), path)
+    graft.sources.Sources
+      .readTableKeyed(s, path, Seq("o_orderkey"), Seq(Seq(7L), Seq(42L), Seq(777L)))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q21DocPipeline, q22StatusEvents, q23Correlate,
+    q24PointLookup, q78KeyedLookup)
 }

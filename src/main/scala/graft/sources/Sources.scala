@@ -676,6 +676,66 @@ object Sources {
         prev.map { case (n, _) => refs(fs, root, n) }.getOrElse(Set.empty))
   }
 
+  /** Keyed point lookup on the current snapshot — the reference's R1
+    * get-by-key (aprocess.js:15-32) at table scale: each requested key
+    * tuple hashes to its bucket with the SAME Spark murmur3 codepath the
+    * writer used (values cast to the table's column types first — an
+    * int-vs-long literal would hash differently), and only those bucket
+    * dirs are opened. I/O is O(requested keys), not O(table): a 3-key
+    * lookup on a 100 TB view reads ≤ 3 bucket dirs no matter the table
+    * size — the complement of [[readTableRange]]'s stats pruning (hash
+    * buckets are range-UNcorrelated by construction, but key-EXACT). */
+  def readTableKeyed(s: SparkSession, path: String, keys: Seq[String],
+      keyRows: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    require(keys.nonEmpty, "readTableKeyed needs the table's key columns")
+    require(keyRows.nonEmpty && keyRows.forall(_.size == keys.size),
+      s"every key row must have ${keys.size} values")
+    val listing = listTable(s, path)
+    requireVersionedLayout(listing, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (_, dir) = listing.committed.lastOption.getOrElse(throw
+      new IllegalArgumentException(s"no committed version under $path"))
+    readManifest(fs, dir) match {
+      case None => // legacy flat version: no bucket layout to prune
+        val df = s.read.parquet(dir.toString)
+        df.filter(keyEq(df.schema, keys, keyRows))
+      case Some(m) =>
+        val schema = manifestSchema(m)
+        keys.foreach(k =>
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+            s"key column $k is not in the table schema"))
+        // one driver-side job computes every key row's bucket through the
+        // identical hash expression the writer partitioned with
+        val typed = keyRows.map(vals => keys.zip(vals).map { case (k, v) =>
+          lit(v).cast(schema.find(_.name.equalsIgnoreCase(k)).get.dataType)
+        })
+        val bucketCols = typed.map(cs =>
+          pmod(hash(cs: _*), lit(m.numBuckets)))
+        val hit = s.range(1).select(bucketCols: _*).head()
+        val wanted = (0 until keyRows.size).map(hit.getInt).toSet
+        val keep = m.buckets.filter { case (bk, _) => wanted(bk.toInt) }
+        if (keep.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        else s.read.schema(schema).parquet(
+          keep.toSeq.sortBy(_._1.toInt).map { case (b, v) =>
+            new Path(root, s"v$v/data/gb=$b").toString
+          }: _*).filter(keyEq(schema, keys, keyRows))
+    }
+  }
+
+  /** OR-of-key-tuple-equalities residual filter for [[readTableKeyed]]. */
+  private def keyEq(schema: StructType, keys: Seq[String],
+      keyRows: Seq[Seq[Any]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    keyRows.map(vals => keys.zip(vals).map { case (k, v) =>
+      val dt = schema.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
+      col(k) === dt.map(lit(v).cast).getOrElse(lit(v))
+    }.reduce(_ && _)).reduce(_ || _)
+  }
+
   /** Table writers emit INT64 TIMESTAMP_MICROS (not the legacy INT96
     * default): INT96 footers carry no usable min/max, which would leave
     * timestamp columns permanently unprunable. Scoped set-and-restore is

@@ -147,4 +147,32 @@ class SkippingSpec extends SparkSpec {
     // no stats → nothing prunable → every bucket dir is opened
     assert(got.inputFiles.length > 1, "legacy manifest must not prune")
   }
+
+  test("keyed point lookup opens exactly the hashed buckets") {
+    val path = tmp("graft-skip-keyed")
+    val data = (1L to 64L).map(k => (k, s"v$k"))
+    Sources.upsert(data.toDF("k", "v"), Seq("k"), path)
+    val got = Sources.readTableKeyed(spark, path, Seq("k"),
+      Seq(Seq(7L), Seq(42L)))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((7L, "v7"), (42L, "v42")))
+    val expect = Set(bucketOf(7L), bucketOf(42L))
+    val leaked = outsideBuckets(got.inputFiles.toSeq, expect)
+    assert(leaked.isEmpty, s"keyed lookup leaked: $leaked")
+    // a missing key reads its bucket but returns nothing
+    assert(Sources.readTableKeyed(spark, path, Seq("k"), Seq(Seq(999L)))
+      .count() == 0)
+    // composite keys hash as a tuple: same layout written with two key
+    // columns resolves through the same codepath
+    val path2 = tmp("graft-skip-keyed2")
+    Sources.upsert(data.map { case (k, v) => (k, k % 3, v) }
+      .toDF("k", "g", "v"), Seq("k", "g"), path2)
+    val got2 = Sources.readTableKeyed(spark, path2, Seq("k", "g"),
+      Seq(Seq(7L, 7L % 3)))
+    assert(got2.as[(Long, Long, String)].collect().toSet ==
+      Set((7L, 7L % 3, "v7")))
+    assert(got2.inputFiles.length == 1 ||
+      got2.inputFiles.map(f => f.slice(0, f.indexOf("part-"))).distinct.length == 1,
+      "composite-key lookup must open one bucket dir")
+  }
 }
