@@ -18,10 +18,9 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    time("q77-1")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").count())
-    time("q77-2")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").count())
-    graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.01").coalesce(1).write.mode("overwrite").parquet("/tmp/q77_spark")
-    time("q77-sf01")(graft.sim.Similarity.q77KMeans.fn(spark, "/root/testdata/sf0.1").count())
+    time("q79-1")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
+    time("q79-2")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
+    time("q79-3")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
     spark.stop()
   }
 }

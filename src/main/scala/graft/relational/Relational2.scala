@@ -636,9 +636,47 @@ object Relational2 {
       .orderBy($"l_returnflag")
   }
 
+  /** q79: per-key exponentially weighted moving average over the event
+    * stream — a LINEAR RECURRENCE (s' = s + α(x − s)), which no standard
+    * window frame can express: RANGE/ROWS frames recompute aggregates per
+    * row, they cannot thread state. The recurrence runs as an ordered
+    * array fold per key: one shuffle groups the key's events, `array_sort`
+    * fixes the (ts, event_id) order, and `aggregate` folds the tail onto
+    * the head — seed-with-head + left fold is EXACTLY DuckDB's
+    * `list_reduce` contract, and both engines execute the identical IEEE
+    * sequence, so the oracle hash-matches despite float arithmetic
+    * (α = 0.25 is dyadic but any double works — same ops, same order).
+    *
+    * Scale: per-key sequences must fit a task (true of any
+    * collect-ordered-state operator; a million-event key would move to
+    * flatMapGroupsWithState streaming form — q23's machinery). The
+    * shuffle carries (ts, id, value) triples only. */
+  val q79Ewma: Q = Q(
+    "q79_ewma",
+    """SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(list_reduce(list(value ORDER BY ts, event_id),
+      |    (s, x) -> s + 0.25 * (x - s)), 6) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val seq = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"value")))
+        .as("seq"))
+      .select($"user_id",
+        transform($"seq", p => p("value")).as("vals"))
+    seq.select($"user_id",
+        size($"vals").cast("long").as("n_events"),
+        round(aggregate(
+          slice($"vals", lit(2), size($"vals") - 1),
+          element_at($"vals", 1),
+          (s0, x) => s0 + lit(0.25) * (x - s0)), 6).as("ewma"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
-    q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles)
+    q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles, q79Ewma)
 }
