@@ -18,9 +18,11 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    time("q79-1")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
-    time("q79-2")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
-    time("q79-3")(graft.relational.Relational2.q79Ewma.fn(spark, d).count())
+    time("edges-1")(graft.graph.Graph.purchaseGraph(spark, d).localCheckpoint().count())
+    time("edges-2")(graft.graph.Graph.purchaseGraph(spark, d).localCheckpoint().count())
+    time("q75-1")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
+    time("q75-2")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
+    time("q75-3")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
     spark.stop()
   }
 }
