@@ -18,11 +18,13 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    time("edges-1")(graft.graph.Graph.purchaseGraph(spark, d).localCheckpoint().count())
-    time("edges-2")(graft.graph.Graph.purchaseGraph(spark, d).localCheckpoint().count())
-    time("q75-1")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
-    time("q75-2")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
-    time("q75-3")(graft.graph.Graph.q75PageRank.fn(spark, d).count())
+    for (q <- Seq(graft.dedup.Dedup.q97SpanDedup, graft.text.TextAnalysis.q98MixtureRebalance,
+        graft.text.TextAnalysis.q99LmCrossEntropy, graft.pipeline.DocPipeline.q100IncrementalView)) {
+      time(q.name + "-1")(q.fn(spark, d).count())
+      time(q.name + "-2")(q.fn(spark, d).count())
+    }
+    graft.dedup.Dedup.q97SpanDedup.fn(spark, d).show(4, 60)
+    graft.pipeline.DocPipeline.q100IncrementalView.fn(spark, d).show(10)
     spark.stop()
   }
 }

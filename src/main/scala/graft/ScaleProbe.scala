@@ -122,6 +122,11 @@ object ScaleProbe {
       "q45_cc_over_lsh" -> ((d, _) =>
         Dedup.connectedComponents(Dedup.q42DedupMinhashLsh.fn(spark, d))),
       "q48_record_linkage" -> ((d, _) => Dedup.q48RecordLinkage.fn(spark, d)),
+      // linear-by-design text curation ops (round-5 post-gate additions):
+      // measured here to keep the "no silent super-linear path" claim honest
+      "q97_span_dedup" -> ((d, _) => Dedup.q97SpanDedup.fn(spark, d)),
+      "q99_lm_cross_entropy" -> ((d, _) =>
+        graft.text.TextAnalysis.q99LmCrossEntropy.fn(spark, d)),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =

@@ -871,7 +871,88 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
   val LinkSegments: Seq[(Int, Int)] =
     Seq((1, 11), (12, 11), (23, 11), (34, 11), (45, 10), (55, 10))
 
+  // ---- q97: duplicated-span removal (sub-document dedup) ------------------
+
+  /** q97: remove every k-token span that occurs more than once in the
+    * corpus — the C4/RefinedWeb "drop duplicated lines/spans" curation op,
+    * operating BELOW document granularity (q40–q47 drop whole documents;
+    * boilerplate and template text duplicate at span level inside otherwise
+    * unique documents).
+    *
+    * Span unit: 8-token windows (the corpus is single-line text, so the
+    * "line" unit of classic line-dedup is a fixed token window here). A
+    * position is removed if ANY duplicated window covers it; the cleaned
+    * document is the remaining tokens in original order.
+    *
+    * Scale shape — inherently LINEAR, no pairwise anything: one pass
+    * explodes ~n_tokens window hashes per doc (md5, 32-byte fixed-width
+    * shuffle keys), the occurrence count is map-side combined, and only
+    * occurrences of duplicated windows (tracking true duplicate density,
+    * like the LSH family) come back to be unioned into per-doc removal
+    * masks. Three shuffles total, each O(tokens) worst case and
+    * O(duplicated tokens) after the count filter; the rebuild is a narrow
+    * positional filter. At 100 TB this is the same plan with more
+    * partitions — there is no block-growth failure mode to guard.
+    *
+    * Exactness: md5 is the cross-engine hash (CLAUDE.md recipe), window
+    * text is byte-identical (same tokenizer as q60), and the oracle mirrors
+    * the window enumeration, count, coverage union, and positional rebuild
+    * over DuckDB ranges — full hash match including the cleaned text. */
+  /** [[q97SpanDedup]]'s operator body over any (doc_id, text) frame. */
+  def spanDedup(docs: DataFrame, K: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val grams = toks.select(col("doc_id"), explode(ArrayExprs.letBind(col("w")) { w =>
+        when(size(w) >= K,
+          transform(sequence(lit(1), size(w) - (K - 1)),
+            i => struct(i.as("i"), md5(concat_ws(" ", slice(w, i, lit(K)))).as("h"))))
+          .otherwise(array().cast("array<struct<i:int,h:string>>"))
+      }).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("h"))
+    val removed = grams.join(dup, "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (K - 1))).as("j"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("j").cast("long"))).as("removed"))
+    toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("removed"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          filter(sequence(lit(1L), size(col("w")).cast("long")),
+            j => !array_contains(col("rm"), j)),
+          j => element_at(col("w"), j.cast("int")))).as("cleaned"))
+  }
+
+  val q97SpanDedup: Q = locally {
+    val K = 8
+    Q(
+      "q97_span_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, i, md5(array_to_string(w[i:i+${K - 1}], ' ')) AS h
+         |  FROM w, LATERAL (SELECT unnest(range(1, LEN(w) - ${K - 2})) AS i)),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, j
+         |  FROM g JOIN dup USING (h), LATERAL (SELECT unnest(range(i, i + $K)) AS j)),
+         |rem AS (SELECT doc_id, list(j ORDER BY j) AS removed FROM cov GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  CAST(LEN(w.w) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(LEN(r.removed), 0) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_transform(
+         |    list_filter(range(1, LEN(w.w) + 1),
+         |      j -> NOT list_contains(COALESCE(r.removed, CAST([] AS BIGINT[])), j)),
+         |    j -> w.w[j]), ' '), '') AS cleaned
+         |FROM w LEFT JOIN rem r USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    ) { (s, d) =>
+      spanDedup(Tables.documents(s, d), K).orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q40DedupExact, q41DedupJaccard, q42DedupMinhashLsh,
     q43DedupSimhash, q44DedupEmbed, q45DupGroups, q46Decontaminate,
-    q47DedupApply, q48RecordLinkage, q58DupGroupsLsh)
+    q47DedupApply, q48RecordLinkage, q58DupGroupsLsh, q97SpanDedup)
 }

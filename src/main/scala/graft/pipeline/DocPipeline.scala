@@ -259,6 +259,64 @@ object DocPipeline {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q100: incremental view maintenance over the upsert table's change-data
+    * feed — the consumption half of the CDF story as a driver-checked
+    * query. The base table receives two batches: v1 holds two-thirds of
+    * `orders` with every `%7` key's total zeroed (bad early data), v2
+    * delivers the late third plus the corrections. The materialized view
+    * (revenue + order count per priority) is then brought to v2 WITHOUT
+    * rescanning the table: `readChanges(v1, v2, preimages = true)` emits
+    * Delta-CDF-style insert / update_preimage / update_postimage rows from
+    * the CHANGED BUCKETS ONLY, and the view update is
+    * `view ⊎ (post − pre)` — one aggregation over the delta stream.
+    *
+    * At 100 TB this is the difference between an O(table) nightly rebuild
+    * and an O(changed-buckets) refresh per batch. Exactness: sums stay
+    * DECIMAL(18,2) through both legs (associative), ONE final double cast;
+    * the oracle is the straight aggregate over the source table, so any
+    * defect in the CDF classification, the preimage values, or the merge
+    * breaks the hash. */
+  val q100IncrementalView: Q = Q(
+    "q100_incremental_view",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, d) =>
+    import graft.sources.Sources
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val wide = org.apache.spark.sql.types.DecimalType(30, 2)
+    val o = Tables.orders(s, d)
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q100_table_${graft.sources.GraftShards.contentStamp(d, "orders.parquet")}").toString
+    if (!new java.io.File(path, "v2/_SUCCESS").exists()) {
+      val early = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, lit(0.0)).otherwise(col("o_totalprice")))
+      val late = o.filter(col("o_orderkey") % 3 === 0 ||
+        (col("o_orderkey") % 7 === 0 && col("o_orderkey") % 3 =!= 0))
+      Sources.upsert(early, Seq("o_orderkey"), path)
+      Sources.upsert(late, Seq("o_orderkey"), path)
+    }
+    def agg(df: DataFrame, sign: Column): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(sign * col("o_totalprice").cast(dec)).cast(wide).as("rev"),
+        sum(sign).cast("long").as("n"))
+    val view1 = agg(Sources.readTableAt(s, path, 1), lit(1L))
+    val changes = Sources.readChanges(s, path, 1L, 2L, Seq("o_orderkey"),
+      preimages = true)
+    val delta = agg(changes,
+      when(col("_change") === "update_preimage", lit(-1L)).otherwise(lit(1L)))
+    view1.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revsum"), sum(col("n")).as("n_orders"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("revsum").cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(q21DocPipeline, q22StatusEvents, q23Correlate,
-    q24PointLookup, q78KeyedLookup)
+    q24PointLookup, q78KeyedLookup, q100IncrementalView)
 }

@@ -860,7 +860,7 @@ object Sources {
     * `readChanges(last, current)`, and processes deltas instead of
     * re-scanning the view. */
   def readChanges(s: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, keys: Seq[String]): DataFrame = {
+      toVersion: Long, keys: Seq[String], preimages: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"readChanges needs fromVersion < toVersion, got v$fromVersion >= v$toVersion")
     require(keys.nonEmpty,
@@ -919,11 +919,24 @@ object Sources {
       .map(c => !(col(c) <=> col(s"__old_$c")))
       .reduceOption(_ || _)
       .getOrElse(org.apache.spark.sql.functions.lit(false))
-    j.withColumn("_change",
+    val classified = j.withColumn("_change",
         org.apache.spark.sql.functions.when(col("__old_present").isNull, "insert")
           .otherwise(org.apache.spark.sql.functions.when(differs, "update")))
       .filter(col("_change").isNotNull)
-      .select(toSchema.fieldNames.map(col) :+ col("_change"): _*)
+    if (!preimages)
+      return classified.select(toSchema.fieldNames.map(col) :+ col("_change"): _*)
+    // Delta-CDF-style four-tag stream: updates emit BOTH sides, so sum-like
+    // view maintenance needs no snapshot lookup — delta = post − pre. The
+    // pre row is assembled from the __old_* columns the classification join
+    // already carries (free: no extra read or shuffle).
+    val post = classified.select(toSchema.fieldNames.map(col) :+
+      org.apache.spark.sql.functions.when(col("_change") === "insert", "insert")
+        .otherwise("update_postimage").as("_change"): _*)
+    val pre = classified.filter(col("_change") === "update")
+      .select(toSchema.fieldNames.map(c =>
+        (if (keys.exists(_.equalsIgnoreCase(c))) col(c) else col(s"__old_$c")).as(c)) :+
+        org.apache.spark.sql.functions.lit("update_preimage").as("_change"): _*)
+    post.unionByName(pre)
   }
 
   /** [[upsert]] as a `foreachBatch` sink:

@@ -436,7 +436,136 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_no"))
   }
 
+  // ---- q98: data-mixture rebalancing -------------------------------------
+
+  /** q98: rebalance the corpus to a uniform per-language token budget — the
+    * "data mixing" step of a training pipeline (each source/language gets a
+    * target share; over-represented slices are down-sampled to it). The
+    * budget here is the smallest language's token total; each language is
+    * kept at rate `floor(10000·budget/total)` basis points.
+    *
+    * This composes q90's per-stratum deterministic sampling with rates
+    * DERIVED FROM CORPUS STATS instead of a static table: one aggregation
+    * computes per-language totals, the global budget rides along as an
+    * in-plan broadcast scalar (no driver round-trip), and the row filter is
+    * the md5-bucket-below-rate predicate — reproducible forever across
+    * runs, retries, and engines, never `rand()`. Integer basis points keep
+    * the threshold exact (no float rate to drift cross-engine).
+    *
+    * Scale: the rate table is one row per language (broadcast); the
+    * selection is a narrow scan+filter. Output is every kept document with
+    * its language's rate — the oracle re-derives rates and membership, so
+    * a drifted rate or hash breaks the full hash match. */
+  val q98MixtureRebalance: Q = Q(
+    "q98_mixture_rebalance",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT lang, SUM(n_tok) AS tot FROM d GROUP BY lang),
+      |rates AS (
+      |  SELECT lang, CAST(tot AS BIGINT) AS lang_tokens,
+      |    CAST((10000 * (SELECT MIN(tot) FROM tot)) // tot AS BIGINT) AS rate_bp
+      |  FROM tot)
+      |SELECT d.doc_id, d.lang, d.n_tok, r.rate_bp
+      |FROM d JOIN rates r USING (lang)
+      |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      |        % 10000 < r.rate_bp
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    mixtureRebalance(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** [[q98MixtureRebalance]]'s operator body over any (doc_id, lang, text)
+    * frame. */
+  def mixtureRebalance(input: DataFrame): DataFrame = {
+    val docs = input.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = docs.groupBy(col("lang")).agg(sum(col("n_tok")).as("tot"))
+    // no broadcast hints: the rate/budget frames are corpus-derived —
+    // AQE broadcasts them from their actual (language-bounded) sizes
+    val budget = tot.agg(min(col("tot")).as("budget"))
+    val rates = tot.crossJoin(budget)
+      .select(col("lang"), expr("(10000 * budget) div tot").as("rate_bp"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10000
+    docs.join(rates, "lang")
+      .filter(bucket < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("rate_bp"))
+  }
+
+  // ---- q99: n-gram LM cross-entropy scoring ------------------------------
+
+  /** q99: per-document cross-entropy under a corpus-trained bigram language
+    * model with add-one smoothing — the CCNet/KenLM-style quality signal
+    * (documents whose token transitions are improbable under the corpus LM
+    * score high = out-of-distribution). p(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁·)+V),
+    * score = −(1/n)·Σ ln p over the document's bigrams.
+    *
+    * Train and score are ONE job: the conditional counts are aggregations
+    * over the exploded bigram stream (map-side combined; the count tables
+    * are vocabulary-sized, so AQE broadcasts them back onto the stream),
+    * the vocabulary size rides as an in-plan broadcast scalar, and the
+    * per-document reduction shuffles (doc_id, fixed_point_term) pairs.
+    * Linear end to end; at 100 TB the count tables are the model artifact
+    * you would persist and reuse.
+    *
+    * Exactness: each −ln p term is snapped to fixed-point longs at 1e6
+    * (`floor(x·1e6+0.5)` — the one cross-engine-identical rounding), the
+    * per-doc sum is integer (associative), and only the final display
+    * average divides in double. Both engines evaluate ln on identical
+    * integer-valued doubles, so the snapped terms agree. */
+  val q99LmCrossEntropy: Q = Q(
+    "q99_lm_cross_entropy",
+    """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+      |  FROM w, LATERAL (SELECT unnest(range(1, LEN(w))) AS i)),
+      |cbg AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY bg),
+      |cw1 AS (SELECT w1, COUNT(*) AS cw1 FROM bg GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM w)),
+      |term AS (
+      |  SELECT b.doc_id,
+      |    CAST(FLOOR((ln(CAST(c1.cw1 + (SELECT v FROM v) AS DOUBLE))
+      |                - ln(CAST(c2.cbg + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS t
+      |  FROM bg b JOIN cbg c2 USING (bg) JOIN cw1 c1 USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_nll
+      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    lmCrossEntropy(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** [[q99LmCrossEntropy]]'s operator body over any (doc_id, text) frame. */
+  def lmCrossEntropy(input: DataFrame): DataFrame = {
+    val toks = input
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val bg = toks.select(col("doc_id"),
+        explode(graft.functions.ArrayExprs.letBind(col("w")) { w =>
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("w1"),
+                concat_ws(" ", element_at(w, i), element_at(w, i + 1)).as("bg"))))
+            .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+        }).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val cw1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    bg.join(cbg, "bg").join(cw1, "w1").crossJoin(vocab)
+      .select(col("doc_id"),
+        floor((log(col("cw1").plus(col("v")).cast("double"))
+          - log(col("cbg").plus(lit(1)).cast("double"))) * 1000000d + 0.5d)
+          .cast("long").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("t")).cast("double") / count(lit(1)) / 1000000d, 6)
+          .as("avg_nll"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
-    q69Chunking, q73Repetition)
+    q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy)
 }

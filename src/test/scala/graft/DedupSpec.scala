@@ -330,4 +330,23 @@ class DedupSpec extends SparkSpec {
     assert(Set((1L, 2L), (3L, 4L)).subsetOf(lsh))
     assert(!lsh.exists { case (a, b) => Set(a, b).contains(5L) })
   }
+
+  test("q97 span dedup: exactly the corpus-repeated 8-token spans are removed") {
+    import spark.implicits._
+    val span = (0 until 8).map(i => s"s$i")
+    val a = ((0 until 4).map(i => s"a$i") ++ span ++ Seq("a4", "a5", "a6")).mkString(" ")
+    val b = (Seq("b0", "b1") ++ span ++ Seq("b2")).mkString(" ")
+    val c = "c0 c1 c2 c3 c4" // shorter than k: no spans, must pass untouched
+    val dd = (Seq("d0") ++ span ++ Seq("d1") ++ span).mkString(" ") // internal repeat
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, dd)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, 8).orderBy("doc_id")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"cleaned")
+      .as[(Long, Long, Long, String)].collect()
+    // every position covered by ANY occurrence of the repeated span goes;
+    // all single-occurrence grams (fillers, boundary-crossing grams) stay
+    assert(out(0) == ((1L, 15L, 8L, "a0 a1 a2 a3 a4 a5 a6")))
+    assert(out(1) == ((2L, 11L, 8L, "b0 b1 b2")))
+    assert(out(2) == ((3L, 5L, 0L, c)))
+    assert(out(3) == ((4L, 18L, 16L, "d0 d1")))
+  }
 }

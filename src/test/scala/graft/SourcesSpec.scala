@@ -400,6 +400,30 @@ class SourcesSpec extends SparkSpec {
       .filter($"k" =!= 7L).count() == 0)
   }
 
+  test("CDF preimages: updates emit both sides; sum maintenance needs no snapshot read") {
+    val path = tmp("graft-upsert-cdf-pre")
+    Sources.upsert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"),
+      Seq("k"), path)
+    // v2: one real update (2), one insert (4), one identical rewrite (3)
+    Sources.upsert(Seq((2L, 25L), (4L, 40L), (3L, 30L)).toDF("k", "x"),
+      Seq("k"), path)
+    val ch = Sources.readChanges(spark, path, 1L, 2L, Seq("k"), preimages = true)
+    assert(ch.select($"k", $"x", $"_change").as[(Long, Long, String)]
+      .collect().toSet == Set((2L, 20L, "update_preimage"),
+        (2L, 25L, "update_postimage"), (4L, 40L, "insert")))
+    // the IVM contract: view(v1) + (post - pre) == view(v2), no table scan
+    import org.apache.spark.sql.functions.when
+    val delta = ch.select(when($"_change" === "update_preimage", -$"x")
+      .otherwise($"x")).as[Long].collect().sum
+    val v1Sum = 10L + 20L + 30L
+    val v2Sum = Sources.readTableAt(spark, path, 2)
+      .agg(org.apache.spark.sql.functions.sum($"x")).as[Long].head()
+    assert(v1Sum + delta == v2Sum)
+    // default mode is unchanged by the flag's existence
+    assert(Sources.readChanges(spark, path, 1L, 2L, Seq("k"))
+      .select($"_change").as[String].collect().toSet == Set("insert", "update"))
+  }
+
   test("property: upsert over random batches ≡ last-write-wins map fold") {
     val rnd = new scala.util.Random(42)
     val path = tmp("graft-upsert-prop")

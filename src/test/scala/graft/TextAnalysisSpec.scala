@@ -98,4 +98,51 @@ class TextAnalysisSpec extends SparkSpec {
     // the signal orders the docs as a filter needs
     assert(db2 > db1 && tb2 > tb1)
   }
+
+  test("q98 mixture rebalance: rates derive from corpus totals; min language keeps everything") {
+    // aa: 2 docs x 10 tokens = 20; bb: 10 docs x 10 tokens = 100
+    // -> budget 20, rate(aa) = 10000 bp (all kept), rate(bb) = 2000 bp
+    def mk(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 2).map(i => (i.toLong, "aa", mk(10))) ++
+      (11 to 20).map(i => (i.toLong, "bb", mk(10)))).toDF("doc_id", "lang", "text")
+    val out = graft.text.TextAnalysis.mixtureRebalance(docs)
+      .select(col("doc_id"), col("lang"), col("rate_bp"))
+      .as[(Long, String, Long)].collect()
+    val aa = out.filter(_._2 == "aa")
+    assert(aa.map(_._1).sorted.toSeq == Seq(1L, 2L) && aa.forall(_._3 == 10000L))
+    // bb membership re-derived through an INDEPENDENT md5 path (JDK digest)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val expectBb = (11L to 20L).filter(bucket(_) < 2000L)
+    val bb = out.filter(_._2 == "bb")
+    assert(bb.forall(_._3 == 2000L))
+    assert(bb.map(_._1).sorted.toSeq == expectBb)
+  }
+
+  test("q99 LM cross-entropy matches an independent reference model") {
+    val texts = Seq((1L, "x y x y x"), (2L, "x x x x"), (3L, "y z"))
+    // independent reference: plain Scala maps + math.log, same snapping
+    val bigrams = texts.map { case (id, t) =>
+      val w = t.split("\\s+"); id -> w.dropRight(1).zip(w.drop(1))
+    }
+    val cbg = bigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val cw1 = bigrams.flatMap(_._2).groupBy(_._1).map { case (k, v) => k -> v.size }
+    val v = texts.flatMap(_._2.split("\\s+")).distinct.size
+    val expect = bigrams.map { case (id, bgs) =>
+      val terms = bgs.map { bg =>
+        math.floor((math.log((cw1(bg._1) + v).toDouble) -
+          math.log((cbg(bg) + 1).toDouble)) * 1e6 + 0.5).toLong
+      }
+      val avg = BigDecimal(terms.sum.toDouble / terms.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, terms.size.toLong, avg)
+    }.toSet
+    val got = graft.text.TextAnalysis.lmCrossEntropy(texts.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
 }
