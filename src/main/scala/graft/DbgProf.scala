@@ -18,13 +18,11 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    for (q <- Seq(graft.dedup.Dedup.q97SpanDedup, graft.text.TextAnalysis.q98MixtureRebalance,
-        graft.text.TextAnalysis.q99LmCrossEntropy, graft.pipeline.DocPipeline.q100IncrementalView)) {
+    for (q <- Seq(graft.relational.Relational2.q104Funnel,
+        graft.relational.Relational2.q105CohortRetention)) {
       time(q.name + "-1")(q.fn(spark, d).count())
       time(q.name + "-2")(q.fn(spark, d).count())
     }
-    graft.dedup.Dedup.q97SpanDedup.fn(spark, d).show(4, 60)
-    graft.pipeline.DocPipeline.q100IncrementalView.fn(spark, d).show(10)
     spark.stop()
   }
 }

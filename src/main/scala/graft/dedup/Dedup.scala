@@ -441,14 +441,26 @@ pairs AS (
     * as the sorted-struct slice in [[graft.sim.Similarity.probeCells]]. */
   val q44DedupEmbed: Q = Q(
     "q44_dedup_embed",
-    s"""WITH e AS (SELECT vec_id,
+    s"WITH ${embedPairCtes(graft.sim.Similarity.NumCells, "0.35")}\n" +
+      "SELECT vec_a, vec_b, cos FROM pairs ORDER BY vec_a, vec_b",
+  ) { (s, d) =>
+    embedNearDupPairs(s, d, graft.sim.Similarity.NumCells)
+  }
+
+  /** The q44 pipeline mirrored as DuckDB CTEs over `embeddings`, ending in
+    * `pairs(vec_a, vec_b, cos)` — factored so composed operators (q101
+    * triangle counting) can append their own CTEs over the identical pair
+    * set. `thr` is the SQL literal of the rounded-cosine threshold; pass
+    * the same double to [[embedNearDupPairs]] or the mirrors drift. */
+  def embedPairCtes(numCells: Int, thr: String): String =
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cid, v AS c,
        |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
        |                (a, b) -> a + b) AS cn2
-       |  FROM e WHERE vec_id < ${graft.sim.Similarity.NumCells}),
+       |  FROM e WHERE vec_id < $numCells),
        |probed AS (
        |  SELECT vec_id, v, cid AS cell FROM (
        |    SELECT e.vec_id, e.v, c.cid,
@@ -458,20 +470,18 @@ pairs AS (
        |          (a, b) -> a + b),
        |        c.cid) AS rn
        |    FROM e, cents c)
-       |  WHERE rn <= 2)
-       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-       |FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
-       |ORDER BY vec_a, vec_b""".stripMargin,
-  ) { (s, d) =>
-    embedNearDupPairs(s, d, graft.sim.Similarity.NumCells)
-  }
+       |  WHERE rn <= 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= $thr)""".stripMargin
 
   /** The q44 pipeline with the cell count as the explicit scale knob — at
     * 10× the corpus you run 10× the cells and per-cell pair work stays
     * put (ScaleProbe measures exactly this). */
-  def embedNearDupPairs(s: SparkSession, d: String, numCells: Int): DataFrame = {
+  def embedNearDupPairs(s: SparkSession, d: String, numCells: Int,
+      thr: Double = 0.35): DataFrame = {
     ArrayExprs.register(s)
     import graft.sim.Similarity
     val plain = Tables.embeddings(s, d)
@@ -502,7 +512,7 @@ pairs AS (
         col("na2"), col("nb2")), 6)
     a.join(b,
         col("cell_a") === col("cell_b") && col("vec_a") < col("vec_b") &&
-          cos >= 0.35)
+          cos >= thr)
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))

@@ -674,9 +674,116 @@ object Relational2 {
       .orderBy($"user_id")
   }
 
+  // ---- q104: sequential funnel analysis ----------------------------------
+
+  /** q104: three-step conversion funnel (view → click → purchase, each step
+    * within one day of the previous) over the event stream — the product
+    * analytics staple (Amplitude/Mixpanel funnels; MATCH_RECOGNIZE's most
+    * common use). Per user: the earliest time each step completes given
+    * the previous step's completion, plus the reached depth.
+    *
+    * Scale: each step is one filtered scan joined against the previous
+    * step's per-user scalar frame (one timestamp per converted user —
+    * orders of magnitude smaller than the event stream; AQE broadcasts it
+    * while it fits, shuffle-joins beyond) followed by a map-side-combined
+    * min. Linear in events, state bounded by users — the same shape as a
+    * streaming funnel's keyed state. Timestamps compare exactly (both
+    * engines see the same microsecond-truncated values — Tables.events).
+    */
+  val q104Funnel: Q = Q(
+    "q104_funnel",
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |s1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      |    AND e.ts <= s1.t_view + INTERVAL 1 DAY GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      |    AND e.ts <= s2.t_click + INTERVAL 1 DAY GROUP BY e.user_id)
+      |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+      |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+      |            WHEN s2.t_click IS NOT NULL THEN 2
+      |            WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+      |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+      |  LEFT JOIN s2 ON u.user_id = s2.user_id
+      |  LEFT JOIN s3 ON u.user_id = s3.user_id
+      |ORDER BY u.user_id""".stripMargin,
+  ) { (s, d) =>
+    funnel(Tables.events(s, d),
+      Seq("view" -> "t_view", "click" -> "t_click", "purchase" -> "t_purchase"),
+      expr("INTERVAL 1 DAY"))
+  }
+
+  /** [[q104Funnel]]'s operator body: an N-step earliest-completion funnel
+    * over (user_id, event_type, ts). `steps` maps each step's event type
+    * to its output timestamp column; each step must complete within
+    * `within` of the previous step's completion time. Returns one row per
+    * user with the step timestamps (null once the funnel breaks) and the
+    * reached depth. */
+  def funnel(events: DataFrame, steps: Seq[(String, String)], within: Column): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val u = ev.select(col("user_id")).distinct()
+    val outCols = steps.map(_._2)
+    // step i's frame: earliest qualifying ts per user, scoped by step i-1
+    val stepFrames = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, ((step, out), i)) =>
+        val base = ev.filter(col("event_type") === step)
+        val scoped = acc.headOption match {
+          case None => base
+          case Some(prev) =>
+            val pc = col(outCols(i - 1))
+            base.join(prev, "user_id")
+              .filter(col("ts") > pc && col("ts") <= pc + within)
+        }
+        scoped.groupBy(col("user_id")).agg(min(col("ts")).as(out)) :: acc
+    }.reverse
+    val joined = stepFrames.foldLeft(u)((acc, f) =>
+      acc.join(f.select(col("user_id"), col(f.columns.last)), Seq("user_id"), "left"))
+    // deepest step wins, so the deepest check must be the OUTERMOST branch
+    val depth = steps.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(outCols(i)).isNotNull, i + 1).otherwise(els)
+    }
+    joined
+      .select(col("user_id") +: outCols.map(col) :+ depth.cast("long").as("depth"): _*)
+      .orderBy(col("user_id"))
+  }
+
+  // ---- q105: cohort retention ---------------------------------------------
+
+  /** q105: cohort retention matrix — users grouped by first-activity day,
+    * counted on each later day they return (the other product-analytics
+    * staple next to q104's funnel). Two map-side-combined aggregations
+    * (first day per user, distinct active (user, day)) and one join keyed
+    * by user — linear in events, output bounded by cohorts × days. */
+  val q105CohortRetention: Q = Q(
+    "q105_cohort_retention",
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fst AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, day FROM ev)
+      |SELECT f.cohort, CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM act a JOIN fst f ON a.user_id = f.user_id
+      |GROUP BY f.cohort, a.day - f.cohort
+      |ORDER BY cohort, day_offset""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val fst = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val act = ev.distinct()
+    act.join(fst, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort"), col("day_offset").cast("long").as("day_offset"),
+        col("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
-    q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles, q79Ewma)
+    q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles, q79Ewma,
+    q104Funnel, q105CohortRetention)
 }

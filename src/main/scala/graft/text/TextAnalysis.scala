@@ -565,7 +565,146 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  // ---- q102: BM25 ranked retrieval ----------------------------------------
+
+  /** BM25 parameters (Robertson/Spärck Jones defaults) and the demo query.
+    * k1+1 = 2.2 and 1−b = 0.25 are folded to literals so the oracle's
+    * arithmetic dag is textually identical. */
+  val Bm25QueryTerms: Seq[String] = Seq("join", "hash", "scan")
+
+  /** q102: BM25 top-10 retrieval over the corpus for a fixed conjunctive
+    * query — the ranked-retrieval step on top of q66's tf-idf statistics
+    * (what a training-data pipeline uses for targeted corpus probes and
+    * what q46-style decontamination escalates to when fuzzy matching is
+    * needed). score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale: one tokenize pass; doc-length and per-(doc, term) counts are
+    * map-side-combined aggregations; the query-term frames (tf filtered to
+    * |Q| terms, df of |Q| rows, the 1-row corpus stats) are tiny — AQE
+    * broadcasts them from actual sizes (no hints on corpus-derived
+    * frames), so the only corpus-sized shuffles carry (doc, count) pairs.
+    * Top-k is one TakeOrdered, not a global sort.
+    *
+    * Exactness: every per-term weight is computed on doubles by the same
+    * parenthesized dag in both engines (identical IEEE results), snapped
+    * to fixed-point micros via `floor(x·1e6+0.5)`, and summed as longs
+    * (associative); ranking orders by the integer micros. The one
+    * re-division to a display double is exact-input identical. */
+  val q102Bm25: Q = Q(
+    "q102_bm25_search",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dlen),
+      |tfq AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('join', 'hash', 'scan') GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+      |w AS (SELECT t.doc_id,
+      |    CAST(FLOOR((LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                        / (CAST(f.df AS DOUBLE) + 0.5))
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+      |                                    / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS wm
+      |  FROM tfq t JOIN dlen l USING (doc_id) JOIN dfq f USING (tok) CROSS JOIN stats s),
+      |sc AS (SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS score_micro FROM w GROUP BY doc_id)
+      |SELECT doc_id, CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk
+      |FROM (SELECT doc_id, score_micro,
+      |        ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rnk FROM sc)
+      |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+  ) { (s, d) =>
+    bm25TopK(Tables.documents(s, d), Bm25QueryTerms, 10)
+  }
+
+  /** [[q102Bm25]]'s operator body: BM25 top-`k` over any (doc_id, text)
+    * frame for `terms`. */
+  def bm25TopK(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = input.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tfq = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("tot").cast("double") / col("n").cast("double")))))
+    val scored = tfq.join(dlen, "doc_id").join(dfq, "tok").crossJoin(stats)
+      .select(col("doc_id"),
+        floor(idf * tfn * lit(1000000.0) + lit(0.5)).as("wm"))
+      .groupBy(col("doc_id")).agg(sum(col("wm")).as("score_micro"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    // partial top-k, no global sort), then rank the k survivors; a global
+    // row_number window here would single-partition the whole corpus
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"),
+        col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  // ---- q103: weighted reservoir sampling (A-ES) ---------------------------
+
+  /** q103: per-language weighted sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme: each doc draws u ∈ (0,1] from a
+    * salted md5 (the oracle-reproducible uniform), and the k docs with the
+    * largest u^(1/w) — equivalently the largest ln(u)/w — win. Heavier
+    * docs (weight = n_chars, the stand-in for a quality score) win
+    * proportionally more often; the result is deterministic given the
+    * salt. This is the sampling step a curation pipeline uses to draw a
+    * quality-weighted eval slice per language.
+    *
+    * Scale: one narrow projection computes the key (md5 + one ln per row,
+    * no shuffle), then one per-group top-k window over (lang). A 100 TB
+    * deployment replaces the window with the bounded TopKHits aggregator
+    * (q50's shape) — semantics identical; the windowed form is the
+    * SQL-checkable one.
+    *
+    * Exactness: u = (x+1)/2^48 where x is the first 48 md5 bits — the
+    * division is by a power of two, so u is exact; ln(u)/w is the same
+    * IEEE dag both engines; ordering on (key, doc_id) is total. */
+  val q103WeightedSample: Q = Q(
+    "q103_weighted_sample",
+    """WITH k AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    LN((CAST(CAST('0x' || SUBSTRING(md5('q103|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) + 1.0)
+      |       / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight, rnk
+      |FROM (SELECT lang, doc_id, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rnk
+      |      FROM k)
+      |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+  ) { (s, d) =>
+    weightedSample(Tables.documents(s, d), col("lang"), col("n_chars"), 5)
+  }
+
+  /** [[q103WeightedSample]]'s operator body: A-ES top-`k` per `group` with
+    * `weight` (strictly positive) over any frame with a doc_id column. */
+  def weightedSample(input: DataFrame, group: Column, weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(lit("q103|"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("bigint").cast("double") + lit(1.0)) / lit(281474976710656.0)
+    val key = log(u) / weight.cast("double")
+    input.select(group.as("lang"), col("doc_id"), weight.as("w0"), key.as("key"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("key").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("doc_id"), col("w0").cast("long").as("weight"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
-    q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy)
+    q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy,
+    q102Bm25, q103WeightedSample)
 }

@@ -63,6 +63,71 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- triangle counting (q101) -------------------------------------------
+
+  /** Independent reference: brute-force enumeration of all node triples.
+    * Deliberately shares no code (or orientation trick) with the Spark
+    * version. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tri = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } yield (a, b, c)
+    val perNode = tri.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> perNode.getOrElse(n, 0L)).toMap
+  }
+
+  private def triDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toDF("a", "b")
+  }
+
+  test("triangles: matches brute-force reference on K4 plus a pendant chain") {
+    // K4 on 1..4 (4 triangles, lcc 1.0 per node), chain 4-5-6 (no triangles)
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6))
+    val expected = refTriangles(edges)
+    val rows = Graph.triangleCount(triDf(edges)).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    val lcc = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(lcc(1L) == 1.0 && lcc(2L) == 1.0 && lcc(3L) == 1.0)
+    assert(lcc(5L) == 0.0 && lcc(6L) == 0.0) // deg-2 open wedge and deg-1 leaf
+    // node 4: deg 4 (K4 neighbors + pendant 5), 3 triangles → 2·3/(4·3)
+    assert(lcc(4L) == 0.5)
+  }
+
+  test("triangles: matches brute-force reference on a hub-heavy random graph") {
+    // a hub (0) connected to everything plus a pseudo-random sparse layer —
+    // exercises the degree orientation on exactly the shape that breaks
+    // unoriented wedge counting
+    val rnd = new scala.util.Random(7)
+    val layer = for (_ <- 1 to 60) yield {
+      val x = rnd.nextInt(20) + 1; val y = rnd.nextInt(20) + 1
+      (x.toLong, y.toLong)
+    }
+    val edges = ((1 to 20).map(i => (0L, i.toLong)) ++ layer.filter(e => e._1 != e._2))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val expected = refTriangles(edges)
+    val got = Graph.triangleCount(triDf(edges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("triangles: result is partitioning-independent") {
+    val edges = graft.dedup.Dedup
+      .embedNearDupPairs(spark, sfDir, graft.sim.Similarity.NumCells, 0.25)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val one = Graph.triangleCount(edges).collect().toSeq
+    val two = Graph.triangleCount(edges.repartition(7, col("b"))).collect().toSeq
+    assert(one == two)
+    assert(one.map(_.getLong(2)).sum > 0, "demo graph should contain triangles")
+  }
+
   test("mass is conserved up to floor-division loss") {
     val g = Graph.purchaseGraph(spark, sfDir)
     val e = g.count()

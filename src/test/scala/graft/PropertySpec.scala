@@ -89,4 +89,59 @@ class PropertySpec extends SparkSpec {
         got == ids.sorted
     })
   }
+
+  test("funnel: step order, strict-after, inclusive window boundary (q104)") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Int) = new Timestamp(t0.getTime + hours * 3600 * 1000L)
+    val ev = Seq(
+      // user 1: clean view→click→purchase inside the window → depth 3
+      (1L, "view", at(0)), (1L, "click", at(1)), (1L, "purchase", at(2)),
+      // user 2: click 2 days after view (outside 1-day window) → depth 1
+      (2L, "view", at(0)), (2L, "click", at(48)),
+      // user 3: click before any view — order matters → depth 0
+      (3L, "click", at(0)), (3L, "purchase", at(1)),
+      // user 4: click at the SAME instant as view (not strictly after)
+      // fails; the later click exactly ON the +1 day boundary (inclusive)
+      // succeeds → depth 2
+      (4L, "view", at(0)), (4L, "click", at(0)), (4L, "click", at(24)),
+      // user 5: purchase BEFORE the click that qualifies → depth 2
+      (5L, "view", at(0)), (5L, "purchase", at(1)), (5L, "click", at(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.relational.Relational2
+      .funnel(ev, Seq("view" -> "t_view", "click" -> "t_click",
+        "purchase" -> "t_purchase"), expr("INTERVAL 1 DAY"))
+      .select(col("user_id"), col("depth")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+    // user 4's qualifying click is the boundary one, not the same-instant one
+    val u4 = graft.relational.Relational2
+      .funnel(ev, Seq("view" -> "t_view", "click" -> "t_click"),
+        expr("INTERVAL 1 DAY"))
+      .filter(col("user_id") === 4L).select(col("t_click"))
+      .as[Timestamp].collect()
+    assert(u4.toSeq == Seq(at(24)))
+  }
+
+  test("cohort retention counts distinct users per (cohort, offset) (q105)") {
+    import java.sql.Timestamp
+    def day(d: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val ev = Seq(
+      // u1: cohort d1, active d1 (twice — must not double count) and d3
+      (1L, "view", day(1)), (1L, "click", day(1, 5)), (1L, "view", day(3)),
+      // u2: cohort d1, active d1 only
+      (2L, "view", day(1)),
+      // u3: cohort d2, active d2 and d3
+      (3L, "view", day(2)), (3L, "view", day(3)))
+      .toDF("user_id", "event_type", "ts")
+    val ev2 = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+    val fst = ev2.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val got = ev2.distinct().join(fst, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("o"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cohort").cast("string"), col("o"), col("n"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)))
+  }
 }

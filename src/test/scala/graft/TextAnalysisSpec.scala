@@ -123,6 +123,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bb.map(_._1).sorted.toSeq == expectBb)
   }
 
+  test("q102 BM25 matches an independent reference on a controlled corpus") {
+    val docs = Seq(
+      (1L, "join join hash filter scan"), // two query terms repeated, dl=5
+      (2L, "join merge merge merge"), // one weak match, dl=4
+      (3L, "sort merge batch"), // no query term — must be absent
+      (4L, "hash hash hash hash hash hash")) // saturating tf, dl=6
+    val terms = Seq("join", "hash", "scan")
+    // independent reference: plain Scala, same formula and snapping
+    val tokd = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = tokd.size
+    val tot = tokd.map(_._2.size).sum
+    val avgdl = tot.toDouble / n
+    val df = terms.map(t => t -> tokd.count(_._2.contains(t))).toMap
+    val ref = tokd.map { case (id, w) =>
+      val micros = terms.flatMap { t =>
+        val tf = w.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          val tfn = (tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * (w.size.toDouble / avgdl)))
+          Some(math.floor(idf * tfn * 1000000.0 + 0.5).toLong)
+        }
+      }
+      id -> micros.sum
+    }
+    val expected = ref.filter { case (id, _) => tokd.toMap.apply(id).exists(terms.contains) }
+      .sortBy { case (id, m) => (-m, id) }
+      .zipWithIndex
+      .map { case ((id, m), i) => (id, m.toDouble / 1000000.0, (i + 1).toLong) }
+    val got = graft.text.TextAnalysis
+      .bm25TopK(docs.toDF("doc_id", "text"), terms, 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == expected)
+    // semantics: the no-query-term doc is absent; saturation keeps the
+    // six-fold 'hash' doc from drowning the two-term doc
+    assert(!got.exists(_._1 == 3L))
+    assert(got.map(_._1).contains(1L) && got.map(_._1).contains(4L))
+  }
+
+  test("q103 weighted sample: membership matches an independent JDK-md5 A-ES reference") {
+    // two groups; extreme weights so the weighting is observable
+    val docs = (1 to 40).map { i =>
+      val heavy = i % 4 == 0
+      (i.toLong, if (i <= 20) "aa" else "bb", if (heavy) 100000L else 1L)
+    }
+    val out = graft.text.TextAnalysis
+      .weightedSample(docs.toDF("doc_id", "lang", "wt"), col("lang"), col("wt"), 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // independent reference: JDK md5, same salt, same key formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"q103|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 12)
+      val x = java.lang.Long.parseLong(hex, 16)
+      math.log((x.toDouble + 1.0) / 281474976710656.0) / w.toDouble
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map(d => (d._1, d._3, key(d._1, d._3)))
+        .sortBy { case (id, _, k) => (-k, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, w, _), i) => (lang, id, w, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._4))
+    assert(out == expected)
+    // the 1e5:1 weights must dominate: every winner is a heavy doc
+    assert(out.forall(_._3 == 100000L))
+  }
+
   test("q99 LM cross-entropy matches an independent reference model") {
     val texts = Seq((1L, "x y x y x"), (2L, "x x x x"), (3L, "y z"))
     // independent reference: plain Scala maps + math.log, same snapping
