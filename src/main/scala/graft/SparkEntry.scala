@@ -14,6 +14,7 @@ object SparkEntry {
       graft.pipeline.DocPipeline.all ++
       graft.text.TextAnalysis.all ++
       graft.dedup.Dedup.all ++
+      graft.dedup.LshIndex.all ++
       graft.sim.Similarity.all ++
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++

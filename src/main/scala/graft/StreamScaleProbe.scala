@@ -28,8 +28,9 @@ object StreamScaleProbe {
 
   /** Deterministic synthetic events matching the sf0.1 shape: 30-day span,
     * 5 uniform event types, value ~U[0,560), sequential event_ids,
-    * hash-assigned users; ts stored as raw nanos (the schema
-    * `eventsRawSchema` reads). */
+    * hash-assigned users; ts stored as a raw nanosecond LONG — the
+    * Tables.events loader's LongType branch normalizes it exactly like
+    * the driver's original nanos layout. */
   def genEvents(s: SparkSession, n: Long, users: Int): DataFrame = {
     val baseNs = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
     val spanNs = 30L * 86400 * 1000000000L

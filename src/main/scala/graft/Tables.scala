@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (/root/repo/TESTDATA.md) plus shared exact-arithmetic helpers.
@@ -23,20 +23,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a raw nanosecond long
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds with exact
-    * integer division (`div`, not `/` — double division loses ulps above
-    * 2^53 and ns epochs are 61-bit) — exactly what DuckDB does when it
-    * loads the same file, so oracle comparisons agree. The flag is also set
-    * in every session builder (Smoke/Verify/Bench/test fixture); setting it
-    * here too keeps the loader order-independent. Only `events` stores
-    * nanos, so the flag cannot change any other table's schema.
+  /** `events.ts` normalized to Spark TimestampType regardless of the
+    * generator's parquet layout — the driver has shipped two so far:
+    *
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects: read as
+    *    a raw nanosecond long (legacy.parquet.nanosAsLong) and truncate to
+    *    microseconds with exact integer division (`div`, not `/` — double
+    *    division loses ulps above 2^53 and ns epochs are 61-bit), exactly
+    *    what DuckDB does when it loads the same file;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+    *    natively as TIMESTAMP_NTZ: cast to TimestampType (a value no-op in
+    *    the UTC sessions every main here builds), so every downstream
+    *    plan — window(), watermarks, epoch arithmetic — sees ONE type.
+    *
+    * Branching on the observed schema instead of pinning one layout keeps
+    * a testdata regeneration from silently changing query semantics: an
+    * unrecognized ts type refuses loudly. The nanosAsLong flag is set in
+    * every session builder AND here (order-independent loading); it only
+    * affects NANOS columns, so it cannot change any other table's schema.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // nanos layout, read as raw ns long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — testdata layout changed?")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -194,7 +194,7 @@ object Dedup {
     * rebuilds the Spark plan exactly — same salts, same band slicing, same
     * integer verify — so the driver's hash check is exact even though the
     * candidate set is LSH-derived. */
-  private def lshPairCtes(src: String): String = {
+  private[dedup] def lshPairCtes(src: String): String = {
     val sigList = (0 until NumHashes)
       .map(i => s"list_min(list_transform(s, x -> md5('p$i|' || x)))")
       .mkString("[\n    ", ",\n    ", "]")

@@ -678,7 +678,7 @@ object GraftShards {
     ensureDerivedShards(s, d, "events-sentinel") {
       val raw = rawEvents(s, d)
       val sentTs = raw.agg(max(col("ts"))).head().getLong(0) +
-        30L * 86400L * 1000000000L
+        30L * 86400L * 1000000L // ts travels as epoch MICROS (see rawEvents)
       val schema = graft.streaming.Streaming.eventsRawSchema
       val sentinels = s.createDataFrame(
         java.util.Arrays.asList(
@@ -688,11 +688,14 @@ object GraftShards {
       raw.unionAll(sentinels)
     }
 
-  private def rawEvents(s: SparkSession, d: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.schema(graft.streaming.Streaming.eventsRawSchema)
-      .parquet(s"$d/events.parquet")
-  }
+  /** Events in the WIRE shape records carry through the shard layout:
+    * `ts` as an epoch-MICROSECOND long (a Kinesis-style record payload is
+    * engine-neutral JSON; a raw long survives JSON round-trips exactly,
+    * a timestamp string would not). Built on the normalized
+    * [[graft.Tables.events]] loader so the wire shape is identical no
+    * matter which parquet layout the generator shipped. */
+  private def rawEvents(s: SparkSession, d: String) =
+    graft.Tables.events(s, d).withColumn("ts", unix_micros(col("ts")))
 
   /** Build-once-per-content sharded copy of a dataset derivation. */
   private def ensureDerivedShards(s: SparkSession, d: String, tag: String)(

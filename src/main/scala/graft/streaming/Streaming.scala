@@ -30,8 +30,10 @@ import graft.{Q, Tables}
   */
 object Streaming {
 
-  /** Raw schema of events.parquet (ts as nanosecond long — see
-    * Tables.events). File sources require an explicit schema. */
+  /** Wire schema of an events record payload in the graft-shards layout:
+    * `ts` travels as an epoch-MICROSECOND long (see GraftShards.rawEvents
+    * — raw longs survive the JSON round-trip exactly). Streaming sources
+    * require an explicit schema. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -63,7 +65,7 @@ object Streaming {
       .load(shardDir)
       .select(from_json(col("data"), eventsRawSchema).as("e"))
       .select(col("e.*"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Run a (bounded) streaming query to completion into a memory sink and
@@ -344,7 +346,7 @@ object Streaming {
         .load(shardDir)
         .select(from_json(col("data"), eventsRawSchema).as("e"))
         .select(col("e.*"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(col("ts")))
     }
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))

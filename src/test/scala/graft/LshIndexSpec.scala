@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, LshIndex}
+
+/** Pins the persisted-LSH-index contracts behind q106: semantic equivalence
+  * with the one-shot pipeline, O(touched-partition) reads (with a planted
+  * positive so the detector can't be vacuous), append ≡ rebuild, and the
+  * end-to-end incremental-ingest loop.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  private def freshDirs(): (String, String) = {
+    val root = Files.createTempDirectory("graft-lshindex-spec").toString
+    (s"$root/idx", s"$root/feat")
+  }
+
+  test("dedupAgainst == the one-shot LSH pipeline restricted to (batch <- corpus|earlier batch)") {
+    val (idxDir, featDir) = freshDirs()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    LshIndex.write(Dedup.lshFeatures(corpus), idxDir, featDir)
+
+    val got = LshIndex.dedupAgainst(spark, idxDir, featDir, batch)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // independent expectation: full-corpus verified pairs, restricted
+    val pairs = Dedup.lshVerifiedPairs(Dedup.lshFeatures(docs))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = batch.select(col("doc_id")).collect().map(_.getLong(0)).map { b =>
+      val partners =
+        pairs.collect { case (a, x) if x == b => a } ++ // smaller id: corpus or earlier batch
+          pairs.collect { case (x, a) if x == b && a % 10 != 9 => a } // larger corpus id
+      b -> (if (partners.isEmpty) None else Some(partners.min))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_.isDefined), "vacuous: no duplicate found at all")
+    assert(got.values.exists(_.isEmpty), "vacuous: everything was a duplicate")
+  }
+
+  test("index reads are partition-pruned to the batch's band prefixes (planted positive included)") {
+    val (idxDir, featDir) = freshDirs()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    LshIndex.write(Dedup.lshFeatures(corpus), idxDir, featDir)
+
+    val all = LshIndex.readPruned(spark, idxDir, "pfx",
+      (0 until 16).map(i => "h" + Integer.toHexString(i)))
+    val allFiles = all.inputFiles.toSet
+    assert(allFiles.nonEmpty)
+
+    // a single-doc batch touches at most NumBands prefixes
+    val one = docs.filter(col("doc_id") === 9)
+    val bandPfxs = Dedup.lshFeatures(one)
+      .select(explode(Dedup.md5BandKeys(col("msig"))).as("b"))
+      .select(concat(lit("h"), substring(col("b.band_key"), 1, 1)))
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(bandPfxs.size <= Dedup.NumBands)
+    val pruned = LshIndex.readPruned(spark, idxDir, "pfx", bandPfxs)
+    val prunedFiles = pruned.inputFiles.toSet
+    // planted positive: the touched prefixes ARE present...
+    assert(prunedFiles.nonEmpty)
+    assert(bandPfxs.exists(p => prunedFiles.exists(_.contains(s"/pfx=$p/"))))
+    // ...and nothing outside them leaks into the scan
+    assert(prunedFiles.subsetOf(allFiles))
+    assert(prunedFiles.forall(f => bandPfxs.exists(p => f.contains(s"/pfx=$p/"))))
+    assert(prunedFiles.size < allFiles.size,
+      "pruning read every partition — the detector is vacuous")
+  }
+
+  test("append == rebuild, and a re-ingested copy dedups against the appended batch") {
+    val (idxDir, featDir) = freshDirs()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    LshIndex.write(Dedup.lshFeatures(corpus), idxDir, featDir)
+    LshIndex.append(Dedup.lshFeatures(batch), idxDir, featDir)
+
+    val (idx2, feat2) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(docs), idx2, feat2)
+    def rows(dir: String, cols: Seq[String]) =
+      spark.read.parquet(dir).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    val icols = Seq("band_id", "band_key", "doc_id", "ns", "pfx")
+    assert(rows(idxDir, icols) == rows(idx2, icols))
+    val fcols = Seq("doc_id", "ns", "dpfx")
+    assert(rows(featDir, fcols) == rows(feat2, fcols))
+
+    // the ingest loop: an exact copy of an appended doc must dedup against
+    // the now-complete index. The copy's band keys equal the original's, so
+    // its verified partner set is {orig} ∪ orig's own verified partners —
+    // dup_of is the minimum of that set (not necessarily orig itself).
+    val orig = batch.orderBy(col("doc_id")).limit(1)
+    val origId = orig.collect()(0).getLong(0)
+    val copy = orig.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val origPartners = Dedup.lshVerifiedPairs(Dedup.lshFeatures(docs))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a == origId => b; case (a, b) if b == origId => a }
+    val expectedDup = (origPartners :+ origId).min
+    val verdict = LshIndex.dedupAgainst(spark, idxDir, featDir, copy).collect()
+    assert(verdict.length == 1)
+    assert(verdict(0).getLong(1) == expectedDup)
+    if (expectedDup == origId) assert(verdict(0).getDouble(2) == 1.0)
+    else assert(verdict(0).getDouble(2) >= 0.5)
+  }
+
+  test("empty prefix set degrades to an empty frame with the index schema") {
+    val (idxDir, featDir) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(docs.limit(20)), idxDir, featDir)
+    val none = LshIndex.readPruned(spark, idxDir, "pfx", Seq("hzz"))
+    assert(none.count() == 0)
+    assert(none.columns.contains("band_key"))
+  }
+}

@@ -69,7 +69,7 @@ class StreamingPlanSpec extends SparkSpec {
       .load(shardDir)
       .select(from_json(col("data"), Streaming.eventsRawSchema).as("e"))
       .select(col("e.*"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 day")
