@@ -127,6 +127,20 @@ object ScaleProbe {
       "q97_span_dedup" -> ((d, _) => Dedup.q97SpanDedup.fn(spark, d)),
       "q99_lm_cross_entropy" -> ((d, _) =>
         graft.text.TextAnalysis.q99LmCrossEntropy.fn(spark, d)),
+      // round-6 persisted stores: timed = build + incremental use (both
+      // scale-relevant halves; the store caches are cleared between passes)
+      "q106_dedup_incremental" -> ((d, _) =>
+        graft.dedup.LshIndex.q106DedupIncremental.fn(spark, d)),
+      "q107_ann_index_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-vecidx").toString
+        graft.sim.VecIndex.write(Tables.embeddings(spark, d), dir,
+          graft.sim.Similarity.NumCells * scale)
+        graft.sim.VecIndex.topK(spark, dir,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"),
+              transform(col("embedding"), x => x.cast("double")).as("qv")))
+      }),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
@@ -140,10 +154,15 @@ object ScaleProbe {
     // labels) would otherwise hand the timed 1× pass precomputed results
     // and fabricate the growth factor; codegen/shuffle warmup still comes
     // from the untimed pass (plans are scale-invariant)
+    def clearAll(): Unit = {
+      Dedup.clearCaches()
+      graft.dedup.LshIndex.clearCaches()
+      graft.sim.VecIndex.clearCaches()
+    }
     pass(x1, 1)
-    Dedup.clearCaches()
+    clearAll()
     val base = pass(x1, 1)
-    Dedup.clearCaches()
+    clearAll()
     val big = pass(x10, Factor)
     def fmt(r: Seq[(String, Double, Long)]) =
       r.map { case (k, t, _) => s"\"$k\":${math.rint(t * 1000) / 1000}" }

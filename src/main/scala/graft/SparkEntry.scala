@@ -16,6 +16,7 @@ object SparkEntry {
       graft.dedup.Dedup.all ++
       graft.dedup.LshIndex.all ++
       graft.sim.Similarity.all ++
+      graft.sim.VecIndex.all ++
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++

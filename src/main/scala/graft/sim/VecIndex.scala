@@ -1,0 +1,222 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.ArrayExprs
+
+/** Persisted IVF vector index: the incremental-ingest form of the q53/q44
+  * similarity machinery, sibling of [[graft.dedup.LshIndex]]. A 100 TB
+  * corpus is embedded and indexed ONCE; every ANN query after that must
+  * touch O(probed cells) of the corpus, and every ingest batch must join
+  * the index without re-reading it. Two on-disk pieces:
+  *
+  *  - the **quantizer** `(cid, c, cn2)` — the index's CONTRACT, persisted
+  *    at build time. Append-time assignment reuses it verbatim (never
+  *    recomputed: a re-derived quantizer would silently re-cell the
+  *    existing postings and break every subsequent probe);
+  *  - the **postings** `(vec_id, label, v, n2)` partitioned by `cell` —
+  *    a query reads ONLY the partition dirs its probe cells name.
+  *
+  * Postings reads go through [[graft.dedup.LshIndex.readPruned]]'s
+  * explicit-path discipline, so listing and I/O are proportional to probed
+  * cells (`inputFiles`-proven in VecIndexSpec), and ingest is a plain
+  * parquet append into the same layout (append ≡ rebuild is spec-pinned).
+  * At cluster scale `numCells` grows with the corpus (the q44 knob rule,
+  * per-cell postings stay bounded) and quantizer delivery flips from plan
+  * literals to a broadcast row past [[Similarity.LiteralCellLimit]] —
+  * same assignments, [[Similarity.withProbeCells]]'s documented contract.
+  *
+  * The quantizer is the SEED form (deterministic, SQL-mirrorable), so
+  * q107's whole store path — build, persisted-quantizer probe, pruned
+  * candidate join, exact-cosine re-rank — sits under an exact DuckDB
+  * oracle, unlike the Lloyd-trained q53 (rows-only by design).
+  *
+  * Reference tie-in: the reference has no vector surface (SURVEY.md §2.b
+  * north-star); this is the similarity-search scale path the mandate adds.
+  */
+object VecIndex {
+
+  val K = 5
+  val NumProbe = 2
+  private val NumQueries = 8
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  /** (vec_id, label, v, n2) working form of the embeddings table. */
+  private def working(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+
+  /** Build the store: persist the seed quantizer, then the cell-partitioned
+    * postings. `e` is the raw embeddings frame (vec_id, label, embedding). */
+  def write(e: DataFrame, dir: String, numCells: Int): Unit = {
+    val plain = working(e).select(col("vec_id"), col("v"))
+    // the quantizer parquet IS the contract — derived once, here only
+    Similarity.centroidRow(plain, numCells)
+      .select(posexplode(col("__cents")).as(Seq("pos", "c")),
+        col("__cn2s").as("n2s"))
+      .select((col("pos")).cast("int").as("cid"), col("c"),
+        element_at(col("n2s"), col("pos") + 1).as("cn2"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/quantizer")
+    append(e, dir, SaveMode.Overwrite)
+  }
+
+  /** Assign cells with the PERSISTED quantizer and add a batch's postings
+    * to the layout — the ingest path (and, with Overwrite, the build's own
+    * data pass: one code path, so append ≡ rebuild by construction). */
+  def append(e: DataFrame, dir: String,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val s = e.sparkSession
+    withStoreProbeCells(s, dir, Tables.fanOut(working(e)), 1, col("v"), "probe")
+      .withColumn("cell", element_at(col("probe"), 1).cast("int"))
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Attach each row's `nprobe` probe cells from the PERSISTED quantizer,
+    * scale-switched like [[Similarity.withProbeCells]]: a small quantizer
+    * ships as plan literals (one tiny driver collect); a large one rides a
+    * broadcast single-row join straight off its parquet — no driver
+    * materialization of the centroid matrix at all. */
+  private def withStoreProbeCells(s: SparkSession, dir: String, df: DataFrame,
+      nprobe: Int, v: org.apache.spark.sql.Column, out: String): DataFrame = {
+    ArrayExprs.register(s)
+    val q = s.read.parquet(s"$dir/quantizer")
+    val n = q.count()
+    if (n <= Similarity.LiteralCellLimit) {
+      val rows = q.orderBy(col("cid")).collect()
+      val cents: Seq[Seq[Double]] =
+        rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val cn2s: Seq[Double] = rows.map(_.getDouble(2)).toIndexedSeq
+      df.withColumn(out, Similarity.probeCells(cents, cn2s, nprobe)(v))
+    } else {
+      val row = q.agg(
+        array_sort(collect_list(struct(col("cid"), col("c"), col("cn2")))).as("p"))
+        .select(transform(col("p"), x => x.getField("c")).as("__cents"),
+          transform(col("p"), x => x.getField("cn2")).as("__cn2s"))
+      df.crossJoin(broadcast(row))
+        .withColumn(out,
+          Similarity.probeCellsCol(col("__cents"), col("__cn2s"), nprobe)(v))
+        .drop("__cents", "__cn2s")
+    }
+  }
+
+  /** ANN top-k against the store: probe cells from the persisted quantizer,
+    * read ONLY those postings partitions, exact-cosine re-rank. `queries`
+    * is (query_id, qv) — a bounded batch (the q50 shape); its distinct
+    * probe cells drive the pruned read, a driver-side collect bounded by
+    * the CELL COUNT, never the corpus. */
+  def topK(s: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int = NumProbe, k: Int = K): DataFrame = {
+    val probed = withStoreProbeCells(s, dir,
+        queries.withColumn("qn2", graft.dedup.Dedup.sqNorm(col("qv"))),
+        nprobe, col("qv"), "probe")
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(col("probe")).as("cell0"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("cell0").cast("int").as("cell"))
+      .localCheckpoint()
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toString).toSeq
+    val posts = graft.dedup.LshIndex.readPruned(s, s"$dir/postings", "cell", cells)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("label"), col("v"), col("n2"))
+    val cos = round(graft.dedup.Dedup.cosineFromDot(
+      call_function("graft_dot", col("qv"), col("v")),
+      col("qn2"), col("n2")), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(posts,
+        probed("cell") === posts("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        cos.as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- q107: the exact-oracle query over the persisted store --------------
+
+  /** Per-dataset-dir store cache (the [[graft.dedup.LshIndex.storeFor]]
+    * discipline): built once per JVM, reused by every Verify/Bench pass —
+    * build once, probe per query batch, exactly how a deployment uses it. */
+  private val stores = scala.collection.mutable.Map.empty[String, String]
+
+  private[sim] def storeFor(s: SparkSession, d: String): String =
+    synchronized {
+      stores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-vecindex").toString
+        write(Tables.embeddings(s, d), dir, Similarity.NumCells)
+        dir
+      })
+    }
+
+  /** Drop the store-pointer cache (cold-run probes; dirs are left for
+    * JVM-exit cleanup). */
+  def clearCaches(): Unit = synchronized { stores.clear() }
+
+  /** q107: ANN top-k through the PERSISTED index — build (quantizer +
+    * cell-partitioned postings), persisted-quantizer probing, pruned
+    * candidate read, exact-cosine re-rank, all under one exact oracle: the
+    * DuckDB side rebuilds the seed quantizer from the same table
+    * (list_reduce folds ≡ graft_dot bit-for-bit, ROW_NUMBER over
+    * (score, cid) ≡ the sorted-struct probe slice — the q44 recipe), so a
+    * store that mis-assigned, mis-pruned, or lost a posting hash-fails. */
+  val q107AnnIndex: Q = Q(
+    "q107_ann_index",
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < ${Similarity.NumCells}),
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.cn2 - 2 * list_reduce(
+       |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |      (a, b) -> a + b) AS s
+       |  FROM e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc WHERE vec_id < $NumQueries) WHERE rn <= $NumProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT c.query_id, c.neighbor_id, n.label,
+       |    ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC,
+       |               c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, label, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+  ) { (s, d) =>
+    val dir = storeFor(s, d)
+    val queries = working(Tables.embeddings(s, d))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q107AnnIndex)
+}

@@ -522,6 +522,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-shards: AT_SEQUENCE_NUMBER honors the requested seq for a " +
+      "shard that appears AFTER first start") {
+    val dir = shardLayout(10) // shard-0000 / shard-0001 exist
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kin-late").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-shards")
+        .option("startingPosition", "AT_SEQUENCE_NUMBER")
+        // name a shard that does NOT exist yet: its requested start must
+        // land in the checkpointed initial offset, not be dropped and fall
+        // through to the trim-horizon 0 the new-shard discovery path uses
+        .option("startingSequenceNumbers", """{"shard-0002": 1}""")
+        .option("startingSequenceNumber", "9999") // existing shards: at head
+        .load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select(col("shard"), col("seq"), col("data")).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.isEmpty, s"existing shards were capped at head, got $got")
+    // the named shard appears with seqs 0..2; only 1.. may be delivered
+    graft.sources.GraftShards.append(dir, 2,
+      Seq("""{"id":100}""", """{"id":101}""", """{"id":102}"""))
+    drain()
+    assert(got.toSeq == Seq(
+      ("shard-0002", 1L, """{"id":101}"""),
+      ("shard-0002", 2L, """{"id":102}""")), s"got $got")
+  }
+
   test("graft-shards: AT_TIMESTAMP starts at the first chunk arriving at/after the timestamp") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kin-ts").toString
     graft.sources.GraftShards.append(dir, 0, Seq("""{"id":1}""", """{"id":2}"""))
