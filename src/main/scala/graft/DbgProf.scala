@@ -13,13 +13,12 @@ object DbgProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayExprs.register(spark)
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    for (q <- Seq(graft.relational.Relational2.q104Funnel,
-        graft.relational.Relational2.q105CohortRetention)) {
+    for (q <- Seq(graft.dedup.LshIndex.q108DedupStreamIngest)) {
       time(q.name + "-1")(q.fn(spark, d).count())
       time(q.name + "-2")(q.fn(spark, d).count())
     }

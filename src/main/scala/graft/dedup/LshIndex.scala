@@ -75,8 +75,15 @@ object LshIndex {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      indexRows(f).write.mode(mode).partitionBy("pfx").parquet(idxDir)
-      featRows(f).write.mode(mode).partitionBy("dpfx").parquet(featDir)
+      // repartition ON the partition column: every task writes exactly one
+      // dir, so a write adds O(dirs) files instead of O(tasks × dirs) —
+      // at batch size that kills the small-file explosion, at corpus size
+      // task parallelism equals the dir-count knob (PfxLen/DocPfxMod grow
+      // with the cluster, keeping both dirs AND write tasks sized right)
+      indexRows(f).repartition(col("pfx"))
+        .write.mode(mode).partitionBy("pfx").parquet(idxDir)
+      featRows(f).repartition(col("dpfx"))
+        .write.mode(mode).partitionBy("dpfx").parquet(featDir)
     } finally f.unpersist(blocking = false)
   }
 
@@ -90,16 +97,30 @@ object LshIndex {
     * `keys` — explicit paths, so listing/IO/`inputFiles` are all
     * O(touched partitions). Missing dirs (a prefix no corpus doc hashed
     * into) are skipped; zero touched dirs degrades to a footer-only
-    * empty read that preserves the schema. */
+    * empty read that preserves the schema — or, when the STORE ITSELF may
+    * not exist yet (first batch of a streaming ingest), to the caller's
+    * `empty` frame (same expression tree as the writer, so the schema
+    * matches a store that was never written). */
   private[graft] def readPruned(s: SparkSession, dir: String, part: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], empty: () => DataFrame = null): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
     val dirs = keys.distinct.sorted.map(k => s"$dir/$part=$k")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (dirs.isEmpty) s.read.parquet(dir).filter(lit(false))
-    else s.read.option("basePath", dir).parquet(dirs: _*)
+    if (dirs.nonEmpty) s.read.option("basePath", dir).parquet(dirs: _*)
+    else if (empty != null) empty().filter(lit(false))
+    else s.read.parquet(dir).filter(lit(false))
   }
+
+  /** Schema-bearing empty frames for a store that has no files yet: the
+    * writer's own expression trees over zero docs. */
+  private def emptyDocs(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("doc_id"),
+      lit("").as("text"))
+  private def emptyIndex(s: SparkSession): DataFrame =
+    indexRows(Dedup.lshFeatures(emptyDocs(s)))
+  private def emptyFeat(s: SparkSession): DataFrame =
+    featRows(Dedup.lshFeatures(emptyDocs(s)))
 
   /** Deduplicate a batch against the persisted index: for every batch doc,
     * `dup_of` = the minimum-id partner with exact 3-gram Jaccard ≥ 0.5
@@ -117,19 +138,27 @@ object LshIndex {
   def dedupAgainst(s: SparkSession, idxDir: String, featDir: String,
       batch: DataFrame): DataFrame = {
     ArrayExprs.register(s)
-    val bfeat = Dedup.lshFeatures(batch).localCheckpoint()
+    dedupAgainstFeat(s, idxDir, featDir, Dedup.lshFeatures(batch).localCheckpoint())
+  }
+
+  /** [[dedupAgainst]] over a PRECOMPUTED feature frame — the streaming
+    * ingest loop computes features once and feeds both this lookup and the
+    * subsequent [[append]] (the minhash pass is the expensive step). */
+  private[graft] def dedupAgainstFeat(s: SparkSession, idxDir: String,
+      featDir: String, bfeat: DataFrame): DataFrame = {
+    ArrayExprs.register(s)
     val bands = bfeat
       .select(col("doc_id"), col("ns"),
         explode(Dedup.md5BandKeys(col("msig"))).as("band"))
       .select(col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"), col("doc_id"), col("ns"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- corpus half: candidate join through the pruned band index ----
     val pfxs = bands
       .select(concat(lit("h"), substring(col("band_key"), 1, PfxLen)).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val idx = readPruned(s, idxDir, "pfx", pfxs)
+    val idx = readPruned(s, idxDir, "pfx", pfxs, () => emptyIndex(s))
       .select(col("band_id"), col("band_key"),
         col("doc_id").as("c_id"), col("ns").as("c_ns"))
     // size bound is lossless at t=0.5 (3·inter ≥ ns+c_ns ⇒ 2·min ≥ max)
@@ -139,10 +168,10 @@ object LshIndex {
         least(col("ns"), col("c_ns")) * 2 >= greatest(col("ns"), col("c_ns")))
       .select(col("doc_id"), col("ns"), col("c_id"), col("c_ns"))
       .dropDuplicates("doc_id", "c_id")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dpfxs = cand.select(pmod(col("c_id"), lit(DocPfxMod)).as("p"))
       .distinct().collect().map(_.getLong(0).toString).toSeq
-    val cfeat = readPruned(s, featDir, "dpfx", dpfxs)
+    val cfeat = readPruned(s, featDir, "dpfx", dpfxs, () => emptyFeat(s))
       .select(col("doc_id").as("c_id"), col("sh").as("c_sh"))
     val bsh = bfeat.select(col("doc_id"), col("sh"))
     val inter = call_function("graft_intersect_size", col("sh"), col("c_sh"))
@@ -176,7 +205,7 @@ object LshIndex {
       .agg(min(col("partner")).as("dup_of"))
       .join(matches.withColumnRenamed("partner", "dup_of"),
         Seq("doc_id", "dup_of"))
-    batch.select(col("doc_id"))
+    bfeat.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("jac"))
   }
@@ -248,5 +277,131 @@ ORDER BY d.doc_id""",
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q106DedupIncremental)
+  // ---- q108: continuous ingest — the streaming form of q106 --------------
+
+  /** Micro-batches per shard the rate limit aims for (2 → the limit is
+    * ceil(maxShardCount/2), so every SF streams in two deterministic
+    * batches regardless of corpus size — enough to exercise all three
+    * verdict paths: empty-index bootstrap, in-batch dedup, and a later
+    * batch deduping against appended history; each extra batch costs a
+    * full store round-trip, so the demo count stays minimal). */
+  private val TargetBatches = 2L
+
+  /** q108: CONTINUOUS dedup ingest — documents arrive over the
+    * graft-shards stream (deterministic `doc_id mod numShards` routing,
+    * [[graft.sources.GraftShards.documentsShards]]), and every rate-limited
+    * micro-batch (1) dedups against the persisted index — which starts
+    * EMPTY — via [[dedupAgainstFeat]], then (2) appends its own features to
+    * the index, so later batches dedup against everything that has ever
+    * streamed. This is the deployment loop of a continuously-fed training
+    * corpus: nothing ever rescans history; per-trigger work is O(batch)
+    * against the pruned store partitions.
+    *
+    * EXACT oracle for a streaming pipeline: the explicit shard rule plus
+    * the per-shard rate limit make batch membership pure SQL —
+    * `batch = (rank within shard) div ceil(maxShardCount/3)` — so the
+    * oracle rebuilds the same md5-LSH verified pairs ([[Dedup.lshPairCtes]])
+    * and restricts each doc's partner set to earlier batches or
+    * smaller-id same-batch docs. Batch ids, dup links, similarities AND
+    * the dup_batch/dup_corpus split are all under the driver's hash
+    * check; a duplicated or lost micro-batch, a wrong rate-limit cut, or
+    * an index append that leaked into its own batch's lookup would all
+    * hash-fail. */
+  val q108DedupStreamIngest: Q = Q(
+    "q108_dedup_stream_ingest",
+    "WITH " + Dedup.lshPairCtes("documents") + s""",
+shardseq AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (PARTITION BY doc_id % ${graft.sources.GraftShards.NumShards}
+      ORDER BY doc_id) - 1 AS seq
+  FROM documents),
+lim AS (SELECT CAST(CEIL(CAST(MAX(c) AS DOUBLE) / $TargetBatches) AS BIGINT) AS r
+  FROM (SELECT COUNT(*) AS c FROM documents
+        GROUP BY doc_id % ${graft.sources.GraftShards.NumShards})),
+batched AS (
+  SELECT s.doc_id, CAST(s.seq // l.r AS BIGINT) AS batch FROM shardseq s, lim l),
+matches AS (
+  SELECT pb.doc_id, pa.doc_id AS partner, p.jac
+  FROM pairs p JOIN batched pa ON pa.doc_id = p.doc_a
+               JOIN batched pb ON pb.doc_id = p.doc_b
+  WHERE pa.batch <= pb.batch
+  UNION ALL
+  SELECT pa.doc_id, pb.doc_id, p.jac
+  FROM pairs p JOIN batched pa ON pa.doc_id = p.doc_a
+               JOIN batched pb ON pb.doc_id = p.doc_b
+  WHERE pb.batch < pa.batch),
+best AS (
+  SELECT m.doc_id, m.partner AS dup_of, m.jac
+  FROM (SELECT doc_id, MIN(partner) AS p FROM matches GROUP BY doc_id) b
+  JOIN matches m ON m.doc_id = b.doc_id AND m.partner = b.p)
+SELECT d.doc_id, bt.batch, best.dup_of, best.jac,
+  CASE WHEN best.dup_of IS NULL THEN 'new'
+       WHEN pb.batch = bt.batch THEN 'dup_batch'
+       ELSE 'dup_corpus' END AS verdict
+FROM documents d
+JOIN batched bt ON bt.doc_id = d.doc_id
+LEFT JOIN best ON best.doc_id = d.doc_id
+LEFT JOIN batched pb ON pb.doc_id = best.dup_of
+ORDER BY d.doc_id""",
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    ArrayExprs.register(s)
+    val numShards = graft.sources.GraftShards.NumShards
+    val shardDir = graft.sources.GraftShards.documentsShards(s, d)
+    val maxShardCnt = Tables.documents(s, d)
+      .groupBy(pmod(col("doc_id"), lit(numShards))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+    val root = Files.createTempDirectory("graft-lsh-ingest").toString
+    val (idxDir, featDir) = (s"$root/idx", s"$root/feat")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", limit.toString)
+      .load(shardDir)
+      .select(from_json(col("data"), docSchema).as("r"))
+      .select(col("r.*"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // scope the loop's confs to the BATCH volume (the q75 recipe —
+        // confs bind at action time): a micro-batch is corpus/9, so wide
+        // shuffles and AQE re-planning are pure per-job overhead here;
+        // the store reads are path-pruned and don't shuffle at all
+        val conf = s.conf
+        val prevSp = conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          // one feature pass feeds BOTH the lookup and the index append
+          val feat = Dedup.lshFeatures(df).localCheckpoint()
+          dedupAgainstFeat(s, idxDir, featDir, feat)
+            .withColumn("batch", lit(id))
+            .write.mode(SaveMode.Append).parquet(s"$root/out")
+          append(feat, idxDir, featDir)
+        } finally {
+          conf.set("spark.sql.shuffle.partitions", prevSp)
+          conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(s"$root/out")
+    val partnerBatch = out
+      .select(col("doc_id").as("dup_of"), col("batch").as("pb"))
+    out.join(partnerBatch, Seq("dup_of"), "left")
+      .withColumn("verdict",
+        when(col("dup_of").isNull, lit("new"))
+          .when(col("pb") === col("batch"), lit("dup_batch"))
+          .otherwise(lit("dup_corpus")))
+      .select(col("doc_id"), col("batch"), col("dup_of"), col("jac"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q106DedupIncremental, q108DedupStreamIngest)
 }

@@ -539,7 +539,17 @@ object GraftShards {
     * repartition, so the build is one distributed pass — no driver
     * collect. */
   def writeSharded(df: DataFrame, dir: String, numShards: Int = NumShards,
-      key: Column, order: Seq[Column], chunkSize: Int = ChunkSize): Unit = {
+      key: Column, order: Seq[Column], chunkSize: Int = ChunkSize): Unit =
+    writeShardedBy(df, dir, numShards, pmod(hash(key), lit(numShards)),
+      order, chunkSize)
+
+  /** [[writeSharded]] with an EXPLICIT shard-number expression (must yield
+    * ints in [0, numShards)). The hash-keyed form is the Kinesis default;
+    * an explicit rule (e.g. `pmod(doc_id, n)`) makes the layout — and
+    * therefore rate-limited batch membership — mirrorable by an external
+    * oracle, which hash routing can never be. */
+  def writeShardedBy(df: DataFrame, dir: String, numShards: Int,
+      shard: Column, order: Seq[Column], chunkSize: Int = ChunkSize): Unit = {
     val dataCols = df.columns.map(col)
     val target = dir // stable reference for the closure
     val overrides = GraftShardsSource.confOverrides(df.sparkSession)
@@ -549,7 +559,7 @@ object GraftShards {
     GraftShardsSource.validateAndPinNumShards(
       GraftShardsSource.fs(new Path(dir), GraftShardsSource.hadoopConf(overrides)),
       new Path(dir), numShards, "writeSharded")
-    df.withColumn("__shard", pmod(hash(key), lit(numShards)))
+    df.withColumn("__shard", shard.cast("int"))
       .withColumn("__data", to_json(struct(dataCols: _*)))
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: order: _*)
@@ -708,6 +718,29 @@ object GraftShards {
       tfs.delete(new Path(target), true)
       writeSharded(build, target, NumShards,
         key = col("user_id"), order = Seq(col("ts"), col("event_id")))
+      tfs.create(marker, true).close()
+    }
+    target
+  }
+
+  /** Build-once sharded copy of the `documents` table for the streaming
+    * ingest demos: shard = `doc_id mod NumShards` and per-shard doc_id
+    * order — an EXPLICIT routing rule ([[writeShardedBy]]), so an external
+    * oracle can reconstruct exactly which rate-limited micro-batch every
+    * document lands in (`seq div limit`); the production hash routing
+    * would make batch membership unmirrorable. */
+  def documentsShards(s: SparkSession, d: String): String = synchronized {
+    val stamp = contentStamp(d, "documents.parquet")
+    val target =
+      s"${System.getProperty("java.io.tmpdir")}/graft-shards/docs-$stamp"
+    val marker = new Path(s"$target/_SUCCESS")
+    val tfs = GraftShardsSource.fs(marker)
+    if (!tfs.exists(marker)) {
+      tfs.delete(new Path(target), true)
+      writeShardedBy(
+        graft.Tables.documents(s, d).select(col("doc_id"), col("text")),
+        target, NumShards, pmod(col("doc_id"), lit(NumShards)),
+        order = Seq(col("doc_id")))
       tfs.create(marker, true).close()
     }
     target
