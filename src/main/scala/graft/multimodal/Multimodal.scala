@@ -171,5 +171,96 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[Q] = Seq(q70MultimodalMeta, q71FrameSample, q72MultimodalFeatures)
+  // ---- q110: media near-dup via perceptual hash ---------------------------
+
+  /** Bits per pigeonhole chunk and chunk count of the 60-bit pHash: with
+    * hamming threshold 3 < 4 chunks, any qualifying pair collides on at
+    * least one whole chunk (the q43/q48 pigeonhole argument). */
+  private val PhBits = 60
+  private val PhChunks = 4
+  private val PhChunkBits = PhBits / PhChunks // 15 → 32768-way blocking
+  private val PhMaxHamming = 3
+
+  /** STUB perceptual hash — 60 bits of md5 over the payload bytes. A real
+    * deployment swaps this ONE expression for a pHash/aHash over the
+    * decoded image (the [[decodeStub]] discipline); md5 keeps the whole
+    * pipeline oracle-mirrorable, at the price that only exact payloads
+    * collide at hamming 0 (a real pHash would put near-identical frames
+    * within the threshold — the blocking/verify machinery is identical).
+    * 60 bits, not 64: both engines parse the hex into a SIGNED long. */
+  def phashStub(payload: Column): Column =
+    conv(substring(md5(payload), 1, PhBits / 4), 16, 10).cast("long")
+
+  /** q110: near-duplicate media detection over the binary payload column —
+    * the image-dedup stage of a multimodal pipeline, composed from the
+    * dedup family's machinery: per-item pHash (narrow), pigeonhole chunk
+    * blocking (hamming ≤ 3 over 4 chunks ⇒ one chunk equal, so the join
+    * is equi on (chunk_no, chunk) — never all-pairs), and an exact
+    * popcount-of-xor verify INSIDE the join condition. Scale shape =
+    * q43's: candidates per block ~ n²/2^15 per chunk table.
+    *
+    * Exact oracle: md5 is the one cross-engine hash; chunk extraction is
+    * integer shift/mod; DuckDB `bit_count(xor())` ≡ Spark `bit_count(^)`. */
+  /** Every 25th asset is re-ingested under a fresh id — the duplicate
+    * upload a media pipeline actually deduplicates. The corpus alone has
+    * exact payload dups only at sf0.1, so without the twins the verified
+    * result would be EMPTY at the driver's sf0.01 (a vacuous pass — the
+    * planted-positive rule from PlanSpec applied to data). */
+  private val TwinStep = 25
+  private val TwinIdOffset = 1000000L
+
+  val q110MediaNearDup: Q = Q(
+    "q110_media_near_dup",
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $TwinIdOffset, text FROM documents
+       |  WHERE doc_id % $TwinStep = 0),
+       |m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(('0x' || substring(md5(text), 1, ${PhBits / 4})) AS BIGINT) AS ph
+       |  FROM src),
+       |ch AS (
+       |  SELECT media_id, ph, i.i AS chunk_no,
+       |    (ph // (CAST(1 AS BIGINT) << (${PhChunkBits} * i.i)))
+       |      % ${1 << PhChunkBits} AS chunk
+       |  FROM m, LATERAL (SELECT unnest(range(0, $PhChunks)) AS i) i),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+       |  FROM ch a JOIN ch b
+       |    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+       |    AND a.media_id < b.media_id
+       |    AND bit_count(xor(a.ph, b.ph)) <= $PhMaxHamming)
+       |SELECT media_a, media_b, hamming FROM pairs
+       |ORDER BY media_a, media_b""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.fanOut(media(s, d))
+    val withTwins = base.unionAll(
+      base.filter(col("media_id") % TwinStep === 0)
+        .withColumn("media_id", col("media_id") + TwinIdOffset))
+    val m = withTwins
+      .select(col("media_id"), phashStub(col("payload")).as("ph"))
+    val ch = m.select(col("media_id"), col("ph"),
+        explode(sequence(lit(0), lit(PhChunks - 1))).as("chunk_no"))
+      .withColumn("chunk",
+        expr(s"(ph div shiftleft(CAST(1 AS BIGINT), $PhChunkBits * chunk_no)) " +
+          s"% ${1 << PhChunkBits}"))
+    val a = ch.select(col("chunk_no").as("cn_a"), col("chunk").as("ck_a"),
+      col("media_id").as("media_a"), col("ph").as("ph_a"))
+    val b = ch.select(col("chunk_no").as("cn_b"), col("chunk").as("ck_b"),
+      col("media_id").as("media_b"), col("ph").as("ph_b"))
+    val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+    // verify inside the join condition (the q41/q44 lesson): non-qualifying
+    // collisions never materialize as output rows
+    a.join(b,
+        col("cn_a") === col("cn_b") && col("ck_a") === col("ck_b") &&
+          col("media_a") < col("media_b") && hamming <= PhMaxHamming)
+      .select(col("media_a"), col("media_b"), hamming.cast("int").as("hamming"))
+      .distinct()
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val all: Seq[Q] = Seq(q70MultimodalMeta, q71FrameSample,
+    q72MultimodalFeatures, q110MediaNearDup)
 }

@@ -105,5 +105,73 @@ object TrainingPipeline {
       .orderBy($"split", $"shard")
   }
 
-  val all: Seq[Q] = Seq(q96TrainingPipeline)
+  /** Training-sequence capacity (tokens) and pack-bucket count for q109. */
+  private val SeqLen = 64L
+  private val PackBuckets = 8
+
+  /** q109: sequence packing — the step between a curated corpus and a
+    * training loader: concatenate documents and cut every [[SeqLen]]
+    * tokens (the GPT-style pack; documents SPAN sequence boundaries, so
+    * no token is padded away). Packing is per-BUCKET, not global: a
+    * single global concatenation would serialize the cumsum at 100 TB,
+    * so docs first route to md5 buckets (the q27 discipline — sticky,
+    * engine-reproducible) and each bucket packs independently in doc_id
+    * order — embarrassingly parallel, one window aggregation per bucket,
+    * exactly how multi-worker loaders shard packing in production.
+    *
+    * Output = one row per (document × training sequence it overlaps):
+    * `(bucket, doc_id, seq_no, seq_tok_start, doc_tok_start, n_tok)` —
+    * sequence assembly for seq k of bucket b is then a sorted gather of
+    * its rows. All arithmetic is integer (window cumsum, div, min/max),
+    * so the oracle matches bit-for-bit. */
+  val q109SequencePacking: Q = Q(
+    "q109_sequence_packing",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(string_split_regex(text, '\\s+')) AS BIGINT) AS len,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+       |         AS INTEGER) % $PackBuckets AS bucket
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, bucket, len,
+       |    CAST(SUM(len) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |         - len AS BIGINT) AS o
+       |  FROM toks),
+       |spans AS (
+       |  SELECT bucket, doc_id, s.seq_no,
+       |    GREATEST(o, s.seq_no * $SeqLen) - s.seq_no * $SeqLen AS seq_tok_start,
+       |    GREATEST(o, s.seq_no * $SeqLen) - o AS doc_tok_start,
+       |    LEAST(o + len, (s.seq_no + 1) * $SeqLen)
+       |      - GREATEST(o, s.seq_no * $SeqLen) AS n_tok
+       |  FROM offs, LATERAL (SELECT unnest(range(o // $SeqLen,
+       |    (o + len - 1) // $SeqLen + 1)) AS seq_no) s)
+       |SELECT bucket, doc_id, CAST(seq_no AS BIGINT) AS seq_no,
+       |  CAST(seq_tok_start AS BIGINT) AS seq_tok_start,
+       |  CAST(doc_tok_start AS BIGINT) AS doc_tok_start,
+       |  CAST(n_tok AS BIGINT) AS n_tok
+       |FROM spans ORDER BY bucket, doc_id, seq_no""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select($"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("len"))
+      .withColumn("bucket",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % PackBuckets).cast("int"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+    val offs = toks.withColumn("o", sum($"len").over(w) - $"len")
+    offs
+      .select($"bucket", $"doc_id", $"o", $"len",
+        explode(sequence(expr(s"o div $SeqLen"),
+          expr(s"(o + len - 1) div $SeqLen"))).as("seq_no"))
+      .select($"bucket", $"doc_id", $"seq_no",
+        (greatest($"o", $"seq_no" * SeqLen) - $"seq_no" * SeqLen)
+          .as("seq_tok_start"),
+        (greatest($"o", $"seq_no" * SeqLen) - $"o").as("doc_tok_start"),
+        (least($"o" + $"len", ($"seq_no" + 1) * SeqLen)
+          - greatest($"o", $"seq_no" * SeqLen)).as("n_tok"))
+      .orderBy($"bucket", $"doc_id", $"seq_no")
+  }
+
+  val all: Seq[Q] = Seq(q96TrainingPipeline, q109SequencePacking)
 }
