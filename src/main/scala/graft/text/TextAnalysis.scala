@@ -703,8 +703,101 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  // ---- q111: iterative merge learning (word2phrase / BPE merge step) ------
+
+  private val MergeRounds = 3
+
+  /** q111: collocation-merge learning — the word2phrase / BPE-merge-table
+    * training step of a tokenizer pipeline: [[MergeRounds]] rounds of
+    * "count adjacent pairs, merge the most frequent pair everywhere",
+    * reported as the learned merge table (pair, occurrence count, corpus
+    * token count after the merge).
+    *
+    * The corpus is held POSITIONALLY — `(doc_id, i, w)` — and each round
+    * is two window passes and one aggregation (lead/lag neighbors, pair
+    * counts, ROW_NUMBER re-index after the merge), all shuffles keyed by
+    * doc_id or pair: the textbook distributed form, no per-doc loops, and
+    * every construct exists verbatim in both engines, so the 3 unrolled
+    * CTE rounds hash-match exactly — tie-breaks on (count DESC, a, b) are
+    * binary-identical on this ASCII corpus. Self-pairs (a = b) are
+    * excluded: with a ≠ b, adjacent occurrences can never overlap, so
+    * "merge everywhere" is purely positional (greedy left-to-right and
+    * all-positions agree) — the property that keeps the operator
+    * window-expressible instead of a sequential per-doc fold. The winning
+    * pair stays IN-PLAN (a one-row frame cross-joined into the rebuild),
+    * so the 3 rounds compose lazily with no per-round driver sync beyond
+    * the iterative family's usual localCheckpoint. Real tokenizer
+    * training samples the corpus first; the shape here is the full-corpus
+    * form (the sample is just a filter upstream). */
+  val q111MergeLearning: Q = Q(
+    "q111_merge_learning", {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "t0" else s"t${r - 1}"
+        s""",
+           |p$r AS (
+           |  SELECT doc_id, i, w,
+           |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx,
+           |    LAG(w)  OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           |  FROM $prev),
+           |c$r AS (
+           |  SELECT w AS a, nx AS b, COUNT(*) AS cnt FROM p$r
+           |  WHERE nx IS NOT NULL AND w <> nx GROUP BY 1, 2),
+           |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |t$r AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+           |    CASE WHEN w = m.a AND nx IS NOT NULL AND nx = m.b
+           |         THEN m.a || '_' || m.b ELSE w END AS w
+           |  FROM p$r, m$r m
+           |  WHERE pv IS NULL OR NOT (pv = m.a AND w = m.b)),
+           |s$r AS (
+           |  SELECT $r AS round, m.a AS token_a, m.b AS token_b,
+           |    CAST(m.cnt AS BIGINT) AS n_merges,
+           |    (SELECT COUNT(*) FROM t$r) AS tokens_after
+           |  FROM m$r m)""".stripMargin
+      }
+      s"""WITH t0 AS (
+         |  SELECT doc_id, i.i AS i, w[i.i] AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents) d,
+         |  LATERAL (SELECT unnest(range(1, LEN(w) + 1)) AS i) i)""".stripMargin +
+        (1 to MergeRounds).map(round).mkString +
+        "\nSELECT * FROM " +
+        (1 to MergeRounds).map(r => s"s$r").mkString(" UNION ALL SELECT * FROM ") +
+        "\nORDER BY round"
+    },
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    var t = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+      .localCheckpoint()
+    val stats = (1 to MergeRounds).map { r =>
+      val p = t.select(col("doc_id"), col("i"), col("w"),
+        lead(col("w"), 1).over(byDoc).as("nx"),
+        lag(col("w"), 1).over(byDoc).as("pv"))
+      val counts = p.filter(col("nx").isNotNull && col("w") =!= col("nx"))
+        .groupBy(col("w").as("a"), col("nx").as("b")).count()
+      val m = counts.orderBy(col("count").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint() // one row: the learned merge of this round
+      t = p.crossJoin(broadcast(m))
+        .filter(col("pv").isNull ||
+          !(col("pv") === col("a") && col("w") === col("b")))
+        .select(col("doc_id"),
+          row_number().over(byDoc).as("i"),
+          when(col("w") === col("a") && col("nx").isNotNull &&
+              col("nx") === col("b"),
+            concat(col("a"), lit("_"), col("b"))).otherwise(col("w")).as("w"))
+        .localCheckpoint()
+      m.select(lit(r).as("round"), col("a").as("token_a"),
+        col("b").as("token_b"), col("count").as("n_merges"),
+        lit(t.count()).as("tokens_after"))
+    }
+    stats.reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
     q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy,
-    q102Bm25, q103WeightedSample)
+    q102Bm25, q103WeightedSample, q111MergeLearning)
 }
