@@ -131,6 +131,12 @@ object ScaleProbe {
       // scale-relevant halves; the store caches are cleared between passes)
       "q106_dedup_incremental" -> ((d, _) =>
         graft.dedup.LshIndex.q106DedupIncremental.fn(spark, d)),
+      "q108_stream_ingest" -> ((d, _) =>
+        graft.dedup.LshIndex.q108DedupStreamIngest.fn(spark, d)),
+      "q109_sequence_packing" -> ((d, _) =>
+        graft.pipeline.TrainingPipeline.q109SequencePacking.fn(spark, d)),
+      "q111_merge_learning" -> ((d, _) =>
+        graft.text.TextAnalysis.q111MergeLearning.fn(spark, d)),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-sp-vecidx").toString

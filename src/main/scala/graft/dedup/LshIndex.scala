@@ -171,8 +171,13 @@ object LshIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dpfxs = cand.select(pmod(col("c_id"), lit(DocPfxMod)).as("p"))
       .distinct().collect().map(_.getLong(0).toString).toSeq
+    // doc_id → sh is functional, so deduplicating by id makes the verify
+    // tolerant of duplicate store rows (a crashed ingest's re-appended
+    // batch — see ingestBatch); the band-index side is already deduped by
+    // (doc, partner) above
     val cfeat = readPruned(s, featDir, "dpfx", dpfxs, () => emptyFeat(s))
       .select(col("doc_id").as("c_id"), col("sh").as("c_sh"))
+      .dropDuplicates("c_id")
     val bsh = bfeat.select(col("doc_id"), col("sh"))
     val inter = call_function("graft_intersect_size", col("sh"), col("c_sh"))
     val corpusMatches = cand
@@ -307,6 +312,46 @@ ORDER BY d.doc_id""",
     * check; a duplicated or lost micro-batch, a wrong rate-limit cut, or
     * an index append that leaked into its own batch's lookup would all
     * hash-fail. */
+  /** One ingest micro-batch against the store rooted at `root` —
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay contract, by
+    * the standard marker recipe: a batch whose `applied/<id>` marker
+    * exists is skipped wholesale (the crash-after-write-before-checkpoint
+    * replay), verdicts land in a per-batch dir with OVERWRITE (a replay
+    * that raced the marker rewrites, never appends), and the marker
+    * commits LAST. The one non-atomic window left — crash after the index
+    * append, before the marker — re-appends the batch's index rows on
+    * replay, which [[dedupAgainstFeat]] tolerates: candidates and matches
+    * are deduplicated by (doc, partner), so duplicate store rows change
+    * nothing downstream (LshIndexSpec pins replay ≡ once).
+    *
+    * Per-batch confs are scoped to the BATCH volume (the q75 recipe —
+    * confs bind at action time): a micro-batch is a corpus sliver, so
+    * wide shuffles and AQE re-planning are pure per-job overhead here;
+    * the store reads are path-pruned and don't shuffle at all. */
+  private[graft] def ingestBatch(s: SparkSession, root: String,
+      df: DataFrame, id: Long): Unit = {
+    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
+    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(applied)) return // replayed epoch: already fully applied
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one feature pass feeds BOTH the lookup and the index append
+      val feat = Dedup.lshFeatures(df).localCheckpoint()
+      dedupAgainstFeat(s, s"$root/idx", s"$root/feat", feat)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
+      append(feat, s"$root/idx", s"$root/feat")
+      fs.mkdirs(applied.getParent)
+      fs.create(applied, true).close()
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevSp)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   val q108DedupStreamIngest: Q = Q(
     "q108_dedup_stream_ingest",
     "WITH " + Dedup.lshPairCtes("documents") + s""",
@@ -364,33 +409,16 @@ ORDER BY d.doc_id""",
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        // scope the loop's confs to the BATCH volume (the q75 recipe —
-        // confs bind at action time): a micro-batch is corpus/9, so wide
-        // shuffles and AQE re-planning are pure per-job overhead here;
-        // the store reads are path-pruned and don't shuffle at all
-        val conf = s.conf
-        val prevSp = conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.shuffle.partitions", "8")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try {
-          // one feature pass feeds BOTH the lookup and the index append
-          val feat = Dedup.lshFeatures(df).localCheckpoint()
-          dedupAgainstFeat(s, idxDir, featDir, feat)
-            .withColumn("batch", lit(id))
-            .write.mode(SaveMode.Append).parquet(s"$root/out")
-          append(feat, idxDir, featDir)
-        } finally {
-          conf.set("spark.sql.shuffle.partitions", prevSp)
-          conf.set("spark.sql.adaptive.enabled", prevAqe)
-        }
+        ingestBatch(s, root, df, id)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // batch is the partition dir value (discovery infers int — widen back)
     val out = s.read.parquet(s"$root/out")
+      .withColumn("batch", col("batch").cast("long"))
     val partnerBatch = out
       .select(col("doc_id").as("dup_of"), col("batch").as("pb"))
     out.join(partnerBatch, Seq("dup_of"), "left")

@@ -112,6 +112,44 @@ class LshIndexSpec extends SparkSpec {
     else assert(verdict(0).getDouble(2) >= 0.5)
   }
 
+  test("replayed ingest micro-batch is exactly-once (marker skip), and a " +
+      "marker-less re-append still verifies correctly") {
+    import graft.dedup.LshIndex
+    val root = Files.createTempDirectory("graft-lshindex-replay").toString
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250)
+    LshIndex.ingestBatch(spark, root, b0, 0L)
+    def storeRows() = spark.read.parquet(s"$root/idx")
+      .select(col("band_id"), col("band_key"), col("doc_id")).collect().length
+    def verdicts() = spark.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val (rows0, v0) = (storeRows(), verdicts())
+    // the foreachBatch replay path: same batch id re-delivered after a
+    // crash-before-checkpoint — the applied marker makes it a no-op
+    LshIndex.ingestBatch(spark, root, b0, 0L)
+    assert(storeRows() == rows0, "replayed batch re-appended to the index")
+    assert(verdicts() == v0)
+    // the one non-atomic window: the index append landed but the marker
+    // didn't — simulate by re-appending the batch rows directly, then
+    // ingest the NEXT batch: duplicate store rows must not change verdicts
+    LshIndex.append(Dedup.lshFeatures(b0), s"$root/idx", s"$root/feat")
+    assert(storeRows() == rows0 * 2) // duplicates really are in the store
+    LshIndex.ingestBatch(spark, root, b1, 1L)
+    val got = verdicts().filter(_._1 >= 250)
+    val (cleanRoot) = Files.createTempDirectory("graft-lshindex-clean").toString
+    LshIndex.ingestBatch(spark, cleanRoot, b0, 0L)
+    LshIndex.ingestBatch(spark, cleanRoot, b1, 1L)
+    val expected = spark.read.parquet(s"$cleanRoot/out")
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq.filter(_._1 >= 250)
+    assert(got == expected,
+      "duplicate store rows changed the verdicts of the next batch")
+    assert(got.exists(_._2 >= 0), "vacuous: batch 1 found no duplicates")
+  }
+
   test("empty prefix set degrades to an empty frame with the index schema") {
     val (idxDir, featDir) = freshDirs()
     LshIndex.write(Dedup.lshFeatures(docs.limit(20)), idxDir, featDir)
