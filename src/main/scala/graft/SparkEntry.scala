@@ -17,6 +17,7 @@ object SparkEntry {
       graft.dedup.LshIndex.all ++
       graft.sim.Similarity.all ++
       graft.sim.VecIndex.all ++
+      graft.sim.Retrieval.all ++
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++

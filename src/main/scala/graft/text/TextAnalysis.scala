@@ -618,14 +618,16 @@ object TextAnalysis {
     bm25TopK(Tables.documents(s, d), Bm25QueryTerms, 10)
   }
 
-  /** [[q102Bm25]]'s operator body: BM25 top-`k` over any (doc_id, text)
-    * frame for `terms`. */
-  def bm25TopK(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Fixed-point BM25 term weights `(doc_id, tok, wm)` over any
+    * (doc_id, text) frame, for the term set given as a one-column `(tok)`
+    * frame — the shared scoring core of q102 (literal query) and q112
+    * (per-query term sets). Micro-int weights make per-doc sums
+    * order-independent and oracle-exact. */
+  def bm25Weights(input: DataFrame, terms: DataFrame): DataFrame = {
     val toks = input.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-    val tfq = toks.filter(col("tok").isin(terms: _*))
+    val tfq = toks.join(terms.select(col("tok")).distinct(), "tok")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
@@ -636,9 +638,18 @@ object TextAnalysis {
         lit(1.2) * (lit(0.25) + lit(0.75) *
           (col("dl").cast("double") /
             (col("tot").cast("double") / col("n").cast("double")))))
-    val scored = tfq.join(dlen, "doc_id").join(dfq, "tok").crossJoin(stats)
-      .select(col("doc_id"),
+    tfq.join(dlen, "doc_id").join(dfq, "tok").crossJoin(stats)
+      .select(col("doc_id"), col("tok"),
         floor(idf * tfn * lit(1000000.0) + lit(0.5)).as("wm"))
+  }
+
+  /** [[q102Bm25]]'s operator body: BM25 top-`k` over any (doc_id, text)
+    * frame for `terms`. */
+  def bm25TopK(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termsDf = input.sparkSession.createDataset(terms)(
+      org.apache.spark.sql.Encoders.STRING).toDF("tok")
+    val scored = bm25Weights(input, termsDf)
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("score_micro"))
     // top-k FIRST via orderBy+limit (TakeOrderedAndProject — distributed
     // partial top-k, no global sort), then rank the k survivors; a global
