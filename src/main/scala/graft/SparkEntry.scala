@@ -13,6 +13,7 @@ object SparkEntry {
     graft.relational.Relational.all ++
       graft.pipeline.DocPipeline.all ++
       graft.text.TextAnalysis.all ++
+      graft.text.TextIndex.all ++
       graft.dedup.Dedup.all ++
       graft.dedup.LshIndex.all ++
       graft.sim.Similarity.all ++
