@@ -56,6 +56,14 @@ object VecIndex {
   /** Build the store: persist the seed quantizer, then the cell-partitioned
     * postings. `e` is the raw embeddings frame (vec_id, label, embedding). */
   def write(e: DataFrame, dir: String, numCells: Int): Unit = {
+    writeQuantizer(e, dir, numCells)
+    append(e, dir, SaveMode.Overwrite)
+  }
+
+  /** Persist ONLY the quantizer — the offline-training half of a streamed
+    * deployment (q114): the quantizer is derived once from a training
+    * corpus, then postings arrive incrementally. */
+  def writeQuantizer(e: DataFrame, dir: String, numCells: Int): Unit = {
     val plain = working(e).select(col("vec_id"), col("v"))
     // the quantizer parquet IS the contract — derived once, here only
     Similarity.centroidRow(plain, numCells)
@@ -65,20 +73,34 @@ object VecIndex {
         element_at(col("n2s"), col("pos") + 1).as("cn2"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/quantizer")
-    append(e, dir, SaveMode.Overwrite)
   }
 
   /** Assign cells with the PERSISTED quantizer and add a batch's postings
     * to the layout — the ingest path (and, with Overwrite, the build's own
     * data pass: one code path, so append ≡ rebuild by construction). */
   def append(e: DataFrame, dir: String,
-      mode: SaveMode = SaveMode.Append): Unit = {
-    val s = e.sparkSession
-    withStoreProbeCells(s, dir, Tables.fanOut(working(e)), 1, col("v"), "probe")
+      mode: SaveMode = SaveMode.Append): Unit =
+    appendWorking(working(e), dir, mode)
+
+  /** [[append]] over the working form (vec_id, label, v, n2) — the
+    * streaming ingest loop arrives already double-typed (wire contract:
+    * GraftShards.embeddingsShards). */
+  private def appendWorking(w: DataFrame, dir: String, mode: SaveMode): Unit = {
+    val s = w.sparkSession
+    withStoreProbeCells(s, dir, Tables.fanOut(w), 1, col("v"), "probe")
       .withColumn("cell", element_at(col("probe"), 1).cast("int"))
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cell"))
+      .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/postings")
   }
+
+  /** Schema-bearing empty postings frame: what [[topK]] reads when the
+    * store has no postings yet (first batch of a streaming ingest). */
+  private def emptyPostings(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("vec_id"),
+      lit(0).cast("int").as("label"),
+      typedLit(Seq.empty[Double]).as("v"),
+      lit(0.0).as("n2"), lit(0).cast("int").as("cell"))
 
   /** Attach each row's `nprobe` probe cells from the PERSISTED quantizer,
     * scale-switched like [[Similarity.withProbeCells]]: a small quantizer
@@ -125,7 +147,8 @@ object VecIndex {
       .localCheckpoint()
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0).toString).toSeq
-    val posts = graft.dedup.LshIndex.readPruned(s, s"$dir/postings", "cell", cells)
+    val posts = graft.dedup.LshIndex.readPruned(s, s"$dir/postings", "cell",
+        cells, () => emptyPostings(s))
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("label"), col("v"), col("n2"))
     val cos = round(graft.dedup.Dedup.cosineFromDot(
@@ -218,5 +241,146 @@ object VecIndex {
     topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q107AnnIndex)
+  // ---- q114: continuous embedding ingest (the q108 pattern for vectors) ---
+
+  private val TargetBatches = 3L
+
+  /** One embedding-ingest micro-batch: (1) top-1 indexed neighbor for
+    * every arriving vector — the at-ingest near-dup / link step of a
+    * vector pipeline — against the store state BEFORE the batch, then
+    * (2) the batch's postings append under the persisted quantizer.
+    * Exactly-once under foreachBatch replay by the ingestBatch recipe
+    * ([[graft.dedup.LshIndex.ingestBatch]]): applied-marker skip,
+    * per-batch OVERWRITE verdict dirs, marker last. `df` arrives in the
+    * wire shape (vec_id, label, v: array<double>). */
+  private[graft] def ingestBatch(s: SparkSession, root: String,
+      df: DataFrame, id: Long): Unit = {
+    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
+    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(applied)) return
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val w = df.select(col("vec_id"), col("label"), col("v"))
+        .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+        .localCheckpoint()
+      val hits = topK(s, root,
+        w.select(col("vec_id").as("query_id"), col("v").as("qv")), NumProbe, 1)
+        .select(col("query_id").as("vec_id"),
+          col("neighbor_id").as("nn_id"), col("cos"))
+      w.select(col("vec_id"))
+        .join(hits, Seq("vec_id"), "left")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
+      appendWorking(w, root, SaveMode.Append)
+      fs.mkdirs(applied.getParent)
+      fs.create(applied, true).close()
+    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+
+  /** q114: continuous embedding ingest — the quantizer is trained OFFLINE
+    * (persisted before the stream starts: the index contract), then
+    * vectors arrive over graft-shards in three rate-limited micro-batches;
+    * each batch links every vector to its top-1 indexed neighbor (store
+    * state = strictly earlier batches) and appends its own postings.
+    * EXACT oracle by the q108 recipe: explicit vec_id-mod routing makes
+    * batch membership SQL (`rank-in-shard div ceil(maxShardCount/3)`),
+    * and the candidate set is probes(query) ∩ assigned cells restricted
+    * to earlier batches — cell assignment, pruning, ranking and the
+    * found/null split are all under the driver's hash check. */
+  val q114AnnStreamIngest: Q = Q(
+    "q114_ann_stream_ingest",
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < ${Similarity.NumCells}),
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.cn2 - 2 * list_reduce(
+       |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |      (a, b) -> a + b) AS s
+       |  FROM e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn <= $NumProbe),
+       |shardseq AS (
+       |  SELECT vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id % ${graft.sources.GraftShards.NumShards}
+       |      ORDER BY vec_id) - 1 AS seq
+       |  FROM e),
+       |lim AS (SELECT CAST(CEIL(CAST(MAX(c) AS DOUBLE) / $TargetBatches) AS BIGINT) AS r
+       |  FROM (SELECT COUNT(*) AS c FROM e
+       |        GROUP BY vec_id % ${graft.sources.GraftShards.NumShards})),
+       |batched AS (
+       |  SELECT s.vec_id, CAST(s.seq // l.r AS BIGINT) AS batch
+       |  FROM shardseq s, lim l),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id, a.vec_id AS nn
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  JOIN batched bq ON bq.vec_id = p.vec_id
+       |  JOIN batched bn ON bn.vec_id = a.vec_id
+       |  WHERE bn.batch < bq.batch),
+       |scored AS (
+       |  SELECT c.vec_id, c.nn,
+       |    ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos
+       |  FROM cand c JOIN e q ON q.vec_id = c.vec_id
+       |              JOIN e n ON n.vec_id = c.nn),
+       |best AS (
+       |  SELECT vec_id, nn, cos FROM (
+       |    SELECT vec_id, nn, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, nn) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT e.vec_id, b.batch, best.nn AS nn_id, best.cos
+       |FROM e JOIN batched b ON b.vec_id = e.vec_id
+       |LEFT JOIN best ON best.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+    ArrayExprs.register(s)
+    val numShards = graft.sources.GraftShards.NumShards
+    val shardDir = graft.sources.GraftShards.embeddingsShards(s, d)
+    val maxShardCnt = Tables.embeddings(s, d)
+      .groupBy(pmod(col("vec_id"), lit(numShards))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+    val root = Files.createTempDirectory("graft-vec-ingest").toString
+    // the offline-trained quantizer: persisted BEFORE any vector streams
+    writeQuantizer(Tables.embeddings(s, d), root, Similarity.NumCells)
+    val wireSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType))))
+    val q = s.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", limit.toString)
+      .load(shardDir)
+      .select(from_json(col("data"), wireSchema).as("r"))
+      .select(col("r.*"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ingestBatch(s, root, df, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("vec_id"), col("batch").cast("long").as("batch"),
+        col("nn_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(q107AnnIndex, q114AnnStreamIngest)
 }

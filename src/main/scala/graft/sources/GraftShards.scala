@@ -745,4 +745,28 @@ object GraftShards {
     }
     target
   }
+
+  /** [[documentsShards]] for the `embeddings` table (vec_id-mod routing).
+    * The wire carries the vector as array<DOUBLE>, not the parquet float:
+    * float→JSON→double does NOT round-trip to `CAST(float AS DOUBLE)`
+    * (the JSON writer emits the shortest string recovering the FLOAT,
+    * which parses to a different double), so the cast happens BEFORE
+    * serialization and both engines see identical doubles. */
+  def embeddingsShards(s: SparkSession, d: String): String = synchronized {
+    val stamp = contentStamp(d, "embeddings.parquet")
+    val target =
+      s"${System.getProperty("java.io.tmpdir")}/graft-shards/embs-$stamp"
+    val marker = new Path(s"$target/_SUCCESS")
+    val tfs = GraftShardsSource.fs(marker)
+    if (!tfs.exists(marker)) {
+      tfs.delete(new Path(target), true)
+      writeShardedBy(
+        graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        target, NumShards, pmod(col("vec_id"), lit(NumShards)),
+        order = Seq(col("vec_id")))
+      tfs.create(marker, true).close()
+    }
+    target
+  }
 }
