@@ -133,6 +133,8 @@ object ScaleProbe {
         graft.dedup.LshIndex.q106DedupIncremental.fn(spark, d)),
       "q108_stream_ingest" -> ((d, _) =>
         graft.dedup.LshIndex.q108DedupStreamIngest.fn(spark, d)),
+      "q114_vec_ingest" -> ((d, _) =>
+        graft.sim.VecIndex.q114AnnStreamIngest.fn(spark, d)),
       "q109_sequence_packing" -> ((d, _) =>
         graft.pipeline.TrainingPipeline.q109SequencePacking.fn(spark, d)),
       "q111_merge_learning" -> ((d, _) =>
