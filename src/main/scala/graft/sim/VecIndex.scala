@@ -243,7 +243,7 @@ object VecIndex {
 
   // ---- q114: continuous embedding ingest (the q108 pattern for vectors) ---
 
-  private val TargetBatches = 3L
+  private val TargetBatches = 2L
 
   /** One embedding-ingest micro-batch: (1) top-1 indexed neighbor for
     * every arriving vector — the at-ingest near-dup / link step of a
@@ -280,11 +280,11 @@ object VecIndex {
 
   /** q114: continuous embedding ingest — the quantizer is trained OFFLINE
     * (persisted before the stream starts: the index contract), then
-    * vectors arrive over graft-shards in three rate-limited micro-batches;
+    * vectors arrive over graft-shards in two rate-limited micro-batches;
     * each batch links every vector to its top-1 indexed neighbor (store
     * state = strictly earlier batches) and appends its own postings.
     * EXACT oracle by the q108 recipe: explicit vec_id-mod routing makes
-    * batch membership SQL (`rank-in-shard div ceil(maxShardCount/3)`),
+    * batch membership SQL (`rank-in-shard div ceil(maxShardCount/2)`),
     * and the candidate set is probes(query) ∩ assigned cells restricted
     * to earlier batches — cell assignment, pruning, ranking and the
     * found/null split are all under the driver's hash check. */
