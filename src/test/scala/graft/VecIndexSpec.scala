@@ -79,6 +79,43 @@ class VecIndexSpec extends SparkSpec {
     assert(top(0).getDouble(3) == 1.0)
   }
 
+  test("replayed vector-ingest micro-batch is exactly-once; duplicate postings don't change top-1s") {
+    val root = freshDir()
+    VecIndex.writeQuantizer(emb, root, Similarity.NumCells)
+    def wire(f: DataFrame) = f.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val b0 = wire(emb.filter(col("vec_id") < 250))
+    val b1 = wire(emb.filter(col("vec_id") >= 250))
+    VecIndex.ingestBatch(spark, root, b0, 0L)
+    def postRows() = spark.read.parquet(s"$root/postings").count()
+    def out() = spark.read.parquet(s"$root/out")
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val (rows0, v0) = (postRows(), out())
+    // foreachBatch replay: the applied marker makes it a no-op
+    VecIndex.ingestBatch(spark, root, b0, 0L)
+    assert(postRows() == rows0, "replayed batch re-appended postings")
+    assert(out() == v0)
+    // the non-atomic window: append landed, marker didn't — planted
+    // duplicate postings must not change the next batch's links
+    VecIndex.append(emb.filter(col("vec_id") < 250), root)
+    assert(postRows() == rows0 * 2)
+    VecIndex.ingestBatch(spark, root, b1, 1L)
+    val got = out().filter(_._1 >= 250)
+    val clean = freshDir()
+    VecIndex.writeQuantizer(emb, clean, Similarity.NumCells)
+    VecIndex.ingestBatch(spark, clean, b0, 0L)
+    VecIndex.ingestBatch(spark, clean, b1, 1L)
+    val expected = spark.read.parquet(s"$clean/out")
+      .select(col("vec_id"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq.filter(_._1 >= 250)
+    assert(got == expected,
+      "duplicate postings changed the next batch's nearest-neighbor links")
+    assert(got.exists(_._2 >= 0), "vacuous: batch 1 linked nothing")
+  }
+
   test("literal and broadcast-row quantizer delivery produce identical assignments") {
     val dir = freshDir()
     VecIndex.write(emb, dir, Similarity.NumCells)
