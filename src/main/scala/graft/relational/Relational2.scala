@@ -780,10 +780,70 @@ object Relational2 {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  // ---- q115: market-basket co-occurrence --------------------------------
+
+  private val BasketMinSupport = 2
+  private val BasketTopK = 5
+
+  /** q115: market-basket co-occurrence — the collaborative-filtering /
+    * frequent-itemset prep step: parts bought together in one order form
+    * pairs, pairs aggregate to support counts, and each part keeps its
+    * top-[[BasketTopK]] partners with support ≥ [[BasketMinSupport]].
+    *
+    * Scale shape: the self-join is keyed on the ORDER (baskets are small
+    * and bounded — ~4 items — so per-order pair fan-out is constant, the
+    * classic A-priori candidate bound); pair counts partial-aggregate
+    * map-side; the per-part rank windows over the SUPPORT-FILTERED pair
+    * set, which is corpus-sparse. No step depends on |parts|² anywhere.
+    * Ordered-pair symmetrization (union of both directions) avoids
+    * counting each unordered pair twice while still ranking partners for
+    * BOTH endpoints. */
+  val q115MarketBasket: Q = Q(
+    "q115_market_basket",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $BasketMinSupport),
+       |sym AS (
+       |  SELECT pa AS part, pb AS partner, support FROM pairs
+       |  UNION ALL
+       |  SELECT pb, pa, support FROM pairs),
+       |ranked AS (
+       |  SELECT part, partner, CAST(support AS BIGINT) AS support,
+       |    ROW_NUMBER() OVER (PARTITION BY part
+       |      ORDER BY support DESC, partner) AS rnk
+       |  FROM sym)
+       |SELECT part, partner, support, rnk FROM ranked
+       |WHERE rnk <= $BasketTopK ORDER BY part, rnk""".stripMargin,
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b,
+        a("l_orderkey") === b("l_orderkey") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+    val sym = pairs.select(col("pa").as("part"), col("pb").as("partner"),
+        col("support"))
+      .unionAll(pairs.select(col("pb").as("part"), col("pa").as("partner"),
+        col("support")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("support").desc, col("partner"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= BasketTopK)
+      .select(col("part"), col("partner"), col("support"), col("rnk"))
+      .orderBy(col("part"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
     q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles, q79Ewma,
-    q104Funnel, q105CohortRetention)
+    q104Funnel, q105CohortRetention, q115MarketBasket)
 }
