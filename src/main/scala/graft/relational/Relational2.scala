@@ -840,10 +840,81 @@ object Relational2 {
       .orderBy(col("part"), col("rnk"))
   }
 
+  // ---- q116: batch sessionization + path mining --------------------------
+
+  private val SessionGapMin = 720L // 12 h: the corpus is ~1 event/user/day, so a web-style 30-min gap yields singleton sessions
+  private val PathLen = 3
+  private val PathTopK = 10
+
+  /** q116: sessionize-then-mine — the batch sibling of q33's streaming
+    * `session_window`: sessions are gap-cut with the classic two-window
+    * recipe (lag → new-session flag → running sum = session id; both
+    * windows key on user, so the whole cut is one shuffle), then each
+    * session reduces to its first-[[PathLen]] event-type PATH and the
+    * corpus's most common paths rank by frequency — the navigation-path /
+    * user-journey analysis next to q104's funnel.
+    *
+    * Exactness: the in-session order is the total (ts, event_id) key;
+    * Spark sorts struct(ts, event_id, type) lexicographically and DuckDB
+    * lists with the same ORDER BY, so the path strings agree; counts are
+    * integers, ties rank by path text (ASCII). */
+  val q116SessionPaths: Q = Q(
+    "q116_session_paths",
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN prev_ts IS NULL
+       |           OR ts - prev_ts > INTERVAL ${SessionGapMin} MINUTE
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev),
+       |sessions AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS session_id
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT user_id, session_id,
+       |    array_to_string(
+       |      (list(event_type ORDER BY ts, event_id))[1:$PathLen], '>') AS path
+       |  FROM sessions GROUP BY user_id, session_id)
+       |SELECT path, n_sessions, rnk FROM (
+       |  SELECT path, COUNT(*) AS n_sessions,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rnk
+       |  FROM paths GROUP BY path)
+       |WHERE rnk <= $PathTopK ORDER BY rnk""".stripMargin,
+  ) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            SessionGapMin * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    val paths = ev.groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", transform(
+        slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), 1, PathLen),
+        x => x.getField("event_type"))).as("path"))
+    val w = Window.orderBy(col("n_sessions").desc, col("path"))
+    // corpus-wide top-k: aggregate first (paths are low-cardinality after
+    // the groupBy), then TakeOrdered via orderBy+limit before the tiny
+    // ranking window — the q102 discipline
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    counts.orderBy(col("n_sessions").desc, col("path")).limit(PathTopK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q80AsofJoin, q81GroupingSets, q82Pivot, q83Posexplode,
     q84FullOuter, q85RangeJoin, q86Subqueries, q87Stats, q88Percentiles,
     q89StringAgg, q90StratifiedSample, q91ApproxPercentiles,
     q92SequencePacking, q93RangeFrame, q94GapFill, q95Profile,
     q49HeavyHitters, q56SketchRollup, q76HistogramQuantiles, q79Ewma,
-    q104Funnel, q105CohortRetention, q115MarketBasket)
+    q104Funnel, q105CohortRetention, q115MarketBasket, q116SessionPaths)
 }
