@@ -153,7 +153,19 @@ object LshIndex {
       .select(col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"), col("doc_id"), col("ns"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try dedupAgainstBands(s, idxDir, featDir, bfeat, bands)
+    finally {
+      // the result is materialized (localCheckpoint below) before we get
+      // here, so dropping the shared intermediates is safe — without this
+      // the q108/q114 continuous-ingest loop leaks one cache entry per
+      // micro-batch for the session lifetime
+      bands.unpersist(blocking = false)
+      ()
+    }
+  }
 
+  private def dedupAgainstBands(s: SparkSession, idxDir: String,
+      featDir: String, bfeat: DataFrame, bands: DataFrame): DataFrame = {
     // ---- corpus half: candidate join through the pruned band index ----
     val pfxs = bands
       .select(concat(lit("h"), substring(col("band_key"), 1, PfxLen)).as("p"))
@@ -210,9 +222,14 @@ object LshIndex {
       .agg(min(col("partner")).as("dup_of"))
       .join(matches.withColumnRenamed("partner", "dup_of"),
         Seq("doc_id", "dup_of"))
-    bfeat.select(col("doc_id"))
+    // eager materialization (batch-sized): lets the caller's finally block
+    // unpersist the shared intermediates without a recompute window
+    val out = bfeat.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("jac"))
+      .localCheckpoint()
+    cand.unpersist(blocking = false)
+    out
   }
 
   // ---- q106: the incremental-ingest query over the persisted store ------
@@ -304,7 +321,7 @@ ORDER BY d.doc_id""",
     *
     * EXACT oracle for a streaming pipeline: the explicit shard rule plus
     * the per-shard rate limit make batch membership pure SQL —
-    * `batch = (rank within shard) div ceil(maxShardCount/3)` — so the
+    * `batch = (rank within shard) div ceil(maxShardCount/TargetBatches)` — so the
     * oracle rebuilds the same md5-LSH verified pairs ([[Dedup.lshPairCtes]])
     * and restricts each doc's partner set to earlier batches or
     * smaller-id same-batch docs. Batch ids, dup links, similarities AND

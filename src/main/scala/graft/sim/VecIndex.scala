@@ -107,12 +107,13 @@ object VecIndex {
     * ships as plan literals (one tiny driver collect); a large one rides a
     * broadcast single-row join straight off its parquet — no driver
     * materialization of the centroid matrix at all. */
-  private def withStoreProbeCells(s: SparkSession, dir: String, df: DataFrame,
-      nprobe: Int, v: org.apache.spark.sql.Column, out: String): DataFrame = {
+  private[graft] def withStoreProbeCells(s: SparkSession, dir: String, df: DataFrame,
+      nprobe: Int, v: org.apache.spark.sql.Column, out: String,
+      literalLimit: Int = Similarity.LiteralCellLimit): DataFrame = {
     ArrayExprs.register(s)
     val q = s.read.parquet(s"$dir/quantizer")
     val n = q.count()
-    if (n <= Similarity.LiteralCellLimit) {
+    if (n <= literalLimit) {
       val rows = q.orderBy(col("cid")).collect()
       val cents: Seq[Seq[Double]] =
         rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq

@@ -152,9 +152,14 @@ object Monitor {
     }
   }
 
-  /** The raw progress table (explicit schema, no inference). */
+  /** The raw progress table (explicit schema, no inference). A real
+    * directory + pathGlobFilter, NOT a glob path: DataFrameReader's
+    * FileStreamSink-metadata probe stats a glob string literally and logs
+    * a full FileNotFoundException stack trace (benign but it pollutes
+    * every log triage) before falling back. */
   def progressTable(s: SparkSession, path: String): DataFrame =
-    s.read.schema(ProgressSchema).json(s"$path/ev-*.jsonl")
+    s.read.schema(ProgressSchema)
+      .option("pathGlobFilter", "ev-*.jsonl").json(path)
 
   /** The dashboard view (dashboard.yml:14-57 analog): per query name and
     * minute — batches completed, rows ingested, average ingest rate,

@@ -421,7 +421,11 @@ object Streaming {
       .foreach(lastPlans("q57_sink") = _)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, user_id BIGINT, value DOUBLE")
-    s.read.schema(schema).json(s"$out/shard-*/*.jsonl")
+    // dir + glob FILTER, not a glob path — the reader's FileStreamSink
+    // metadata probe stats a glob string literally and logs a spurious
+    // FileNotFoundException stack trace before falling back
+    s.read.schema(schema).option("pathGlobFilter", "*.jsonl")
+      .option("recursiveFileLookup", "true").json(out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
         Tables.moneySum(col("value")).as("total_value"))

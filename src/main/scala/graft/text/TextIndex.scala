@@ -118,7 +118,12 @@ object TextIndex {
       .select(col("doc_id"),
         floor(idf * tfn * lit(1000000.0) + lit(0.5)).as("wm"))
       .groupBy(col("doc_id")).agg(sum(col("wm")).as("score_micro"))
+    // eager top-k materialization (≤k rows) so the shared posts cache can
+    // be dropped here — search in a serving loop must not leak one cache
+    // entry per call
     val top = scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+      .localCheckpoint()
+    posts.unpersist(blocking = false)
     val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("doc_id"),

@@ -85,12 +85,15 @@ class LshIndexSpec extends SparkSpec {
 
     val (idx2, feat2) = freshDirs()
     LshIndex.write(Dedup.lshFeatures(docs), idx2, feat2)
-    def rows(dir: String, cols: Seq[String]) =
-      spark.read.parquet(dir).select(cols.map(col): _*)
+    def rows(dir: String, cols: Seq[org.apache.spark.sql.Column]) =
+      spark.read.parquet(dir).select(cols: _*)
         .collect().map(_.toSeq).toSet
-    val icols = Seq("band_id", "band_key", "doc_id", "ns", "pfx")
+    val icols = Seq("band_id", "band_key", "doc_id", "ns", "pfx").map(col)
     assert(rows(idxDir, icols) == rows(idx2, icols))
-    val fcols = Seq("doc_id", "ns", "dpfx")
+    // the shingle SETS too (canonicalized): an append that corrupted sh
+    // while preserving counts must fail this, not just the count columns
+    val fcols = Seq(col("doc_id"), col("ns"), col("dpfx"),
+      array_sort(col("sh")).as("sh"))
     assert(rows(featDir, fcols) == rows(feat2, fcols))
 
     // the ingest loop: an exact copy of an appended doc must dedup against

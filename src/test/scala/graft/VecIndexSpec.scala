@@ -119,11 +119,14 @@ class VecIndexSpec extends SparkSpec {
   test("literal and broadcast-row quantizer delivery produce identical assignments") {
     val dir = freshDir()
     VecIndex.write(emb, dir, Similarity.NumCells)
-    // force the >LiteralCellLimit path by dropping the limit? The knob is a
-    // val — instead run the same probe through Similarity's column path and
-    // compare against the store's literal path.
     val plain = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+    // the BROADCAST-ROW branch, forced via the injectable limit (the
+    // default NumCells <= LiteralCellLimit would never take it)
+    val bcast = VecIndex.withStoreProbeCells(spark, dir, plain, 1,
+        col("v"), "p", literalLimit = 0)
+      .select(col("vec_id"), element_at(col("p"), 1).cast("int").as("cell"))
+    // the literal branch through Similarity's path
     val litCells = Similarity
       .withProbeCells(plain, plain, Similarity.NumCells, 1, col("v"), "p")
       .select(col("vec_id"), element_at(col("p"), 1).cast("int").as("cell"))
@@ -131,5 +134,8 @@ class VecIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
     assert(litCells.except(stored).count() == 0 &&
       stored.except(litCells).count() == 0)
+    assert(bcast.except(stored).count() == 0 &&
+      stored.except(bcast).count() == 0,
+      "broadcast-row quantizer delivery diverged from the literal path")
   }
 }
