@@ -18,7 +18,7 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    for (q <- Seq(graft.dedup.LshIndex.q108DedupStreamIngest)) {
+    for (q <- Seq(graft.graph.Graph.q75PageRank)) {
       time(q.name + "-1")(q.fn(spark, d).count())
       time(q.name + "-2")(q.fn(spark, d).count())
     }

@@ -98,24 +98,38 @@ object Graph {
       val teleport = 15L * r0 / 100L
       var ranks = nodes.select(col("node"), lit(r0).as("rank")).localCheckpoint()
       for (_ <- 1 to iters) {
-        // Dangling mass (ranks of nodes with no out-edges) stays IN the
-        // plan as a broadcast one-row join — no driver round-trip per
-        // iteration; the only per-round action is the lineage-truncating
-        // checkpoint. Integer div keeps every path order-independent.
-        val shareDf = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-          .select(expr(s"dsum div ${n}L").as("share"))
-        val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        // ONE aggregation per round: the dangling-mass rows ride the same
+        // shuffle as the edge contributions, keyed by a sentinel dst (-1
+        // can never be a node id — custkeys are positive, suppkeys are
+        // offset by 1e6). The round's single heavy action is the
+        // lineage-truncating checkpoint of this frame; the share scalar is
+        // then a trivial filter over the checkpointed rows (a one-row
+        // broadcast, no second materialization chain). Folding the two
+        // chains of the previous shape into one halves the sequential
+        // driver barriers per round — the thing that made q75 degrade 10×
+        // under host load while every peer query degraded ~2×.
+        val agg = edges.join(ranks, edges("src") === ranks("node"))
           .select(col("dst"), expr("rank div outdeg").as("c"))
+          .unionAll(ranks
+            .join(deg, ranks("node") === deg("src"), "left_anti")
+            .select(lit(-1L).as("dst"), col("rank").as("c")))
           .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .localCheckpoint()
+        // global agg over the 0-or-1 sentinel rows: always exactly one
+        // row, even when the graph has no dangling node at all
+        val shareDf = agg.filter(col("dst") === -1L)
+          .agg(coalesce(sum(col("contrib")), lit(0L)).as("dsum"))
+          .select(expr(s"dsum div ${n}L").as("share"))
+        ranks = nodes
+          .join(agg.filter(col("dst") =!= -1L), nodes("node") === col("dst"), "left")
           .crossJoin(broadcast(shareDf))
           .select(col("node"),
             (lit(teleport) +
               expr("85 * (coalesce(contrib, 0L) + share) div 100"))
               .as("rank"))
-          .localCheckpoint()
       }
+      // the loop leaves ranks as a SHALLOW plan over the last checkpoint
+      // (join + project), so no final materialization is needed
       ranks
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
