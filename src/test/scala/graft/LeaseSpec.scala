@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lease
+import graft.text.TextIndex
+
+/** Pins the enforced single-writer contract of the persisted stores: a
+  * second concurrent writer REFUSES loudly (round 6 documented the slot;
+  * round 7 enforces it), a crashed holder's expired lease is broken and
+  * recovered, and every exit path releases. */
+class LeaseSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-lease-spec").toString
+
+  test("second concurrent writer refuses while the lease is held") {
+    val dir = freshDir()
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() =>
+      Lease.withLease(spark, dir, "writer-a") {
+        entered.countDown()
+        release.await()
+      })
+    holder.start()
+    entered.await()
+    val e = intercept[Lease.HeldException] {
+      Lease.withLease(spark, dir, "writer-b") { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("writer-a"),
+      s"refusal must name the holder: ${e.getMessage}")
+    release.countDown()
+    holder.join()
+    // after release the slot is free again
+    Lease.withLease(spark, dir, "writer-b") { () }
+  }
+
+  test("crashed holder recovery: an expired lease is broken, a live one is not") {
+    val dir = freshDir()
+    val p = new org.apache.hadoop.fs.Path(dir, "_LEASE")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a crash leaks the file; its deadline is in the past
+    val out = fs.create(p, false)
+    out.write(s"dead-writer|${System.currentTimeMillis() - 1000}".getBytes("UTF-8"))
+    out.close()
+    var ran = false
+    Lease.withLease(spark, dir, "recoverer") { ran = true }
+    assert(ran, "expired lease was not broken")
+    assert(!fs.exists(p), "lease not released after the recovered run")
+    // a live leak (deadline ahead) still refuses
+    val out2 = fs.create(p, false)
+    out2.write(s"slow-writer|${System.currentTimeMillis() + 3600000}".getBytes("UTF-8"))
+    out2.close()
+    intercept[Lease.HeldException] {
+      Lease.withLease(spark, dir, "impatient") { () }
+    }
+    fs.delete(p, false)
+  }
+
+  test("the lease is released on an exception exit") {
+    val dir = freshDir()
+    intercept[RuntimeException] {
+      Lease.withLease(spark, dir, "thrower") {
+        throw new RuntimeException("body failed")
+      }
+    }
+    Lease.withLease(spark, dir, "next") { () } // slot must be free
+  }
+
+  test("store appends really run under the lease (end-to-end planted positive)") {
+    val dir = freshDir()
+    TextIndex.write(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .limit(50), dir)
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() =>
+      Lease.withLease(spark, dir, "long-compaction") {
+        entered.countDown()
+        release.await()
+      })
+    holder.start()
+    entered.await()
+    intercept[Lease.HeldException] {
+      TextIndex.append(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          .limit(10), dir, "b1")
+    }
+    release.countDown()
+    holder.join()
+  }
+}
