@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.ArrayExprs
+import graft.sources.{Lease, StoreMaint}
+import graft.sources.StoreMaint.Layout
 
 /** Persisted MinHash-LSH dedup index: the incremental-ingest form of the
   * q41/q45 pipeline. A 100 TB corpus is deduplicated ONCE; every ingest
@@ -43,55 +45,127 @@ import graft.functions.ArrayExprs
   */
 object LshIndex {
 
-  /** Hex-prefix length of the band-index partition key (16 dirs per char). */
+  /** Default hex-prefix length of the band-index partition key (16 dirs
+    * per char); the build-time knob behind [[StoreMaint.Layout]]. */
   val PfxLen = 1
 
-  /** Modulus of the feature-store partition key over doc_id. */
+  /** Default modulus of the feature-store partition key over doc_id. */
   val DocPfxMod = 16L
+
+  /** The store's pinned partitioning knobs (falling back to the defaults
+    * for pre-pin stores) — the pin lives at the BAND-INDEX root and
+    * governs both dirs. */
+  private def layoutOf(s: SparkSession, idxDir: String): Layout =
+    StoreMaint.readLayout(s, idxDir, Layout(PfxLen, DocPfxMod))
 
   /** Band-index rows for a feature frame ([[Dedup.lshFeatures]] output):
     * one row per (doc, band), partitioned by the band key's hex prefix.
     * The `h` prefix pins partition-type inference to STRING — an all-digit
     * sample of hex values would otherwise come back as ints and break
     * prefix matching. */
-  def indexRows(feat: DataFrame): DataFrame =
+  def indexRows(feat: DataFrame, lay: Layout = Layout(PfxLen, DocPfxMod)): DataFrame =
     feat
       .select(col("doc_id"), col("ns"),
         explode(Dedup.md5BandKeys(col("msig"))).as("band"))
       .select(col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"), col("doc_id"), col("ns"))
-      .withColumn("pfx", concat(lit("h"), substring(col("band_key"), 1, PfxLen)))
+      .withColumn("pfx",
+        concat(lit("h"), substring(col("band_key"), 1, lay.pfxLen)))
 
   /** Feature-store rows: the shingle sets verification needs, partitioned
-    * by doc_id mod [[DocPfxMod]]. */
-  def featRows(feat: DataFrame): DataFrame =
+    * by doc_id mod the layout's `docPfxMod`. */
+  def featRows(feat: DataFrame, lay: Layout = Layout(PfxLen, DocPfxMod)): DataFrame =
     feat.select(col("doc_id"), col("sh"), col("ns"))
-      .withColumn("dpfx", pmod(col("doc_id"), lit(DocPfxMod)))
+      .withColumn("dpfx", pmod(col("doc_id"), lit(lay.docPfxMod)))
 
   /** Write (or overwrite) the index + feature store for a corpus feature
-    * frame. The feature frame is persisted for the duration: both writes
-    * consume it, and the md5-minhash pass is the expensive step. */
+    * frame, pinning the partitioning knobs at the index root on a full
+    * build. The feature frame is persisted for the duration: both writes
+    * consume it, and the md5-minhash pass is the expensive step. Runs in
+    * the enforced single-writer slot ([[Lease]]). */
   def write(feat: DataFrame, idxDir: String, featDir: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // repartition ON the partition column: every task writes exactly one
-      // dir, so a write adds O(dirs) files instead of O(tasks × dirs) —
-      // at batch size that kills the small-file explosion, at corpus size
-      // task parallelism equals the dir-count knob (PfxLen/DocPfxMod grow
-      // with the cluster, keeping both dirs AND write tasks sized right)
-      indexRows(f).repartition(col("pfx"))
-        .write.mode(mode).partitionBy("pfx").parquet(idxDir)
-      featRows(f).repartition(col("dpfx"))
-        .write.mode(mode).partitionBy("dpfx").parquet(featDir)
-    } finally f.unpersist(blocking = false)
+      mode: SaveMode = SaveMode.Overwrite,
+      pfxLen: Int = PfxLen, docPfxMod: Long = DocPfxMod): Unit = {
+    val s = feat.sparkSession
+    Lease.withLease(s, idxDir, s"lshindex-$mode") {
+      val lay =
+        if (mode == SaveMode.Append) layoutOf(s, idxDir)
+        else Layout(pfxLen, docPfxMod)
+      val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // repartition ON the partition column: every task writes exactly one
+        // dir, so a write adds O(dirs) files instead of O(tasks × dirs) —
+        // at batch size that kills the small-file explosion, at corpus size
+        // task parallelism equals the dir-count knob (pfxLen/docPfxMod grow
+        // with the cluster, keeping both dirs AND write tasks sized right)
+        indexRows(f, lay).repartition(col("pfx"))
+          .write.mode(mode).partitionBy("pfx").parquet(idxDir)
+        featRows(f, lay).repartition(col("dpfx"))
+          .write.mode(mode).partitionBy("dpfx").parquet(featDir)
+      } finally f.unpersist(blocking = false)
+      // pin AFTER the data writes: parquet Overwrite wipes the target dir,
+      // so a pre-write pin would be destroyed by its own build
+      if (mode != SaveMode.Append)
+        StoreMaint.writeLayout(s, idxDir, lay)
+    }
   }
 
   /** Incremental maintenance: append a new batch's rows into the existing
-    * layout. Band rows are append-only facts (a doc's bands never change),
-    * so append ≡ rebuild — LshIndexSpec pins the equivalence. */
+    * layout (read from the pin, never re-derived). Band rows are
+    * append-only facts (a doc's bands never change), so append ≡ rebuild —
+    * LshIndexSpec pins the equivalence. */
   def append(feat: DataFrame, idxDir: String, featDir: String): Unit =
     write(feat, idxDir, featDir, SaveMode.Append)
+
+  // ---- tombstone deletes + compaction -------------------------------------
+
+  /** Tombstones live in a SIBLING dir of the band index (`<idx>-tombstones`)
+    * rather than inside it: the index root must stay a clean hive layout
+    * for whole-table reads, and an underscore-hidden subdir triggers
+    * spurious "all paths ignored" warnings on its own explicit read. */
+  private def tombDir(idxDir: String): String =
+    s"${idxDir.stripSuffix("/")}-tombstones"
+
+  /** The live tombstone set as a one-column (`doc_id`) frame — empty when
+    * none. */
+  private def deadIds(s: SparkSession, idxDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(idxDir))
+    if (!StoreMaint.fsFor(s, p).exists(p))
+      s.range(0).select(col("id").as("doc_id"))
+    else s.read.option("basePath", tombDir(idxDir)).parquet(tombDir(idxDir))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Retract documents from the index: tombstone rows consulted by
+    * [[dedupAgainst]] (a deleted doc stops being a duplicate partner
+    * immediately), physically purged by [[compact]]. Idempotent — reads
+    * deduplicate tombstones by id. */
+  def delete(s: SparkSession, idxDir: String, featDir: String,
+      ids: DataFrame, src: String): Unit =
+    Lease.withLease(s, idxDir, s"lshindex-delete-$src") {
+      StoreMaint.writeTombstones(ids, tombDir(idxDir), "doc_id", src,
+        layoutOf(s, idxDir).docPfxMod)
+    }
+
+  /** Collapse per-append file growth to one file per partition dir and
+    * physically purge tombstoned docs (band rows, shingle sets, then the
+    * tombstones themselves — last, so no purged row can resurface).
+    * Reader-safe mid-swap: the candidate/verify joins deduplicate by
+    * (doc, partner) and doc_id, the same tolerance that absorbs crash
+    * replays ([[StoreMaint.compactPartitioned]]). */
+  def compact(s: SparkSession, idxDir: String, featDir: String): Unit =
+    Lease.withLease(s, idxDir, "lshindex-compact") {
+      val dead = deadIds(s, idxDir)
+      StoreMaint.compactPartitioned(s, idxDir, "pfx",
+        df => df.dropDuplicates("band_id", "band_key", "doc_id")
+          .join(dead, Seq("doc_id"), "left_anti"))
+      StoreMaint.compactPartitioned(s, featDir, "dpfx",
+        df => df.dropDuplicates("doc_id")
+          .join(dead, Seq("doc_id"), "left_anti"))
+      StoreMaint.fsFor(s, new org.apache.hadoop.fs.Path(tombDir(idxDir)))
+        .delete(new org.apache.hadoop.fs.Path(tombDir(idxDir)), true)
+      ()
+    }
 
   /** Read only the partition dirs of `dir` whose partition value is in
     * `keys` — explicit paths, so listing/IO/`inputFiles` are all
@@ -121,6 +195,7 @@ object LshIndex {
     indexRows(Dedup.lshFeatures(emptyDocs(s)))
   private def emptyFeat(s: SparkSession): DataFrame =
     featRows(Dedup.lshFeatures(emptyDocs(s)))
+  // (empty frames only carry schema — the layout knob is irrelevant there)
 
   /** Deduplicate a batch against the persisted index: for every batch doc,
     * `dup_of` = the minimum-id partner with exact 3-gram Jaccard ≥ 0.5
@@ -166,22 +241,27 @@ object LshIndex {
 
   private def dedupAgainstBands(s: SparkSession, idxDir: String,
       featDir: String, bfeat: DataFrame, bands: DataFrame): DataFrame = {
+    val lay = layoutOf(s, idxDir)
     // ---- corpus half: candidate join through the pruned band index ----
     val pfxs = bands
-      .select(concat(lit("h"), substring(col("band_key"), 1, PfxLen)).as("p"))
+      .select(concat(lit("h"), substring(col("band_key"), 1, lay.pfxLen)).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq
     val idx = readPruned(s, idxDir, "pfx", pfxs, () => emptyIndex(s))
       .select(col("band_id"), col("band_key"),
         col("doc_id").as("c_id"), col("ns").as("c_ns"))
     // size bound is lossless at t=0.5 (3·inter ≥ ns+c_ns ⇒ 2·min ≥ max)
-    // and prunes before the pair-dedup shuffle, like lshVerifiedPairs
+    // and prunes before the pair-dedup shuffle, like lshVerifiedPairs;
+    // tombstoned docs stop being partners immediately (physical purge
+    // waits for compact)
+    val dead = deadIds(s, idxDir).withColumnRenamed("doc_id", "c_id")
     val cand = bands.join(idx, Seq("band_id", "band_key"))
       .filter(col("c_id") =!= col("doc_id") &&
         least(col("ns"), col("c_ns")) * 2 >= greatest(col("ns"), col("c_ns")))
       .select(col("doc_id"), col("ns"), col("c_id"), col("c_ns"))
       .dropDuplicates("doc_id", "c_id")
+      .join(dead, Seq("c_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dpfxs = cand.select(pmod(col("c_id"), lit(DocPfxMod)).as("p"))
+    val dpfxs = cand.select(pmod(col("c_id"), lit(lay.docPfxMod)).as("p"))
       .distinct().collect().map(_.getLong(0).toString).toSeq
     // doc_id → sh is functional, so deduplicating by id makes the verify
     // tolerant of duplicate store rows (a crashed ingest's re-appended
@@ -257,7 +337,7 @@ object LshIndex {
   /** Drop the per-dir store cache (cold-run probes; temp dirs are left for
     * JVM-exit cleanup, only the pointer is dropped so the next call
     * rebuilds). */
-  def clearCaches(): Unit = synchronized { stores.clear() }
+  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
 
   /** q106: incremental ingest dedup — every 10th document (doc_id % 10 = 9)
     * arrives as a new batch against an index built over the other 90%.
@@ -288,6 +368,69 @@ WHERE d.doc_id % 10 = 9
 ORDER BY d.doc_id""",
   ) { (s, d) =>
     val (idxDir, featDir) = storeFor(s, d)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text"))
+    dedupAgainst(s, idxDir, featDir, batch)
+      .withColumn("verdict",
+        when(col("dup_of").isNull, lit("new"))
+          .when(col("dup_of") % 10 === 9, lit("dup_batch"))
+          .otherwise(lit("dup_corpus")))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q119: tombstone retraction under the exact oracle ------------------
+
+  private val delStores =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def deletedStoreFor(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      delStores.getOrElseUpdate(d, {
+        ArrayExprs.register(s)
+        val root = Files.createTempDirectory("graft-lshindex-del").toString
+        val corpus = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id"), col("text"))
+        write(Dedup.lshFeatures(corpus), s"$root/idx", s"$root/feat")
+        delete(s, s"$root/idx", s"$root/feat",
+          Tables.documents(s, d).select(col("doc_id"))
+            .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 4 === 1),
+          "del1")
+        (s"$root/idx", s"$root/feat")
+      })
+    }
+
+  /** q119: q106's incremental-ingest dedup AFTER a retraction — every
+    * indexed doc with `doc_id % 4 = 1` is tombstone-deleted (takedowns /
+    * re-crawls), then the same batch dedups against the store. Oracle =
+    * q106's SQL with those docs excluded from the corpus-side partner
+    * set (batch-internal partners unaffected), i.e. the verdicts a
+    * rebuild-without-them would produce — so the hash check proves a
+    * deleted doc stops matching AND nothing else shifts (minimum-partner
+    * selection re-resolves to the next-best live partner). */
+  val q119DedupDelete: Q = Q(
+    "q119_dedup_delete",
+    "WITH " + Dedup.lshPairCtes("documents") + """,
+matches AS (
+  SELECT doc_b AS doc_id, doc_a AS partner, jac FROM pairs
+  WHERE doc_b % 10 = 9 AND NOT (doc_a % 10 <> 9 AND doc_a % 4 = 1)
+  UNION ALL
+  SELECT doc_a, doc_b, jac FROM pairs
+  WHERE doc_a % 10 = 9 AND doc_b % 10 <> 9 AND doc_b % 4 <> 1),
+best AS (
+  SELECT m.doc_id, m.partner AS dup_of, m.jac
+  FROM (SELECT doc_id, MIN(partner) AS p FROM matches GROUP BY doc_id) b
+  JOIN matches m ON m.doc_id = b.doc_id AND m.partner = b.p)
+SELECT d.doc_id, best.dup_of, best.jac,
+  CASE WHEN best.dup_of IS NULL THEN 'new'
+       WHEN best.dup_of % 10 = 9 THEN 'dup_batch'
+       ELSE 'dup_corpus' END AS verdict
+FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+WHERE d.doc_id % 10 = 9
+ORDER BY d.doc_id""",
+  ) { (s, d) =>
+    val (idxDir, featDir) = deletedStoreFor(s, d)
     val batch = Tables.documents(s, d)
       .filter(col("doc_id") % 10 === 9)
       .select(col("doc_id"), col("text"))
@@ -448,5 +591,6 @@ ORDER BY d.doc_id""",
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q106DedupIncremental, q108DedupStreamIngest)
+  val all: Seq[Q] =
+    Seq(q106DedupIncremental, q108DedupStreamIngest, q119DedupDelete)
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.ArrayExprs
+import graft.sources.{Lease, StoreMaint}
 
 /** Persisted IVF vector index: the incremental-ingest form of the q53/q44
   * similarity machinery, sibling of [[graft.dedup.LshIndex]]. A 100 TB
@@ -63,17 +64,18 @@ object VecIndex {
   /** Persist ONLY the quantizer — the offline-training half of a streamed
     * deployment (q114): the quantizer is derived once from a training
     * corpus, then postings arrive incrementally. */
-  def writeQuantizer(e: DataFrame, dir: String, numCells: Int): Unit = {
-    val plain = working(e).select(col("vec_id"), col("v"))
-    // the quantizer parquet IS the contract — derived once, here only
-    Similarity.centroidRow(plain, numCells)
-      .select(posexplode(col("__cents")).as(Seq("pos", "c")),
-        col("__cn2s").as("n2s"))
-      .select((col("pos")).cast("int").as("cid"), col("c"),
-        element_at(col("n2s"), col("pos") + 1).as("cn2"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/quantizer")
-  }
+  def writeQuantizer(e: DataFrame, dir: String, numCells: Int): Unit =
+    Lease.withLease(e.sparkSession, dir, "vecindex-quantizer") {
+      val plain = working(e).select(col("vec_id"), col("v"))
+      // the quantizer parquet IS the contract — derived once, here only
+      Similarity.centroidRow(plain, numCells)
+        .select(posexplode(col("__cents")).as(Seq("pos", "c")),
+          col("__cn2s").as("n2s"))
+        .select((col("pos")).cast("int").as("cid"), col("c"),
+          element_at(col("n2s"), col("pos") + 1).as("cn2"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/quantizer")
+    }
 
   /** Assign cells with the PERSISTED quantizer and add a batch's postings
     * to the layout — the ingest path (and, with Overwrite, the build's own
@@ -84,15 +86,58 @@ object VecIndex {
 
   /** [[append]] over the working form (vec_id, label, v, n2) — the
     * streaming ingest loop arrives already double-typed (wire contract:
-    * GraftShards.embeddingsShards). */
+    * GraftShards.embeddingsShards). Runs in the enforced single-writer
+    * slot ([[Lease]]); idempotent under replay because [[topK]]'s reads
+    * deduplicate by the row's functional key. */
   private def appendWorking(w: DataFrame, dir: String, mode: SaveMode): Unit = {
     val s = w.sparkSession
-    withStoreProbeCells(s, dir, Tables.fanOut(w), 1, col("v"), "probe")
-      .withColumn("cell", element_at(col("probe"), 1).cast("int"))
-      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$dir/postings")
+    Lease.withLease(s, dir, s"vecindex-$mode") {
+      withStoreProbeCells(s, dir, Tables.fanOut(w), 1, col("v"), "probe")
+        .withColumn("cell", element_at(col("probe"), 1).cast("int"))
+        .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$dir/postings")
+    }
   }
+
+  // ---- tombstone deletes + compaction -------------------------------------
+
+  /** Modulus of the tombstone partition key over vec_id. */
+  private val TombMod = 16L
+
+  /** The live tombstone set as a one-column (`vec_id`) frame. */
+  private def deadIds(s: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!StoreMaint.fsFor(s, p).exists(p))
+      s.range(0).select(col("id").as("vec_id"))
+    else s.read.option("basePath", s"$dir/tombstones")
+      .parquet(s"$dir/tombstones").select(col("vec_id")).distinct()
+  }
+
+  /** Retract vectors from the index: tombstones consulted by [[topK]]
+    * (a deleted vector stops being a neighbor immediately), physically
+    * purged by [[compact]]. Idempotent — reads deduplicate by id. */
+  def delete(s: SparkSession, dir: String, ids: DataFrame,
+      src: String): Unit =
+    Lease.withLease(s, dir, s"vecindex-delete-$src") {
+      StoreMaint.writeTombstones(ids, s"$dir/tombstones", "vec_id", src,
+        TombMod)
+    }
+
+  /** Collapse per-append file growth to one file per cell dir and
+    * physically purge tombstoned vectors; the quantizer (the contract) is
+    * never touched. Reader-safe mid-swap via the duplicate-tolerant reads
+    * ([[StoreMaint.compactPartitioned]]). */
+  def compact(s: SparkSession, dir: String): Unit =
+    Lease.withLease(s, dir, "vecindex-compact") {
+      val dead = deadIds(s, dir)
+      StoreMaint.compactPartitioned(s, s"$dir/postings", "cell",
+        df => df.dropDuplicates("vec_id")
+          .join(dead, Seq("vec_id"), "left_anti"))
+      val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      StoreMaint.fsFor(s, t).delete(t, true)
+      ()
+    }
 
   /** Schema-bearing empty postings frame: what [[topK]] reads when the
     * store has no postings yet (first batch of a streaming ingest). */
@@ -152,6 +197,11 @@ object VecIndex {
         cells, () => emptyPostings(s))
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("label"), col("v"), col("n2"))
+      // tombstoned vectors stop being neighbors immediately (physical
+      // purge waits for compact); duplicate store rows — crash replays,
+      // in-flight compaction — collapse via the (query, neighbor) dedup
+      // below, vec_id → row being functional
+      .join(deadIds(s, dir), Seq("vec_id"), "left_anti")
     val cos = round(graft.dedup.Dedup.cosineFromDot(
       call_function("graft_dot", col("qv"), col("v")),
       col("qn2"), col("n2")), 6)
@@ -184,7 +234,7 @@ object VecIndex {
 
   /** Drop the store-pointer cache (cold-run probes; dirs are left for
     * JVM-exit cleanup). */
-  def clearCaches(): Unit = synchronized { stores.clear() }
+  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
 
   /** q107: ANN top-k through the PERSISTED index — build (quantizer +
     * cell-partitioned postings), persisted-quantizer probing, pruned
@@ -236,6 +286,78 @@ object VecIndex {
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
   ) { (s, d) =>
     val dir = storeFor(s, d)
+    val queries = working(Tables.embeddings(s, d))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- q120: tombstone retraction under the exact oracle ------------------
+
+  private val delStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def deletedStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      delStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-vecindex-del").toString
+        write(Tables.embeddings(s, d), dir, Similarity.NumCells)
+        delete(s, dir,
+          Tables.embeddings(s, d).select(col("vec_id"))
+            .filter(col("vec_id") % 5 === 2), "del1")
+        dir
+      })
+    }
+
+  /** q120: q107's ANN top-k AFTER a retraction — every `vec_id % 5 = 2`
+    * vector is tombstone-deleted from the store, then the same query batch
+    * probes it. Oracle = q107's SQL with those vectors excluded from the
+    * candidate set, i.e. what a rebuild-without-them would rank — so the
+    * hash check proves a deleted vector stops being a neighbor AND the
+    * vacated rank positions re-fill with the next-best live candidates. */
+  val q120AnnDelete: Q = Q(
+    "q120_ann_delete",
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < ${Similarity.NumCells}),
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.cn2 - 2 * list_reduce(
+       |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |      (a, b) -> a + b) AS s
+       |  FROM e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc WHERE vec_id < $NumQueries) WHERE rn <= $NumProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  WHERE a.vec_id % 5 <> 2),
+       |ranked AS (
+       |  SELECT c.query_id, c.neighbor_id, n.label,
+       |    ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC,
+       |               c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, label, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+  ) { (s, d) =>
+    val dir = deletedStoreFor(s, d)
     val queries = working(Tables.embeddings(s, d))
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -383,5 +505,5 @@ object VecIndex {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(q107AnnIndex, q114AnnStreamIngest)
+  val all: Seq[Q] = Seq(q107AnnIndex, q114AnnStreamIngest, q120AnnDelete)
 }

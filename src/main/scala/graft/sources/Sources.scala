@@ -138,7 +138,10 @@ object Sources {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) TableListing(Seq.empty, Seq.empty, Seq.empty)
     else {
-      val entries = fs.listStatus(root).toSeq
+      // hidden entries (the _LEASE writer lock, editor droppings) are
+      // neither versions nor a reason to refuse the table
+      val entries = fs.listStatus(root).toSeq.filterNot(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
       val (versionDirs, foreign) = entries.partition(st =>
         st.isDirectory && VersionRe.matches(st.getPath.getName))
       val nums = versionDirs.map(st =>
@@ -551,7 +554,15 @@ object Sources {
     * reads each version in the SHAPE its manifest recorded.
     */
   def upsert(batch: DataFrame, keys: Seq[String], path: String,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets): Unit =
+    // the documented writer slot (upsert XOR compact), ENFORCED: version
+    // allocation has no CAS, so two concurrent writers would both take vN
+    Lease.withLease(batch.sparkSession, path, "upsert") {
+      upsertBody(batch, keys, path, numBuckets)
+    }
+
+  private def upsertBody(batch: DataFrame, keys: Seq[String], path: String,
+      numBuckets: Int): Unit = {
     val s = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -787,7 +798,10 @@ object Sources {
     * usually a handful), each recovering `gb` as a partition column via
     * basePath — no per-bucket union sprawl, no key recomputation (bucket
     * membership is carried by directory, not re-hashed). */
-  def compact(s: SparkSession, path: String): Unit = {
+  def compact(s: SparkSession, path: String): Unit =
+    Lease.withLease(s, path, "compact") { compactBody(s, path) }
+
+  private def compactBody(s: SparkSession, path: String): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = listTable(s, path)

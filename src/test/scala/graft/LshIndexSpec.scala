@@ -153,6 +153,109 @@ class LshIndexSpec extends SparkSpec {
     assert(got.exists(_._2 >= 0), "vacuous: batch 1 found no duplicates")
   }
 
+  test("delete: a tombstoned partner stops matching, the next-best live one takes over") {
+    val (idxDir, featDir) = freshDirs()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    LshIndex.write(Dedup.lshFeatures(corpus), idxDir, featDir)
+    // planted positive: find a batch doc whose best partner is corpus-side
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val before = LshIndex.dedupAgainst(spark, idxDir, featDir, batch)
+      .filter(col("dup_of").isNotNull && col("dup_of") % 10 =!= 9)
+      .orderBy(col("doc_id")).limit(1).collect()
+    assert(before.nonEmpty, "vacuous: no corpus-partnered duplicate to delete")
+    val victim = before(0).getLong(1)
+    LshIndex.delete(spark, idxDir, featDir,
+      spark.range(victim, victim + 1).select(col("id").as("doc_id")), "d1")
+    val after = LshIndex.dedupAgainst(spark, idxDir, featDir, batch)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(!after.values.toSet.contains(victim),
+      "a deleted doc is still handed out as a duplicate partner")
+    // equivalence with the rebuild-without-it (the q119 oracle's contract,
+    // pinned here independently of SQL)
+    val (idx2, feat2) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(
+      corpus.filter(col("doc_id") =!= victim)), idx2, feat2)
+    val rebuilt = LshIndex.dedupAgainst(spark, idx2, feat2, batch)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(after == rebuilt)
+  }
+
+  test("compact == rebuild-without-deleted; file growth collapses to one per dir") {
+    val (idxDir, featDir) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(
+      docs.filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 3 === 0)),
+      idxDir, featDir)
+    LshIndex.append(Dedup.lshFeatures(
+      docs.filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 3 =!= 0)),
+      idxDir, featDir)
+    val deleted = docs.select(col("doc_id"))
+      .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 4 === 1)
+    LshIndex.delete(spark, idxDir, featDir, deleted, "d1")
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    def verdicts(i: String, f: String) =
+      LshIndex.dedupAgainst(spark, i, f, batch).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+    val pre = verdicts(idxDir, featDir)
+    LshIndex.compact(spark, idxDir, featDir)
+    assert(verdicts(idxDir, featDir) == pre, "compaction changed verdicts")
+    // physically purged and rebuilt-equal
+    val (idx2, feat2) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(
+      docs.filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 4 =!= 1)),
+      idx2, feat2)
+    def rows(dir: String, cols: Seq[org.apache.spark.sql.Column]) =
+      spark.read.parquet(dir).select(cols: _*).collect().map(_.toSeq).toSet
+    val icols = Seq("band_id", "band_key", "doc_id", "ns").map(col)
+    assert(rows(idxDir, icols) == rows(idx2, icols),
+      "compacted index rows differ from the rebuild-without-deleted")
+    val fcols = Seq(col("doc_id"), col("ns"), array_sort(col("sh")).as("sh"))
+    assert(rows(featDir, fcols) == rows(feat2, fcols))
+    // one file per partition dir afterward (the append growth collapsed)
+    for (d <- Seq(idxDir, featDir)) {
+      val perDir = spark.read.parquet(d).inputFiles
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      assert(perDir.nonEmpty && perDir.forall(_._2.length == 1),
+        s"$d still holds multi-file dirs after compact")
+    }
+    assert(!new java.io.File(s"$idxDir-tombstones").exists(),
+      "tombstones survived the compaction that purged them")
+  }
+
+  test("partitioning knobs are a pinned contract: pfxLen=2/docPfxMod=64 answers identically") {
+    val (idxDir, featDir) = freshDirs()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    LshIndex.write(Dedup.lshFeatures(corpus), idxDir, featDir,
+      SaveMode.Overwrite, pfxLen = 2, docPfxMod = 64L)
+    // the layout really took
+    val pfxVals = spark.read.parquet(idxDir).select(col("pfx")).distinct()
+      .collect().map(_.getString(0))
+    assert(pfxVals.nonEmpty && pfxVals.forall(_.length == 3), // "h" + 2 hex
+      s"pfx dirs ignore the pinned pfxLen: ${pfxVals.take(3).toSeq}")
+    val dpfxMax = spark.read.parquet(featDir)
+      .agg(max(col("dpfx").cast("long"))).head().getLong(0)
+    assert(dpfxMax >= 16L,
+      "docPfxMod=64 never exceeded the default's range — knob not applied")
+    // lookups and appends follow the PIN: results identical to the
+    // default-knob store for the same corpus and batch
+    val (dIdx, dFeat) = freshDirs()
+    LshIndex.write(Dedup.lshFeatures(corpus), dIdx, dFeat)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    def verdicts(i: String, f: String) =
+      LshIndex.dedupAgainst(spark, i, f, batch).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(verdicts(idxDir, featDir) == verdicts(dIdx, dFeat))
+    LshIndex.append(Dedup.lshFeatures(batch), idxDir, featDir)
+    // appended rows landed under the pinned layout, not the defaults
+    val appendedPfx = spark.read.parquet(idxDir)
+      .select(col("pfx")).distinct().collect().map(_.getString(0))
+    assert(appendedPfx.forall(_.length == 3),
+      "append fell back to the default pfxLen instead of the pin")
+  }
+
   test("empty prefix set degrades to an empty frame with the index schema") {
     val (idxDir, featDir) = freshDirs()
     LshIndex.write(Dedup.lshFeatures(docs.limit(20)), idxDir, featDir)

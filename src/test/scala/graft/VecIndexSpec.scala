@@ -116,6 +116,55 @@ class VecIndexSpec extends SparkSpec {
     assert(got.exists(_._2 >= 0), "vacuous: batch 1 linked nothing")
   }
 
+  test("delete: a tombstoned vector stops being a neighbor; ranks re-fill like a rebuild") {
+    val dir = freshDir()
+    VecIndex.write(emb, dir, Similarity.NumCells)
+    // planted positive: the top-1 neighbor of query 0 gets deleted
+    val victim = VecIndex.topK(spark, dir, queries(1))
+      .filter(col("rank") === 1).head().getLong(1)
+    VecIndex.delete(spark, dir,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")), "d1")
+    def hits(d: String) = VecIndex.topK(spark, d, queries(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val after = hits(dir)
+    assert(!after.exists(_._2 == victim),
+      "a deleted vector is still handed out as a neighbor")
+    // equivalence with the rebuild-without-it (the q120 oracle's contract)
+    val dir2 = freshDir()
+    VecIndex.write(emb, dir2, Similarity.NumCells)
+    // rebuild keeps the same quantizer contract (victim >= NumCells seeds
+    // would be required otherwise); drop only its postings
+    VecIndex.delete(spark, dir2,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")), "d1")
+    VecIndex.compact(spark, dir2)
+    assert(after == hits(dir2),
+      "tombstone-masked reads diverge from the physically-purged store")
+  }
+
+  test("compact == same answers with one file per cell dir, tombstones purged") {
+    val dir = freshDir()
+    val corpus = emb.filter(col("vec_id") >= 100 || col("vec_id") < 50)
+    val batch = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    VecIndex.write(corpus, dir, Similarity.NumCells)
+    VecIndex.append(batch, dir)
+    VecIndex.delete(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 5 === 2), "d1")
+    def hits() = VecIndex.topK(spark, dir, queries(4)).collect()
+      .map(_.toSeq).toSeq
+    val pre = hits()
+    VecIndex.compact(spark, dir)
+    assert(hits() == pre, "compaction changed the ANN answers")
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("vec_id") % 5 === 2).count() == 0,
+      "tombstoned postings survived the physical purge")
+    val perDir = spark.read.parquet(s"$dir/postings").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDir.nonEmpty && perDir.forall(_._2.length == 1),
+      "a compacted cell dir still holds multiple files")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
   test("literal and broadcast-row quantizer delivery produce identical assignments") {
     val dir = freshDir()
     VecIndex.write(emb, dir, Similarity.NumCells)
