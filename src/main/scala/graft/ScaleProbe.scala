@@ -139,6 +139,27 @@ object ScaleProbe {
         graft.pipeline.TrainingPipeline.q109SequencePacking.fn(spark, d)),
       "q111_merge_learning" -> ((d, _) =>
         graft.text.TextAnalysis.q111MergeLearning.fn(spark, d)),
+      // round-7: the LSH store's partition knobs exercised at the values a
+      // 10× deployment would pin (pfxLen 1→2 = 16→256 band dirs, docPfxMod
+      // 16→64 feature dirs) — the "grow with the cluster" claim measured,
+      // not just documented; results are knob-invariant (LshIndexSpec)
+      "q106_idx_knob" -> ((d, scale) => {
+        graft.functions.ArrayExprs.register(spark)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sp-lshidx").toString
+        val corpus = Tables.documents(spark, d)
+          .filter(col("doc_id") % 10 =!= 9).select(col("doc_id"), col("text"))
+        val (pfxLen, mod) = if (scale == 1) (1, 16L) else (2, 64L)
+        graft.dedup.LshIndex.write(graft.dedup.Dedup.lshFeatures(corpus),
+          s"$root/idx", s"$root/feat",
+          org.apache.spark.sql.SaveMode.Overwrite, pfxLen, mod)
+        graft.dedup.LshIndex.dedupAgainst(spark, s"$root/idx", s"$root/feat",
+          Tables.documents(spark, d).filter(col("doc_id") % 10 === 9)
+            .select(col("doc_id"), col("text")))
+      }),
+      // round-7 streaming text-index ingest (the q108/q114 sibling)
+      "q117_text_ingest" -> ((d, _) =>
+        graft.text.TextIndex.q117TextStreamIngest.fn(spark, d)),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-sp-vecidx").toString
@@ -166,6 +187,7 @@ object ScaleProbe {
       Dedup.clearCaches()
       graft.dedup.LshIndex.clearCaches()
       graft.sim.VecIndex.clearCaches()
+      graft.text.TextIndex.clearCaches()
     }
     pass(x1, 1)
     clearAll()
@@ -180,7 +202,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160","cpus":$cpus}""")
     spark.stop()
   }
 }

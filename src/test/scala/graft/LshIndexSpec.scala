@@ -224,6 +224,23 @@ class LshIndexSpec extends SparkSpec {
       "tombstones survived the compaction that purged them")
   }
 
+  test("compaction interleaves with the ingest loop (the every-Nth-batch deployment recipe)") {
+    val plain = Files.createTempDirectory("graft-lsh-nocompact").toString
+    val compacted = Files.createTempDirectory("graft-lsh-midcompact").toString
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250)
+    LshIndex.ingestBatch(spark, plain, b0, 0L)
+    LshIndex.ingestBatch(spark, plain, b1, 1L)
+    LshIndex.ingestBatch(spark, compacted, b0, 0L)
+    LshIndex.compact(spark, s"$compacted/idx", s"$compacted/feat")
+    LshIndex.ingestBatch(spark, compacted, b1, 1L)
+    def outs(root: String) = spark.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("dup_of"), col("jac"))
+      .collect().map(_.toSeq).toSet
+    assert(outs(plain) == outs(compacted),
+      "a mid-loop compaction changed the ingest verdicts")
+  }
+
   test("partitioning knobs are a pinned contract: pfxLen=2/docPfxMod=64 answers identically") {
     val (idxDir, featDir) = freshDirs()
     val corpus = docs.filter(col("doc_id") % 10 =!= 9)

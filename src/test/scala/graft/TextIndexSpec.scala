@@ -177,6 +177,27 @@ class TextIndexSpec extends SparkSpec {
     assert(!StoreMaintAccess.exists(spark, s"$dir/tombstones"))
   }
 
+  test("compaction interleaves with the ingest loop (the every-Nth-batch deployment recipe)") {
+    val plain = freshDir()
+    TextIndex.create(spark, s"$plain/index")
+    val compacted = freshDir()
+    TextIndex.create(spark, s"$compacted/index")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    TextIndex.ingestBatch(spark, plain, b0, 0L)
+    TextIndex.ingestBatch(spark, plain, b1, 1L)
+    TextIndex.ingestBatch(spark, compacted, b0, 0L)
+    TextIndex.compact(spark, s"$compacted/index") // between micro-batches
+    TextIndex.ingestBatch(spark, compacted, b1, 1L)
+    def outs(root: String) = spark.read.parquet(s"$root/out")
+      .select(col("batch").cast("long"), col("doc_id"), col("score"),
+        col("rnk")).collect().map(_.toSeq).toSet
+    assert(outs(plain) == outs(compacted),
+      "a mid-loop compaction changed the per-batch search results")
+    assert(TextIndex.readStats(spark, s"$plain/index") ==
+      TextIndex.readStats(spark, s"$compacted/index"))
+  }
+
   test("layout knobs are a pinned contract: pfxLen=2/docPfxMod=64 store answers identically") {
     val dir = freshDir()
     TextIndex.write(docs, dir, pfxLen = 2, docPfxMod = 64L)
