@@ -18,7 +18,9 @@ object SparkEntry {
       graft.dedup.LshIndex.all ++
       graft.sim.Similarity.all ++
       graft.sim.VecIndex.all ++
+      graft.sim.PqIndex.all ++
       graft.sim.Retrieval.all ++
+      graft.sources.ZOrder.all ++
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++

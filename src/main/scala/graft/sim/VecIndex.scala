@@ -180,9 +180,19 @@ object VecIndex {
     * read ONLY those postings partitions, exact-cosine re-rank. `queries`
     * is (query_id, qv) — a bounded batch (the q50 shape); its distinct
     * probe cells drive the pruned read, a driver-side collect bounded by
-    * the CELL COUNT, never the corpus. */
+    * the CELL COUNT, never the corpus.
+    *
+    * `where` is the FILTERED-search form (q122): a metadata predicate over
+    * the postings columns, applied to the pruned scan itself — Catalyst
+    * pushes it into the parquet read (PushedFilters, pinned in
+    * VecIndexSpec), so non-matching postings are skipped at the source and
+    * never materialize as candidates. Top-k then ranks WITHIN the
+    * predicate (vacated ranks re-fill), the pre-filtered semantics real
+    * vector stores document — not a post-filter of the unfiltered top-k,
+    * which could return fewer than k survivors. */
   def topK(s: SparkSession, dir: String, queries: DataFrame,
-      nprobe: Int = NumProbe, k: Int = K): DataFrame = {
+      nprobe: Int = NumProbe, k: Int = K,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probed = withStoreProbeCells(s, dir,
         queries.withColumn("qn2", graft.dedup.Dedup.sqNorm(col("qv"))),
         nprobe, col("qv"), "probe")
@@ -193,8 +203,9 @@ object VecIndex {
       .localCheckpoint()
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0).toString).toSeq
-    val posts = graft.dedup.LshIndex.readPruned(s, s"$dir/postings", "cell",
+    val posts0 = graft.dedup.LshIndex.readPruned(s, s"$dir/postings", "cell",
         cells, () => emptyPostings(s))
+    val posts = where.fold(posts0)(posts0.filter)
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("label"), col("v"), col("n2"))
       // tombstoned vectors stop being neighbors immediately (physical
@@ -290,6 +301,75 @@ object VecIndex {
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- q122: filtered ANN (predicate pushed into the postings scan) -------
+
+  /** The q122 metadata predicate's bound (labels are 0-9 uniform, so half
+    * the candidates are filtered — non-vacuous at every SF). Declared
+    * before the Q val: object init order would otherwise interpolate 0. */
+  private val FilterLabelMax = 4
+
+  /** q122: ANN top-k WITHIN a metadata predicate (`label <= 4`) — the
+    * filtered-search form every production vector store exposes (and the
+    * training-data shape: "nearest neighbors among documents of source X").
+    * The predicate rides [[topK]]'s `where` hook into the pruned postings
+    * scan as a parquet PushedFilter, so at 100 TB the non-matching half of
+    * every probed cell is skipped by row-group stats instead of surfacing
+    * as candidates; ranks then re-fill within the predicate. Oracle =
+    * q107's SQL with the same restriction before the rank window, so
+    * filter-then-rank (vs rank-then-filter) semantics are under the hash
+    * check. */
+  val q122AnnFiltered: Q = Q(
+    "q122_ann_filtered",
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < ${Similarity.NumCells}),
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.cn2 - 2 * list_reduce(
+       |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |      (a, b) -> a + b) AS s
+       |  FROM e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc WHERE vec_id < $NumQueries) WHERE rn <= $NumProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT c.query_id, c.neighbor_id, n.label,
+       |    ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC,
+       |               c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id
+       |  WHERE n.label <= $FilterLabelMax)
+       |SELECT query_id, neighbor_id, label, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+  ) { (s, d) =>
+    val dir = storeFor(s, d)
+    val queries = working(Tables.embeddings(s, d))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topK(s, dir, queries,
+        where = Some(col("label") <= FilterLabelMax))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---- q120: tombstone retraction under the exact oracle ------------------
@@ -505,5 +585,6 @@ object VecIndex {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(q107AnnIndex, q114AnnStreamIngest, q120AnnDelete)
+  val all: Seq[Q] =
+    Seq(q107AnnIndex, q114AnnStreamIngest, q120AnnDelete, q122AnnFiltered)
 }

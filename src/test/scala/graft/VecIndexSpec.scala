@@ -165,6 +165,31 @@ class VecIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
   }
 
+  test("filtered topK pushes the predicate into the postings scan; ranks re-fill within it") {
+    val dir = freshDir()
+    VecIndex.write(emb, dir, Similarity.NumCells)
+    val hits = VecIndex.topK(spark, dir, queries(4),
+      where = Some(col("label") <= 4))
+    val plain = VecIndex.topK(spark, dir, queries(4))
+    // planted positive: the unfiltered plan carries no label pushdown
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("LessThanOrEqual(label,4)"))
+    assert(hits.queryExecution.executedPlan.toString
+      .contains("LessThanOrEqual(label,4)"),
+      "label predicate did not reach the postings scan as a PushedFilter")
+    val fil = hits.collect()
+    assert(fil.forall(_.getInt(2) <= 4))
+    // filter-then-rank: every unfiltered hit that satisfies the predicate
+    // keeps its place, and vacated ranks re-fill (so the filtered result
+    // is a strict superset of post-filtering the unfiltered top-k)
+    val post = plain.collect().filter(_.getInt(2) <= 4)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filSet = fil.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(post.subsetOf(filSet))
+    assert(filSet.size > post.size,
+      "no rank re-filled — the filter-vs-post-filter distinction is vacuous")
+  }
+
   test("literal and broadcast-row quantizer delivery produce identical assignments") {
     val dir = freshDir()
     VecIndex.write(emb, dir, Similarity.NumCells)

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZOrder
+
+/** Pins what the q123 oracle can't see: the z-clustered layout prunes
+  * FILES for selective predicates on EITHER clustered column, the linear
+  * (single-column-sorted) baseline cannot prune on the second column, the
+  * residual filter still applies inside surviving files, and stat-less
+  * columns degrade to always-read instead of wrong skipping. */
+class ZOrderSpec extends SparkSpec {
+
+  private val NumFiles = 16
+
+  private def li = Tables.lineitem(spark, sfDir)
+
+  private def bounds(): (Long, Long, Long, Long) = {
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  test("z-layout prunes on either column; linear layout only on its sort key") {
+    val zDir = Files.createTempDirectory("graft-z").toString
+    val linDir = Files.createTempDirectory("graft-lin").toString
+    ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), NumFiles)
+    // the linear baseline: same machinery, 1-D curve = a plain sort on
+    // l_partkey, but stats recorded for both columns
+    ZOrder.writeZOrdered(li, linDir, Seq("l_partkey"), NumFiles,
+      statCols = Seq("l_partkey", "l_suppkey"))
+    val (pmn, pmx, smn, smx) = bounds()
+    val pBand = ("l_partkey", pmn + (pmx - pmn) * 2 / 10,
+      pmn + (pmx - pmn) * 3 / 10)
+    val sBand = ("l_suppkey", smn + (smx - smn) * 4 / 10,
+      smn + (smx - smn) * 5 / 10)
+    def files(dir: String, preds: (String, Long, Long)*): Int =
+      ZOrder.readZRange(spark, dir, preds).inputFiles
+        .count(!_.contains("_zmanifest"))
+    val total = spark.read.parquet(zDir).inputFiles.length
+    assert(total >= NumFiles / 2, s"layout collapsed to $total files")
+    // z-curve: BOTH 10%-band predicates open a strict fraction
+    assert(files(zDir, pBand) <= total * 6 / 10,
+      s"partkey band read ${files(zDir, pBand)}/$total z-files")
+    assert(files(zDir, sBand) <= total * 6 / 10,
+      s"suppkey band read ${files(zDir, sBand)}/$total z-files")
+    // planted negative: the linear layout prunes its sort key but must
+    // read EVERY file for the other column (suppkey uniform per file)
+    val linTotal = spark.read.parquet(linDir).inputFiles.length
+    assert(files(linDir, pBand) <= linTotal / 2)
+    assert(files(linDir, sBand) == linTotal,
+      "linear layout 'pruned' on a column it isn't clustered by — " +
+        "the z-vs-linear comparison is vacuous")
+  }
+
+  test("residual filter applies inside surviving files; rows match the plain filter") {
+    val zDir = Files.createTempDirectory("graft-z2").toString
+    ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), NumFiles)
+    val (pmn, pmx, smn, smx) = bounds()
+    val preds = Seq(
+      ("l_partkey", pmn + (pmx - pmn) * 2 / 10, pmn + (pmx - pmn) * 3 / 10),
+      ("l_suppkey", smn + (smx - smn) * 4 / 10, smn + (smx - smn) * 5 / 10))
+    val got = ZOrder.readZRange(spark, zDir, preds)
+    // planted positive for the residual: the surviving files hold MORE
+    // rows than the answer, so skipping the filter would leak
+    val surviving = spark.read.parquet(got.inputFiles
+      .filterNot(_.contains("_zmanifest")): _*).count()
+    assert(surviving > got.count(),
+      "every surviving row matched — the residual-filter check is vacuous")
+    val expect = li.filter(
+      col("l_partkey").between(preds(0)._2, preds(0)._3) &&
+        col("l_suppkey").between(preds(1)._2, preds(1)._3))
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    assert(expect.count() > 0, "empty band — the equivalence is vacuous")
+  }
+
+  test("a predicate on a stat-less column is refused, not silently unpruned") {
+    val zDir = Files.createTempDirectory("graft-z3").toString
+    ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), 4)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.readZRange(spark, zDir, Seq(("l_orderkey", 0L, 10L)))
+    }
+    assert(e.getMessage.contains("l_orderkey"))
+  }
+}
