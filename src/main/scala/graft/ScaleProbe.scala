@@ -170,6 +170,34 @@ object ScaleProbe {
             .select(col("vec_id").as("query_id"),
               transform(col("embedding"), x => x.cast("double")).as("qv")))
       }),
+      // round-7 second wave: the IVF-PQ store at ITS scaled knobs (cells
+      // 16→160, cold-store mod 16→64; codebook size stays fixed — PQ's
+      // 8×16 is per-subspace vocabulary, not a corpus knob), timed =
+      // build + one 8-query probe, the q107 shape
+      "q121_pq_index_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-pqidx").toString
+        graft.sim.PqIndex.write(Tables.embeddings(spark, d), dir,
+          graft.sim.Similarity.NumCells * scale, 16L * scale)
+        graft.sim.PqIndex.topK(spark, dir,
+          Tables.embeddings(spark, d).filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"),
+              transform(col("embedding"), x => x.cast("double")).as("qv")))
+      }),
+      // round-7 second wave: z-order OPTIMIZE + one two-band pruned read;
+      // file count grows with the corpus (32→320) so per-file sizes stay
+      // put — cost should track the one range shuffle (~linear)
+      "q123_zorder_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-zorder").toString
+        val t = Tables.documents(spark, d).select(col("doc_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"),
+          pmod(hash(col("doc_id"), lit(2)), lit(100000)).cast("long").as("k2"))
+        graft.sources.ZOrder.writeZOrdered(t, dir, Seq("k1", "k2"),
+          32 * scale)
+        graft.sources.ZOrder.readZRange(spark, dir,
+          Seq(("k1", 20000L, 30000L), ("k2", 40000L, 50000L)))
+      }),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
@@ -187,6 +215,8 @@ object ScaleProbe {
       Dedup.clearCaches()
       graft.dedup.LshIndex.clearCaches()
       graft.sim.VecIndex.clearCaches()
+      graft.sim.PqIndex.clearCaches()
+      graft.sources.ZOrder.clearCaches()
       graft.text.TextIndex.clearCaches()
     }
     pass(x1, 1)
@@ -202,7 +232,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320","cpus":$cpus}""")
     spark.stop()
   }
 }

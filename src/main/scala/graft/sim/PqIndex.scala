@@ -159,6 +159,49 @@ object PqIndex {
     }
   }
 
+  // ---- tombstone deletes + compaction -------------------------------------
+
+  /** Modulus of the tombstone partition key over vec_id. */
+  private val TombMod = 16L
+
+  /** The live tombstone set as a one-column (`vec_id`) frame. */
+  private def deadIds(s: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!StoreMaint.fsFor(s, p).exists(p))
+      s.range(0).select(col("id").as("vec_id"))
+    else s.read.option("basePath", s"$dir/tombstones")
+      .parquet(s"$dir/tombstones").select(col("vec_id")).distinct()
+  }
+
+  /** Retract vectors: tombstones consulted by [[topK]] BEFORE the ADC
+    * shortlist cut (a dead vector must not occupy a shortlist slot — the
+    * vacated slot re-fills, exactly a rebuild-without-it), physically
+    * purged by [[compact]]. Idempotent — reads deduplicate by id. */
+  def delete(s: SparkSession, dir: String, ids: DataFrame,
+      src: String): Unit =
+    Lease.withLease(s, dir, s"pqindex-delete-$src") {
+      StoreMaint.writeTombstones(ids, s"$dir/tombstones", "vec_id", src,
+        TombMod)
+    }
+
+  /** Collapse per-append file growth to one file per partition dir in BOTH
+    * halves and purge tombstoned vectors; the quantizer and codebooks (the
+    * contracts) are never touched. Reader-safe mid-swap via the
+    * duplicate-tolerant reads ([[StoreMaint.compactPartitioned]]). */
+  def compact(s: SparkSession, dir: String): Unit =
+    Lease.withLease(s, dir, "pqindex-compact") {
+      val dead = deadIds(s, dir)
+      StoreMaint.compactPartitioned(s, s"$dir/codes", "cell",
+        df => df.dropDuplicates("vec_id")
+          .join(dead, Seq("vec_id"), "left_anti"))
+      StoreMaint.compactPartitioned(s, s"$dir/vecs", "vpfx",
+        df => df.dropDuplicates("vec_id")
+          .join(dead, Seq("vec_id"), "left_anti"))
+      val t = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      StoreMaint.fsFor(s, t).delete(t, true)
+      ()
+    }
+
   /** Schema-bearing empties for a store with no data files yet. */
   private def emptyCodes(s: SparkSession): DataFrame =
     s.range(0).select(Seq(col("id").as("vec_id"),
@@ -230,6 +273,10 @@ object PqIndex {
       .select(Seq(col("query_id"), col("vec_id")) ++
         (0 until PqSubspaces).map(m => col(s"c$m")): _*)
       .dropDuplicates("query_id", "vec_id")
+      // tombstoned vectors drop BEFORE the shortlist cut: a dead vector
+      // must not consume a shortlist slot (physical purge waits for
+      // compact)
+      .join(deadIds(s, dir), Seq("vec_id"), "left_anti")
       .withColumn("dist", dist)
       .withColumn("ar", row_number().over(aw))
       .filter(col("ar") <= rerank)
@@ -280,16 +327,15 @@ object PqIndex {
       })
     }
 
-  /** Drop the store-pointer cache (cold-run probes). */
-  def clearCaches(): Unit = synchronized { stores.clear() }
+  /** Drop the store-pointer caches (cold-run probes). */
+  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
 
-  /** q121: IVF-PQ ANN through the PERSISTED index — coarse probe, pruned
-    * codes-only ADC shortlist, exact-cosine re-rank from the cold store,
-    * all under one exact oracle (q107's probe CTEs + q74's encode/LUT/ADC
-    * CTEs + the two deterministic rank cuts) — a store that mis-assigned,
-    * mis-coded, mis-pruned or lost a vector hash-fails. */
-  val q121PqIndex: Q = Q(
-    "q121_pq_index", {
+  /** The q121/q124 oracle: q107's probe CTEs + q74's encode/LUT/ADC CTEs
+    * + the two deterministic rank cuts. `candFilter` restricts the
+    * candidate set (q124's tombstone exclusion — applied BEFORE the ADC
+    * shortlist, exactly where [[topK]] drops dead ids, so the vacated
+    * shortlist slots re-fill like a rebuild). */
+  private def pqOracle(candFilter: String): String = {
       val sd = PqSubDim; val cbn = PqCodebook
       val encwCols = (0 until PqSubspaces)
         .map(m => s"MAX(CASE WHEN m=$m THEN code END) AS c$m")
@@ -349,7 +395,7 @@ object PqIndex {
          |cand AS (
          |  SELECT DISTINCT p.query_id AS qid, a.vec_id
          |  FROM probes p JOIN assign a
-         |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |    ON a.cell = p.cell AND a.vec_id <> p.query_id$candFilter),
          |adc AS (
          |  SELECT c.qid, c.vec_id, $adcExpr AS dist
          |  FROM cand c JOIN encw w ON w.vec_id = c.vec_id
@@ -370,8 +416,13 @@ object PqIndex {
          |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
          |  vec_id AS neighbor_id, label, adc_dist, cos
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-    },
-  ) { (s, d) =>
+  }
+
+  /** q121: IVF-PQ ANN through the PERSISTED index — coarse probe, pruned
+    * codes-only ADC shortlist, exact-cosine re-rank from the cold store,
+    * all under one exact oracle ([[pqOracle]]) — a store that
+    * mis-assigned, mis-coded, mis-pruned or lost a vector hash-fails. */
+  val q121PqIndex: Q = Q("q121_pq_index", pqOracle("")) { (s, d) =>
     val dir = storeFor(s, d)
     val queries = working(Tables.embeddings(s, d))
       .filter(col("vec_id") < NumQueries)
@@ -379,5 +430,38 @@ object PqIndex {
     topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q121PqIndex)
+  // ---- q124: tombstone retraction under the exact oracle ------------------
+
+  private val delStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def deletedStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      delStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-pqindex-del").toString
+        write(Tables.embeddings(s, d), dir)
+        delete(s, dir,
+          Tables.embeddings(s, d).select(col("vec_id"))
+            .filter(col("vec_id") % 5 === 2), "del1")
+        dir
+      })
+    }
+
+  /** q124: q121's IVF-PQ ANN AFTER a retraction — every `vec_id % 5 = 2`
+    * vector is tombstone-deleted, then the same query batch probes the
+    * store. Oracle = [[pqOracle]] with those ids excluded from the
+    * candidate set BEFORE the ADC shortlist, i.e. what a
+    * rebuild-without-them would shortlist and rank — so the hash check
+    * proves a deleted vector stops being a neighbor, stops consuming a
+    * shortlist slot, and both the vacated shortlist slots and final ranks
+    * re-fill with the next-best live candidates. */
+  val q124PqDelete: Q = Q(
+    "q124_pq_delete", pqOracle(" AND a.vec_id % 5 <> 2")) { (s, d) =>
+    val dir = deletedStoreFor(s, d)
+    val queries = working(Tables.embeddings(s, d))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q121PqIndex, q124PqDelete)
 }

@@ -63,8 +63,44 @@ object ZOrder {
     * OPTIMIZE cost. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+    zWrite(df, path, zcols, numFiles, "overwrite")
+    writeManifest(df.sparkSession, path,
+      if (statCols.nonEmpty) statCols else zcols)
+  }
+
+  /** Append a batch: z-sort it by its OWN bounds into `numFiles` new
+    * files, harvest only those files' footers, and append their stats to
+    * the manifest — the Delta/Iceberg append model. Clustering quality
+    * degrades as appends accumulate (periodic re-cluster into a fresh dir
+    * restores it — the upsert table's versioned-swap pattern); skipping
+    * SOUNDNESS never degrades: stats are actual footer ranges, and
+    * [[readZRange]] always reads files the manifest doesn't know, so a
+    * crash between the data append and the manifest append costs extra
+    * reads, never rows. */
+  def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
+      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
     val s = df.sparkSession
-    val stat = if (statCols.nonEmpty) statCols else zcols
+    val before = dataFileNames(s, path)
+    zWrite(df, path, zcols, numFiles, "append")
+    val fresh = dataFileNames(s, path) -- before
+    import s.implicits._
+    fileStats(s, path, if (statCols.nonEmpty) statCols else zcols,
+        Some(fresh))
+      .toDF("f", "c", "mn", "mx")
+      .coalesce(1).write.mode("append").parquet(s"$path/_zmanifest")
+  }
+
+  private def dataFileNames(s: SparkSession, path: String): Set[String] = {
+    val p = new Path(path)
+    val fs = StoreMaint.fsFor(s, p)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  private def zWrite(df: DataFrame, path: String, zcols: Seq[String],
+      numFiles: Int, mode: String): Unit = {
     val b = df.agg(
       zcols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
       zcols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).head()
@@ -75,19 +111,21 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    writeManifest(s, path, stat)
+      .write.mode(mode).parquet(path)
   }
 
-  /** Per-file (file, col, mn, mx) rows from the parquet footers. */
-  private def fileStats(s: SparkSession, path: String,
-      cols: Seq[String]): Seq[(String, String, Long, Long)] = {
+  /** Per-file (file, col, mn, mx) rows from the parquet footers —
+    * restricted to `only` when given (the incremental append harvests just
+    * its own files, O(batch files) not O(table files)). */
+  private def fileStats(s: SparkSession, path: String, cols: Seq[String],
+      only: Option[Set[String]] = None): Seq[(String, String, Long, Long)] = {
     val p = new Path(path)
     val fs = StoreMaint.fsFor(s, p)
     val conf = s.sessionState.newHadoopConf()
     val wanted = cols.map(c => c.toLowerCase -> c).toMap
     fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        only.forall(_.contains(st.getPath.getName)))
       .toSeq.flatMap { st =>
         val mn = scala.collection.mutable.Map.empty[String, Long]
         val mx = scala.collection.mutable.Map.empty[String, Long]
@@ -129,7 +167,9 @@ object ZOrder {
     * [mn, mx] overlaps EVERY predicate's [lo, hi], then apply the
     * predicates as residual filters (a surviving file still holds
     * out-of-range rows — the manifest prunes, the filter decides).
-    * Listing, I/O and `inputFiles` are all O(surviving files). */
+    * Listing, I/O and `inputFiles` are all O(surviving files). A data
+    * file the manifest doesn't know (the append crash window) is ALWAYS
+    * read: missing stats cost I/O, never rows. */
   def readZRange(s: SparkSession, path: String,
       preds: Seq[(String, Long, Long)]): DataFrame = {
     val man = s.read.parquet(s"$path/_zmanifest").collect()
@@ -137,13 +177,16 @@ object ZOrder {
     val have = man.map(_._2).toSet
     preds.foreach(p => require(have.contains(p._1),
       s"no manifest stats for column ${p._1} (have $have)"))
-    val keep = man.groupBy(_._1).filter { case (_, sts) =>
-      preds.forall { case (c, lo, hi) =>
-        sts.find(_._2 == c).forall { case (_, _, mn, mx) =>
-          mx >= lo && mn <= hi
+    val byFile = man.groupBy(_._1)
+    val keep = dataFileNames(s, path).toSeq.filter { f =>
+      byFile.get(f).forall { sts =>
+        preds.forall { case (c, lo, hi) =>
+          sts.find(_._2 == c).forall { case (_, _, mn, mx) =>
+            mx >= lo && mn <= hi
+          }
         }
       }
-    }.keys.toSeq.sorted
+    }.sorted
     val base =
       if (keep.nonEmpty)
         s.read.option("basePath", path).parquet(keep.map(f => s"$path/$f"): _*)
@@ -165,8 +208,14 @@ object ZOrder {
     synchronized {
       stores.getOrElseUpdate(d, {
         val dir = Files.createTempDirectory("graft-zorder").toString
-        writeZOrdered(Tables.lineitem(s, d), dir,
+        val li = Tables.lineitem(s, d)
+        // build + one incremental batch: the oracle (the plain filter
+        // over the WHOLE table) then covers append visibility and the
+        // merged manifest, not just the initial layout
+        writeZOrdered(li.filter(col("l_orderkey") % 10 =!= 9), dir,
           Seq("l_partkey", "l_suppkey"), NumFiles)
+        appendZOrdered(li.filter(col("l_orderkey") % 10 === 9), dir,
+          Seq("l_partkey", "l_suppkey"), math.max(NumFiles / 10, 1))
         dir
       })
     }

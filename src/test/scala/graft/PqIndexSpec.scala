@@ -124,6 +124,54 @@ class PqIndexSpec extends SparkSpec {
         "when un-approximated")
   }
 
+  test("delete: a tombstoned vector frees its shortlist slot, like a rebuild-without-it") {
+    val dir = freshDir()
+    PqIndex.write(emb, dir)
+    // planted positive: the top-1 neighbor of query 0 gets deleted
+    val victim = PqIndex.topK(spark, dir, queries(1))
+      .filter(col("rank") === 1).head().getLong(2)
+    def victimIds = spark.range(victim, victim + 1)
+      .select(col("id").as("vec_id"))
+    PqIndex.delete(spark, dir, victimIds, "d1")
+    def hits(d: String) = PqIndex.topK(spark, d, queries(4)).collect()
+      .map(_.toSeq).toSet
+    val after = hits(dir)
+    assert(!after.exists(_(2) == victim),
+      "a deleted vector is still handed out as a neighbor")
+    // equivalence with the physically-purged store (the q124 contract)
+    val dir2 = freshDir()
+    PqIndex.write(emb, dir2)
+    PqIndex.delete(spark, dir2, victimIds, "d1")
+    PqIndex.compact(spark, dir2)
+    assert(after == hits(dir2),
+      "tombstone-masked reads diverge from the physically-purged store")
+  }
+
+  test("compact == same answers, one file per dir in both halves, tombstones purged") {
+    val dir = freshDir()
+    val corpus = emb.filter(col("vec_id") >= 100 || col("vec_id") < 50)
+    val batch = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    PqIndex.write(corpus, dir)
+    PqIndex.append(batch, dir)
+    PqIndex.delete(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 5 === 2), "d1")
+    def hits() = PqIndex.topK(spark, dir, queries(4)).collect()
+      .map(_.toSeq).toSet
+    val pre = hits()
+    PqIndex.compact(spark, dir)
+    assert(hits() == pre, "compaction changed the ANN answers")
+    Seq("codes", "vecs").foreach { half =>
+      assert(spark.read.parquet(s"$dir/$half")
+        .filter(col("vec_id") % 5 === 2).count() == 0,
+        s"tombstoned $half rows survived the physical purge")
+      val perDir = spark.read.parquet(s"$dir/$half").inputFiles
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      assert(perDir.nonEmpty && perDir.forall(_._2.length == 1),
+        s"a compacted $half dir still holds multiple files")
+    }
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
   test("cold-store partition knob is a pinned contract appends follow") {
     val dir = freshDir()
     val corpus = emb.filter(col("vec_id") >= 100 || col("vec_id") < 50)

@@ -78,6 +78,41 @@ class ZOrderSpec extends SparkSpec {
     assert(expect.count() > 0, "empty band — the equivalence is vacuous")
   }
 
+  test("append merges the manifest; a manifest-unknown file is read, never lost") {
+    val dir = Files.createTempDirectory("graft-z4").toString
+    val corpus = li.filter(col("l_orderkey") % 10 =!= 9)
+    val batch = li.filter(col("l_orderkey") % 10 === 9)
+    ZOrder.writeZOrdered(corpus, dir, Seq("l_partkey", "l_suppkey"), NumFiles)
+    ZOrder.appendZOrdered(batch, dir, Seq("l_partkey", "l_suppkey"), 2)
+    val (pmn, pmx, _, _) = bounds()
+    val preds = Seq(("l_partkey", pmn, pmn + (pmx - pmn) / 10))
+    val got = ZOrder.readZRange(spark, dir, preds)
+    val expect = li.filter(
+      col("l_partkey").between(preds(0)._2, preds(0)._3))
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0,
+      "appended rows diverge from the plain filter")
+    // every appended file got manifest stats (the incremental harvest)
+    val manFiles = spark.read.parquet(s"$dir/_zmanifest")
+      .select(col("f")).distinct().count()
+    val dataFiles = spark.read.parquet(dir).inputFiles
+      .count(!_.contains("_zmanifest"))
+    assert(manFiles == dataFiles, s"$manFiles stats rows for $dataFiles files")
+    // crash window: plant a data file the manifest doesn't know — its
+    // rows must still be served (stats missing = read, never skip)
+    val extraSrc = Files.createTempDirectory("graft-z4x").toString
+    li.limit(1).withColumn("l_partkey", lit(pmn))
+      .coalesce(1).write.mode("overwrite").parquet(extraSrc)
+    val src = new java.io.File(extraSrc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(dir, "part-planted.snappy.parquet"))
+    val got2 = ZOrder.readZRange(spark, dir, preds)
+    assert(got2.count() == got.count() + 1,
+      "a manifest-unknown file was skipped — the crash window loses rows")
+  }
+
   test("a predicate on a stat-less column is refused, not silently unpruned") {
     val zDir = Files.createTempDirectory("graft-z3").toString
     ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), 4)
