@@ -24,6 +24,7 @@ object SparkEntry {
       graft.streaming.Streaming.all ++
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++
+      graft.relational.Quality.all ++
       graft.graph.Graph.all ++
       graft.pipeline.TrainingPipeline.all
 

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -286,5 +287,89 @@ object Graph {
         .select(col("vec_a").as("a"), col("vec_b").as("b")))
   }
 
-  val all: Seq[Q] = Seq(q75PageRank, q101TriangleCount)
+  // ---- q126: label-propagation community detection -------------------------
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the LPA every
+    * graph library ships) over an undirected edge frame `(a, b)`, run for
+    * a FIXED `iters` rounds with deterministic tie-breaks: every node
+    * starts labeled with its own id, and each round adopts the most
+    * frequent label among its neighbors' previous-round labels, ties
+    * broken by the smallest label. Fixing the round count and the
+    * tie-break makes the asynchronous-and-random textbook algorithm
+    * exactly mirrorable: the oracle unrolls the same rounds as CTEs
+    * (ROW_NUMBER over (count DESC, label)).
+    *
+    * Scale shape: one round = the adjacency joined to a (node, label)
+    * frame, a (node, label) count, and a per-node argmax window — all
+    * keyed exchanges over O(|E|) rows, no driver state. The adjacency is
+    * checkpointed ONCE (reused every round); per-round frames checkpoint
+    * to cut lineage, and the loop scopes shuffle partitions to graph
+    * volume (the q75/q45 iterative-loop discipline). Communities of the
+    * near-dup graph = duplicate clusters with majority smoothing — the
+    * robust-to-missing-edges sibling of q45's connected components. */
+  def labelPropagation(edgesRaw: DataFrame, iters: Int): DataFrame = {
+    val s = edgesRaw.sparkSession
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ed = edgesRaw.select(col("a"), col("b")).localCheckpoint()
+      val adj = ed.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(ed.select(col("b").as("node"), col("a").as("nbr")))
+        .localCheckpoint()
+      var labels = adj.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val w = Window.partitionBy(col("node"))
+          .orderBy(col("cnt").desc, col("label"))
+        labels = adj
+          .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("node"), col("label").as("community"))
+        .orderBy(col("node"))
+    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+
+  private val LpIters = 3
+
+  private def lpRoundCte(r: Int): String = {
+    val prev = if (r == 1) "l0" else s"l${r - 1}"
+    s"""l$r AS (
+       |  SELECT node, label FROM (
+       |    SELECT a.node, l.label, COUNT(*) AS cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY a.node
+       |        ORDER BY COUNT(*) DESC, l.label) AS rn
+       |    FROM adj a JOIN $prev l ON l.node = a.nbr
+       |    GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
+  }
+
+  /** q126: label-propagation communities of the embedding near-duplicate
+    * graph (q101's edge set) after [[LpIters]] synchronous rounds — exact
+    * oracle = the pair CTEs + the same rounds unrolled, so the adjacency,
+    * every round's majority vote, and every tie-break are under the hash
+    * check. */
+  val q126LabelPropagation: Q = Q(
+    "q126_label_propagation",
+    "WITH " + graft.dedup.Dedup.embedPairCtes(graft.sim.Similarity.NumCells, "0.25") +
+      """,
+        |ed AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+        |adj AS (SELECT a AS node, b AS nbr FROM ed
+        |        UNION ALL SELECT b AS node, a AS nbr FROM ed),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+        |""".stripMargin +
+      (1 to LpIters).map(lpRoundCte).mkString(",\n") +
+      s"\nSELECT node, label AS community FROM l$LpIters ORDER BY node",
+  ) { (s, d) =>
+    labelPropagation(
+      graft.dedup.Dedup.embedNearDupPairs(s, d, graft.sim.Similarity.NumCells, 0.25)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")), LpIters)
+  }
+
+  val all: Seq[Q] = Seq(q75PageRank, q101TriangleCount, q126LabelPropagation)
 }

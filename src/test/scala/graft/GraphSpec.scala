@@ -128,6 +128,65 @@ class GraphSpec extends SparkSpec {
     assert(one.map(_.getLong(2)).sum > 0, "demo graph should contain triangles")
   }
 
+  // ---- label propagation ---------------------------------------------------
+
+  /** Independent synchronous-LPA reference: every node adopts the most
+    * frequent previous-round neighbor label, smallest label on ties. */
+  private def refLabelProp(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, nbrs) =>
+        val cnt = nbrs.map(labels).groupBy(identity).view
+          .mapValues(_.size).toMap
+        n -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    labels
+  }
+
+  test("label propagation: matches the reference on two cliques and a bridge") {
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+      (3, 4), (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+      (4, 10))
+    val got = Graph.labelPropagation(triDf(edges), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLabelProp(edges, 3))
+    // the two cliques must resolve to different communities
+    assert(got(1L) != got(11L),
+      "bridge merged the cliques — majority vote not working")
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L).map(got).distinct.size == 1)
+  }
+
+  test("label propagation: matches the reference on a hub-heavy random graph") {
+    val rnd = new scala.util.Random(11)
+    val layer = for (_ <- 1 to 60) yield {
+      val x = rnd.nextInt(20) + 1; val y = rnd.nextInt(20) + 1
+      (x.toLong, y.toLong)
+    }
+    val edges = ((1 to 20).map(i => (0L, i.toLong)) ++
+      layer.filter(e => e._1 != e._2))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Graph.labelPropagation(triDf(edges), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLabelProp(edges, 3))
+  }
+
+  test("label propagation: result is partitioning-independent") {
+    val edges = graft.dedup.Dedup
+      .embedNearDupPairs(spark, sfDir, graft.sim.Similarity.NumCells, 0.25)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val one = Graph.labelPropagation(edges, 3).collect().toSeq
+    val two = Graph.labelPropagation(edges.repartition(7, col("b")), 3)
+      .collect().toSeq
+    assert(one == two)
+    assert(one.map(_.getLong(1)).distinct.size > 1,
+      "demo graph collapsed to one community — vacuous")
+  }
+
   test("mass is conserved up to floor-division loss") {
     val g = Graph.purchaseGraph(spark, sfDir)
     val e = g.count()
