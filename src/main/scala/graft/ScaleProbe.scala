@@ -160,6 +160,10 @@ object ScaleProbe {
       // round-7 streaming text-index ingest (the q108/q114 sibling)
       "q117_text_ingest" -> ((d, _) =>
         graft.text.TextIndex.q117TextStreamIngest.fn(spark, d)),
+      // round-7 second wave: PQ-index streaming ingest (the family's
+      // fourth exactly-once loop)
+      "q127_pq_ingest" -> ((d, _) =>
+        graft.sim.PqIndex.q127PqStreamIngest.fn(spark, d)),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-sp-vecidx").toString

@@ -79,10 +79,19 @@ object PqIndex {
     * — so the build's own append already reads it. */
   def write(e: DataFrame, dir: String, numCells: Int = Similarity.NumCells,
       vecMod: Long = VecModDefault): Unit = {
+    writeContracts(e, dir, numCells, vecMod)
+    append(e, dir, SaveMode.Overwrite)
+  }
+
+  /** Persist ONLY the contracts — the offline-training half of a streamed
+    * deployment (q127): layout pin, coarse quantizer, PQ codebooks;
+    * postings then arrive incrementally. */
+  def writeContracts(e: DataFrame, dir: String,
+      numCells: Int = Similarity.NumCells,
+      vecMod: Long = VecModDefault): Unit = {
     StoreMaint.writeLayout(e.sparkSession, dir, StoreMaint.Layout(1, vecMod))
     VecIndex.writeQuantizer(e, dir, numCells)
     writeCodebooks(working(e), dir)
-    append(e, dir, SaveMode.Overwrite)
   }
 
   /** Persist the PQ codebooks — seed vectors' sub-slices, the q74 rule:
@@ -140,13 +149,21 @@ object PqIndex {
     * rebuild by construction). The cold half never needs the probe, so the
     * two writes share only the narrow source scan. */
   def append(e: DataFrame, dir: String,
-      mode: SaveMode = SaveMode.Append): Unit = {
-    val s = e.sparkSession
+      mode: SaveMode = SaveMode.Append): Unit =
+    appendWorking(working(e), dir, mode)
+
+  /** [[append]] over the working form (vec_id, label, v, n2) — the
+    * streaming ingest loop arrives already double-typed (the q114 wire
+    * contract). Idempotent under replay because every [[topK]] read
+    * deduplicates by the row's functional key. */
+  private def appendWorking(w0: DataFrame, dir: String,
+      mode: SaveMode): Unit = {
+    val s = w0.sparkSession
     ArrayExprs.register(s)
     val (cent, cn2) = readCodebooks(s, dir)
     val mod = vecMod(s, dir)
     Lease.withLease(s, dir, s"pqindex-$mode") {
-      val base = Tables.fanOut(working(e))
+      val base = Tables.fanOut(w0)
       VecIndex.withStoreProbeCells(s, dir, base, 1, col("v"), "probe")
         .withColumn("cell", element_at(col("probe"), 1).cast("int"))
         .select(Seq(col("vec_id"), col("cell")) ++ codeCols(cent, cn2): _*)
@@ -463,5 +480,188 @@ object PqIndex {
     topK(s, dir, queries).orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q121PqIndex, q124PqDelete)
+  // ---- q127: continuous PQ-index ingest (the q117 pattern for vectors) ----
+
+  private val TargetBatches = 2L
+
+  /** One PQ-ingest micro-batch: append the batch's codes + cold rows under
+    * the persisted contracts, then answer the STANDING query batch through
+    * the store — so the dumped result is the index state AFTER each batch
+    * (the q117 shape). Exactly-once under foreachBatch replay by the
+    * applied-marker recipe; the marker-missed replay window is closed by
+    * the store reads' (query, neighbor) / vec_id dedup tolerance. `df`
+    * arrives in the wire shape (vec_id, label, v: array<double>). */
+  private[graft] def ingestBatch(s: SparkSession, root: String,
+      df: DataFrame, id: Long, queries: DataFrame): Unit = {
+    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
+    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(applied)) return
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val w = df.select(col("vec_id"), col("label"), col("v"))
+        .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+        .localCheckpoint()
+      appendWorking(w, root, SaveMode.Append)
+      topK(s, root, queries)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
+      fs.mkdirs(applied.getParent)
+      fs.create(applied, true).close()
+    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+
+  /** q127: continuous PQ-index ingest — quantizer AND codebooks trained
+    * offline (persisted before the stream: the store's two contracts),
+    * vectors arrive over graft-shards in two rate-limited micro-batches;
+    * each batch appends its codes + cold rows, then the standing 8-query
+    * ANN runs through the store, so batch b's rows are the shortlist and
+    * ranks over batches ≤ b. EXACT oracle by the q114/q117 recipe:
+    * explicit vec_id-mod routing makes batch membership SQL, and the
+    * candidate set, ADC shortlist cut, and re-rank are q121's CTEs
+    * restricted to ingested batches — a double-append, lost batch, or
+    * code drift hash-fails. Completes the symmetry: all four persisted
+    * stores (LSH q108, IVF q114, text q117, PQ here) have exactly-once
+    * streaming ingest forms. */
+  val q127PqStreamIngest: Q = Q(
+    "q127_pq_stream_ingest", {
+      val sd = PqSubDim; val cbn = PqCodebook
+      val encwCols = (0 until PqSubspaces)
+        .map(m => s"MAX(CASE WHEN m=$m THEN code END) AS c$m")
+        .mkString(",\n    ")
+      val adcExpr = (0 until PqSubspaces)
+        .map(m => s"l.ds[${m * cbn}+w.c$m+1]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, v AS c,
+         |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+         |                (a, b) -> a + b) AS cn2
+         |  FROM e WHERE vec_id < ${Similarity.NumCells}),
+         |sc AS (
+         |  SELECT e.vec_id, c.cid,
+         |    c.cn2 - 2 * list_reduce(
+         |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+         |      (a, b) -> a + b) AS s
+         |  FROM e, cents c),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+         |    FROM sc WHERE vec_id < $NumQueries) WHERE rn <= $NumProbe),
+         |cb AS (
+         |  SELECT m.m, e.vec_id AS cid, e.v[m.m*$sd+1 : m.m*$sd+$sd] AS c,
+         |    list_reduce(list_transform(range(1, $sd+1),
+         |      i -> e.v[m.m*$sd+i] * e.v[m.m*$sd+i]), (a,b) -> a+b) AS cn2
+         |  FROM e, LATERAL (SELECT unnest(range(0, $PqSubspaces)) AS m) m
+         |  WHERE e.vec_id < $cbn),
+         |enc AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT e.vec_id, cb.m, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+         |        cb.cn2 - 2 * list_reduce(list_transform(range(1, $sd+1),
+         |          i -> e.v[cb.m*$sd+i] * cb.c[i]), (a,b) -> a+b),
+         |        cb.cid) AS rn
+         |    FROM e, cb)
+         |  WHERE rn = 1),
+         |encw AS (SELECT vec_id,
+         |    $encwCols
+         |  FROM enc GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |lut AS (
+         |  SELECT q.qid, cb.m, cb.cid,
+         |    list_reduce(list_transform(range(1, $sd+1),
+         |      i -> (q.qv[cb.m*$sd+i] - cb.c[i]) * (q.qv[cb.m*$sd+i] - cb.c[i])),
+         |      (a,b) -> a+b) AS d2
+         |  FROM q, cb),
+         |lutq AS (SELECT qid, list(d2 ORDER BY m, cid) AS ds FROM lut GROUP BY qid),
+         |shardseq AS (
+         |  SELECT vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id % ${graft.sources.GraftShards.NumShards}
+         |      ORDER BY vec_id) - 1 AS seq
+         |  FROM e),
+         |lim AS (SELECT CAST(CEIL(CAST(MAX(c) AS DOUBLE) / $TargetBatches) AS BIGINT) AS r
+         |  FROM (SELECT COUNT(*) AS c FROM e
+         |        GROUP BY vec_id % ${graft.sources.GraftShards.NumShards})),
+         |batched AS (
+         |  SELECT s.vec_id, CAST(s.seq // l.r AS BIGINT) AS batch
+         |  FROM shardseq s, lim l),
+         |bb AS (SELECT DISTINCT batch FROM batched),
+         |cand AS (
+         |  SELECT DISTINCT bb.batch, p.query_id AS qid, a.vec_id
+         |  FROM bb CROSS JOIN probes p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN batched bn ON bn.vec_id = a.vec_id AND bn.batch <= bb.batch),
+         |adc AS (
+         |  SELECT c.batch, c.qid, c.vec_id, $adcExpr AS dist
+         |  FROM cand c JOIN encw w ON w.vec_id = c.vec_id
+         |              JOIN lutq l ON l.qid = c.qid),
+         |sl AS (
+         |  SELECT batch, qid, vec_id, dist FROM (
+         |    SELECT batch, qid, vec_id, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY batch, qid
+         |        ORDER BY dist, vec_id) AS ar
+         |    FROM adc) WHERE ar <= $Rerank),
+         |ranked AS (
+         |  SELECT sl.batch, sl.qid, sl.vec_id, n.label,
+         |    ROUND(sl.dist, 6) AS adc_dist,
+         |    ROUND(list_cosine_similarity(q.qv, n.v), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.batch, sl.qid
+         |      ORDER BY ROUND(list_cosine_similarity(q.qv, n.v), 6) DESC,
+         |               sl.vec_id) AS rank
+         |  FROM sl JOIN q ON q.qid = sl.qid
+         |          JOIN e n ON n.vec_id = sl.vec_id)
+         |SELECT batch, qid AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, label, adc_dist, cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY batch, query_id, rank""".stripMargin
+    },
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+    ArrayExprs.register(s)
+    val numShards = graft.sources.GraftShards.NumShards
+    val shardDir = graft.sources.GraftShards.embeddingsShards(s, d)
+    val maxShardCnt = Tables.embeddings(s, d)
+      .groupBy(pmod(col("vec_id"), lit(numShards))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+    val root = Files.createTempDirectory("graft-pq-ingest").toString
+    // the OFFLINE-trained contracts, persisted before any vector streams
+    writeContracts(Tables.embeddings(s, d), root)
+    val standing = working(Tables.embeddings(s, d))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint()
+    val wireSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType))))
+    val q = s.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", limit.toString)
+      .load(shardDir)
+      .select(from_json(col("data"), wireSchema).as("r"))
+      .select(col("r.*"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ingestBatch(s, root, df, id, standing)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("batch").cast("long").as("batch"), col("query_id"),
+        col("rank"), col("neighbor_id"), col("label"), col("adc_dist"),
+        col("cos"))
+      .orderBy(col("batch"), col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q121PqIndex, q124PqDelete, q127PqStreamIngest)
 }

@@ -172,6 +172,45 @@ class PqIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
   }
 
+  test("replayed PQ-ingest micro-batch is exactly-once; duplicate store rows don't change answers") {
+    val root = freshDir()
+    PqIndex.writeContracts(emb, root)
+    def wire(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val standing = queries(4)
+    PqIndex.ingestBatch(spark, root, wire(emb.filter(col("vec_id") < 250)),
+      0L, standing)
+    def codesRows() = spark.read.parquet(s"$root/codes").count()
+    def out() = spark.read.parquet(s"$root/out").collect()
+      .map(_.toSeq).toSet
+    val (r0, v0) = (codesRows(), out())
+    // foreachBatch replay: the applied marker makes it a no-op
+    PqIndex.ingestBatch(spark, root, wire(emb.filter(col("vec_id") < 250)),
+      0L, standing)
+    assert(codesRows() == r0, "replayed batch re-appended codes")
+    assert(out() == v0)
+    // the non-atomic window: append landed, marker didn't — planted
+    // duplicate rows must not change the next batch's answers
+    PqIndex.append(emb.filter(col("vec_id") < 250), root)
+    assert(codesRows() == r0 * 2)
+    PqIndex.ingestBatch(spark, root, wire(emb.filter(col("vec_id") >= 250)),
+      1L, standing)
+    val got = spark.read.parquet(s"$root/out/batch=1").collect()
+      .map(_.toSeq).toSet
+    val clean = freshDir()
+    PqIndex.writeContracts(emb, clean)
+    PqIndex.ingestBatch(spark, clean, wire(emb.filter(col("vec_id") < 250)),
+      0L, standing)
+    PqIndex.ingestBatch(spark, clean, wire(emb.filter(col("vec_id") >= 250)),
+      1L, standing)
+    val expected = spark.read.parquet(s"$clean/out/batch=1").collect()
+      .map(_.toSeq).toSet
+    assert(got == expected,
+      "duplicate store rows changed the post-batch ANN answers")
+    assert(got.nonEmpty, "vacuous: batch 1 answered nothing")
+  }
+
   test("cold-store partition knob is a pinned contract appends follow") {
     val dir = freshDir()
     val corpus = emb.filter(col("vec_id") >= 100 || col("vec_id") < 50)
