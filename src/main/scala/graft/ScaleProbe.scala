@@ -188,6 +188,16 @@ object ScaleProbe {
             .select(col("vec_id").as("query_id"),
               transform(col("embedding"), x => x.cast("double")).as("qv")))
       }),
+      // round-7 third wave: the distributed KNN join at its cell knob
+      // (candidates ~ n²·nprobe/cells — the knob holds the per-cell term
+      // flat at 10×)
+      "q128_knn_join_knob" -> ((d, scale) =>
+        graft.sim.Similarity.knnJoin(spark, d,
+          graft.sim.Similarity.NumCells * scale, 3)),
+      // round-7 third wave: SemDeDup at its cluster knob (8→80 — the
+      // per-cluster n²/k pair term stays put at 10×)
+      "q129_semantic_dedup_knob" -> ((d, scale) =>
+        graft.sim.Similarity.semanticDedup(spark, d, 8 * scale, 0.25)),
       // round-7 second wave: z-order OPTIMIZE + one two-band pruned read;
       // file count grows with the corpus (32→320) so per-file sizes stay
       // put — cost should track the one range shuffle (~linear)

@@ -605,13 +605,24 @@ object Similarity {
     var cent = x.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("X").as("C"))
       .localCheckpoint()
+    // Assignment without an n×k row blow-up: the centroid matrix is
+    // BOUNDED (k rows), so it rides a broadcast single-row array and each
+    // vector's argmin is one expression — n rows stay n rows, no shuffle.
+    // (The previous crossJoin+groupBy form shuffled n×k rows each
+    // carrying the 64-long array — the 33×-at-10× path ScaleProbe caught
+    // once q129 made k a scale knob.) min-struct over (dist2, cid) keeps
+    // the exact q77 tie-break, so results are bit-identical.
     def assigned = {
-      val d2 = aggregate(
-        zip_with(col("X"), col("C"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v).as("dist2")
-      x.crossJoin(cent).select(col("vec_id"), col("X"), col("cid"), d2)
-        .groupBy(col("vec_id"), col("X"))
-        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      val centRow = cent
+        .agg(array_sort(collect_list(struct(col("cid"), col("C")))).as("cs"))
+      x.crossJoin(broadcast(centRow))
+        .select(col("vec_id"), col("X"),
+          array_min(transform(col("cs"), c =>
+            struct(
+              aggregate(zip_with(col("X"), c.getField("C"),
+                (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, v) => acc + v).as("dist2"),
+              c.getField("cid").as("cid")))).as("m"))
         .select(col("vec_id"), col("X"),
           col("m.cid").as("cluster"), col("m.dist2").as("dist2"))
     }
@@ -663,10 +674,186 @@ object Similarity {
       s"\nSELECT vec_id, cid AS cluster, dist2 FROM a$iters WHERE rn = 1 ORDER BY vec_id")
   }
 
+  /** [[kmeansOracle]]'s CTE chain only, closed by a `km(vec_id, cluster)`
+    * CTE — for composed oracles (q129) that consume the clustering. */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+    val full = kmeansOracle(k, iters, dims)
+    full.substring(0, full.lastIndexOf("\nSELECT ")) +
+      s",\nkm AS (SELECT vec_id, cid AS cluster FROM a$iters WHERE rn = 1)"
+  }
+
   val q77KMeans: Q = Q("q77_kmeans", kmeansOracle(8, 3, 64)) { (s, d) =>
     kmeans(Tables.embeddings(s, d), 8, 3).orderBy(col("vec_id"))
   }
 
+  // ---- q128: distributed KNN join (corpus × corpus, cell-blocked) ---------
+
+  private val KnnJoinK = 3
+
+  /** q128: every corpus vector finds its top-[[KnnJoinK]] neighbors — the
+    * KNN JOIN, the primitive under SemDeDup-style semantic dedup and
+    * near-dup graph construction. The query side is the WHOLE corpus, so
+    * the bounded-batch forms (q50's plan-literal queries, q107/q121's
+    * collected LUTs) don't apply: both sides stay DISTRIBUTED. Each
+    * vector multi-probes its 2 nearest coarse cells, each vector is
+    * assigned to its 1 nearest cell, and candidates are the cell
+    * equi-join of the two — one shuffle keyed on cell, candidate count
+    * ~ n²·nprobe/cells, held flat at scale by the cell-count knob (the
+    * q44 rule). Exact cosine + a per-query rank window finish it. A
+    * query's 2 probe cells are distinct and a neighbor sits in exactly 1
+    * cell, so no pair duplicates exist — no DISTINCT needed on either
+    * engine.
+    *
+    * Exact oracle: the q107 recipe with the probe side widened to every
+    * vector — seed quantizer, (score, cid) tie-breaks, ROUND(cos, 6) and
+    * the (cos DESC, id) rank window all mirrored bit-for-bit. */
+  val q128KnnJoin: Q = Q(
+    "q128_knn_join",
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS c,
+       |    list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]),
+       |                (a, b) -> a + b) AS cn2
+       |  FROM e WHERE vec_id < $NumCells),
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.cn2 - 2 * list_reduce(
+       |      list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.c[i]),
+       |      (a, b) -> a + b) AS s
+       |  FROM e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM sc) WHERE rn <= 2),
+       |ranked AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, n.label,
+       |    ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(q.v, n.v), 6) DESC,
+       |               a.vec_id) AS rank
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e n ON n.vec_id = a.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label,
+       |  cos
+       |FROM ranked WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin,
+  ) { (s, d) => knnJoin(s, d, NumCells, KnnJoinK) }
+
+  /** [[q128KnnJoin]]'s body with the cell count as the scale knob (the
+    * q44 rule: cells grow with the corpus so per-cell candidate counts —
+    * the n²·nprobe/cells term — stay put; ScaleProbe runs 16→160). */
+  def knnJoin(s: SparkSession, d: String, numCells: Int,
+      k: Int): DataFrame = {
+    ArrayExprs.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+    val probed = withProbeCells(e, e, numCells, 2, col("v"), "probe")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), explode(col("probe")).as("cell"))
+    val assigned = withProbeCells(e, e, numCells, 1, col("v"), "c1")
+      .select(element_at(col("c1"), 1).as("cell"), col("vec_id"),
+        col("label"), col("v"), col("n2"))
+    val cos = round(graft.dedup.Dedup.cosineFromDot(
+      call_function("graft_dot", col("qv"), col("v")),
+      col("qn2"), col("n2")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned,
+        probed("cell") === assigned("cell") &&
+          assigned("vec_id") =!= probed("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- q129: semantic dedup (SemDeDup — cluster, then dedup within) -------
+
+  private val SemDedupThr = "0.25"
+
+  /** q129: SemDeDup (Abbas et al. 2023 — the public semantic-dedup recipe
+    * for web-scale training data): k-means the embedding space, then
+    * within each cluster drop every vector that has a smaller-id partner
+    * with cosine ≥ threshold, keeping one representative per semantic
+    * neighborhood. The clustering IS the blocking — the quadratic term is
+    * n²/k per cluster, held flat at scale by growing k with the corpus
+    * (the same knob rule as the cells; here k=8 over the demo corpus).
+    * Output: (vec_id, cluster, dup_of = the minimum dropping partner,
+    * keep). The cosine-≥-threshold predicate sits INSIDE the pair join's
+    * condition, so non-duplicate pairs are never materialized (the
+    * q41/q44 discipline).
+    *
+    * Exact oracle: q77's fixed-point Lloyd CTEs ([[kmeansCtes]] — already
+    * bit-identical across engines) composed with the mirrored pair
+    * predicate and a per-victim MIN aggregate; ROUND(cos, 6) both sides. */
+  val q129SemanticDedup: Q = Q(
+    "q129_semantic_dedup",
+    "WITH " + kmeansCtes(8, 3, 64).stripPrefix("WITH ") +
+      s""",
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dup AS (
+         |  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+         |  FROM km a JOIN km b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= $SemDedupThr
+         |  GROUP BY b.vec_id)
+         |SELECT k.vec_id, k.cluster, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM km k LEFT JOIN dup d ON d.vec_id = k.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
+  ) { (s, d) => semanticDedup(s, d, 8, SemDedupThr.toDouble) }
+
+  /** [[q129SemanticDedup]]'s body with the cluster count as the scale
+    * knob (per-cluster pair work is n²/k — k grows with the corpus;
+    * ScaleProbe runs 8→80). */
+  def semanticDedup(s: SparkSession, d: String, k: Int,
+      thr: Double): DataFrame = {
+    ArrayExprs.register(s)
+    val km = kmeans(Tables.embeddings(s, d), k, 3)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+    val side = km.join(e, "vec_id")
+    val a = side.select(col("vec_id").as("a_id"), col("cluster"),
+      col("v").as("av"), col("n2").as("an2"))
+    val b = side.select(col("vec_id").as("b_id"),
+      col("cluster").as("b_cluster"), col("v").as("bv"),
+      col("n2").as("bn2"))
+    val cos = round(graft.dedup.Dedup.cosineFromDot(
+      call_function("graft_dot", col("av"), col("bv")),
+      col("an2"), col("bn2")), 6)
+    val dup = a.join(b,
+        col("cluster") === col("b_cluster") &&
+          col("a_id") < col("b_id") && cos >= lit(thr))
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+      .select(col("b_id").as("vec_id"), col("dup_of"))
+    km.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf,
-    q54Quantize, q55NegativeSampling, q74AnnPq, q77KMeans)
+    q54Quantize, q55NegativeSampling, q74AnnPq, q77KMeans, q128KnnJoin,
+    q129SemanticDedup)
 }
