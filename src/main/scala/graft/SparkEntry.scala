@@ -25,6 +25,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.all ++
       graft.relational.Relational2.all ++
       graft.relational.Quality.all ++
+      graft.relational.Temporal.all ++
       graft.graph.Graph.all ++
       graft.pipeline.TrainingPipeline.all
 
