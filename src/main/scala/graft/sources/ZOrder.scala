@@ -70,13 +70,18 @@ object ZOrder {
 
   /** Append a batch: z-sort it by its OWN bounds into `numFiles` new
     * files, harvest only those files' footers, and append their stats to
-    * the manifest — the Delta/Iceberg append model. Clustering quality
-    * degrades as appends accumulate (periodic re-cluster into a fresh dir
-    * restores it — the upsert table's versioned-swap pattern); skipping
-    * SOUNDNESS never degrades: stats are actual footer ranges, and
-    * [[readZRange]] always reads files the manifest doesn't know, so a
-    * crash between the data append and the manifest append costs extra
-    * reads, never rows. */
+    * the manifest — the Delta/Iceberg append model, with the manifest as
+    * the COMMIT POINT: readers trust only manifest-listed files, so the
+    * batch becomes visible atomically when its stats row-file lands (one
+    * rename), a crash between the data write and the manifest append
+    * leaves invisible orphans (never a partially-visible batch), and a
+    * RETRY of the crashed append lands the rows exactly once —
+    * availability-biased "read unknown files too" would double them.
+    * [[vacuumOrphans]] garbage-collects crashed appends' files.
+    * Clustering quality degrades as appends accumulate (periodic
+    * re-cluster into a fresh dir restores it — the upsert table's
+    * versioned-swap pattern); skipping soundness never does: stats are
+    * actual footer ranges. */
   def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
     val s = df.sparkSession
@@ -163,30 +168,32 @@ object ZOrder {
       .write.mode("overwrite").parquet(s"$path/_zmanifest")
   }
 
-  /** Range read with manifest skipping: open only the files whose recorded
-    * [mn, mx] overlaps EVERY predicate's [lo, hi], then apply the
-    * predicates as residual filters (a surviving file still holds
-    * out-of-range rows — the manifest prunes, the filter decides).
-    * Listing, I/O and `inputFiles` are all O(surviving files). A data
-    * file the manifest doesn't know (the append crash window) is ALWAYS
-    * read: missing stats cost I/O, never rows. */
+  /** Range read with manifest skipping: open only the MANIFEST-LISTED
+    * files whose recorded [mn, mx] overlaps EVERY predicate's [lo, hi],
+    * then apply the predicates as residual filters (a surviving file
+    * still holds out-of-range rows — the manifest prunes, the filter
+    * decides). Listing, I/O and `inputFiles` are all O(surviving files).
+    * A data file the manifest doesn't list (a crashed append's orphan) is
+    * INVISIBLE — the manifest is the commit log, so reads see whole
+    * batches or nothing and append retries can't double rows. */
   def readZRange(s: SparkSession, path: String,
       preds: Seq[(String, Long, Long)]): DataFrame = {
-    val man = s.read.parquet(s"$path/_zmanifest").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val have = man.map(_._2).toSet
+    val man = s.read.parquet(s"$path/_zmanifest")
+    // the pruning DECISION runs distributed — the driver collects column
+    // names (bounded by the stat-column count) and SURVIVING file names
+    // (bounded by what will be read anyway), never the whole manifest
+    // (O(table files) at scale)
+    val have = man.select(col("c")).distinct()
+      .collect().map(_.getString(0)).toSet
     preds.foreach(p => require(have.contains(p._1),
       s"no manifest stats for column ${p._1} (have $have)"))
-    val byFile = man.groupBy(_._1)
-    val keep = dataFileNames(s, path).toSeq.filter { f =>
-      byFile.get(f).forall { sts =>
-        preds.forall { case (c, lo, hi) =>
-          sts.find(_._2 == c).forall { case (_, _, mn, mx) =>
-            mx >= lo && mn <= hi
-          }
-        }
-      }
-    }.sorted
+    val present = dataFileNames(s, path)
+    val keep = preds.map { case (c0, lo, hi) =>
+        man.filter(col("c") === c0 && col("mx") >= lo && col("mn") <= hi)
+          .select(col("f"))
+      }.reduce(_ intersect _)
+      .distinct().collect().map(_.getString(0))
+      .filter(present.contains).sorted.toSeq
     val base =
       if (keep.nonEmpty)
         s.read.option("basePath", path).parquet(keep.map(f => s"$path/$f"): _*)
@@ -194,6 +201,19 @@ object ZOrder {
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
+  }
+
+  /** Garbage-collect crashed appends: delete data files the manifest
+    * doesn't reference (run from the writer slot — a vacuum racing an
+    * in-flight append's pre-commit window would eat its files). Returns
+    * the removed names. */
+  def vacuumOrphans(s: SparkSession, path: String): Seq[String] = {
+    val listed = s.read.parquet(s"$path/_zmanifest")
+      .select(col("f")).distinct().collect().map(_.getString(0)).toSet
+    val fs = StoreMaint.fsFor(s, new Path(path))
+    val orphans = (dataFileNames(s, path) -- listed).toSeq.sorted
+    orphans.foreach(f => fs.delete(new Path(path, f), false))
+    orphans
   }
 
   // ---- q123: exact-oracle query over the z-clustered layout ---------------

@@ -78,7 +78,7 @@ class ZOrderSpec extends SparkSpec {
     assert(expect.count() > 0, "empty band — the equivalence is vacuous")
   }
 
-  test("append merges the manifest; a manifest-unknown file is read, never lost") {
+  test("manifest is the commit point: orphans invisible, retried append lands once, vacuum cleans") {
     val dir = Files.createTempDirectory("graft-z4").toString
     val corpus = li.filter(col("l_orderkey") % 10 =!= 9)
     val batch = li.filter(col("l_orderkey") % 10 === 9)
@@ -93,24 +93,33 @@ class ZOrderSpec extends SparkSpec {
     assert(got.exceptAll(expect).count() == 0 &&
       expect.exceptAll(got).count() == 0,
       "appended rows diverge from the plain filter")
-    // every appended file got manifest stats (the incremental harvest)
+    // every committed file got manifest stats (the incremental harvest)
     val manFiles = spark.read.parquet(s"$dir/_zmanifest")
       .select(col("f")).distinct().count()
     val dataFiles = spark.read.parquet(dir).inputFiles
       .count(!_.contains("_zmanifest"))
     assert(manFiles == dataFiles, s"$manFiles stats rows for $dataFiles files")
-    // crash window: plant a data file the manifest doesn't know — its
-    // rows must still be served (stats missing = read, never skip)
+    val pre = got.count()
+    // crashed append: its data file landed, its manifest append didn't —
+    // the orphan must be INVISIBLE (partial batches never surface, and a
+    // retry must not double rows)
+    val retryBatch = li.limit(1).withColumn("l_partkey", lit(pmn))
     val extraSrc = Files.createTempDirectory("graft-z4x").toString
-    li.limit(1).withColumn("l_partkey", lit(pmn))
-      .coalesce(1).write.mode("overwrite").parquet(extraSrc)
+    retryBatch.coalesce(1).write.mode("overwrite").parquet(extraSrc)
     val src = new java.io.File(extraSrc).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.toPath
     java.nio.file.Files.copy(src,
-      java.nio.file.Paths.get(dir, "part-planted.snappy.parquet"))
-    val got2 = ZOrder.readZRange(spark, dir, preds)
-    assert(got2.count() == got.count() + 1,
-      "a manifest-unknown file was skipped — the crash window loses rows")
+      java.nio.file.Paths.get(dir, "part-orphan.snappy.parquet"))
+    assert(ZOrder.readZRange(spark, dir, preds).count() == pre,
+      "a crashed append's orphan file became visible")
+    // the retry commits the batch exactly once
+    ZOrder.appendZOrdered(retryBatch, dir, Seq("l_partkey", "l_suppkey"), 1)
+    assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1,
+      "retried append did not land exactly once")
+    // vacuum removes only the orphan; committed rows stay
+    val removed = ZOrder.vacuumOrphans(spark, dir)
+    assert(removed == Seq("part-orphan.snappy.parquet"), removed.toString)
+    assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1)
   }
 
   test("a predicate on a stat-less column is refused, not silently unpruned") {
