@@ -237,10 +237,23 @@ object PqIndex {
     * never the corpus. Duplicate store rows (crash replays, in-flight
     * compaction) collapse via the (query, neighbor) dedup, codes being a
     * function of vec_id. */
+  /** Ceiling of [[topK]]'s bounded-query-batch contract: past this the
+    * plan-literal LUT/when-chain design is wrong (plan size grows with
+    * the batch) — refuse loudly instead of silently collecting a corpus
+    * onto the driver. */
+  val MaxQueryBatch = 1024L
+
   def topK(s: SparkSession, dir: String, queries: DataFrame,
       nprobe: Int = NumProbe, rerank: Int = Rerank, k: Int = K): DataFrame = {
     ArrayExprs.register(s)
     val (cent, cn2) = readCodebooks(s, dir)
+    // probe the size with a bounded action BEFORE the collect — the
+    // collect itself is the harm the contract prevents
+    require(queries.limit((MaxQueryBatch + 1).toInt).count() <= MaxQueryBatch,
+      s"query batch exceeds the bounded-batch contract ($MaxQueryBatch): " +
+        "PqIndex.topK ships per-query ADC LUTs as plan literals; for a " +
+        "corpus-scale query side use Similarity.knnJoin (both sides " +
+        "distributed)")
     val qrows: Array[(Long, Array[Double])] = queries
       .select(col("query_id"), col("qv")).orderBy(col("query_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

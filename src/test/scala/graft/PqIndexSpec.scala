@@ -211,6 +211,21 @@ class PqIndexSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: batch 1 answered nothing")
   }
 
+  test("an unbounded query side is refused before any driver collect") {
+    val dir = freshDir()
+    PqIndex.write(emb, dir)
+    val big = spark.range(PqIndex.MaxQueryBatch + 1)
+      .select(col("id").as("query_id"),
+        transform(sequence(lit(1), lit(64)),
+          x => x.cast("double")).as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.topK(spark, dir, big)
+    }
+    assert(e.getMessage.contains("knnJoin"))
+    // the bound itself still admits a full legal batch
+    assert(PqIndex.topK(spark, dir, queries(8)).count() > 0)
+  }
+
   test("cold-store partition knob is a pinned contract appends follow") {
     val dir = freshDir()
     val corpus = emb.filter(col("vec_id") >= 100 || col("vec_id") < 50)
