@@ -63,9 +63,18 @@ object ZOrder {
     * OPTIMIZE cost. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
-    zWrite(df, path, zcols, numFiles, "overwrite")
-    writeManifest(df.sparkSession, path,
-      if (statCols.nonEmpty) statCols else zcols)
+    val s = df.sparkSession
+    Lease.withLease(s, path, "zorder-write") {
+      // clear data files by hand instead of Spark's Overwrite: an
+      // Overwrite of the root would delete the _LEASE just acquired and
+      // reopen the writer slot mid-build
+      val fs = StoreMaint.fsFor(s, new Path(path))
+      dataFileNames(s, path).foreach(f =>
+        fs.delete(new Path(path, f), false))
+      fs.delete(new Path(path, "_zmanifest"), true)
+      zWrite(df, path, zcols, numFiles, "append")
+      writeManifest(s, path, if (statCols.nonEmpty) statCols else zcols)
+    }
   }
 
   /** Append a batch: z-sort it by its OWN bounds into `numFiles` new
@@ -85,14 +94,16 @@ object ZOrder {
   def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
     val s = df.sparkSession
-    val before = dataFileNames(s, path)
-    zWrite(df, path, zcols, numFiles, "append")
-    val fresh = dataFileNames(s, path) -- before
-    import s.implicits._
-    fileStats(s, path, if (statCols.nonEmpty) statCols else zcols,
-        Some(fresh))
-      .toDF("f", "c", "mn", "mx")
-      .coalesce(1).write.mode("append").parquet(s"$path/_zmanifest")
+    Lease.withLease(s, path, "zorder-append") {
+      val before = dataFileNames(s, path)
+      zWrite(df, path, zcols, numFiles, "append")
+      val fresh = dataFileNames(s, path) -- before
+      import s.implicits._
+      fileStats(s, path, if (statCols.nonEmpty) statCols else zcols,
+          Some(fresh))
+        .toDF("f", "c", "mn", "mx")
+        .coalesce(1).write.mode("append").parquet(s"$path/_zmanifest")
+    }
   }
 
   private def dataFileNames(s: SparkSession, path: String): Set[String] = {
@@ -204,17 +215,19 @@ object ZOrder {
   }
 
   /** Garbage-collect crashed appends: delete data files the manifest
-    * doesn't reference (run from the writer slot — a vacuum racing an
-    * in-flight append's pre-commit window would eat its files). Returns
+    * doesn't reference. Runs in the ENFORCED writer slot ([[Lease]],
+    * like every other store mutation here) — a vacuum racing an
+    * in-flight append's pre-commit window would eat its files. Returns
     * the removed names. */
-  def vacuumOrphans(s: SparkSession, path: String): Seq[String] = {
-    val listed = s.read.parquet(s"$path/_zmanifest")
-      .select(col("f")).distinct().collect().map(_.getString(0)).toSet
-    val fs = StoreMaint.fsFor(s, new Path(path))
-    val orphans = (dataFileNames(s, path) -- listed).toSeq.sorted
-    orphans.foreach(f => fs.delete(new Path(path, f), false))
-    orphans
-  }
+  def vacuumOrphans(s: SparkSession, path: String): Seq[String] =
+    Lease.withLease(s, path, "zorder-vacuum") {
+      val listed = s.read.parquet(s"$path/_zmanifest")
+        .select(col("f")).distinct().collect().map(_.getString(0)).toSet
+      val fs = StoreMaint.fsFor(s, new Path(path))
+      val orphans = (dataFileNames(s, path) -- listed).toSeq.sorted
+      orphans.foreach(f => fs.delete(new Path(path, f), false))
+      orphans
+    }
 
   // ---- q123: exact-oracle query over the z-clustered layout ---------------
 

@@ -122,6 +122,24 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1)
   }
 
+  test("z-order writers run in the enforced single-writer slot") {
+    val dir = Files.createTempDirectory("graft-z5").toString
+    ZOrder.writeZOrdered(li.limit(100), dir,
+      Seq("l_partkey", "l_suppkey"), 2)
+    graft.sources.Lease.withLease(spark, dir, "other-writer") {
+      intercept[graft.sources.Lease.HeldException] {
+        ZOrder.appendZOrdered(li.limit(10), dir,
+          Seq("l_partkey", "l_suppkey"), 1)
+      }
+      intercept[graft.sources.Lease.HeldException] {
+        ZOrder.vacuumOrphans(spark, dir)
+      }
+    }
+    // slot released on exit: the same append now lands
+    ZOrder.appendZOrdered(li.limit(10), dir,
+      Seq("l_partkey", "l_suppkey"), 1)
+  }
+
   test("a predicate on a stat-less column is refused, not silently unpruned") {
     val zDir = Files.createTempDirectory("graft-z3").toString
     ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), 4)
