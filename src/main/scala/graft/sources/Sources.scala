@@ -332,7 +332,7 @@ object Sources {
   // ---- Manifest-level data skipping (min/max bucket stats) ----------------
 
   /** Column types whose min/max order is canonically string-encodable. */
-  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+  private[sources] def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType |
@@ -451,7 +451,7 @@ object Sources {
   }
 
   /** Canonical string encoding of a parquet footer min/max value. */
-  private def encodeParquetStat(v: AnyRef): String = v match {
+  private[sources] def encodeParquetStat(v: AnyRef): String = v match {
     case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
     case other => other.toString // Integer, Long (incl. ts micros), Double
   }
