@@ -152,7 +152,13 @@ object Bench {
     // a failing query must be visible in the record, not just "fast"
     val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg()
-    val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,"load_hot":${loadStart.max(loadEnd) > 1.0}"""
+    // load_hot flags AMBIENT load — work that isn't this bench. Only
+    // load_start can measure that: by the end the bench's own local[N]
+    // threads have been saturating the box for minutes, so load_end > 1
+    // on every honest run, idle host or not (r7/r8 records: load_end
+    // 7-10 with zero external load). load_end stays in the record so a
+    // mid-run ambient spike is still visible as an out-of-family value.
+    val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,"load_hot":${loadStart > 1.0}"""
     // Full record (full names, millisecond precision, both passes) goes to
     // a file the builder commits per round; the stdout line stays compact
     // enough to survive the driver's 2000-char tail capture.
