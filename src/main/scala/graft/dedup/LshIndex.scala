@@ -73,10 +73,18 @@ object LshIndex {
         concat(lit("h"), substring(col("band_key"), 1, lay.pfxLen)))
 
   /** Feature-store rows: the shingle sets verification needs, partitioned
-    * by doc_id mod the layout's `docPfxMod`. */
-  def featRows(feat: DataFrame, lay: Layout = Layout(PfxLen, DocPfxMod)): DataFrame =
-    feat.select(col("doc_id"), col("sh"), col("ns"))
+    * by doc_id mod the layout's `docPfxMod`. Columns of `feat` beyond the
+    * derived contract (per-doc metadata an evolving caller joined in)
+    * ride along — the store's add-only evolution surface
+    * ([[StoreMaint.evolveSchema]]); the normal [[Dedup.lshFeatures]]
+    * input has none, so existing plans are untouched. */
+  def featRows(feat: DataFrame, lay: Layout = Layout(PfxLen, DocPfxMod)): DataFrame = {
+    val extras = feat.columns
+      .filterNot(Set("doc_id", "sh", "ns", "msig", "dpfx"))
+    feat.select((Seq(col("doc_id"), col("sh"), col("ns")) ++
+        extras.map(col)): _*)
       .withColumn("dpfx", pmod(col("doc_id"), lit(lay.docPfxMod)))
+  }
 
   /** Write (or overwrite) the index + feature store for a corpus feature
     * frame, pinning the partitioning knobs at the index root on a full
@@ -93,15 +101,29 @@ object LshIndex {
         else Layout(pfxLen, docPfxMod)
       val f = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val iRows = indexRows(f, lay)
+        val fRows = featRows(f, lay)
+        // append: evolve the recorded schemas BEFORE the data lands, so
+        // recorded ⊇ files holds at every instant (a read never drops a
+        // column that exists on disk); a rebuild re-records after its
+        // Overwrite cleared the dirs
+        if (mode == SaveMode.Append) {
+          StoreMaint.evolveSchema(s, idxDir, iRows.schema)
+          StoreMaint.evolveSchema(s, featDir, fRows.schema)
+        }
         // repartition ON the partition column: every task writes exactly one
         // dir, so a write adds O(dirs) files instead of O(tasks × dirs) —
         // at batch size that kills the small-file explosion, at corpus size
         // task parallelism equals the dir-count knob (pfxLen/docPfxMod grow
         // with the cluster, keeping both dirs AND write tasks sized right)
-        indexRows(f, lay).repartition(col("pfx"))
+        iRows.repartition(col("pfx"))
           .write.mode(mode).partitionBy("pfx").parquet(idxDir)
-        featRows(f, lay).repartition(col("dpfx"))
+        fRows.repartition(col("dpfx"))
           .write.mode(mode).partitionBy("dpfx").parquet(featDir)
+        if (mode != SaveMode.Append) {
+          StoreMaint.evolveSchema(s, idxDir, iRows.schema, reset = true)
+          StoreMaint.evolveSchema(s, featDir, fRows.schema, reset = true)
+        }
       } finally f.unpersist(blocking = false)
       // pin AFTER the data writes: parquet Overwrite wipes the target dir,
       // so a pre-write pin would be destroyed by its own build
@@ -181,9 +203,21 @@ object LshIndex {
       .getFileSystem(s.sessionState.newHadoopConf())
     val dirs = keys.distinct.sorted.map(k => s"$dir/$part=$k")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (dirs.nonEmpty) s.read.option("basePath", dir).parquet(dirs: _*)
-    else if (empty != null) empty().filter(lit(false))
-    else s.read.parquet(dir).filter(lit(false))
+    // the recorded schema (StoreMaint.evolveSchema's add-only union) makes
+    // the read schema-STABLE under evolution: partitions written before a
+    // column existed null-fill it instead of footer-inference randomly
+    // including or dropping it depending on which file is sampled
+    val recorded = StoreMaint.recordedSchema(s, dir)
+    if (dirs.nonEmpty) {
+      val rd = s.read.option("basePath", dir)
+      recorded.fold(rd)(rd.schema).parquet(dirs: _*)
+    } else recorded match {
+      case Some(sc) => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None =>
+        if (empty != null) empty().filter(lit(false))
+        else s.read.parquet(dir).filter(lit(false))
+    }
   }
 
   /** Schema-bearing empty frames for a store that has no files yet: the
@@ -490,9 +524,9 @@ ORDER BY d.doc_id""",
     * the store reads are path-pruned and don't shuffle at all. */
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
-    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
-    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(applied)) return // replayed epoch: already fully applied
+    // replayed epoch already fully applied → skip; an id below the
+    // retention watermark refuses loudly (StoreMaint.retentionSweep)
+    if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
     val conf = s.conf
     val prevSp = conf.get("spark.sql.shuffle.partitions")
     val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
@@ -504,8 +538,7 @@ ORDER BY d.doc_id""",
       dedupAgainstFeat(s, s"$root/idx", s"$root/feat", feat)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
       append(feat, s"$root/idx", s"$root/feat")
-      fs.mkdirs(applied.getParent)
-      fs.create(applied, true).close()
+      graft.sources.StoreMaint.markApplied(s, root, id)
     } finally {
       conf.set("spark.sql.shuffle.partitions", prevSp)
       conf.set("spark.sql.adaptive.enabled", prevAqe)

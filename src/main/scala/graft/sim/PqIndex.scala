@@ -63,10 +63,16 @@ object PqIndex {
 
   private def asDouble(c: Column) = transform(c, x => x.cast("double"))
 
-  /** (vec_id, label, v, n2) working form of the embeddings table. */
-  private def working(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+  /** (vec_id, label, v, n2) working form of the embeddings table. Extra
+    * columns beyond the wire contract ride along — the cold-row store's
+    * add-only evolution surface ([[StoreMaint.evolveSchema]]). */
+  private def working(e: DataFrame): DataFrame = {
+    val extras = e.columns
+      .filterNot(Set("vec_id", "label", "embedding", "v", "n2"))
+    e.select((Seq(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v")) ++ extras.map(col)): _*)
       .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+  }
 
   private def vecMod(s: SparkSession, dir: String): Long =
     StoreMaint.readLayout(s, dir,
@@ -169,10 +175,21 @@ object PqIndex {
         .select(Seq(col("vec_id"), col("cell")) ++ codeCols(cent, cn2): _*)
         .repartition(col("cell"))
         .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
-      base.select(col("vec_id"), col("label"), col("v"), col("n2"),
-          pmod(col("vec_id"), lit(mod)).cast("int").as("vpfx"))
-        .repartition(col("vpfx"))
+      // cold rows are the store's evolution surface (codes are pure
+      // derived structure): extra metadata columns of the batch ride
+      // along under the add-only recorded-schema contract
+      val extras = w0.columns
+        .filterNot(Set("vec_id", "label", "v", "n2", "vpfx"))
+      val vecRows = base.select(
+        (Seq(col("vec_id"), col("label"), col("v"), col("n2"),
+          pmod(col("vec_id"), lit(mod)).cast("int").as("vpfx")) ++
+          extras.map(col)): _*)
+      if (mode == SaveMode.Append)
+        StoreMaint.evolveSchema(s, s"$dir/vecs", vecRows.schema)
+      vecRows.repartition(col("vpfx"))
         .write.mode(mode).partitionBy("vpfx").parquet(s"$dir/vecs")
+      if (mode != SaveMode.Append)
+        StoreMaint.evolveSchema(s, s"$dir/vecs", vecRows.schema, reset = true)
     }
   }
 
@@ -506,9 +523,7 @@ object PqIndex {
     * arrives in the wire shape (vec_id, label, v: array<double>). */
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long, queries: DataFrame): Unit = {
-    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
-    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(applied)) return
+    if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
     val conf = s.conf
     val prevSp = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", "8")
@@ -519,8 +534,7 @@ object PqIndex {
       appendWorking(w, root, SaveMode.Append)
       topK(s, root, queries)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
-      fs.mkdirs(applied.getParent)
-      fs.create(applied, true).close()
+      graft.sources.StoreMaint.markApplied(s, root, id)
     } finally conf.set("spark.sql.shuffle.partitions", prevSp)
   }
 

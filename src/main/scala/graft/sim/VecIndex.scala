@@ -49,10 +49,16 @@ object VecIndex {
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
 
-  /** (vec_id, label, v, n2) working form of the embeddings table. */
-  private def working(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+  /** (vec_id, label, v, n2) working form of the embeddings table. Extra
+    * columns beyond the wire contract (per-vector metadata an evolving
+    * caller added) ride along — the store's add-only evolution surface. */
+  private def working(e: DataFrame): DataFrame = {
+    val extras = e.columns
+      .filterNot(Set("vec_id", "label", "embedding", "v", "n2"))
+    e.select((Seq(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v")) ++ extras.map(col)): _*)
       .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+  }
 
   /** Build the store: persist the seed quantizer, then the cell-partitioned
     * postings. `e` is the raw embeddings frame (vec_id, label, embedding). */
@@ -92,11 +98,22 @@ object VecIndex {
   private def appendWorking(w: DataFrame, dir: String, mode: SaveMode): Unit = {
     val s = w.sparkSession
     Lease.withLease(s, dir, s"vecindex-$mode") {
-      withStoreProbeCells(s, dir, Tables.fanOut(w), 1, col("v"), "probe")
+      val extras = w.columns
+        .filterNot(Set("vec_id", "label", "v", "n2", "probe", "cell"))
+      val rows = withStoreProbeCells(s, dir, Tables.fanOut(w), 1,
+          col("v"), "probe")
         .withColumn("cell", element_at(col("probe"), 1).cast("int"))
-        .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cell"))
-        .repartition(col("cell"))
+        .select((Seq(col("vec_id"), col("label"), col("v"), col("n2"),
+          col("cell")) ++ extras.map(col)): _*)
+      // append: evolve the recorded postings schema BEFORE data lands
+      // (recorded ⊇ files); a rebuild re-records after its Overwrite
+      // cleared the dir (StoreMaint.evolveSchema's add-only contract)
+      if (mode == SaveMode.Append)
+        StoreMaint.evolveSchema(s, s"$dir/postings", rows.schema)
+      rows.repartition(col("cell"))
         .write.mode(mode).partitionBy("cell").parquet(s"$dir/postings")
+      if (mode != SaveMode.Append)
+        StoreMaint.evolveSchema(s, s"$dir/postings", rows.schema, reset = true)
     }
   }
 
@@ -458,9 +475,7 @@ object VecIndex {
     * wire shape (vec_id, label, v: array<double>). */
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
-    val applied = new org.apache.hadoop.fs.Path(s"$root/applied/$id")
-    val fs = applied.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(applied)) return
+    if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
     val conf = s.conf
     val prevSp = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", "8")
@@ -476,8 +491,7 @@ object VecIndex {
         .join(hits, Seq("vec_id"), "left")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
       appendWorking(w, root, SaveMode.Append)
-      fs.mkdirs(applied.getParent)
-      fs.create(applied, true).close()
+      graft.sources.StoreMaint.markApplied(s, root, id)
     } finally conf.set("spark.sql.shuffle.partitions", prevSp)
   }
 

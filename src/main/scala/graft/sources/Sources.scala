@@ -288,7 +288,7 @@ object Sources {
     * DDL round-trip, which strips nested non-nullability — comparing raw
     * DataTypes would reject a re-upsert of an IDENTICAL array/struct
     * column as a "type change". */
-  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+  private[sources] def deepNullable(dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = dt match {
     case org.apache.spark.sql.types.ArrayType(et, _) =>
       org.apache.spark.sql.types.ArrayType(deepNullable(et), containsNull = true)
@@ -342,7 +342,7 @@ object Sources {
       case _ => false
     }
 
-  private def statCompare(dt: org.apache.spark.sql.types.DataType,
+  private[sources] def statCompare(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Int = dt match {
     case org.apache.spark.sql.types.DoubleType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
@@ -351,7 +351,7 @@ object Sources {
   }
 
   /** A user-supplied range bound in the column's canonical encoding. */
-  private def encodeBound(dt: org.apache.spark.sql.types.DataType,
+  private[sources] def encodeBound(dt: org.apache.spark.sql.types.DataType,
       v: Any): String = (dt, v) match {
     case (org.apache.spark.sql.types.TimestampType, t: java.sql.Timestamp) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t).toString
@@ -385,69 +385,94 @@ object Sources {
   private def bucketStats(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration, dataDir: Path,
       schema: StructType): Map[String, Map[String, ColStat]] = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val fields = schema.fields.filter(f => statsEligible(f.dataType)).toSeq
     if (fields.isEmpty) return Map.empty
     val byLower = fields.map(f => f.name.toLowerCase -> f).toMap
-    // per column: None = unknown (poisoned); Some((None, None)) = all-null
-    // so far; Some((Some(mn), Some(mx))) = observed range
-    type Acc = Option[(Option[String], Option[String])]
-    def jokerFree(s: String): Boolean = s.forall(_ < '\uD800')
     fs.listStatus(dataDir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gb="))
       .map { bdir =>
-        val acc = scala.collection.mutable.Map[String, Acc](
-          fields.map(f => f.name.toLowerCase -> (Some((None, None)): Acc)): _*)
+        val acc = scala.collection.mutable.Map[String, StatAcc](
+          fields.map(f => f.name.toLowerCase -> (Some((None, None)): StatAcc)): _*)
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .foreach { st =>
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-            try {
-              reader.getFooter.getBlocks.forEach { block =>
-                block.getColumns.forEach { cc =>
-                  val path = cc.getPath.toArray
-                  if (path.length == 1 && byLower.contains(path(0).toLowerCase)) {
-                    val key = path(0).toLowerCase
-                    val field = byLower(key)
-                    val stats = cc.getStatistics
-                    val chunk: Acc =
-                      if (cc.getPrimitiveType.getPrimitiveTypeName ==
-                            PrimitiveTypeName.INT96 || stats == null) None
-                      else if (stats.hasNonNullValue) {
-                        val mn = encodeParquetStat(
-                          stats.genericGetMin.asInstanceOf[AnyRef])
-                        val mx = encodeParquetStat(
-                          stats.genericGetMax.asInstanceOf[AnyRef])
-                        if (field.dataType == org.apache.spark.sql.types.StringType
-                            && !(jokerFree(mn) && jokerFree(mx))) None
-                        else Some((Some(mn), Some(mx)))
-                      } else if (stats.isNumNullsSet &&
-                          stats.getNumNulls == cc.getValueCount)
-                        Some((None, None)) // all-null chunk
-                      else None // e.g. NaN-dropped double stats
-                    val merged: Acc = (acc(key), chunk) match {
-                      case (Some((amn, amx)), Some((cmn, cmx))) =>
-                        def pick(a: Option[String], c: Option[String],
-                            takeMin: Boolean): Option[String] = (a, c) match {
-                          case (Some(x), Some(y)) =>
-                            val cmpv = statCompare(field.dataType, x, y)
-                            Some(if ((cmpv <= 0) == takeMin) x else y)
-                          case (x, y) => x.orElse(y)
-                        }
-                        Some((pick(amn, cmn, takeMin = true),
-                          pick(amx, cmx, takeMin = false)))
-                      case _ => None
-                    }
-                    acc(key) = merged
-                  }
-                }
-              }
-            } finally reader.close()
+            footerColStats(st, conf, fields).foreach { case (k, fileAcc) =>
+              acc(k) = mergeStatAcc(byLower(k).dataType, acc(k), fileAcc)
+            }
           }
         bdir.getPath.getName.stripPrefix("gb=") ->
           acc.toMap.collect { case (k, Some((mn, mx))) => k -> ColStat(mn, mx) }
       }.toMap
+  }
+
+  /** Per-column footer-stats accumulator, three-state: `None` = unknown
+    * (poisoned — the file must be read); `Some((None, None))` = all-null
+    * so far; `Some((Some(mn), Some(mx)))` = observed range in the
+    * canonical string encoding. */
+  private[sources] type StatAcc = Option[(Option[String], Option[String])]
+
+  /** Merge two accumulators of one column; unknown poisons. */
+  private[sources] def mergeStatAcc(dt: org.apache.spark.sql.types.DataType,
+      a: StatAcc, b: StatAcc): StatAcc = (a, b) match {
+    case (Some((amn, amx)), Some((bmn, bmx))) =>
+      def pick(x: Option[String], y: Option[String],
+          takeMin: Boolean): Option[String] = (x, y) match {
+        case (Some(p), Some(q)) =>
+          val cmpv = statCompare(dt, p, q)
+          Some(if ((cmpv <= 0) == takeMin) p else q)
+        case (p, q) => p.orElse(q)
+      }
+      Some((pick(amn, bmn, takeMin = true), pick(amx, bmx, takeMin = false)))
+    case _ => None
+  }
+
+  /** Chunk-merged per-column stats of ONE parquet file's footer, under the
+    * soundness rules documented at [[bucketStats]]'s caller comment above
+    * (INT96 → unknown, NaN-dropped double stats → unknown,
+    * surrogate-bearing string bounds → unknown, column absent from the
+    * footer → all-null). Pure function of the file — runs wherever the
+    * caller is: the driver loop here, or a Spark task in
+    * [[ZOrder]]'s distributed harvest. */
+  private[sources] def footerColStats(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : Map[String, StatAcc] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val byLower = fields.map(f => f.name.toLowerCase -> f).toMap
+    def jokerFree(s: String): Boolean = s.forall(_ < '\uD800')
+    val acc = scala.collection.mutable.Map[String, StatAcc](
+      fields.map(f => f.name.toLowerCase -> (Some((None, None)): StatAcc)): _*)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+    try {
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1 && byLower.contains(path(0).toLowerCase)) {
+            val key = path(0).toLowerCase
+            val field = byLower(key)
+            val stats = cc.getStatistics
+            val chunk: StatAcc =
+              if (cc.getPrimitiveType.getPrimitiveTypeName ==
+                    PrimitiveTypeName.INT96 || stats == null) None
+              else if (stats.hasNonNullValue) {
+                val mn = encodeParquetStat(
+                  stats.genericGetMin.asInstanceOf[AnyRef])
+                val mx = encodeParquetStat(
+                  stats.genericGetMax.asInstanceOf[AnyRef])
+                if (field.dataType == org.apache.spark.sql.types.StringType
+                    && !(jokerFree(mn) && jokerFree(mx))) None
+                else Some((Some(mn), Some(mx)))
+              } else if (stats.isNumNullsSet &&
+                  stats.getNumNulls == cc.getValueCount)
+                Some((None, None)) // all-null chunk
+              else None // e.g. NaN-dropped double stats
+            acc(key) = mergeStatAcc(field.dataType, acc(key), chunk)
+          }
+        }
+      }
+    } finally reader.close()
+    acc.toMap
   }
 
   /** Canonical string encoding of a parquet footer min/max value. */
@@ -752,7 +777,7 @@ object Sources {
     * timestamp columns permanently unprunable. Scoped set-and-restore is
     * safe under the documented single-writer contract; readers handle a
     * mixed INT96/INT64 lineage transparently (per-file decoding). */
-  private def writeMicros[T](s: SparkSession)(f: => T): T = {
+  private[sources] def writeMicros[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = s.conf.get(key)
     s.conf.set(key, "TIMESTAMP_MICROS")

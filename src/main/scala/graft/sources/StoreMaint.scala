@@ -59,6 +59,174 @@ object StoreMaint {
     Layout(field("pfxLen").toInt, field("docPfxMod").toLong)
   }
 
+  // ---- monotone add-only schema registry -----------------------------------
+
+  private def schemaPath(dir: String) = new Path(dir, "_schema.ddl")
+
+  /** The recorded table schema of a store piece, deep-nullable (files
+    * predating a column null-fill on read); None for pieces predating the
+    * registry, which keep the legacy footer-inferred reads. */
+  private[graft] def recordedSchema(s: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(dir)
+    val fs = fsFor(s, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      Some(Sources.deepNullable(
+          org.apache.spark.sql.types.StructType.fromDDL(txt))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Record the monotone ADD-ONLY schema evolution of a store piece — the
+    * upsert table's manifest-union contract (Sources), shared by the four
+    * index stores: recorded ∪ batch BY NAME (case-insensitive), new batch
+    * columns append as nullable and old files read null for them, a batch
+    * may omit recorded columns (its rows read null), and a same-name
+    * column may NEVER change type — loud refusal, not a silent cast.
+    * `reset` (a full rebuild whose write just cleared the dir) records
+    * the batch schema outright. Atomic temp+rename under the caller's
+    * writer lease; returns the recorded union. */
+  private[graft] def evolveSchema(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.types.StructType,
+      reset: Boolean = false): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val prev = if (reset) None else recordedSchema(s, dir)
+    prev.foreach(_.foreach { f =>
+      batch.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
+        require(Sources.deepNullable(g.dataType) ==
+            Sources.deepNullable(f.dataType),
+          s"$dir: cannot change the type of column ${f.name}: " +
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+            "(schema evolution is add-only)")
+      }
+    })
+    val union = StructType((prev match {
+      case Some(ps) => ps.fields ++ batch.fields.filterNot(f =>
+        ps.fields.exists(_.name.equalsIgnoreCase(f.name)))
+      case None => batch.fields
+    }).map(f => f.copy(
+      dataType = Sources.deepNullable(f.dataType), nullable = true)).toSeq)
+    val p = schemaPath(dir)
+    val fs = fsFor(s, p)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(dir, "._schema.ddl.tmp")
+    val out = fs.create(tmp, true)
+    out.write(union.toDDL.getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    union
+  }
+
+  // ---- replay-window retention for ingest metadata -------------------------
+
+  /** Every exactly-once ingest loop writes one `applied/<id>` marker (and
+    * one `out/batch=<id>` delivery dir) per micro-batch, FOREVER — a year
+    * of 15-minute batches is ~35k files per store. [[retentionSweep]]
+    * bounds that: it keeps the newest `keepLast` markers — the REPLAY
+    * WINDOW — and ages the rest out. The contract that keeps exactly-once
+    * exact: the sweep first records the window's lower edge in the
+    * `_retention` watermark (atomic temp+rename), THEN deletes; a replay
+    * of a swept id hits [[batchAlreadyApplied]]'s watermark check and
+    * REFUSES loudly instead of silently re-applying (its marker is gone,
+    * so "already applied" can no longer be proven — re-running would
+    * double rows).
+    *
+    * Sizing `keepLast`: foreachBatch re-delivers at most the trailing
+    * uncommitted batch, so any small window (≥2) covers normal crash
+    * replay; a replay BELOW the window means the streaming checkpoint
+    * itself was restored from backup — the refusal is the correct
+    * response (rebuild the store or re-point the checkpoint), not a
+    * silent double-apply. */
+  private def retentionPath(root: String) = new Path(root, "_retention")
+
+  /** Lowest batch id still provably-skippable; ids below it refuse. */
+  private[graft] def retentionWatermark(s: SparkSession, root: String): Long = {
+    val p = retentionPath(root)
+    val fs = fsFor(s, p)
+    if (!fs.exists(p)) return Long.MinValue
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    txt.trim.toLong
+  }
+
+  /** The exactly-once guard of the four stores' ingest loops: true =
+    * marker present, skip the batch; false = apply it. An id below the
+    * retention watermark throws — see [[retentionSweep]]. */
+  private[graft] def batchAlreadyApplied(s: SparkSession, root: String,
+      id: Long): Boolean = {
+    val fs = fsFor(s, new Path(root))
+    if (fs.exists(new Path(s"$root/applied/$id"))) true
+    else {
+      val wm = retentionWatermark(s, root)
+      if (id < wm) throw new IllegalStateException(
+        s"batch $id of $root replayed OUTSIDE the retention window " +
+          s"(markers swept below $wm): already-applied can no longer be " +
+          "proven, and re-applying would duplicate rows. The stream's " +
+          "checkpoint predates the store's replay window — rebuild the " +
+          "store or advance the checkpoint; do not shrink the window " +
+          "below the checkpoint-restore horizon.")
+      false
+    }
+  }
+
+  /** Commit a batch's applied marker — the LAST write of an ingest loop
+    * iteration (the exactly-once commit point). */
+  private[graft] def markApplied(s: SparkSession, root: String,
+      id: Long): Unit = {
+    val p = new Path(s"$root/applied/$id")
+    val fs = fsFor(s, p)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Age out ingest-loop metadata older than the newest `keepLast`
+    * batches: `applied/<id>` markers and `out/batch=<id>` delivery dirs.
+    * Watermark FIRST, deletes after — a crash mid-sweep leaves extra
+    * markers (harmless), never a refusable id that would re-apply.
+    * Returns (new watermark, removed names). Runs under the store's
+    * writer lease like every other mutation. */
+  def retentionSweep(s: SparkSession, root: String,
+      keepLast: Int): (Long, Seq[String]) = {
+    require(keepLast >= 2,
+      "keepLast must cover at least the trailing replay batch (≥ 2)")
+    Lease.withLease(s, root, "retention-sweep") {
+      val fs = fsFor(s, new Path(root))
+      val appliedDir = new Path(s"$root/applied")
+      val ids: Seq[Long] =
+        if (!fs.exists(appliedDir)) Seq.empty
+        else fs.listStatus(appliedDir)
+          .flatMap(st => st.getPath.getName.toLongOption).toSeq.sorted
+      val prior = retentionWatermark(s, root)
+      if (ids.size <= keepLast) (prior, Seq.empty)
+      else {
+        val cutoff = math.max(prior, ids.takeRight(keepLast).head)
+        val tmp = new Path(root, "._retention.tmp")
+        val out = fs.create(tmp, true)
+        out.write(cutoff.toString.getBytes("UTF-8"))
+        out.close()
+        fs.delete(retentionPath(root), false)
+        fs.rename(tmp, retentionPath(root))
+        val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+        ids.filter(_ < cutoff).foreach { id =>
+          if (fs.delete(new Path(appliedDir, id.toString), false))
+            removed += s"applied/$id"
+          val outDir = new Path(s"$root/out/batch=$id")
+          if (fs.exists(outDir) && fs.delete(outDir, true))
+            removed += s"out/batch=$id"
+        }
+        (cutoff, removed.toSeq)
+      }
+    }
+  }
+
   // ---- tombstones ----------------------------------------------------------
 
   /** Append tombstone rows `(idCol, src, tpfx = id mod `mod`)` for a
@@ -114,7 +282,12 @@ object StoreMaint {
       dirs.map(d => d.getName -> dataFiles(d)).toMap
     val tmp = new Path(root.getParent, "." + root.getName + "-compact-tmp")
     fs.delete(tmp, true)
-    canon(s.read.option("basePath", table).parquet(dirs.map(_.toString): _*))
+    // the recorded table schema (when the piece has evolved) keeps the
+    // compaction pass from footer-inferring a pre-evolution file's shape
+    // and silently dropping the evolved columns from the rewrite
+    val rd = s.read.option("basePath", table)
+    canon(recordedSchema(s, table).fold(rd)(rd.schema)
+        .parquet(dirs.map(_.toString): _*))
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(tmp.toString)
     for (d <- fs.listStatus(tmp)

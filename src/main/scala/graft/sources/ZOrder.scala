@@ -3,8 +3,10 @@ package graft.sources
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.{Q, Tables}
 
@@ -24,12 +26,46 @@ import graft.{Q, Tables}
   * oracle — a manifest that pruned a file containing matching rows would
   * hash-fail against the plain-filter SQL.
   *
-  * Stats ride a tiny parquet manifest under `_zmanifest/` (underscore
-  * prefix: invisible to data reads), harvested from the parquet footers
-  * the write already produced — the same zero-extra-I/O discipline as
-  * [[Sources.readTableRange]]'s bucket stats. A column chunk without
-  * usable stats records the full range, i.e. "always read": skipping is
-  * only ever an optimization, never a correctness gamble.
+  * ON-DISK LAYOUT — the manifest is the COMMIT LOG, epochs make rebuilds
+  * a versioned swap:
+  * {{{
+  *   root/
+  *     d-<uuid>/part-*.parquet     one immutable data dir per write batch
+  *     _zmanifest/e<E>/v<N>/       per-version stats parquet; committed
+  *                                 when its _SUCCESS exists
+  * }}}
+  * Readers resolve the HIGHEST epoch with a committed `v0`, then union
+  * that epoch's committed versions; they trust ONLY manifest-listed files.
+  * So:
+  *  - an append becomes visible atomically when its `v<N>` commits; a
+  *    crash before that leaves an invisible data dir (never a partial
+  *    batch), and the RETRY lands the rows exactly once —
+  *    availability-biased "read unknown files too" would double them;
+  *  - a rebuild/re-cluster ([[reclusterZOrdered]], [[writeZOrdered]] over
+  *    an existing store) writes fresh data dirs and commits a NEW epoch:
+  *    a concurrent reader resolves the old epoch or the new one, never a
+  *    mix — the torn-rebuild silent-partial-result window of the old
+  *    in-place delete-then-rewrite is structurally gone;
+  *  - a manifest-listed file that is MISSING fails the read loudly
+  *    (Spark's path-existence check on the explicit file list) instead of
+  *    silently dropping rows — listed ⇒ present is an invariant of the
+  *    append/vacuum flow ([[vacuumOrphans]] deletes only UNlisted dirs
+  *    and superseded epochs, under the writer lease).
+  *  - the read path never lists the data directories — O(epoch versions)
+  *    manifest metadata + the surviving files themselves (ZOrderSpec pins
+  *    this with a listing-recording FileSystem), the listing cost the
+  *    commit log exists to avoid on object stores.
+  *
+  * Stats are harvested from the parquet footers the write already
+  * produced — a SPARK JOB over the batch's files (O(batch files) work,
+  * distributed; an initial 100 TB build harvests thousands of footers in
+  * parallel instead of serially on the driver), through the same
+  * canonical encoding + soundness rules as the upsert table's manifest
+  * ([[Sources.footerColStats]]: long/string/double/timestamp ranges;
+  * INT96, NaN-poisoned doubles and surrogate-bearing string bounds
+  * degrade to "always read" — skipping is only ever an optimization,
+  * never a correctness gamble; an all-null file is prunable by any range
+  * predicate).
   */
 object ZOrder {
 
@@ -56,177 +92,364 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` z-clustered on `zcols` (long-typed) into `numFiles`
-    * range-partitioned files, then harvest per-file min/max footer stats
-    * for `statCols` into the `_zmanifest/` parquet. One extra narrow pass
-    * for the bounds, one shuffle for the range partitioning — the standard
-    * OPTIMIZE cost. */
-  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
-    val s = df.sparkSession
-    Lease.withLease(s, path, "zorder-write") {
-      // clear data files by hand instead of Spark's Overwrite: an
-      // Overwrite of the root would delete the _LEASE just acquired and
-      // reopen the writer slot mid-build
-      val fs = StoreMaint.fsFor(s, new Path(path))
-      dataFileNames(s, path).foreach(f =>
-        fs.delete(new Path(path, f), false))
-      fs.delete(new Path(path, "_zmanifest"), true)
-      zWrite(df, path, zcols, numFiles, "append")
-      writeManifest(s, path, if (statCols.nonEmpty) statCols else zcols)
-    }
+  // ---- commit-log plumbing ------------------------------------------------
+
+  /** Manifest row key of the per-version recorded-schema row (`mn` holds
+    * the DDL); every other row is a per-(file, column) stat. */
+  private val DdlKey = "__ddl__"
+
+  private def manifestRoot(path: String) = new Path(path, "_zmanifest")
+
+  private def parseIdx(name: String, pfx: String): Option[Long] =
+    if (name.startsWith(pfx)) name.drop(pfx.length).toLongOption else None
+
+  private def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      v: Path): Boolean = fs.exists(new Path(v, "_SUCCESS"))
+
+  private[sources] final case class ZSnapshot(epoch: Long, epochDir: Path,
+      vdirs: Seq[Path])
+
+  /** Resolve the current committed snapshot: the highest epoch whose v0
+    * committed, with that epoch's committed versions in order. O(epochs +
+    * versions) manifest-dir metadata; the data dirs are never listed. */
+  private[sources] def currentSnapshot(s: SparkSession,
+      path: String): Option[ZSnapshot] = {
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    if (!fs.exists(mroot)) return None
+    val epochs = fs.listStatus(mroot).filter(_.isDirectory)
+      .flatMap(st => parseIdx(st.getPath.getName, "e").map(_ -> st.getPath))
+      .sortBy(-_._1)
+    epochs.find { case (_, p) => isCommitted(fs, new Path(p, "v0")) }
+      .map { case (e, edir) =>
+        val vdirs = fs.listStatus(edir).filter(_.isDirectory)
+          .flatMap(st => parseIdx(st.getPath.getName, "v").map(_ -> st.getPath))
+          .filter { case (_, v) => isCommitted(fs, v) }
+          .sortBy(_._1).map(_._2).toSeq
+        ZSnapshot(e, edir, vdirs)
+      }
   }
 
-  /** Append a batch: z-sort it by its OWN bounds into `numFiles` new
-    * files, harvest only those files' footers, and append their stats to
-    * the manifest — the Delta/Iceberg append model, with the manifest as
-    * the COMMIT POINT: readers trust only manifest-listed files, so the
-    * batch becomes visible atomically when its stats row-file lands (one
-    * rename), a crash between the data write and the manifest append
-    * leaves invisible orphans (never a partially-visible batch), and a
-    * RETRY of the crashed append lands the rows exactly once —
-    * availability-biased "read unknown files too" would double them.
-    * [[vacuumOrphans]] garbage-collects crashed appends' files.
-    * Clustering quality degrades as appends accumulate (periodic
-    * re-cluster into a fresh dir restores it — the upsert table's
-    * versioned-swap pattern); skipping soundness never does: stats are
-    * actual footer ranges. */
+  /** The snapshot's manifest rows and its recorded table schema (the
+    * LATEST committed version's DDL, deep-nullable so files predating a
+    * column null-fill — the upsert table's read-schema discipline). */
+  private def manifestAndSchema(s: SparkSession,
+      snap: ZSnapshot): (DataFrame, StructType) = {
+    val man = s.read.parquet(snap.vdirs.map(_.toString): _*)
+    val ddl = man.filter(col("c") === lit(DdlKey))
+      .orderBy(col("ver").desc).select(col("mn")).head().getString(0)
+    val schema = Sources.deepNullable(StructType.fromDDL(ddl))
+      .asInstanceOf[StructType]
+    (man, schema)
+  }
+
+  private def requireSnapshot(s: SparkSession, path: String): ZSnapshot =
+    currentSnapshot(s, path).getOrElse(throw new IllegalArgumentException(
+      s"no committed z-store under $path"))
+
+  /** Manifest-listed relative data-file paths of the current snapshot —
+    * ops/spec surface; O(table files) driver rows by nature. */
+  def listDataFiles(s: SparkSession, path: String): Seq[String] = {
+    val snap = requireSnapshot(s, path)
+    val (man, _) = manifestAndSchema(s, snap)
+    man.filter(col("c") =!= lit(DdlKey)).select(col("f")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  // ---- write paths --------------------------------------------------------
+
+  /** Build (or REBUILD) `df` z-clustered on `zcols` (long-typed) into
+    * `numFiles` range-partitioned files under a NEW EPOCH — over an
+    * existing store this is a versioned swap, not an in-place rewrite:
+    * old epoch and files stay readable until [[vacuumOrphans]]. Stats for
+    * `statCols` (default: the z columns) ride the epoch's v0 manifest. */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
+      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
+    Lease.withLease(df.sparkSession, path, "zorder-write") {
+      commitNewEpoch(df, path, zcols, numFiles, statCols)
+    }
+
+  /** Re-cluster the CURRENT snapshot into a fresh epoch — the periodic
+    * OPTIMIZE that restores clustering quality after appends degrade it.
+    * Same versioned-swap commit as [[writeZOrdered]]: concurrent readers
+    * see the old snapshot or the new one, never a mix. */
+  def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
+      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
+    Lease.withLease(s, path, "zorder-recluster") {
+      commitNewEpoch(readSnapshot(s, path), path, zcols, numFiles, statCols)
+    }
+
+  /** Append a batch: z-sort it by its OWN bounds into a fresh data dir of
+    * `numFiles` files, harvest those footers, and commit the stats as the
+    * epoch's next manifest version — the batch becomes visible atomically
+    * at that commit. An EMPTY batch is a complete no-op (no dir, no
+    * version) — the realistic retry/filtered-source edge. Clustering
+    * quality degrades as appends accumulate ([[reclusterZOrdered]]
+    * restores it); skipping soundness never does: stats are actual footer
+    * ranges. */
   def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
     val s = df.sparkSession
     Lease.withLease(s, path, "zorder-append") {
-      val before = dataFileNames(s, path)
-      zWrite(df, path, zcols, numFiles, "append")
-      val fresh = dataFileNames(s, path) -- before
-      import s.implicits._
-      fileStats(s, path, if (statCols.nonEmpty) statCols else zcols,
-          Some(fresh))
-        .toDF("f", "c", "mn", "mx")
-        .coalesce(1).write.mode("append").parquet(s"$path/_zmanifest")
+      currentSnapshot(s, path) match {
+        case None => commitNewEpoch(df, path, zcols, numFiles, statCols)
+        case Some(snap) =>
+          zWrite(df, path, zcols, numFiles).foreach { dname =>
+            val stats = harvestStats(s, path, dname,
+              if (statCols.nonEmpty) statCols else zcols, df.schema)
+            val fs = StoreMaint.fsFor(s, snap.epochDir)
+            // next version past EVERY existing v-dir, committed or
+            // crashed — an uncommitted leftover is never reused
+            val nextV = fs.listStatus(snap.epochDir).filter(_.isDirectory)
+              .flatMap(st => parseIdx(st.getPath.getName, "v"))
+              .maxOption.getOrElse(-1L) + 1
+            writeManifestVersion(s, snap.epochDir, nextV, df.schema.toDDL,
+              stats)
+          }
+      }
     }
   }
 
-  private def dataFileNames(s: SparkSession, path: String): Set[String] = {
-    val p = new Path(path)
-    val fs = StoreMaint.fsFor(s, p)
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).toSet
+  private def commitNewEpoch(df: DataFrame, path: String, zcols: Seq[String],
+      numFiles: Int, statCols: Seq[String]): Unit = {
+    val s = df.sparkSession
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    val nextE = (if (!fs.exists(mroot)) Seq.empty[Long]
+      else fs.listStatus(mroot).filter(_.isDirectory).toSeq
+        .flatMap(st => parseIdx(st.getPath.getName, "e")))
+      .maxOption.getOrElse(-1L) + 1
+    // data first, then the epoch's v0 manifest: v0/_SUCCESS is the commit
+    // point that flips readers to the new epoch
+    val stats = zWrite(df, path, zcols, numFiles) match {
+      case Some(dname) => harvestStats(s, path, dname,
+        if (statCols.nonEmpty) statCols else zcols, df.schema)
+      case None => Seq.empty // empty table: schema-only manifest
+    }
+    writeManifestVersion(s, new Path(mroot, s"e$nextE"), 0L, df.schema.toDDL,
+      stats)
   }
 
+  /** Write one z-clustered batch into a FRESH data dir; returns its name,
+    * or None when the batch has no rows (the empty-append guard — no
+    * files, no manifest version, no NPE on the null bounds row). */
   private def zWrite(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int, mode: String): Unit = {
-    val b = df.agg(
-      zcols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
-      zcols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).head()
+      numFiles: Int): Option[String] = {
+    val aggs = count(lit(1)).as("cnt") +:
+      zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    if (b.getLong(0) == 0L) return None
     val qs = zcols.zipWithIndex.map { case (c, i) =>
-      quant(col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+      // an all-null clustering column contributes a constant (its rows
+      // still land; the other dimensions keep clustering)
+      if (b.isNullAt(2 * i + 1)) lit(0L)
+      else quant(col(c), b.getLong(2 * i + 1), b.getLong(2 * i + 2))
     }
-    df.withColumn("__z", interleave(qs))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(mode).parquet(path)
+    val dname = "d-" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    // INT64 TIMESTAMP_MICROS, not the legacy INT96 default: INT96 footers
+    // carry no usable min/max, which would leave timestamp stat columns
+    // permanently unprunable (Sources.writeMicros, same contract)
+    Sources.writeMicros(df.sparkSession) {
+      df.withColumn("__z", interleave(qs))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(s"$path/$dname")
+    }
+    Some(dname)
   }
 
-  /** Per-file (file, col, mn, mx) rows from the parquet footers —
-    * restricted to `only` when given (the incremental append harvests just
-    * its own files, O(batch files) not O(table files)). */
-  private def fileStats(s: SparkSession, path: String, cols: Seq[String],
-      only: Option[Set[String]] = None): Seq[(String, String, Long, Long)] = {
-    val p = new Path(path)
-    val fs = StoreMaint.fsFor(s, p)
-    val conf = s.sessionState.newHadoopConf()
-    val wanted = cols.map(c => c.toLowerCase -> c).toMap
-    fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        only.forall(_.contains(st.getPath.getName)))
-      .toSeq.flatMap { st =>
-        val mn = scala.collection.mutable.Map.empty[String, Long]
-        val mx = scala.collection.mutable.Map.empty[String, Long]
-        val poisoned = scala.collection.mutable.Set.empty[String]
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try reader.getFooter.getBlocks.forEach { blk =>
-          blk.getColumns.forEach { cc =>
-            val pa = cc.getPath.toArray
-            if (pa.length == 1 && wanted.contains(pa(0).toLowerCase)) {
-              val c = wanted(pa(0).toLowerCase)
-              val stats = cc.getStatistics
-              if (stats != null && stats.hasNonNullValue) {
-                val lo = stats.genericGetMin.asInstanceOf[Number].longValue
-                val hi = stats.genericGetMax.asInstanceOf[Number].longValue
-                mn.update(c, math.min(mn.getOrElse(c, Long.MaxValue), lo))
-                mx.update(c, math.max(mx.getOrElse(c, Long.MinValue), hi))
-              } else poisoned += c // no usable stats: record "always read"
+  /** Per-file (relPath, col, mn, mx, allnull) stats of a just-written data
+    * dir, from the parquet footers the write produced — as a SPARK JOB
+    * over the file list (the driver lists ONE batch dir; footer I/O runs
+    * distributed), via the canonical [[Sources.footerColStats]] encoding.
+    * Ineligible stat-column types refuse loudly at write time — better
+    * than recording stats a reader can't compare. */
+  private def harvestStats(s: SparkSession, path: String, dname: String,
+      statCols: Seq[String], schema: StructType)
+      : Seq[(String, String, Option[String], Option[String], Boolean)] = {
+    val fields = statCols.map { c =>
+      val f = schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"stat column $c is not in the batch schema"))
+      require(Sources.statsEligible(f.dataType),
+        s"stat column $c: ${f.dataType.simpleString} has no canonical " +
+          "stat encoding (long/int/double/string/timestamp do)")
+      f
+    }
+    val ddir = new Path(s"$path/$dname")
+    val fs = StoreMaint.fsFor(s, ddir)
+    val files = fs.listStatus(ddir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    if (files.isEmpty) return Seq.empty
+    val bc = s.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      s.sessionState.newHadoopConf()))
+    try {
+      s.sparkContext.parallelize(files, math.min(files.size, 32))
+        .flatMap { p =>
+          val conf = bc.value.value
+          val hp = new Path(p)
+          val st = hp.getFileSystem(conf).getFileStatus(hp)
+          val accs = Sources.footerColStats(st, conf, fields)
+          val rel = s"$dname/${hp.getName}"
+          fields.map { f =>
+            accs(f.name.toLowerCase) match {
+              case None => (rel, f.name, None, None, false) // unknown: read
+              case Some((None, None)) => (rel, f.name, None, None, true)
+              case Some((mn, mx)) => (rel, f.name, mn, mx, false)
             }
           }
-        } finally reader.close()
-        cols.map { c =>
-          if (poisoned(c) || !mn.contains(c))
-            (st.getPath.getName, c, Long.MinValue, Long.MaxValue)
-          else (st.getPath.getName, c, mn(c), mx(c))
-        }
-      }
+        }.collect().toSeq
+    } finally bc.destroy()
   }
 
-  private def writeManifest(s: SparkSession, path: String,
-      cols: Seq[String]): Unit = {
+  private def writeManifestVersion(s: SparkSession, edir: Path, ver: Long,
+      ddl: String,
+      stats: Seq[(String, String, Option[String], Option[String], Boolean)])
+      : Unit = {
     import s.implicits._
-    fileStats(s, path, cols).toDF("f", "c", "mn", "mx")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zmanifest")
+    val rows = stats.map { case (f, c, mn, mx, an) =>
+      (ver, f, c, mn, mx, an)
+    } :+ ((ver, "", DdlKey, Option(ddl), None: Option[String], false))
+    rows.toDF("ver", "f", "c", "mn", "mx", "allnull")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(edir, s"v$ver").toString)
   }
+
+  // ---- read paths ---------------------------------------------------------
+
+  /** Typed manifest-vs-bound comparisons in the column's canonical string
+    * encoding ([[Sources.encodeBound]]/[[Sources.encodeParquetStat]]). */
+  private def statLt(dt: DataType, c: Column, bound: String): Column =
+    dt match {
+      case DoubleType => c.cast("double") < lit(bound.toDouble)
+      case StringType => c < lit(bound)
+      case _ => c.cast("long") < lit(bound.toLong) // int/long/ts-micros
+    }
+  private def statGt(dt: DataType, c: Column, bound: String): Column =
+    dt match {
+      case DoubleType => c.cast("double") > lit(bound.toDouble)
+      case StringType => c > lit(bound)
+      case _ => c.cast("long") > lit(bound.toLong)
+    }
 
   /** Range read with manifest skipping: open only the MANIFEST-LISTED
-    * files whose recorded [mn, mx] overlaps EVERY predicate's [lo, hi],
-    * then apply the predicates as residual filters (a surviving file
-    * still holds out-of-range rows — the manifest prunes, the filter
-    * decides). Listing, I/O and `inputFiles` are all O(surviving files).
-    * A data file the manifest doesn't list (a crashed append's orphan) is
-    * INVISIBLE — the manifest is the commit log, so reads see whole
-    * batches or nothing and append retries can't double rows. */
+    * files of the current snapshot that no predicate definitively
+    * excludes (recorded range disjoint from [lo, hi], or all-null), then
+    * apply the predicates as residual filters (a surviving file still
+    * holds out-of-range rows — the manifest prunes, the filter decides).
+    * Bounds may be long/int/double/string/timestamp, matching
+    * [[Sources.readTableRange]]'s encoding. Unknown-stat files are always
+    * read; a predicate on a column with NO stats anywhere refuses loudly.
+    *
+    * The pruning DECISION runs distributed over the manifest; the driver
+    * collects column names (bounded by the stat-column count) and
+    * SURVIVING file names (bounded by what will be read anyway). The data
+    * directories are never listed; a listed-but-missing file fails the
+    * read loudly (a store violating the listed ⇒ present invariant must
+    * never silently drop rows). */
   def readZRange(s: SparkSession, path: String,
-      preds: Seq[(String, Long, Long)]): DataFrame = {
-    val man = s.read.parquet(s"$path/_zmanifest")
-    // the pruning DECISION runs distributed — the driver collects column
-    // names (bounded by the stat-column count) and SURVIVING file names
-    // (bounded by what will be read anyway), never the whole manifest
-    // (O(table files) at scale)
-    val have = man.select(col("c")).distinct()
-      .collect().map(_.getString(0)).toSet
-    preds.foreach(p => require(have.contains(p._1),
-      s"no manifest stats for column ${p._1} (have $have)"))
-    val present = dataFileNames(s, path)
-    val keep = preds.map { case (c0, lo, hi) =>
-        man.filter(col("c") === c0 && col("mx") >= lo && col("mn") <= hi)
-          .select(col("f"))
-      }.reduce(_ intersect _)
-      .distinct().collect().map(_.getString(0))
-      .filter(present.contains).sorted.toSeq
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readZRange needs at least one predicate")
+    val snap = requireSnapshot(s, path)
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep =
+      try {
+        val have = man.select(col("c")).distinct()
+          .collect().map(_.getString(0)).toSet
+        preds.foreach(p => require(have.contains(p._1),
+          s"no manifest stats for column ${p._1} " +
+            s"(have ${have.toSeq.sorted.mkString(", ")})"))
+        val typed = preds.map { case (c0, lo, hi) =>
+          val f = schema.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+            throw new IllegalArgumentException(
+              s"column $c0 is not in the z-store schema"))
+          (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
+            Sources.encodeBound(f.dataType, hi))
+        }
+        // exclusion needs DEFINITE evidence: a known disjoint range, or an
+        // all-null file (no row can match a range predicate). Unknown
+        // stats — or no stats row for this column in the file's version —
+        // keep the file. Sound under per-version statCols drift.
+        val excluded = typed.map { case (c0, dt, loE, hiE) =>
+          man.filter(col("c") === c0 && (col("allnull") ||
+              (col("mn").isNotNull &&
+                (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
+            .select(col("f"))
+        }.reduce(_ union _)
+        man.select(col("f")).distinct().except(excluded)
+          .collect().map(_.getString(0)).sorted.toSeq
+      } finally man.unpersist(blocking = false)
     val base =
       if (keep.nonEmpty)
-        s.read.option("basePath", path).parquet(keep.map(f => s"$path/$f"): _*)
-      else s.read.parquet(path).filter(lit(false))
+        s.read.schema(schema).parquet(keep.map(f => s"$path/$f"): _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
-      d.filter(col(c) >= lo && col(c) <= hi)
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
 
-  /** Garbage-collect crashed appends: delete data files the manifest
-    * doesn't reference. Runs in the ENFORCED writer slot ([[Lease]],
-    * like every other store mutation here) — a vacuum racing an
-    * in-flight append's pre-commit window would eat its files. Returns
-    * the removed names. */
+  /** Full current-snapshot read (explicit recorded schema, manifest-listed
+    * files) — the OPTIMIZE-path input ([[reclusterZOrdered]]) and the
+    * no-predicate table read. O(table files) driver file names, like any
+    * whole-table plan. */
+  def readSnapshot(s: SparkSession, path: String): DataFrame = {
+    val snap = requireSnapshot(s, path)
+    val (man, schema) = manifestAndSchema(s, snap)
+    val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Garbage-collect everything the current snapshot doesn't reference:
+    * data dirs of crashed appends and superseded epochs, manifest dirs of
+    * old epochs, and uncommitted version dirs in the current epoch. Runs
+    * in the ENFORCED writer slot ([[Lease]]) so it can't race an
+    * in-flight append's pre-commit window. Lock-free readers that
+    * resolved a SUPERSEDED epoch before the vacuum fail loudly, never
+    * partially — a deployment sizes a retention delay between re-cluster
+    * and vacuum to its longest query, exactly Delta's VACUUM contract.
+    * Returns the removed root-relative names. */
   def vacuumOrphans(s: SparkSession, path: String): Seq[String] =
     Lease.withLease(s, path, "zorder-vacuum") {
-      val listed = s.read.parquet(s"$path/_zmanifest")
-        .select(col("f")).distinct().collect().map(_.getString(0)).toSet
-      val fs = StoreMaint.fsFor(s, new Path(path))
-      val orphans = (dataFileNames(s, path) -- listed).toSeq.sorted
-      orphans.foreach(f => fs.delete(new Path(path, f), false))
-      orphans
+      currentSnapshot(s, path) match {
+        case None => Seq.empty
+        case Some(snap) =>
+          val (man, _) = manifestAndSchema(s, snap)
+          val liveDirs = man.filter(col("c") =!= lit(DdlKey))
+            .select(col("f")).distinct()
+            .collect().map(_.getString(0).split('/').head).toSet
+          val fs = StoreMaint.fsFor(s, new Path(path))
+          val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+          fs.listStatus(new Path(path))
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+            .foreach { st =>
+              if (!liveDirs.contains(st.getPath.getName)) {
+                fs.delete(st.getPath, true)
+                removed += st.getPath.getName
+              }
+            }
+          fs.listStatus(manifestRoot(path)).filter(_.isDirectory)
+            .foreach { st =>
+              if (st.getPath.getName != snap.epochDir.getName) {
+                fs.delete(st.getPath, true)
+                removed += s"_zmanifest/${st.getPath.getName}"
+              } else {
+                fs.listStatus(st.getPath).filter(_.isDirectory).foreach { v =>
+                  if (!isCommitted(fs, v.getPath)) {
+                    fs.delete(v.getPath, true)
+                    removed += s"_zmanifest/${st.getPath.getName}/${v.getPath.getName}"
+                  }
+                }
+              }
+            }
+          removed.sorted.toSeq
+      }
     }
 
   // ---- q123: exact-oracle query over the z-clustered layout ---------------

@@ -807,8 +807,126 @@ object TextAnalysis {
     stats.reduce(_.unionAll(_)).orderBy(col("round"))
   }
 
+  // ---- q131: merge-table APPLICATION (the corpus-wide tokenize pass) ------
+
+  /** q131: apply a LEARNED merge table corpus-wide — the tokenization
+    * pass a training pipeline runs over 100 TB once the tokenizer is
+    * trained (the operator q111 was missing: q111 LEARNS the table;
+    * nothing applied it to unseen text). The table is learned with
+    * q111's machinery on a SAMPLE (doc_id % 4 = 0 — real tokenizer
+    * training never scans the full corpus), then each merge is applied
+    * POSITIONALLY in rank order to EVERY document: the same lead/lag
+    * mark-and-drop + ROW_NUMBER re-index rounds, with each one-row merge
+    * riding the plan as a broadcast (the q50 bounded-batch discipline —
+    * the merge table is a knob-bounded artifact, the corpus is not), so
+    * every shuffle stays keyed by doc_id and the chain composes lazily.
+    * Output carries the space-joined token string, so the exact oracle
+    * hash-checks the TOKENIZATION, not just counts; composition q111 →
+    * apply → q109 is the output's n_tokens feeding sequence packing. */
+  val q131BpeApply: Q = Q(
+    "q131_bpe_apply", {
+      def learnRound(r: Int): String = {
+        val prev = if (r == 1) "t0s" else s"t${r - 1}"
+        s""",
+           |p$r AS (
+           |  SELECT doc_id, i, w,
+           |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx,
+           |    LAG(w)  OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           |  FROM $prev),
+           |c$r AS (
+           |  SELECT w AS a, nx AS b, COUNT(*) AS cnt FROM p$r
+           |  WHERE nx IS NOT NULL AND w <> nx GROUP BY 1, 2),
+           |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |t$r AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+           |    CASE WHEN w = m.a AND nx IS NOT NULL AND nx = m.b
+           |         THEN m.a || '_' || m.b ELSE w END AS w
+           |  FROM p$r, m$r m
+           |  WHERE pv IS NULL OR NOT (pv = m.a AND w = m.b))""".stripMargin
+      }
+      def applyRound(r: Int): String = {
+        val prev = if (r == 1) "t0f" else s"u${r - 1}"
+        s""",
+           |q$r AS (
+           |  SELECT doc_id, i, w,
+           |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx,
+           |    LAG(w)  OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           |  FROM $prev),
+           |u$r AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+           |    CASE WHEN w = m.a AND nx IS NOT NULL AND nx = m.b
+           |         THEN m.a || '_' || m.b ELSE w END AS w
+           |  FROM q$r, m$r m
+           |  WHERE pv IS NULL OR NOT (pv = m.a AND w = m.b))""".stripMargin
+      }
+      s"""WITH t0s AS (
+         |  SELECT doc_id, i.i AS i, w[i.i] AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents WHERE doc_id % 4 = 0) d,
+         |  LATERAL (SELECT unnest(range(1, LEN(w) + 1)) AS i) i),
+         |t0f AS (
+         |  SELECT doc_id, i.i AS i, w[i.i] AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents) d,
+         |  LATERAL (SELECT unnest(range(1, LEN(w) + 1)) AS i) i)""".stripMargin +
+        (1 to MergeRounds).map(learnRound).mkString +
+        (1 to MergeRounds).map(applyRound).mkString +
+        s"""
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  array_to_string(list(w ORDER BY i), ' ') AS toks
+           |FROM u$MergeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    def positional(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    // one positional merge round: mark first tokens of adjacent (a, b)
+    // pairs, drop second tokens, re-index — q111's expressions verbatim
+    def mergeRound(t: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) =
+      t.select(col("doc_id"), col("i"), col("w"),
+          lead(col("w"), 1).over(byDoc).as("nx"),
+          lag(col("w"), 1).over(byDoc).as("pv"))
+        .crossJoin(broadcast(m))
+        .filter(col("pv").isNull ||
+          !(col("pv") === col("a") && col("w") === col("b")))
+        .select(col("doc_id"),
+          row_number().over(byDoc).as("i"),
+          when(col("w") === col("a") && col("nx").isNotNull &&
+              col("nx") === col("b"),
+            concat(col("a"), lit("_"), col("b"))).otherwise(col("w")).as("w"))
+        .localCheckpoint()
+    val full = Tables.fanOut(Tables.documents(s, d))
+    // LEARN on the sample (q111's rounds; merges apply to the sample as
+    // they are learned, exactly like training does)
+    var ts = positional(full.filter(col("doc_id") % 4 === 0)).localCheckpoint()
+    val merges = (1 to MergeRounds).map { _ =>
+      val m = ts.select(col("doc_id"), col("i"), col("w"),
+          lead(col("w"), 1).over(byDoc).as("nx"))
+        .filter(col("nx").isNotNull && col("w") =!= col("nx"))
+        .groupBy(col("w").as("a"), col("nx").as("b")).count()
+        .orderBy(col("count").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"))
+        .localCheckpoint() // one row: this round's learned merge
+      ts = mergeRound(ts, m)
+      m
+    }
+    // APPLY the learned table to the full corpus, in rank order
+    val t = merges.foldLeft(positional(full).localCheckpoint())(mergeRound)
+    t.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")), " ").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
     q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy,
-    q102Bm25, q103WeightedSample, q111MergeLearning)
+    q102Bm25, q103WeightedSample, q111MergeLearning, q131BpeApply)
 }

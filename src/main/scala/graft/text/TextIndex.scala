@@ -68,12 +68,21 @@ object TextIndex {
   private def layoutOf(s: SparkSession, dir: String): Layout =
     StoreMaint.readLayout(s, dir, Layout(PfxLen, DocPfxMod))
 
-  private def postingsRows(docs: DataFrame, lay: Layout): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+  /** Postings rows; columns of `docs` beyond (doc_id, text) are per-doc
+    * metadata and ride onto every posting (constant per doc → `first`) —
+    * the store's add-only evolution surface. The standard callers pass
+    * the two-column projection, so existing plans are untouched. */
+  private def postingsRows(docs: DataFrame, lay: Layout): DataFrame = {
+    val extras = docs.columns.filterNot(Set("doc_id", "text", "tok", "tf"))
+    val aggs = count(lit(1)).as("tf") +:
+      extras.map(c => first(col(c)).as(c)).toSeq
+    docs.select((Seq(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok")) ++
+        extras.map(col)): _*)
+      .groupBy(col("doc_id"), col("tok")).agg(aggs.head, aggs.tail: _*)
       .withColumn("pfx",
         concat(lit("h"), substring(md5(col("tok")), 1, lay.pfxLen)))
+  }
 
   private def dlenRows(docs: DataFrame, lay: Layout): DataFrame =
     docs.select(col("doc_id"),
@@ -161,7 +170,12 @@ object TextIndex {
     val s = docs.sparkSession
     val d = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      postingsRows(d, lay).repartition(col("pfx"))
+      val pRows = postingsRows(d, lay)
+      // evolve the recorded schema BEFORE data lands (recorded ⊇ files);
+      // a full build's write() cleared the piece dirs, so the first
+      // append records fresh (StoreMaint.evolveSchema add-only contract)
+      StoreMaint.evolveSchema(s, s"$dir/postings", pRows.schema)
+      pRows.repartition(col("pfx"))
         .write.mode(SaveMode.Append).partitionBy("pfx")
         .parquet(s"$dir/postings")
       dlenRows(d, lay).repartition(col("dpfx"))
@@ -258,6 +272,37 @@ object TextIndex {
       writeStatsRow(s, dir, s"c$ck", n, tot, existing)
       existing.foreach(src => fs.delete(new Path(s"$dir/stats/src=$src"), true))
       fs.delete(new Path(s"$dir/tombstones"), true)
+    }
+
+  /** Drop stats `src=` increment dirs a crashed [[compact]] left behind:
+    * every tag in the newest consolidated `c<k>` row's `covers` list is
+    * superseded — readers already ignore it ([[readStats]]'s covers
+    * rule), so removing the dirs only reclaims metadata growth; a normal
+    * compact deletes them itself and leaves nothing here. The
+    * retention-sweep companion of [[StoreMaint.retentionSweep]] for this
+    * store's third metadata family (markers, out dirs, stats dirs).
+    * Returns the removed tags. */
+  def purgeCoveredStats(s: SparkSession, dir: String): Seq[String] =
+    Lease.withLease(s, dir, "textindex-stats-purge") {
+      val p = new Path(s"$dir/stats")
+      val fs = StoreMaint.fsFor(s, p)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val rows = s.read.option("basePath", s"$dir/stats")
+          .parquet(s"$dir/stats").select(col("src"), col("covers")).collect()
+        val cRows = rows.filter(_.getString(0).startsWith("c"))
+        if (cRows.isEmpty) Seq.empty
+        else {
+          val best = cRows.maxBy(_.getString(0).drop(1).toLong)
+          val covered: Set[String] =
+            if (best.isNullAt(1)) Set.empty else best.getSeq[String](1).toSet
+          val victims = rows.map(_.getString(0))
+            .filter(covered.contains).distinct.sorted.toSeq
+          victims.foreach(src =>
+            fs.delete(new Path(s"$dir/stats/src=$src"), true))
+          victims
+        }
+      }
     }
 
   // ---- search -------------------------------------------------------------
@@ -377,9 +422,9 @@ object TextIndex {
     * live retrieval deployment. */
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
-    val applied = new Path(s"$root/applied/$id")
-    val fs = StoreMaint.fsFor(s, applied)
-    if (fs.exists(applied)) return // replayed epoch: already fully applied
+    // replayed epoch already fully applied → skip; an id below the
+    // retention watermark refuses loudly (StoreMaint.retentionSweep)
+    if (StoreMaint.batchAlreadyApplied(s, root, id)) return
     val conf = s.conf
     val prevSp = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", "8")
@@ -388,8 +433,7 @@ object TextIndex {
       append(df.select(col("doc_id"), col("text")), idx, s"b$id")
       search(s, idx, TextAnalysis.Bm25QueryTerms, 10)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
-      fs.mkdirs(applied.getParent)
-      fs.create(applied, true).close()
+      StoreMaint.markApplied(s, root, id)
     } finally conf.set("spark.sql.shuffle.partitions", prevSp)
   }
 

@@ -2,15 +2,45 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.sources.ZOrder
 
+/** A FileSystem that records every `listStatus` target: the detector
+  * behind the z-store read-path contract "the data directories are never
+  * listed" (the manifest is the commit log precisely to avoid O(table
+  * files) LIST calls per query on an object store). Validated by a
+  * planted positive — the write path DOES list its own batch dir for the
+  * footer harvest, and the recorder must see that. */
+class ListRecordingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "lrfs"
+  override def getUri: java.net.URI = java.net.URI.create("lrfs:///")
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    ListRecordingFileSystem.record(p.toString)
+    super.listStatus(p)
+  }
+}
+
+object ListRecordingFileSystem {
+  val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var recording = false
+  def record(p: String): Unit = if (recording) listed.add(p)
+  def drain(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var x = listed.poll()
+    while (x != null) { out += x; x = listed.poll() }
+    out.toSeq
+  }
+}
+
 /** Pins what the q123 oracle can't see: the z-clustered layout prunes
   * FILES for selective predicates on EITHER clustered column, the linear
   * (single-column-sorted) baseline cannot prune on the second column, the
-  * residual filter still applies inside surviving files, and stat-less
-  * columns degrade to always-read instead of wrong skipping. */
+  * residual filter still applies inside surviving files, typed
+  * (string/double/timestamp) stats prune soundly, the epoch commit makes
+  * rebuilds old-or-new (never partial), a listed-but-missing file fails
+  * loudly, and the read path never lists a data directory. */
 class ZOrderSpec extends SparkSpec {
 
   private val NumFiles = 16
@@ -22,6 +52,10 @@ class ZOrderSpec extends SparkSpec {
       min(col("l_suppkey")), max(col("l_suppkey"))).head()
     (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
   }
+
+  private def files(dir: String, preds: (String, Any, Any)*): Int =
+    ZOrder.readZRange(spark, dir, preds).inputFiles
+      .count(!_.contains("_zmanifest"))
 
   test("z-layout prunes on either column; linear layout only on its sort key") {
     val zDir = Files.createTempDirectory("graft-z").toString
@@ -36,10 +70,7 @@ class ZOrderSpec extends SparkSpec {
       pmn + (pmx - pmn) * 3 / 10)
     val sBand = ("l_suppkey", smn + (smx - smn) * 4 / 10,
       smn + (smx - smn) * 5 / 10)
-    def files(dir: String, preds: (String, Long, Long)*): Int =
-      ZOrder.readZRange(spark, dir, preds).inputFiles
-        .count(!_.contains("_zmanifest"))
-    val total = spark.read.parquet(zDir).inputFiles.length
+    val total = ZOrder.listDataFiles(spark, zDir).size
     assert(total >= NumFiles / 2, s"layout collapsed to $total files")
     // z-curve: BOTH 10%-band predicates open a strict fraction
     assert(files(zDir, pBand) <= total * 6 / 10,
@@ -48,7 +79,7 @@ class ZOrderSpec extends SparkSpec {
       s"suppkey band read ${files(zDir, sBand)}/$total z-files")
     // planted negative: the linear layout prunes its sort key but must
     // read EVERY file for the other column (suppkey uniform per file)
-    val linTotal = spark.read.parquet(linDir).inputFiles.length
+    val linTotal = ZOrder.listDataFiles(spark, linDir).size
     assert(files(linDir, pBand) <= linTotal / 2)
     assert(files(linDir, sBand) == linTotal,
       "linear layout 'pruned' on a column it isn't clustered by — " +
@@ -78,6 +109,48 @@ class ZOrderSpec extends SparkSpec {
     assert(expect.count() > 0, "empty band — the equivalence is vacuous")
   }
 
+  test("typed stats: string/double/timestamp bands prune files and stay exact") {
+    val dir = Files.createTempDirectory("graft-ztyped").toString
+    val df = spark.range(4096).select(
+      col("id").as("k"),
+      format_string("s%06d", col("id")).as("s"),
+      col("id").cast("double").as("d"),
+      timestamp_seconds(col("id") * 60).as("ts"),
+      lit(null).cast("long").as("an"))
+    ZOrder.writeZOrdered(df, dir, Seq("k"), 8,
+      statCols = Seq("k", "s", "d", "ts", "an"))
+    val total = ZOrder.listDataFiles(spark, dir).size
+    assert(total >= 4, s"layout collapsed to $total files")
+    def check(pred: (String, Any, Any), want: Long): Unit = {
+      val got = ZOrder.readZRange(spark, dir, Seq(pred))
+      assert(got.count() == want, s"$pred returned ${got.count()}")
+      assert(files(dir, pred) < total,
+        s"$pred pruned nothing (${files(dir, pred)}/$total)")
+    }
+    check(("s", "s001000", "s001999"), 1000L)
+    check(("d", 1000.0, 1999.0), 1000L)
+    check(("ts",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000L * 60)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1999L * 60))),
+      1000L)
+    // an all-null column is prunable by ANY range predicate: zero files
+    val anRead = ZOrder.readZRange(spark, dir, Seq(("an", 0L, 100L)))
+    assert(anRead.count() == 0 && anRead.inputFiles.isEmpty,
+      "all-null stats failed to prune")
+    // NaN poisons double stats → that file reads as unknown, rows survive
+    val nanBatch = spark.range(4096, 4352).select(
+      col("id").as("k"), format_string("s%06d", col("id")).as("s"),
+      when(col("id") % 2 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("d"),
+      timestamp_seconds(col("id") * 60).as("ts"),
+      lit(null).cast("long").as("an"))
+    ZOrder.appendZOrdered(nanBatch, dir, Seq("k"), 1,
+      statCols = Seq("k", "s", "d", "ts", "an"))
+    val gotNan = ZOrder.readZRange(spark, dir, Seq(("d", 4101.0, 4111.0)))
+    assert(gotNan.count() == 6, // odd ids 4101, 4103, …, 4111
+      "NaN-poisoned file was wrongly pruned — rows lost")
+  }
+
   test("manifest is the commit point: orphans invisible, retried append lands once, vacuum cleans") {
     val dir = Files.createTempDirectory("graft-z4").toString
     val corpus = li.filter(col("l_orderkey") % 10 =!= 9)
@@ -88,38 +161,141 @@ class ZOrderSpec extends SparkSpec {
     val preds = Seq(("l_partkey", pmn, pmn + (pmx - pmn) / 10))
     val got = ZOrder.readZRange(spark, dir, preds)
     val expect = li.filter(
-      col("l_partkey").between(preds(0)._2, preds(0)._3))
+      col("l_partkey").between(pmn, pmn + (pmx - pmn) / 10))
       .select(got.columns.map(col): _*)
     assert(got.exceptAll(expect).count() == 0 &&
       expect.exceptAll(got).count() == 0,
       "appended rows diverge from the plain filter")
     // every committed file got manifest stats (the incremental harvest)
-    val manFiles = spark.read.parquet(s"$dir/_zmanifest")
-      .select(col("f")).distinct().count()
-    val dataFiles = spark.read.parquet(dir).inputFiles
-      .count(!_.contains("_zmanifest"))
-    assert(manFiles == dataFiles, s"$manFiles stats rows for $dataFiles files")
+    val manFiles = ZOrder.listDataFiles(spark, dir).size
+    val readFiles = ZOrder.readSnapshot(spark, dir).inputFiles.length
+    assert(manFiles == readFiles, s"$manFiles stats rows for $readFiles files")
     val pre = got.count()
-    // crashed append: its data file landed, its manifest append didn't —
+    // crashed append: its data dir landed, its manifest version didn't —
     // the orphan must be INVISIBLE (partial batches never surface, and a
     // retry must not double rows)
     val retryBatch = li.limit(1).withColumn("l_partkey", lit(pmn))
-    val extraSrc = Files.createTempDirectory("graft-z4x").toString
-    retryBatch.coalesce(1).write.mode("overwrite").parquet(extraSrc)
-    val src = new java.io.File(extraSrc).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head.toPath
-    java.nio.file.Files.copy(src,
-      java.nio.file.Paths.get(dir, "part-orphan.snappy.parquet"))
+    retryBatch.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/d-orphanbatch")
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre,
-      "a crashed append's orphan file became visible")
+      "a crashed append's orphan data dir became visible")
     // the retry commits the batch exactly once
     ZOrder.appendZOrdered(retryBatch, dir, Seq("l_partkey", "l_suppkey"), 1)
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1,
       "retried append did not land exactly once")
-    // vacuum removes only the orphan; committed rows stay
+    // vacuum removes only the orphan dir; committed rows stay
     val removed = ZOrder.vacuumOrphans(spark, dir)
-    assert(removed == Seq("part-orphan.snappy.parquet"), removed.toString)
+    assert(removed == Seq("d-orphanbatch"), removed.toString)
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1)
+  }
+
+  test("empty append is a no-op: no data dir, no manifest version") {
+    val dir = Files.createTempDirectory("graft-zempty").toString
+    ZOrder.writeZOrdered(li.limit(100), dir,
+      Seq("l_partkey", "l_suppkey"), 2)
+    def versions(): Set[String] =
+      new java.io.File(dir, "_zmanifest/e0").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    def dataDirs(): Set[String] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+        .map(_.getName).toSet
+    val (v0, d0) = (versions(), dataDirs())
+    ZOrder.appendZOrdered(li.filter(col("l_orderkey") < 0), dir,
+      Seq("l_partkey", "l_suppkey"), 2)
+    assert(versions() == v0 && dataDirs() == d0,
+      "an empty append mutated the store")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 100)
+  }
+
+  test("re-cluster is a versioned swap: torn commit leaves the OLD snapshot, commit flips atomically") {
+    val dir = Files.createTempDirectory("graft-zswap").toString
+    ZOrder.writeZOrdered(li.filter(col("l_orderkey") % 10 =!= 9), dir,
+      Seq("l_partkey", "l_suppkey"), NumFiles)
+    for (m <- 0 to 2)
+      ZOrder.appendZOrdered(li.filter(col("l_orderkey") % 10 === 9 &&
+          col("l_orderkey") % 3 === m),
+        dir, Seq("l_partkey", "l_suppkey"), 2)
+    val expectAll = li.count()
+    val preFiles = ZOrder.listDataFiles(spark, dir)
+    assert(preFiles.size > NumFiles, "appends did not fragment the layout")
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+    ZOrder.reclusterZOrdered(spark, dir, Seq("l_partkey", "l_suppkey"),
+      NumFiles)
+    // TORN rebuild: hide the new epoch's commit marker — readers must
+    // fall back to the complete OLD epoch (old-or-new, never partial,
+    // never a listed-file error)
+    val marker = new java.io.File(dir, "_zmanifest/e1/v0/_SUCCESS")
+    val hidden = new java.io.File(dir, "_zmanifest/e1/v0/_HIDDEN")
+    assert(marker.exists(), "recluster did not commit epoch e1")
+    assert(marker.renameTo(hidden))
+    assert(ZOrder.listDataFiles(spark, dir) == preFiles,
+      "a torn re-cluster changed the visible snapshot")
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+    // commit lands → readers flip to the new epoch atomically
+    assert(hidden.renameTo(marker))
+    val postFiles = ZOrder.listDataFiles(spark, dir)
+    assert(postFiles.toSet.intersect(preFiles.toSet).isEmpty &&
+      postFiles.size <= NumFiles,
+      s"re-cluster left ${postFiles.size} files overlapping the old epoch")
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+    // pruning works on the re-clustered layout; rows still exact
+    val (pmn, pmx, _, _) = bounds()
+    val pred = ("l_partkey", pmn, pmn + (pmx - pmn) / 10)
+    val got = ZOrder.readZRange(spark, dir, Seq(pred))
+    assert(files(dir, pred) < postFiles.size, "no pruning after re-cluster")
+    assert(got.count() ==
+      li.filter(col("l_partkey").between(pred._2, pred._3)).count())
+    // vacuum drops the superseded epoch's manifest AND data dirs
+    val removed = ZOrder.vacuumOrphans(spark, dir)
+    assert(removed.contains("_zmanifest/e0"), removed.toString)
+    assert(removed.count(_.startsWith("d-")) == preFiles.map(_.split('/').head).distinct.size,
+      s"vacuum missed superseded data dirs: $removed")
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+  }
+
+  test("a manifest-listed but missing file fails the read loudly, never silently drops rows") {
+    val dir = Files.createTempDirectory("graft-zmiss").toString
+    ZOrder.writeZOrdered(li.limit(1000), dir,
+      Seq("l_partkey", "l_suppkey"), 4)
+    val victim = ZOrder.listDataFiles(spark, dir).head
+    assert(new java.io.File(dir, victim).delete())
+    val e = intercept[Exception] {
+      ZOrder.readSnapshot(spark, dir).count()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("not exist") || e.getMessage.contains(victim)),
+      s"unexpected failure shape: ${e.getMessage}")
+  }
+
+  test("read path never lists a data directory (recorder validated by the write-path positive)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lrfs.impl", classOf[ListRecordingFileSystem].getName)
+    val dir = "lrfs:" + Files.createTempDirectory("graft-zlist").toString
+    ZOrder.writeZOrdered(li.limit(2000), dir,
+      Seq("l_partkey", "l_suppkey"), 4)
+    // planted positive: an append's footer harvest lists its own batch
+    // dir — if the recorder misses that, the negative below is vacuous
+    ListRecordingFileSystem.drain()
+    ListRecordingFileSystem.recording = true
+    ZOrder.appendZOrdered(li.limit(10), dir, Seq("l_partkey", "l_suppkey"), 1)
+    ListRecordingFileSystem.recording = false
+    assert(ListRecordingFileSystem.drain()
+        .exists(p => p.contains("/d-") && !p.endsWith(".parquet")),
+      "recorder saw no data-dir listing from the write path — detector vacuous")
+    val (pmn, pmx, _, _) = bounds()
+    ListRecordingFileSystem.recording = true
+    ZOrder.readZRange(spark, dir,
+      Seq(("l_partkey", pmn, pmn + (pmx - pmn) / 10))).count()
+    ListRecordingFileSystem.recording = false
+    val reads = ListRecordingFileSystem.drain()
+    // listStatus on an explicit surviving FILE is an O(1) metadata call
+    // (the object-store HEAD Spark's file index issues per read path) —
+    // the forbidden shape is listing a DIRECTORY outside _zmanifest
+    val offenders = reads.filterNot(p =>
+      p.contains("_zmanifest") || p.endsWith(".parquet"))
+    assert(offenders.isEmpty,
+      s"read path listed non-manifest directories: $offenders")
   }
 
   test("z-order writers run in the enforced single-writer slot") {
@@ -130,6 +306,10 @@ class ZOrderSpec extends SparkSpec {
       intercept[graft.sources.Lease.HeldException] {
         ZOrder.appendZOrdered(li.limit(10), dir,
           Seq("l_partkey", "l_suppkey"), 1)
+      }
+      intercept[graft.sources.Lease.HeldException] {
+        ZOrder.reclusterZOrdered(spark, dir,
+          Seq("l_partkey", "l_suppkey"), 2)
       }
       intercept[graft.sources.Lease.HeldException] {
         ZOrder.vacuumOrphans(spark, dir)
@@ -147,5 +327,13 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.readZRange(spark, zDir, Seq(("l_orderkey", 0L, 10L)))
     }
     assert(e.getMessage.contains("l_orderkey"))
+    // and an ineligible stat-column TYPE refuses at write time
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(
+        li.limit(10).withColumn("arr", array(col("l_partkey"))),
+        Files.createTempDirectory("graft-z3b").toString,
+        Seq("l_partkey"), 2, statCols = Seq("arr"))
+    }
+    assert(e2.getMessage.contains("arr"))
   }
 }
