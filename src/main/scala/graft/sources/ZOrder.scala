@@ -210,15 +210,22 @@ object ZOrder {
     }
   }
 
+  /** Next epoch number past EVERY existing epoch dir, committed or
+    * crashed — an uncommitted leftover is never reused. */
+  private def nextEpoch(s: SparkSession, path: String): Long = {
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    (if (!fs.exists(mroot)) Seq.empty[Long]
+     else fs.listStatus(mroot).filter(_.isDirectory).toSeq
+       .flatMap(st => parseIdx(st.getPath.getName, "e")))
+      .maxOption.getOrElse(-1L) + 1
+  }
+
   private def commitNewEpoch(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String]): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
-    val fs = StoreMaint.fsFor(s, mroot)
-    val nextE = (if (!fs.exists(mroot)) Seq.empty[Long]
-      else fs.listStatus(mroot).filter(_.isDirectory).toSeq
-        .flatMap(st => parseIdx(st.getPath.getName, "e")))
-      .maxOption.getOrElse(-1L) + 1
+    val nextE = nextEpoch(s, path)
     // data first, then the epoch's v0 manifest: v0/_SUCCESS is the commit
     // point that flips readers to the new epoch
     val stats = zWrite(df, path, zcols, numFiles) match {
@@ -406,16 +413,41 @@ object ZOrder {
     else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** Collapse the current epoch's accumulated manifest versions into ONE
+    * (a new epoch whose v0 carries the same stats rows, re-pointing the
+    * SAME data files) — the Delta-checkpoint move: reader metadata stays
+    * O(1) versions after any number of appends WITHOUT paying
+    * [[reclusterZOrdered]]'s data rewrite. Commit and concurrency are the
+    * epoch swap's: old-or-new, never partial; the superseded epoch's
+    * manifest (only — the data is still referenced) falls to
+    * [[vacuumOrphans]]. */
+  def compactManifest(s: SparkSession, path: String): Unit =
+    Lease.withLease(s, path, "zorder-manifest-compact") {
+      val snap = requireSnapshot(s, path)
+      val (man, schema) = manifestAndSchema(s, snap)
+      val stats = man.filter(col("c") =!= lit(DdlKey))
+        .select(col("f"), col("c"), col("mn"), col("mx"), col("allnull"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3)), r.getBoolean(4)))
+        .toSeq
+      writeManifestVersion(s,
+        new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+        schema.toDDL, stats)
+    }
+
   /** Garbage-collect everything the current snapshot doesn't reference:
     * data dirs of crashed appends and superseded epochs, manifest dirs of
     * old epochs, and uncommitted version dirs in the current epoch. Runs
     * in the ENFORCED writer slot ([[Lease]]) so it can't race an
     * in-flight append's pre-commit window. Lock-free readers that
     * resolved a SUPERSEDED epoch before the vacuum fail loudly, never
-    * partially — a deployment sizes a retention delay between re-cluster
-    * and vacuum to its longest query, exactly Delta's VACUUM contract.
-    * Returns the removed root-relative names. */
-  def vacuumOrphans(s: SparkSession, path: String): Seq[String] =
+    * partially — `minAgeMs` is the retention delay that closes even that:
+    * candidates modified within the window are kept, so sizing it past
+    * the longest query (exactly Delta's VACUUM retention contract) means
+    * no live reader's epoch disappears underneath it. Returns the removed
+    * root-relative names. */
+  def vacuumOrphans(s: SparkSession, path: String,
+      minAgeMs: Long = 0L): Seq[String] =
     Lease.withLease(s, path, "zorder-vacuum") {
       currentSnapshot(s, path) match {
         case None => Seq.empty
@@ -425,28 +457,29 @@ object ZOrder {
             .select(col("f")).distinct()
             .collect().map(_.getString(0).split('/').head).toSet
           val fs = StoreMaint.fsFor(s, new Path(path))
+          val cutoff = System.currentTimeMillis() - minAgeMs
           val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+          def rm(p: Path, name: String): Unit =
+            if (fs.getFileStatus(p).getModificationTime <= cutoff) {
+              fs.delete(p, true)
+              removed += name
+            }
           fs.listStatus(new Path(path))
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
             .foreach { st =>
-              if (!liveDirs.contains(st.getPath.getName)) {
-                fs.delete(st.getPath, true)
-                removed += st.getPath.getName
-              }
+              if (!liveDirs.contains(st.getPath.getName))
+                rm(st.getPath, st.getPath.getName)
             }
           fs.listStatus(manifestRoot(path)).filter(_.isDirectory)
             .foreach { st =>
-              if (st.getPath.getName != snap.epochDir.getName) {
-                fs.delete(st.getPath, true)
-                removed += s"_zmanifest/${st.getPath.getName}"
-              } else {
+              if (st.getPath.getName != snap.epochDir.getName)
+                rm(st.getPath, s"_zmanifest/${st.getPath.getName}")
+              else
                 fs.listStatus(st.getPath).filter(_.isDirectory).foreach { v =>
-                  if (!isCommitted(fs, v.getPath)) {
-                    fs.delete(v.getPath, true)
-                    removed += s"_zmanifest/${st.getPath.getName}/${v.getPath.getName}"
-                  }
+                  if (!isCommitted(fs, v.getPath))
+                    rm(v.getPath,
+                      s"_zmanifest/${st.getPath.getName}/${v.getPath.getName}")
                 }
-              }
             }
           removed.sorted.toSeq
       }
@@ -465,13 +498,15 @@ object ZOrder {
       stores.getOrElseUpdate(d, {
         val dir = Files.createTempDirectory("graft-zorder").toString
         val li = Tables.lineitem(s, d)
-        // build + one incremental batch: the oracle (the plain filter
-        // over the WHOLE table) then covers append visibility and the
-        // merged manifest, not just the initial layout
+        // build + one incremental batch + a manifest-only compaction: the
+        // oracle (the plain filter over the WHOLE table) then covers
+        // append visibility AND the compacted-epoch read path, not just
+        // the initial layout
         writeZOrdered(li.filter(col("l_orderkey") % 10 =!= 9), dir,
           Seq("l_partkey", "l_suppkey"), NumFiles)
         appendZOrdered(li.filter(col("l_orderkey") % 10 === 9), dir,
           Seq("l_partkey", "l_suppkey"), math.max(NumFiles / 10, 1))
+        compactManifest(s, dir)
         dir
       })
     }

@@ -183,7 +183,10 @@ class ZOrderSpec extends SparkSpec {
     ZOrder.appendZOrdered(retryBatch, dir, Seq("l_partkey", "l_suppkey"), 1)
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1,
       "retried append did not land exactly once")
-    // vacuum removes only the orphan dir; committed rows stay
+    // a vacuum inside the retention window keeps the orphan (a live
+    // reader's epoch can never vanish underneath it); outside removes it
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L).isEmpty)
+    assert(new java.io.File(dir, "d-orphanbatch").exists())
     val removed = ZOrder.vacuumOrphans(spark, dir)
     assert(removed == Seq("d-orphanbatch"), removed.toString)
     assert(ZOrder.readZRange(spark, dir, preds).count() == pre + 1)
@@ -251,6 +254,37 @@ class ZOrderSpec extends SparkSpec {
     assert(removed.contains("_zmanifest/e0"), removed.toString)
     assert(removed.count(_.startsWith("d-")) == preFiles.map(_.split('/').head).distinct.size,
       s"vacuum missed superseded data dirs: $removed")
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+  }
+
+  test("manifest-only compaction: one version re-points the SAME files; reads unchanged; old epoch vacuumed") {
+    val dir = Files.createTempDirectory("graft-zmanc").toString
+    ZOrder.writeZOrdered(li.filter(col("l_orderkey") % 10 =!= 9), dir,
+      Seq("l_partkey", "l_suppkey"), 8)
+    for (m <- 0 to 2)
+      ZOrder.appendZOrdered(li.filter(col("l_orderkey") % 10 === 9 &&
+          col("l_orderkey") % 3 === m),
+        dir, Seq("l_partkey", "l_suppkey"), 2)
+    val preFiles = ZOrder.listDataFiles(spark, dir)
+    val expectAll = li.count()
+    assert(new java.io.File(dir, "_zmanifest/e0").listFiles()
+      .count(_.isDirectory) == 4, "expected v0..v3 before compaction")
+    ZOrder.compactManifest(spark, dir)
+    // the same data files, now under ONE manifest version of a new epoch
+    assert(ZOrder.listDataFiles(spark, dir) == preFiles,
+      "manifest compaction must not touch data")
+    assert(new java.io.File(dir, "_zmanifest/e1").listFiles()
+      .count(_.isDirectory) == 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
+    val (pmn, pmx, _, _) = bounds()
+    val pred = ("l_partkey", pmn, pmn + (pmx - pmn) / 10)
+    assert(files(dir, pred) < preFiles.size, "pruning lost after compaction")
+    assert(ZOrder.readZRange(spark, dir, Seq(pred)).count() ==
+      li.filter(col("l_partkey").between(pred._2, pred._3)).count())
+    // vacuum drops ONLY the superseded epoch's manifest — every data dir
+    // is still referenced by the compacted epoch
+    val removed = ZOrder.vacuumOrphans(spark, dir)
+    assert(removed == Seq("_zmanifest/e0"), removed.toString)
     assert(ZOrder.readSnapshot(spark, dir).count() == expectAll)
   }
 

@@ -186,4 +186,57 @@ class ObjectStoreSafetySpec extends graft.SparkSpec {
     assert(GraftShardsSource.currentEnds(new Path(dir))
       == Map("shard-0000" -> 4L, "shard-0001" -> 3L))
   }
+
+  test("z-store: a reader racing a slow re-cluster swap sees the old or new snapshot, never a mix") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val path = slowPath("graft-slowz")
+    val df = spark.range(2200).select(col("id").as("k1"),
+      (col("id") * 7 % 1000).as("k2"))
+    ZOrder.writeZOrdered(df.filter(col("k1") < 2000), path,
+      Seq("k1", "k2"), 8)
+    ZOrder.appendZOrdered(df.filter(col("k1") >= 2000), path,
+      Seq("k1", "k2"), 2)
+    val expect = (2200L, 2200L * 2199L / 2L)
+    def checksum(): (Long, Long) = {
+      val r = ZOrder.readSnapshot(spark, path)
+        .agg(count(lit(1)), sum(col("k1"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(checksum() == expect)
+    val stop = new AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var probes = 0
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // every mid-swap observation must be a COMPLETE snapshot —
+          // re-cluster preserves rows, so any count/sum drift means a
+          // partially-visible epoch (the torn window the versioned swap
+          // is there to close); a listed-but-missing file would THROW,
+          // which is also recorded as a violation here because nothing
+          // is vacuumed during the race
+          val got = checksum()
+          if (got != expect) bad.add(s"partial snapshot: $got")
+          probes += 1
+        } catch {
+          case e: Exception => bad.add(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    SlowRenameFileSystem.renameDelayMs = 40
+    try ZOrder.reclusterZOrdered(spark, path, Seq("k1", "k2"), 8)
+    finally {
+      SlowRenameFileSystem.renameDelayMs = 0
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(bad.isEmpty, s"unsafe observations: ${bad.toArray.mkString("; ")}")
+    assert(probes >= 3,
+      s"reader only probed $probes times — race window too small to trust")
+    // post-swap: new epoch serves the same rows; vacuum keeps them
+    assert(checksum() == expect)
+    ZOrder.vacuumOrphans(spark, path)
+    assert(checksum() == expect)
+  }
 }
