@@ -18,8 +18,7 @@ object DbgProf {
       val t0 = System.nanoTime(); val n = f
       println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    for (q <- Seq(graft.text.TextAnalysis.q111MergeLearning,
-        graft.text.TextAnalysis.q131BpeApply,
+    for (q <- Seq(graft.sources.ZOrder.q132ZOrderStreamIngest,
         graft.sources.ZOrder.q123ZOrderRead)) {
       time(q.name + "-1")(q.fn(spark, d).count())
       time(q.name + "-2")(q.fn(spark, d).count())

@@ -164,6 +164,10 @@ object ScaleProbe {
       // fourth exactly-once loop)
       "q127_pq_ingest" -> ((d, _) =>
         graft.sim.PqIndex.q127PqStreamIngest.fn(spark, d)),
+      // round-9: z-store streaming ingest (the fifth exactly-once loop;
+      // tag-idempotent appends + marker recipe)
+      "q132_zorder_ingest" -> ((d, _) =>
+        graft.sources.ZOrder.q132ZOrderStreamIngest.fn(spark, d)),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-sp-vecidx").toString
@@ -212,6 +216,28 @@ object ScaleProbe {
         graft.sources.ZOrder.readZRange(spark, dir,
           Seq(("k1", 20000L, 30000L), ("k2", 40000L, 50000L)))
       }),
+      // round-9: the APPEND lifecycle at scale — 5 incremental batches
+      // into a 10x-bigger base, then a manifest-only compaction and a
+      // pruned read; per-append cost is O(batch files) by design (the
+      // batch dir is the only thing listed/harvested), so growth should
+      // track the base build, never the append count x table size
+      "q123_zappend_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-zappend").toString
+        val t = Tables.documents(spark, d).select(col("doc_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"),
+          pmod(hash(col("doc_id"), lit(2)), lit(100000)).cast("long").as("k2"))
+        graft.sources.ZOrder.writeZOrdered(
+          t.filter(col("doc_id") % 2 === 0), dir, Seq("k1", "k2"),
+          32 * scale)
+        for (m <- 0 until 5)
+          graft.sources.ZOrder.appendZOrdered(
+            t.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === m),
+            dir, Seq("k1", "k2"), math.max(3 * scale, 1))
+        graft.sources.ZOrder.compactManifest(spark, dir)
+        graft.sources.ZOrder.readZRange(spark, dir,
+          Seq(("k1", 20000L, 30000L), ("k2", 40000L, 50000L)))
+      }),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
@@ -246,7 +272,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read)","cpus":$cpus}""")
     spark.stop()
   }
 }

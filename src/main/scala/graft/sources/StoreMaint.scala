@@ -91,26 +91,36 @@ object StoreMaint {
     * `reset` (a full rebuild whose write just cleared the dir) records
     * the batch schema outright. Atomic temp+rename under the caller's
     * writer lease; returns the recorded union. */
-  private[graft] def evolveSchema(s: SparkSession, dir: String,
-      batch: org.apache.spark.sql.types.StructType,
-      reset: Boolean = false): org.apache.spark.sql.types.StructType = {
+  /** The pure add-only union under [[evolveSchema]] (also the z-store's
+    * per-version recorded DDL): prev ∪ batch by name (case-insensitive),
+    * everything nullable, a same-name type change refuses loudly. */
+  private[sources] def unionSchemas(what: String,
+      prev: Option[org.apache.spark.sql.types.StructType],
+      batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
-    val prev = if (reset) None else recordedSchema(s, dir)
     prev.foreach(_.foreach { f =>
       batch.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
         require(Sources.deepNullable(g.dataType) ==
             Sources.deepNullable(f.dataType),
-          s"$dir: cannot change the type of column ${f.name}: " +
+          s"$what: cannot change the type of column ${f.name}: " +
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
             "(schema evolution is add-only)")
       }
     })
-    val union = StructType((prev match {
+    StructType((prev match {
       case Some(ps) => ps.fields ++ batch.fields.filterNot(f =>
         ps.fields.exists(_.name.equalsIgnoreCase(f.name)))
       case None => batch.fields
     }).map(f => f.copy(
       dataType = Sources.deepNullable(f.dataType), nullable = true)).toSeq)
+  }
+
+  private[graft] def evolveSchema(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.types.StructType,
+      reset: Boolean = false): org.apache.spark.sql.types.StructType = {
+    val union = unionSchemas(dir,
+      if (reset) None else recordedSchema(s, dir), batch)
     val p = schemaPath(dir)
     val fs = fsFor(s, p)
     fs.mkdirs(p.getParent)

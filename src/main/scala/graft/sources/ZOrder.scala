@@ -176,7 +176,17 @@ object ZOrder {
   def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
     Lease.withLease(s, path, "zorder-recluster") {
-      commitNewEpoch(readSnapshot(s, path), path, zcols, numFiles, statCols)
+      // batch tags carry into the new epoch: a replayed tagged append
+      // stays a no-op even when the re-cluster already folded its rows in
+      val snap = requireSnapshot(s, path)
+      val (man, schema) = manifestAndSchema(s, snap)
+      val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val df =
+        if (files.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+        else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man))
     }
 
   /** Append a batch: z-sort it by its OWN bounds into a fresh data dir of
@@ -187,24 +197,49 @@ object ZOrder {
     * quality degrades as appends accumulate ([[reclusterZOrdered]]
     * restores it); skipping soundness never does: stats are actual footer
     * ranges. */
+  /** `tag` (unique per logical batch) makes the append EXACTLY-ONCE under
+    * at-least-once replay: a committed version already carrying the tag
+    * turns the replay into a no-op — the z-store has no key-dedup read
+    * tolerance to lean on (rows aren't functional in a key), so the tag
+    * IS the idempotence mechanism, riding the version commit itself
+    * (crash after data, before the version: invisible orphan, retry
+    * lands once; crash after the version, before the caller's own
+    * marker: the tag skips the re-append). */
   def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+      numFiles: Int, statCols: Seq[String] = Seq.empty,
+      tag: Option[String] = None): Unit = {
     val s = df.sparkSession
     Lease.withLease(s, path, "zorder-append") {
       currentSnapshot(s, path) match {
-        case None => commitNewEpoch(df, path, zcols, numFiles, statCols)
+        case None => commitNewEpoch(df, path, zcols, numFiles, statCols,
+          tag.toSeq)
         case Some(snap) =>
-          zWrite(df, path, zcols, numFiles).foreach { dname =>
-            val stats = harvestStats(s, path, dname,
-              if (statCols.nonEmpty) statCols else zcols, df.schema)
-            val fs = StoreMaint.fsFor(s, snap.epochDir)
-            // next version past EVERY existing v-dir, committed or
-            // crashed — an uncommitted leftover is never reused
-            val nextV = fs.listStatus(snap.epochDir).filter(_.isDirectory)
-              .flatMap(st => parseIdx(st.getPath.getName, "v"))
-              .maxOption.getOrElse(-1L) + 1
-            writeManifestVersion(s, snap.epochDir, nextV, df.schema.toDDL,
-              stats)
+          val (man, recorded) = manifestAndSchema(s, snap)
+          val replayed = tag.exists(t =>
+            man.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
+              .limit(1).count() > 0)
+          if (!replayed) {
+            // the recorded table schema evolves by the same add-only
+            // union as the index stores (StoreMaint.unionSchemas): an
+            // append may ADD columns (old files null-fill), may OMIT
+            // recorded columns (its rows read null — recording only the
+            // batch schema here would silently hide carried columns from
+            // every later read), and refuses a type change BEFORE any
+            // data lands
+            val union = StoreMaint.unionSchemas(s"$path (z-store)",
+              Some(recorded), df.schema)
+            zWrite(df, path, zcols, numFiles).foreach { dname =>
+              val stats = harvestStats(s, path, dname,
+                if (statCols.nonEmpty) statCols else zcols, df.schema)
+              val fs = StoreMaint.fsFor(s, snap.epochDir)
+              // next version past EVERY existing v-dir, committed or
+              // crashed — an uncommitted leftover is never reused
+              val nextV = fs.listStatus(snap.epochDir).filter(_.isDirectory)
+                .flatMap(st => parseIdx(st.getPath.getName, "v"))
+                .maxOption.getOrElse(-1L) + 1
+              writeManifestVersion(s, snap.epochDir, nextV, union.toDDL,
+                stats, tag.toSeq)
+            }
           }
       }
     }
@@ -222,7 +257,8 @@ object ZOrder {
   }
 
   private def commitNewEpoch(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int, statCols: Seq[String]): Unit = {
+      numFiles: Int, statCols: Seq[String],
+      tags: Seq[String] = Seq.empty): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
     val nextE = nextEpoch(s, path)
@@ -234,7 +270,7 @@ object ZOrder {
       case None => Seq.empty // empty table: schema-only manifest
     }
     writeManifestVersion(s, new Path(mroot, s"e$nextE"), 0L, df.schema.toDDL,
-      stats)
+      stats, tags)
   }
 
   /** Write one z-clustered batch into a FRESH data dir; returns its name,
@@ -312,18 +348,32 @@ object ZOrder {
     } finally bc.destroy()
   }
 
+  /** The DDL rows' otherwise-unused `mx` slot carries batch TAGS — the
+    * idempotence tokens [[appendZOrdered]] checks on replay (one row per
+    * tag; all carry the same ddl in `mn`, so the schema read is
+    * order-insensitive). No extra row kind, so every consumer's
+    * `c =!= DdlKey` filter keeps working unchanged. [[compactManifest]]
+    * and [[reclusterZOrdered]] CARRY the epoch's tags forward — a
+    * replayed append stays a no-op across manifest rewrites. */
   private def writeManifestVersion(s: SparkSession, edir: Path, ver: Long,
       ddl: String,
-      stats: Seq[(String, String, Option[String], Option[String], Boolean)])
-      : Unit = {
+      stats: Seq[(String, String, Option[String], Option[String], Boolean)],
+      tags: Seq[String] = Seq.empty): Unit = {
     import s.implicits._
     val rows = stats.map { case (f, c, mn, mx, an) =>
       (ver, f, c, mn, mx, an)
-    } :+ ((ver, "", DdlKey, Option(ddl), None: Option[String], false))
+    } ++ tags.distinct.map(t =>
+      (ver, "", DdlKey, Option(ddl), Option(t), false)) :+
+      ((ver, "", DdlKey, Option(ddl), None: Option[String], false))
     rows.toDF("ver", "f", "c", "mn", "mx", "allnull")
       .coalesce(1).write.mode("overwrite")
       .parquet(new Path(edir, s"v$ver").toString)
   }
+
+  /** Every batch tag recorded in the snapshot's manifest. */
+  private def manifestTags(man: DataFrame): Seq[String] =
+    man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
+      .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
 
   // ---- read paths ---------------------------------------------------------
 
@@ -432,7 +482,7 @@ object ZOrder {
         .toSeq
       writeManifestVersion(s,
         new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
-        schema.toDDL, stats)
+        schema.toDDL, stats, manifestTags(man))
     }
 
   /** Garbage-collect everything the current snapshot doesn't reference:
@@ -549,5 +599,113 @@ object ZOrder {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
-  val all: Seq[Q] = Seq(q123ZOrderRead)
+  // ---- q132: continuous z-store ingest (exactly-once) ---------------------
+
+  private val TargetBatches = 2L
+
+  /** One z-ingest micro-batch: derive the clustering keys, append the
+    * batch under its TAG, then answer the STANDING band query through the
+    * store — the q117 append-then-answer shape for the fifth persisted
+    * store. Exactly-once is two-layer like every ingest loop here: the
+    * applied-marker skips a fully-replayed batch wholesale, and the
+    * marker-missed window (crash after the version commit, before the
+    * marker) is closed by the batch TAG riding the manifest version —
+    * the z-store's rows aren't functional in a key, so duplicate-tolerant
+    * reads can't absorb a re-append the way the other four stores do;
+    * the tag makes the re-append itself a no-op. */
+  private[graft] def ingestBatch(s: SparkSession, root: String,
+      df: DataFrame, id: Long, lo: Long, hi: Long): Unit = {
+    if (StoreMaint.batchAlreadyApplied(s, root, id)) return
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val store = s"$root/store"
+      appendZOrdered(
+        df.select(col("doc_id"),
+          length(col("text")).cast("long").as("k1"),
+          pmod(col("doc_id"), lit(997L)).as("k2")),
+        store, Seq("k1", "k2"), 2, tag = Some(s"b$id"))
+      readZRange(s, store, Seq(("k1", lo, hi)))
+        .select(col("doc_id"), col("k1"), col("k2"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/out/batch=$id")
+      StoreMaint.markApplied(s, root, id)
+    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+
+  /** q132: CONTINUOUS z-store ingest — documents arrive over the
+    * graft-shards stream (explicit doc_id-mod routing) in two
+    * rate-limited micro-batches; each derives clustering keys
+    * (k1 = text length, k2 = doc_id mod 997 — both engine-mirrorable),
+    * z-appends itself to the store (which starts EMPTY), and answers the
+    * standing k1-band query through the manifest-pruned read, so batch
+    * b's rows are the store state after batches ≤ b. EXACT oracle by the
+    * q108/q117 recipe: batch membership is rank-in-shard div limit in
+    * SQL, the band bounds derive from the full corpus, and the per-batch
+    * answer is the plain filter over member docs — a double-appended
+    * batch (broken tag/marker), a lost batch, a wrongly-pruned file, or
+    * a broken residual filter all hash-fail. Completes the symmetry:
+    * all FIVE persisted stores have exactly-once streaming ingest. */
+  val q132ZOrderStreamIngest: Q = Q(
+    "q132_zorder_stream_ingest",
+    s"""WITH b0 AS (SELECT MIN(LENGTH(text)) AS mn, MAX(LENGTH(text)) AS mx
+       |  FROM documents),
+       |shardseq AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id % ${GraftShards.NumShards}
+       |      ORDER BY doc_id) - 1 AS seq
+       |  FROM documents),
+       |lim AS (SELECT CAST(CEIL(CAST(MAX(c) AS DOUBLE) / $TargetBatches) AS BIGINT) AS r
+       |  FROM (SELECT COUNT(*) AS c FROM documents
+       |        GROUP BY doc_id % ${GraftShards.NumShards})),
+       |batched AS (
+       |  SELECT s.doc_id, CAST(s.seq // l.r AS BIGINT) AS batch FROM shardseq s, lim l),
+       |bs AS (SELECT DISTINCT batch FROM batched),
+       |member AS (
+       |  SELECT bs.batch, bt.doc_id FROM bs JOIN batched bt ON bt.batch <= bs.batch)
+       |SELECT m.batch, d.doc_id, LENGTH(d.text) AS k1, d.doc_id % 997 AS k2
+       |FROM member m JOIN documents d USING (doc_id), b0
+       |WHERE LENGTH(d.text) BETWEEN b0.mn + (b0.mx - b0.mn) * 3 // 10
+       |                         AND b0.mn + (b0.mx - b0.mn) * 7 // 10
+       |ORDER BY m.batch, d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val numShards = GraftShards.NumShards
+    val shardDir = GraftShards.documentsShards(s, d)
+    val maxShardCnt = Tables.documents(s, d)
+      .groupBy(pmod(col("doc_id"), lit(numShards))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+    // the standing band derives from the full corpus — a constant of the
+    // deployment, mirrored by the oracle's b0 CTE
+    val b = Tables.documents(s, d)
+      .agg(min(length(col("text"))), max(length(col("text")))).head()
+    val (mn, mx) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val (lo, hi) = (mn + (mx - mn) * 3 / 10, mn + (mx - mn) * 7 / 10)
+    val root = Files.createTempDirectory("graft-zorder-ingest").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.format("graft-shards")
+      .option("startingPosition", "TRIM_HORIZON")
+      .option("maxRecordsPerShardPerTrigger", limit.toString)
+      .load(shardDir)
+      .select(from_json(col("data"), docSchema).as("r"))
+      .select(col("r.*"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ingestBatch(s, root, df, id, lo, hi)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("batch").cast("long").as("batch"), col("doc_id"),
+        col("k1"), col("k2"))
+      .orderBy(col("batch"), col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest)
 }

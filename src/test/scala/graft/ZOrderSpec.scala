@@ -332,6 +332,100 @@ class ZOrderSpec extends SparkSpec {
       s"read path listed non-manifest directories: $offenders")
   }
 
+  test("z-store appends evolve the recorded schema add-only: null-fill, no column loss, type refusal") {
+    val dir = Files.createTempDirectory("graft-zevo").toString
+    val base = spark.range(1000).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"), lit("old").as("tag"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 4)
+    // the evolving batch ADDS `note` and OMITS `tag`
+    val batch = spark.range(1000, 1200).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"), lit("n").as("note"))
+    ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1)
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.columns.toSet == Set("k1", "k2", "tag", "note"),
+      s"recorded union lost a column: ${got.columns.mkString(",")}")
+    assert(got.filter(col("tag") === "old").count() == 1000 &&
+      got.filter(col("note") === "n").count() == 200)
+    assert(got.filter(col("tag").isNull).count() == 200 &&
+      got.filter(col("note").isNull).count() == 1000,
+      "old/new partitions did not null-fill the other side's column")
+    // range reads prune on the evolved snapshot too
+    assert(ZOrder.readZRange(spark, dir,
+      Seq(("k1", 1050L, 1100L))).count() == 51)
+    // type change refuses BEFORE any data lands
+    val pre = ZOrder.listDataFiles(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(1).select(col("id").as("k1"),
+          (col("id") % 100).as("k2"), lit(7L).as("note")),
+        dir, Seq("k1", "k2"), 1)
+    }
+    assert(e.getMessage.contains("note") && e.getMessage.contains("add-only"))
+    assert(ZOrder.listDataFiles(spark, dir) == pre,
+      "a refused append still landed data")
+  }
+
+  test("a version written without a column's stats keeps its files readable under that predicate") {
+    val dir = Files.createTempDirectory("graft-zdrift").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(mk(0, 1000), dir, Seq("k1", "k2"), 4)
+    // the append records stats for k1 ONLY — its files carry no k2 rows
+    // in the manifest, so a k2 predicate must READ them (no evidence =
+    // no exclusion), never prune them
+    ZOrder.appendZOrdered(mk(1000, 1100), dir, Seq("k1"), 1,
+      statCols = Seq("k1"))
+    assert(ZOrder.readZRange(spark, dir, Seq(("k2", 0L, 99L))).count()
+      == 1100, "stat-less-version files were wrongly pruned")
+    val got = ZOrder.readZRange(spark, dir, Seq(("k2", 10L, 20L)))
+    assert(got.count() == 11 * 11, // 11 k2 values × (10 + 1) k1 cycles
+      s"residual over a stats-drifted snapshot wrong: ${got.count()}")
+  }
+
+  test("tagged appends are exactly-once: replays no-op, and tags survive manifest compaction and re-cluster") {
+    val dir = Files.createTempDirectory("graft-ztag").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(mk(0, 1000), dir, Seq("k1", "k2"), 4)
+    ZOrder.appendZOrdered(mk(1000, 1100), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    def rows(): Long = ZOrder.readSnapshot(spark, dir).count()
+    assert(rows() == 1100)
+    // the marker-missed replay: same tag → structural no-op
+    ZOrder.appendZOrdered(mk(1000, 1100), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    assert(rows() == 1100, "tagged replay re-appended")
+    // tags survive a manifest-only compaction…
+    ZOrder.compactManifest(spark, dir)
+    ZOrder.appendZOrdered(mk(1000, 1100), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    assert(rows() == 1100, "tag lost across manifest compaction")
+    // …and a re-cluster that already folded the batch's rows in
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+    ZOrder.appendZOrdered(mk(1000, 1100), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    assert(rows() == 1100, "tag lost across re-cluster")
+    // a NEW tag still lands, and an untagged append is unguarded
+    ZOrder.appendZOrdered(mk(1100, 1150), dir, Seq("k1", "k2"), 1,
+      tag = Some("b2"))
+    assert(rows() == 1150)
+  }
+
+  test("range predicates reach the surviving files' scan as parquet PushedFilters") {
+    val dir = Files.createTempDirectory("graft-zpush").toString
+    ZOrder.writeZOrdered(li.limit(5000), dir, Seq("l_partkey", "l_suppkey"), 4)
+    val (pmn, pmx, _, _) = bounds()
+    val got = ZOrder.readZRange(spark, dir,
+      Seq(("l_partkey", pmn, pmn + (pmx - pmn) / 2)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_partkey") &&
+      plan.contains("LessThanOrEqual(l_partkey"),
+      "residual range did not reach the scan as a PushedFilter")
+    // planted negative: the unfiltered snapshot read pushes no range
+    val plain = ZOrder.readSnapshot(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("GreaterThanOrEqual(l_partkey"))
+  }
+
   test("z-order writers run in the enforced single-writer slot") {
     val dir = Files.createTempDirectory("graft-z5").toString
     ZOrder.writeZOrdered(li.limit(100), dir,
