@@ -238,6 +238,24 @@ object ScaleProbe {
         graft.sources.ZOrder.readZRange(spark, dir,
           Seq(("k1", 20000L, 30000L), ("k2", 40000L, 50000L)))
       }),
+      // round-9 second wave: copy-on-write DELETE at scale — a fixed 10%
+      // k1-band delete against a 10x-bigger store (file count 32→320, so
+      // per-file sizes stay put); cost should track the AFFECTED file
+      // volume (stats prune the rewrite set, unaffected files carry by
+      // reference), then a pruned read over the post-delete epoch
+      "q133_zdelete_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-zdelete").toString
+        val t = Tables.documents(spark, d).select(col("doc_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"),
+          pmod(hash(col("doc_id"), lit(2)), lit(100000)).cast("long").as("k2"))
+        graft.sources.ZOrder.writeZOrdered(t, dir, Seq("k1", "k2"),
+          32 * scale)
+        graft.sources.ZOrder.deleteZRange(spark, dir,
+          Seq(("k1", 20000L, 30000L)), Seq("k1", "k2"))
+        graft.sources.ZOrder.readZRange(spark, dir,
+          Seq(("k2", 40000L, 50000L)))
+      }),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
@@ -272,7 +290,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read)","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference)","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -98,6 +98,18 @@ object ZOrder {
     * the DDL); every other row is a per-(file, column) stat. */
   private val DdlKey = "__ddl__"
 
+  /** Manifest row key of the per-file SIZE row (`mn` holds the byte
+    * length): recorded at harvest so maintenance ops ([[compactSmallFiles]])
+    * pick their candidates from the manifest instead of issuing O(table
+    * files) HEAD calls — the reason Delta keeps sizes in its log. Never a
+    * pruning column; [[statRows]] filters it out of the stats plane. */
+  private val SizeKey = "__size__"
+
+  /** The per-(file, column) PRUNING stats — excludes the DDL rows and the
+    * per-file size rows. */
+  private def statRows(man: DataFrame): DataFrame =
+    man.filter(col("c") =!= lit(DdlKey) && col("c") =!= lit(SizeKey))
+
   private def manifestRoot(path: String) = new Path(path, "_zmanifest")
 
   private def parseIdx(name: String, pfx: String): Option[Long] =
@@ -337,13 +349,15 @@ object ZOrder {
           val st = hp.getFileSystem(conf).getFileStatus(hp)
           val accs = Sources.footerColStats(st, conf, fields)
           val rel = s"$dname/${hp.getName}"
-          fields.map { f =>
-            accs(f.name.toLowerCase) match {
-              case None => (rel, f.name, None, None, false) // unknown: read
-              case Some((None, None)) => (rel, f.name, None, None, true)
-              case Some((mn, mx)) => (rel, f.name, mn, mx, false)
+          (rel, SizeKey, Option(st.getLen.toString), None: Option[String],
+            false) +:
+            fields.map { f =>
+              accs(f.name.toLowerCase) match {
+                case None => (rel, f.name, None, None, false) // unknown: read
+                case Some((None, None)) => (rel, f.name, None, None, true)
+                case Some((mn, mx)) => (rel, f.name, mn, mx, false)
+              }
             }
-          }
         }.collect().toSeq
     } finally bc.destroy()
   }
@@ -374,6 +388,27 @@ object ZOrder {
   private def manifestTags(man: DataFrame): Seq[String] =
     man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
       .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
+
+  /** The distinct stat columns recorded anywhere in the snapshot's
+    * manifest that still exist in `schema` — the coverage a
+    * copy-on-write rewrite preserves for its fresh files. */
+  private def recordedStatCols(man: DataFrame,
+      schema: StructType): Seq[String] =
+    statRows(man).select(col("c")).distinct().collect().map(_.getString(0))
+      .filter(c => schema.exists(_.name.equalsIgnoreCase(c))).toSeq.sorted
+
+  /** The manifest's stat + size rows for every file EXCEPT `drop`, as
+    * [[writeManifestVersion]] tuples — the carry-by-reference half of a
+    * copy-on-write commit (same driver-bounded collect as
+    * [[compactManifest]]). */
+  private def carriedStats(man: DataFrame, drop: Set[String])
+      : Seq[(String, String, Option[String], Option[String], Boolean)] =
+    man.filter(col("c") =!= lit(DdlKey))
+      .select(col("f"), col("c"), col("mn"), col("mx"), col("allnull"))
+      .collect()
+      .filter(r => !drop.contains(r.getString(0)))
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)), r.getBoolean(4))).toSeq
 
   // ---- read paths ---------------------------------------------------------
 
@@ -408,15 +443,25 @@ object ZOrder {
     * read loudly (a store violating the listed ⇒ present invariant must
     * never silently drop rows). */
   def readZRange(s: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)]): DataFrame =
+    readZRangeSnap(s, path, requireSnapshot(s, path), preds)
+
+  /** [[readZRange]] against a PAST committed snapshot (time travel) —
+    * readable until [[vacuumOrphans]] collects it; sizing the vacuum's
+    * `minAgeMs` past the travel horizon is the retention contract. */
+  def readZRangeAt(s: SparkSession, path: String, epoch: Long, version: Long,
+      preds: Seq[(String, Any, Any)]): DataFrame =
+    readZRangeSnap(s, path, snapshotAt(s, path, epoch, version), preds)
+
+  private def readZRangeSnap(s: SparkSession, path: String, snap: ZSnapshot,
       preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readZRange needs at least one predicate")
-    val snap = requireSnapshot(s, path)
     val (man0, schema) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keep =
       try {
-        val have = man.select(col("c")).distinct()
+        val have = statRows(man).select(col("c")).distinct()
           .collect().map(_.getString(0)).toSet
         preds.foreach(p => require(have.contains(p._1),
           s"no manifest stats for column ${p._1} " +
@@ -454,14 +499,96 @@ object ZOrder {
     * files) — the OPTIMIZE-path input ([[reclusterZOrdered]]) and the
     * no-predicate table read. O(table files) driver file names, like any
     * whole-table plan. */
-  def readSnapshot(s: SparkSession, path: String): DataFrame = {
-    val snap = requireSnapshot(s, path)
+  def readSnapshot(s: SparkSession, path: String): DataFrame =
+    readSnapshotOf(s, path, requireSnapshot(s, path))
+
+  private def readSnapshotOf(s: SparkSession, path: String,
+      snap: ZSnapshot): DataFrame = {
     val (man, schema) = manifestAndSchema(s, snap)
     val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
       .distinct().collect().map(_.getString(0)).sorted
     if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
   }
+
+  // ---- time travel --------------------------------------------------------
+
+  /** Every committed snapshot, as (epoch, version) in commit order — the
+    * travel coordinates for [[readSnapshotAt]]/[[readZRangeAt]]. A version
+    * of epoch e means "epoch e's state after its first version+1 commits";
+    * epochs whose v0 never committed (crashed rebuilds) are not snapshots. */
+  def listVersions(s: SparkSession, path: String): Seq[(Long, Long)] = {
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    if (!fs.exists(mroot)) return Seq.empty
+    fs.listStatus(mroot).filter(_.isDirectory).toSeq
+      .flatMap(st => parseIdx(st.getPath.getName, "e").map(_ -> st.getPath))
+      .filter { case (_, p) => isCommitted(fs, new Path(p, "v0")) }
+      .flatMap { case (e, edir) =>
+        fs.listStatus(edir).filter(_.isDirectory)
+          .flatMap(st => parseIdx(st.getPath.getName, "v"))
+          .filter(v => isCommitted(fs, new Path(edir, s"v$v")))
+          .map(v => (e, v))
+      }.sorted
+  }
+
+  /** Resolve a PAST committed snapshot — epoch e at version v = the state
+    * the store exposed after that commit. Refuses loudly on a
+    * never-committed or vacuumed coordinate (a silently-empty past would
+    * be the worst possible answer to an audit query). */
+  private def snapshotAt(s: SparkSession, path: String, epoch: Long,
+      version: Long): ZSnapshot = {
+    val edir = new Path(manifestRoot(path), s"e$epoch")
+    val fs = StoreMaint.fsFor(s, edir)
+    require(fs.exists(edir) && isCommitted(fs, new Path(edir, "v0")),
+      s"no committed epoch e$epoch under $path (vacuumed, or never " +
+        "committed) — see listVersions")
+    val vdirs = fs.listStatus(edir).filter(_.isDirectory)
+      .flatMap(st => parseIdx(st.getPath.getName, "v").map(_ -> st.getPath))
+      .filter { case (v, p) => v <= version && isCommitted(fs, p) }
+      .sortBy(_._1)
+    require(vdirs.exists(_._1 == version),
+      s"epoch e$epoch has no committed version v$version — see listVersions")
+    ZSnapshot(epoch, edir, vdirs.map(_._2).toSeq)
+  }
+
+  /** Incremental change feed: the rows ADDED after committed coordinate
+    * (`epoch`, `version`) — the z-store's CDF half. The store is
+    * append-only within an epoch (inserts only), so the delta is exactly
+    * the manifest versions `version+1 .. current` and their files —
+    * O(delta files) I/O and metadata, the incremental-view primitive (the
+    * upsert table's keyed CDF is q100's `readChanges`; this is the
+    * fact-stream form a downstream view tails). A delete, re-cluster,
+    * bin-pack or manifest compaction commits a NEW epoch, and incremental
+    * consumption across epochs REFUSES loudly: rewritten history can't be
+    * expressed as a row delta, so the consumer must full-refresh and
+    * resume from the new epoch — Delta's own contract when CDF meets a
+    * data rewrite. The base coordinate itself is validated (a bogus base
+    * would silently replay the whole store as "changes"). */
+  def readChangesSince(s: SparkSession, path: String, epoch: Long,
+      version: Long): DataFrame = {
+    val snap = requireSnapshot(s, path)
+    require(snap.epoch == epoch,
+      s"z-store at $path was rewritten since e$epoch (current: " +
+        s"e${snap.epoch}) — a row delta across an epoch swap does not " +
+        "exist; full-refresh and resume from the current epoch")
+    snapshotAt(s, path, epoch, version) // loud refusal on a bogus base
+    val (man, schema) = manifestAndSchema(s, snap)
+    val files = man.filter(col("c") =!= lit(DdlKey) &&
+        col("ver") > lit(version))
+      .select(col("f")).distinct().collect().map(_.getString(0)).sorted
+    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Full read of a PAST committed snapshot (time travel): reproduce what
+    * a query saw before later appends/deletes/re-clusters — readable until
+    * [[vacuumOrphans]] collects the superseded epoch (its `minAgeMs` is
+    * the retention horizon, exactly Delta's contract). The recorded schema
+    * is the SNAPSHOT's: columns added later don't exist in the past. */
+  def readSnapshotAt(s: SparkSession, path: String, epoch: Long,
+      version: Long): DataFrame =
+    readSnapshotOf(s, path, snapshotAt(s, path, epoch, version))
 
   /** Collapse the current epoch's accumulated manifest versions into ONE
     * (a new epoch whose v0 carries the same stats rows, re-pointing the
@@ -483,6 +610,129 @@ object ZOrder {
       writeManifestVersion(s,
         new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
         schema.toDDL, stats, manifestTags(man))
+    }
+
+  /** Copy-on-write range DELETE — the takedown/right-to-erasure pass a
+    * 100 TB training-data store eventually serves: remove every row
+    * matching ALL `preds` (the [[readZRange]] predicate language; a NULL
+    * in a predicate column never matches, so those rows survive). The
+    * manifest stats drive the WRITE the way they drive reads: a file
+    * whose recorded range definitively can't contain a matching row
+    * CARRIES into the new epoch by reference (its stat rows re-pointed,
+    * zero I/O); only possibly-affected files are read, and their
+    * survivors re-z-cluster into a fresh data dir — a delete touching one
+    * band rewrites O(affected files), never the table. Commit is the
+    * epoch swap (concurrent readers see old-or-new, never partial); batch
+    * TAGS carry, so a replayed tagged append stays a no-op AFTER the
+    * delete instead of resurrecting its rows; the superseded epoch falls
+    * to [[vacuumOrphans]] after the retention window (until then it
+    * remains time-travel-readable — the audit trail of the deletion).
+    * Returns the number of rows deleted; 0 = no commit, store untouched. */
+  def deleteZRange(s: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)], zcols: Seq[String],
+      numFiles: Int = 0): Long = {
+    require(preds.nonEmpty, "deleteZRange needs at least one predicate")
+    Lease.withLease(s, path, "zorder-delete") {
+      val snap = requireSnapshot(s, path)
+      val (man0, schema) = manifestAndSchema(s, snap)
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val typed = preds.map { case (c0, lo, hi) =>
+          val f = schema.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+            throw new IllegalArgumentException(
+              s"column $c0 is not in the z-store schema"))
+          (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
+            Sources.encodeBound(f.dataType, hi))
+        }
+        // a file is AFFECTED unless some predicate definitively excludes
+        // it (disjoint recorded range, or all-null) — the read path's
+        // evidence rule, here bounding rewrite I/O instead of scan I/O.
+        // A predicate column with no stats rows simply excludes nothing:
+        // correct (full rewrite), just not pruned.
+        val excluded = typed.map { case (c0, dt, loE, hiE) =>
+          man.filter(col("c") === c0 && (col("allnull") ||
+              (col("mn").isNotNull &&
+                (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
+            .select(col("f"))
+        }.reduce(_ union _)
+        val affected = man.select(col("f")).distinct().except(excluded)
+          .collect().map(_.getString(0)).sorted.toSeq
+        if (affected.isEmpty) 0L
+        else {
+          val aff = s.read.schema(schema)
+            .parquet(affected.map(f => s"$path/$f"): _*)
+          val matchAll = preds.map { case (c, lo, hi) =>
+            col(c) >= lit(lo) && col(c) <= lit(hi)
+          }.reduce(_ && _)
+          val nDel = aff.filter(matchAll).count()
+          if (nDel > 0L) {
+            // NULL-predicate rows survive: !(null) is null, so coalesce
+            val survivors = aff.filter(coalesce(!matchAll, lit(true)))
+            val nf = if (numFiles > 0) numFiles else affected.size
+            val newStats = zWrite(survivors, path, zcols, nf) match {
+              case Some(dname) =>
+                harvestStats(s, path, dname, recordedStatCols(man, schema),
+                  schema)
+              case None => Seq.empty
+            }
+            writeManifestVersion(s,
+              new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+              schema.toDDL, carriedStats(man, affected.toSet) ++ newStats,
+              manifestTags(man0))
+          }
+          nDel
+        }
+      } finally man.unpersist(blocking = false)
+    }
+  }
+
+  /** Bin-pack OPTIMIZE — the maintenance pass continuous ingest makes
+    * necessary: every append (q132's micro-batches above all) lands its
+    * own small files, and after N batches the snapshot is N small dirs.
+    * [[reclusterZOrdered]] fixes that at an O(table) rewrite;
+    * this rewrites ONLY the files below `smallBytes` — sizes come from
+    * the manifest's per-file size rows (no per-file HEAD calls; a
+    * pre-size manifest falls back to one getFileStatus per unknown
+    * file) — re-z-clustering them TOGETHER into ~`smallBytes`-sized
+    * outputs (restoring clustering across batch boundaries) while every
+    * larger file carries by reference. Same epoch-swap commit, tags
+    * carried, superseded epoch to [[vacuumOrphans]]. Returns the number
+    * of small files folded; fewer than 2 candidates = no-op, no commit. */
+  def compactSmallFiles(s: SparkSession, path: String, zcols: Seq[String],
+      smallBytes: Long): Int =
+    Lease.withLease(s, path, "zorder-optimize") {
+      val snap = requireSnapshot(s, path)
+      val (man0, schema) = manifestAndSchema(s, snap)
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val sizes = man.filter(col("c") === lit(SizeKey))
+        .select(col("f"), col("mn")).collect()
+        .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+      val all = man.select(col("f")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val fs = StoreMaint.fsFor(s, new Path(path))
+      val sized = all.map(f => f -> sizes.getOrElse(f,
+        fs.getFileStatus(new Path(path, f)).getLen))
+      val small = sized.filter(_._2 < smallBytes)
+      if (small.size < 2) 0
+      else {
+        val smallNames = small.map(_._1)
+        val df = s.read.schema(schema)
+          .parquet(smallNames.map(f => s"$path/$f"): _*)
+        val nf = math.max(1,
+          ((small.map(_._2).sum + smallBytes - 1) / smallBytes).toInt)
+        val newStats = zWrite(df, path, zcols, nf) match {
+          case Some(dname) =>
+            harvestStats(s, path, dname, recordedStatCols(man, schema),
+              schema)
+          case None => Seq.empty
+        }
+        writeManifestVersion(s,
+          new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+          schema.toDDL, carriedStats(man, smallNames.toSet) ++ newStats,
+          manifestTags(man0))
+        small.size
+      }
     }
 
   /** Garbage-collect everything the current snapshot doesn't reference:
@@ -561,8 +811,49 @@ object ZOrder {
       })
     }
 
+  /** q133's store: the full table z-clustered, then a partkey band
+    * copy-on-write DELETED — the store state every q133 pass reads. */
+  private val delStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def delStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      delStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zdelete").toString
+        val li = Tables.lineitem(s, d)
+        writeZOrdered(li, dir, Seq("l_partkey", "l_suppkey"), NumFiles)
+        val b = li.agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+        val (pmn, pmx) = (b.getLong(0), b.getLong(1))
+        deleteZRange(s, dir,
+          Seq(("l_partkey", pmn + (pmx - pmn) * 2 / 10,
+            pmn + (pmx - pmn) * 3 / 10)),
+          Seq("l_partkey", "l_suppkey"))
+        dir
+      })
+    }
+
+  /** q136's store: a documents z-store with a build slice then one
+    * appended batch, history kept in ONE epoch (no compaction) so the
+    * change feed has a live base coordinate. */
+  private val cdfStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def cdfStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      cdfStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zcdf").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs.filter(col("doc_id") % 10 =!= 9), dir,
+          Seq("n_chars", "doc_id"), 8)
+        appendZOrdered(docs.filter(col("doc_id") % 10 === 9), dir,
+          Seq("n_chars", "doc_id"), 2)
+        dir
+      })
+    }
+
   /** Drop the store-pointer cache (cold-run probes). */
-  def clearCaches(): Unit = synchronized { stores.clear() }
+  def clearCaches(): Unit = synchronized {
+    stores.clear(); delStores.clear(); cdfStores.clear()
+  }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
     * a 10%-band on `l_partkey` × a 10%-band on `l_suppkey` (bounds derived
@@ -597,6 +888,88 @@ object ZOrder {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q133: range DELETE through the z-store — build the full table
+    * z-clustered, copy-on-write delete a 10%-band on `l_partkey`
+    * ([[deleteZRange]]: stats-pruned rewrite, epoch-swap commit), then
+    * answer a `l_suppkey` band query through the post-delete snapshot.
+    * Oracle = the plain suppkey-band filter EXCLUDING the deleted
+    * partkey band, so a row surviving the delete, a row wrongly deleted
+    * (carried-file mishandling), or a file lost in the rewrite all
+    * hash-fail. The carry-by-reference I/O shape (unaffected files are
+    * re-pointed, not rewritten) is pinned in ZOrderSpec — an oracle
+    * can't see I/O. */
+  val q133ZOrderDelete: Q = Q(
+    "q133_zorder_delete",
+    """WITH b AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+      |    MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx FROM lineitem)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+      |  l.l_quantity
+      |FROM lineitem l, b
+      |WHERE l.l_suppkey BETWEEN b.smn + (b.smx-b.smn)*4//10
+      |                      AND b.smn + (b.smx-b.smn)*5//10
+      |  AND NOT (l.l_partkey BETWEEN b.pmn + (b.pmx-b.pmn)*2//10
+      |                           AND b.pmn + (b.pmx-b.pmn)*3//10)
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+  ) { (s, d) =>
+    val dir = delStoreFor(s, d)
+    val b = Tables.lineitem(s, d).agg(
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (smn, smx) = (b.getLong(0), b.getLong(1))
+    readZRange(s, dir, Seq(
+        ("l_suppkey", smn + (smx - smn) * 4 / 10, smn + (smx - smn) * 5 / 10)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q134: TIME TRAVEL — answer q123's partkey band at epoch 0 version 0,
+    * i.e. the store state BEFORE the incremental append (and before the
+    * manifest compaction that moved the current snapshot to a new epoch).
+    * Oracle = the band filter restricted to the build slice
+    * (`l_orderkey % 10 != 9`), so a travel read that leaks the appended
+    * batch, loses a build row, or resolves the wrong coordinate
+    * hash-fails. Shares q123's store (build → append → compactManifest),
+    * which is exactly what makes the coordinate meaningful. */
+  val q134ZOrderTimeTravel: Q = Q(
+    "q134_zorder_time_travel",
+    """WITH b AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx
+      |  FROM lineitem)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+      |  l.l_quantity
+      |FROM lineitem l, b
+      |WHERE l.l_orderkey % 10 != 9
+      |  AND l.l_partkey BETWEEN b.pmn + (b.pmx-b.pmn)*2//10
+      |                      AND b.pmn + (b.pmx-b.pmn)*3//10
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+  ) { (s, d) =>
+    val dir = storeFor(s, d)
+    val b = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (pmn, pmx) = (b.getLong(0), b.getLong(1))
+    readZRangeAt(s, dir, 0, 0, Seq(
+        ("l_partkey", pmn + (pmx - pmn) * 2 / 10, pmn + (pmx - pmn) * 3 / 10)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q136: CHANGE FEED — tail the rows a z-store append added after a
+    * committed base coordinate ([[readChangesSince]]): build slice at
+    * (e0, v0), one appended batch at v1, delta-since-(0,0) ≡ exactly the
+    * appended slice. Oracle = the plain filter to the appended slice, so
+    * a delta that leaks base rows (bogus-base validation), misses
+    * appended rows, or double-counts a file hash-fails. The refusal
+    * shapes (cross-epoch, bogus base) are pinned in ZOrderSpec. */
+  val q136ZOrderChangeFeed: Q = Q(
+    "q136_zorder_change_feed",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 = 9 ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    readChangesSince(s, cdfStoreFor(s, d), 0, 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- q132: continuous z-store ingest (exactly-once) ---------------------
@@ -707,5 +1080,6 @@ object ZOrder {
       .orderBy(col("batch"), col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest)
+  val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
+    q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed)
 }

@@ -925,8 +925,128 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q135: importance-resampling data selection (DSIR) ------------------
+
+  /** Hashed-feature bucket count for DSIR: 64 buckets is plenty for this
+    * ~31-word vocabulary; a web-scale deployment raises it (the paper
+    * uses 10k) without changing any plan shape. */
+  private val DsirBuckets = 64
+
+  /** q135: importance-resampling data selection — the DSIR recipe (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): fit cheap bag-of-hashed-token models over a TARGET
+    * domain (here `lang = 'en'` — in production, the high-quality corpus
+    * you want more of) and over the RAW pool, weight every raw document
+    * by its log importance ratio Σ_tok [ln p̂_target(b(tok)) −
+    * ln p̂_raw(b(tok))] with add-one smoothing over [[DsirBuckets]]
+    * hashed buckets, and draw the selection by GUMBEL top-k (key =
+    * weight + Gumbel noise — sampling without replacement proportional
+    * to exp(weight), the paper's resampling step, rather than a
+    * deterministic argmax that would collapse diversity).
+    *
+    * Scale: one tokenize pass; the two count tables are
+    * [[DsirBuckets]]-sized aggregations (map-side combined) that AQE
+    * broadcasts back onto the token stream; the per-doc reduction
+    * shuffles (doc_id, fixed-point term) pairs; the corpus-wide top-k is
+    * a TakeOrdered (`orderBy.limit`), never a global row_number window —
+    * the q103/q102 discipline. Linear end to end, and the bucket models
+    * are the artifact a 100 TB deployment fits once on samples and
+    * broadcasts.
+    *
+    * Exactness: md5 is the cross-engine hash (bucket = first 24 md5 bits
+    * mod [[DsirBuckets]]); each bucket's log-ratio is one identical IEEE
+    * dag over integer-valued doubles, snapped to fixed-point micros
+    * (`floor(x·1e6+0.5)`); per-doc sums are integer; the Gumbel draw is
+    * q103's exact-uniform recipe (u = (48 md5 bits + 1)/2^48) through the
+    * same double dag both engines, rounded to 6 decimals before ordering;
+    * ties break on doc_id. */
+  val q135DsirSelection: Q = Q(
+    "q135_dsir_selection",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || SUBSTRING(md5(tok), 1, 6) AS BIGINT) % $DsirBuckets AS b
+       |  FROM toks),
+       |rc AS (SELECT b, COUNT(*) AS rc FROM feat GROUP BY b),
+       |tc AS (SELECT b, COUNT(*) AS tc FROM feat WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT COUNT(*) FROM feat WHERE lang = 'en') AS tt,
+       |               (SELECT COUNT(*) FROM feat) AS rt),
+       |lr AS (
+       |  SELECT r.b,
+       |    CAST(FLOOR((LN(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE))
+       |              - LN(CAST(tot.tt + $DsirBuckets AS DOUBLE))
+       |              - LN(CAST(r.rc + 1 AS DOUBLE))
+       |              + LN(CAST(tot.rt + $DsirBuckets AS DOUBLE)))
+       |      * 1000000 + 0.5) AS BIGINT) AS lrm
+       |  FROM rc r LEFT JOIN tc t USING (b), tot),
+       |w AS (
+       |  SELECT f.doc_id, CAST(SUM(l.lrm) AS BIGINT) AS wm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_toks
+       |  FROM feat f JOIN lr l USING (b) GROUP BY f.doc_id),
+       |keyed AS (
+       |  SELECT doc_id, wm, n_toks,
+       |    ROUND(CAST(wm AS DOUBLE) / 1000000.0
+       |      + (-LN(-LN((CAST(CAST('0x' || SUBSTRING(md5('q135|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) + 1.0)
+       |               / 281474976710656.0))), 6) AS key
+       |  FROM w),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT rnk, doc_id, wm AS weight_micros, n_toks
+       |FROM (SELECT doc_id, wm, n_toks,
+       |        ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rnk
+       |      FROM keyed), n
+       |WHERE rnk <= (n.n + 4) // 5
+       |ORDER BY rnk""".stripMargin,
+  ) { (s, d) =>
+    dsirSelect(Tables.documents(s, d), col("lang") === lit("en"))
+  }
+
+  /** [[q135DsirSelection]]'s operator body: select the top ⌈N/5⌉ of any
+    * (doc_id, lang, text) frame by Gumbel-perturbed importance weight
+    * toward the rows where `target` holds. */
+  def dsirSelect(input: DataFrame, target: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = input.select(col("doc_id"), target.as("tgt"),
+      explode(tokens(col("text"))).as("tok"))
+    val feat = toks.select(col("doc_id"), col("tgt"),
+      (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+        % lit(DsirBuckets.toLong)).as("b"))
+    val rc = feat.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tc = feat.filter(col("tgt")).groupBy(col("b"))
+      .agg(count(lit(1)).as("tc"))
+    val tot = feat.agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("rt"))
+    val lr = rc.join(tc, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        floor((log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double"))
+          - log((col("tt") + lit(DsirBuckets.toLong)).cast("double"))
+          - log((col("rc") + lit(1L)).cast("double"))
+          + log((col("rt") + lit(DsirBuckets.toLong)).cast("double")))
+          * 1000000d + 0.5d).cast("long").as("lrm"))
+    val w = feat.join(lr, "b").groupBy(col("doc_id"))
+      .agg(sum(col("lrm")).cast("long").as("wm"),
+        count(lit(1)).cast("long").as("n_toks"))
+    val u = (conv(substring(md5(concat(lit("q135|"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("bigint").cast("double") + lit(1.0)) / lit(281474976710656.0)
+    val keyed = w.withColumn("key",
+      round(col("wm").cast("double") / lit(1000000.0) + (-log(-log(u))), 6))
+    val k = (input.count() + 4) / 5 // bounded scalar: the selection size
+    // corpus-wide top-k as TakeOrdered (orderBy.limit), then rank the k
+    // survivors — the global window only ever sees k rows
+    keyed.orderBy(col("key").desc, col("doc_id")).limit(k.toInt)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("wm").as("weight_micros"),
+        col("n_toks"))
+      .orderBy(col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q60TextTokens, q61TopTerms, q62Quality, q63LangId,
     q64Fingerprint, q65RollingHash, q66Tfidf, q67Bigrams, q68PiiRedaction,
     q69Chunking, q73Repetition, q98MixtureRebalance, q99LmCrossEntropy,
-    q102Bm25, q103WeightedSample, q111MergeLearning, q131BpeApply)
+    q102Bm25, q103WeightedSample, q111MergeLearning, q131BpeApply,
+    q135DsirSelection)
 }

@@ -191,6 +191,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_._3 == 100000L))
   }
 
+  test("q135 DSIR selection matches an independent JDK-md5 reference and prefers target-like docs") {
+    // targets speak A-words, half the pool speaks B-words, and the
+    // interesting docs mix — selection must order by target affinity
+    val aWords = Seq("alpha", "beta", "gamma")
+    val bWords = Seq("omega", "sigma", "tau")
+    val docs = (1 to 30).map { i =>
+      val mk = (ws: Seq[String]) => (0 until 8).map(j => ws(j % ws.size))
+      val (lang, text) =
+        if (i <= 10) ("tt", mk(aWords))
+        else if (i <= 20) ("xx", mk(bWords))
+        else ("xx", mk(aWords).take(4) ++ mk(bWords).take(4))
+      (i.toLong, lang, text.mkString(" "))
+    }
+    val out = graft.text.TextAnalysis
+      .dsirSelect(docs.toDF("doc_id", "lang", "text"), col("lang") === "tt")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent reference: JDK md5 buckets, same model + Gumbel formulas
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(hex(tok).substring(0, 6), 16) % 64
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang == "tt", text.split("\\s+").toSeq.map(bucket)) }
+    val rc = toks.flatMap(_._3).groupBy(identity).map { case (b, v) => b -> v.size }
+    val tc = toks.filter(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (b, v) => b -> v.size }
+    val tt = toks.filter(_._2).map(_._3.size).sum
+    val rt = toks.map(_._3.size).sum
+    def lrm(b: Long): Long =
+      math.floor((math.log((tc.getOrElse(b, 0) + 1).toDouble)
+        - math.log((tt + 64).toDouble)
+        - math.log((rc(b) + 1).toDouble)
+        + math.log((rt + 64).toDouble)) * 1e6 + 0.5).toLong
+    val keyed = toks.map { case (id, _, bs) =>
+      val wm = bs.map(lrm).sum
+      val x = java.lang.Long.parseLong(hex(s"q135|$id").substring(0, 12), 16)
+      val g = -math.log(-math.log((x.toDouble + 1.0) / 281474976710656.0))
+      val key = BigDecimal(wm.toDouble / 1e6 + g)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, wm, bs.size.toLong, key)
+    }
+    val expected = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(6)
+      .zipWithIndex.map { case ((id, wm, nt, _), i) => ((i + 1).toLong, id, wm, nt) }
+    assert(out == expected)
+    // the model itself must separate the domains: every pure-target doc
+    // outweighs every pure-foreign doc, with mixed docs strictly between
+    val wmOf = keyed.map(k => k._1 -> k._2).toMap
+    val (pureA, pureB, mixed) =
+      ((1L to 10L).map(wmOf), (11L to 20L).map(wmOf), (21L to 30L).map(wmOf))
+    assert(pureA.min > mixed.max && mixed.min > pureB.max,
+      s"DSIR weights failed to separate domains: $pureA / $mixed / $pureB")
+  }
+
   test("q99 LM cross-entropy matches an independent reference model") {
     val texts = Seq((1L, "x y x y x"), (2L, "x x x x"), (3L, "y z"))
     // independent reference: plain Scala maps + math.log, same snapping

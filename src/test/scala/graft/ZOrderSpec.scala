@@ -448,6 +448,158 @@ class ZOrderSpec extends SparkSpec {
       Seq("l_partkey", "l_suppkey"), 1)
   }
 
+  test("copy-on-write delete: unaffected files carry by name, nulls survive, tagged replay can't resurrect, old epoch audits") {
+    val dir = Files.createTempDirectory("graft-zdel").toString
+    val base = spark.range(2000).select(col("id").as("k1"),
+        (col("id") % 100).as("k2"))
+      .union(spark.range(7).select(lit(null).cast("long").as("k1"),
+        col("id").as("k2")))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 8)
+    // a tagged batch INSIDE the future delete range: the replay below
+    // must not resurrect its rows after they're deleted
+    ZOrder.appendZOrdered(spark.range(600, 650).select(col("id").as("k1"),
+        (col("id") % 100).as("k2")), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    val pre = ZOrder.listDataFiles(spark, dir)
+    val deleted = ZOrder.deleteZRange(spark, dir,
+      Seq(("k1", 500L, 799L)), Seq("k1", "k2"))
+    assert(deleted == 350, s"deleted $deleted rows") // 300 base + 50 tagged
+    val post = ZOrder.listDataFiles(spark, dir)
+    // the stats-driven rewrite: files disjoint from the band CARRY by
+    // name (no I/O), affected files are gone, survivors re-clustered
+    assert(post.toSet.intersect(pre.toSet).nonEmpty,
+      "no file carried by reference — the delete rewrote the whole table")
+    assert(post.toSet != pre.toSet, "delete rewrote nothing")
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 2057 - 350)
+    assert(got.filter(col("k1").between(500, 799)).count() == 0,
+      "deleted rows still readable")
+    assert(got.filter(col("k1").isNull).count() == 7,
+      "NULL-predicate rows must survive a range delete")
+    // the tagged replay after the delete is STILL a no-op — resurrecting
+    // deleted rows via an at-least-once redelivery would break erasure
+    ZOrder.appendZOrdered(spark.range(600, 650).select(col("id").as("k1"),
+        (col("id") % 100).as("k2")), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2057 - 350,
+      "a replayed tagged append resurrected deleted rows")
+    // a delete matching nothing is a no-op: no new epoch
+    val vPre = ZOrder.listVersions(spark, dir)
+    assert(ZOrder.deleteZRange(spark, dir, Seq(("k1", 500L, 799L)),
+      Seq("k1", "k2")) == 0L)
+    assert(ZOrder.listVersions(spark, dir) == vPre,
+      "a no-op delete committed an epoch")
+    // the superseded epoch remains the audit trail until vacuum
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 1).count() == 2057,
+      "pre-delete state not time-travel-readable")
+    ZOrder.vacuumOrphans(spark, dir)
+    intercept[IllegalArgumentException] {
+      ZOrder.readSnapshotAt(spark, dir, 0, 1)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2057 - 350)
+  }
+
+  test("bin-pack optimize folds only small files; large files carry by name; rows and pruning unchanged") {
+    val dir = Files.createTempDirectory("graft-zopt").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(mk(0, 50000), dir, Seq("k1", "k2"), 4)
+    for (i <- 0 until 5)
+      ZOrder.appendZOrdered(mk(50000 + i * 200, 50000 + (i + 1) * 200),
+        dir, Seq("k1", "k2"), 1)
+    val pre = ZOrder.listDataFiles(spark, dir)
+    assert(pre.size == 9)
+    val bigFiles = pre.filter(f =>
+      new java.io.File(dir, f).length() >= 40000L).toSet
+    assert(bigFiles.size == 4 && bigFiles.size + 5 == pre.size,
+      s"fixture drift: expected 4 big + 5 small files, sizes = " +
+        pre.map(f => new java.io.File(dir, f).length()).mkString(","))
+    val folded = ZOrder.compactSmallFiles(spark, dir, Seq("k1", "k2"),
+      smallBytes = 40000L)
+    assert(folded == 5, s"folded $folded small files")
+    val post = ZOrder.listDataFiles(spark, dir)
+    assert(post.toSet.intersect(pre.toSet) == bigFiles,
+      "optimize touched a large file (or dropped one)")
+    assert(post.size < pre.size, s"no consolidation: ${post.size} files")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 51000)
+    // the folded region reads exactly; pruning still holds on the snapshot
+    assert(ZOrder.readZRange(spark, dir,
+      Seq(("k1", 50100L, 50999L))).count() == 900)
+    assert(files(dir, ("k1", 0L, 4999L)) < post.size,
+      "optimize destroyed pruning")
+    // idempotent: the single folded output has no partner to fold with
+    assert(ZOrder.compactSmallFiles(spark, dir, Seq("k1", "k2"),
+      smallBytes = 40000L) == 0)
+    assert(ZOrder.listDataFiles(spark, dir) == post,
+      "a no-op optimize committed an epoch")
+  }
+
+  test("time travel: committed (epoch, version) coordinates reproduce past states until vacuumed") {
+    val dir = Files.createTempDirectory("graft-ztt").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(mk(0, 1000), dir, Seq("k1", "k2"), 4)
+    ZOrder.appendZOrdered(mk(1000, 1300), dir, Seq("k1", "k2"), 1)
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+    assert(ZOrder.listVersions(spark, dir) == Seq((0L, 0L), (0L, 1L), (1L, 0L)))
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 0).count() == 1000)
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 1).count() == 1300)
+    assert(ZOrder.readSnapshotAt(spark, dir, 1, 0).count() == 1300)
+    // ranged time travel prunes and stays exact at the old coordinate
+    val old = ZOrder.readZRangeAt(spark, dir, 0, 0, Seq(("k1", 900L, 1100L)))
+    assert(old.count() == 100, "v0 must not see the appended band")
+    assert(ZOrder.readZRange(spark, dir,
+      Seq(("k1", 900L, 1100L))).count() == 201)
+    // a never-committed coordinate refuses loudly
+    intercept[IllegalArgumentException] {
+      ZOrder.readSnapshotAt(spark, dir, 5, 0)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.readSnapshotAt(spark, dir, 0, 9)
+    }
+    // retention: an in-window vacuum keeps the past readable; outside,
+    // the coordinate refuses loudly (never a silently-empty past)
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L).isEmpty)
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 1).count() == 1300)
+    ZOrder.vacuumOrphans(spark, dir)
+    intercept[IllegalArgumentException] {
+      ZOrder.readSnapshotAt(spark, dir, 0, 0)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1300)
+  }
+
+  test("change feed: delta since a coordinate is exactly the later appends; cross-epoch and bogus bases refuse") {
+    val dir = Files.createTempDirectory("graft-zcdf").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(mk(0, 1000), dir, Seq("k1", "k2"), 4) // e0 v0
+    ZOrder.appendZOrdered(mk(1000, 1200), dir, Seq("k1", "k2"), 1) // v1
+    ZOrder.appendZOrdered(mk(1200, 1250), dir, Seq("k1", "k2"), 1) // v2
+    assert(ZOrder.readChangesSince(spark, dir, 0, 0).count() == 250)
+    val d1 = ZOrder.readChangesSince(spark, dir, 0, 1)
+    assert(d1.count() == 50 &&
+      d1.agg(min(col("k1"))).head().getLong(0) == 1200,
+      "delta since v1 must be exactly the v2 batch")
+    assert(ZOrder.readChangesSince(spark, dir, 0, 2).count() == 0,
+      "delta at the current coordinate must be empty")
+    // a bogus base coordinate refuses — it would otherwise replay the
+    // whole store as "changes"
+    intercept[IllegalArgumentException] {
+      ZOrder.readChangesSince(spark, dir, 0, 7)
+    }
+    // any rewrite commits a new epoch: incremental consumption across it
+    // refuses loudly (rewritten history has no row delta)
+    ZOrder.compactManifest(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.readChangesSince(spark, dir, 0, 0)
+    }
+    assert(e.getMessage.contains("full-refresh"))
+    // resume from the new epoch's base
+    assert(ZOrder.readChangesSince(spark, dir, 1, 0).count() == 0)
+    ZOrder.appendZOrdered(mk(1250, 1300), dir, Seq("k1", "k2"), 1)
+    assert(ZOrder.readChangesSince(spark, dir, 1, 0).count() == 50)
+  }
+
   test("a predicate on a stat-less column is refused, not silently unpruned") {
     val zDir = Files.createTempDirectory("graft-z3").toString
     ZOrder.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), 4)
