@@ -850,9 +850,28 @@ object ZOrder {
       })
     }
 
+  /** q137's materialized base view over q136's store: the per-lang
+    * aggregate at coordinate (e0, v0), persisted once — the artifact an
+    * incremental refresh starts from instead of re-scanning the base. */
+  private val viewStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def viewStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      viewStores.getOrElseUpdate(d, {
+        val root = cdfStoreFor(s, d)
+        val vdir = Files.createTempDirectory("graft-zview").toString
+        readSnapshotAt(s, root, 0, 0)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$vdir/v0")
+        vdir
+      })
+    }
+
   /** Drop the store-pointer cache (cold-run probes). */
   def clearCaches(): Unit = synchronized {
-    stores.clear(); delStores.clear(); cdfStores.clear()
+    stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -972,6 +991,35 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  /** q137: INCREMENTAL VIEW MAINTENANCE over the change feed — what
+    * [[readChangesSince]] exists FOR: a per-lang aggregate view is
+    * materialized once at the base coordinate (e0, v0), and the refresh
+    * after the append is `view ⊎ agg(delta)` — the refresh plan reads the
+    * tiny view parquet plus O(delta files), NEVER the base data (pinned
+    * via `inputFiles` in ZOrderSpec with the full-re-agg planted
+    * positive; q100 is the keyed upsert-CDF sibling — this is the
+    * append-only fact-stream form, where the delta is inserts-only so
+    * the merge is a pure additive union). Oracle = the straight
+    * aggregate over the WHOLE table: a refresh that misses delta rows,
+    * double-counts, or drifts from the base view hash-fails. */
+  val q137ZOrderIvm: Q = Q(
+    "q137_zorder_ivm",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  ) { (s, d) =>
+    val root = cdfStoreFor(s, d)
+    val base = s.read.parquet(s"${viewStoreFor(s, d)}/v0")
+    val delta = readChangesSince(s, root, 0, 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    base.unionByName(delta).groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   // ---- q132: continuous z-store ingest (exactly-once) ---------------------
 
   private val TargetBatches = 2L
@@ -1081,5 +1129,6 @@ object ZOrder {
   }
 
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
-    q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed)
+    q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
+    q137ZOrderIvm)
 }

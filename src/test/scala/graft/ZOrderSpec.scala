@@ -506,7 +506,7 @@ class ZOrderSpec extends SparkSpec {
     ZOrder.writeZOrdered(mk(0, 50000), dir, Seq("k1", "k2"), 4)
     for (i <- 0 until 5)
       ZOrder.appendZOrdered(mk(50000 + i * 200, 50000 + (i + 1) * 200),
-        dir, Seq("k1", "k2"), 1)
+        dir, Seq("k1", "k2"), 1, tag = Some(s"bp$i"))
     val pre = ZOrder.listDataFiles(spark, dir)
     assert(pre.size == 9)
     val bigFiles = pre.filter(f =>
@@ -532,6 +532,12 @@ class ZOrderSpec extends SparkSpec {
       smallBytes = 40000L) == 0)
     assert(ZOrder.listDataFiles(spark, dir) == post,
       "a no-op optimize committed an epoch")
+    // batch tags carried through the bin-pack: a replayed tagged append
+    // whose rows were folded stays a no-op
+    ZOrder.appendZOrdered(mk(50600, 50800), dir, Seq("k1", "k2"), 1,
+      tag = Some("bp3"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 51000,
+      "tag lost across bin-pack optimize — replay re-appended")
   }
 
   test("time travel: committed (epoch, version) coordinates reproduce past states until vacuumed") {
@@ -598,6 +604,36 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.readChangesSince(spark, dir, 1, 0).count() == 0)
     ZOrder.appendZOrdered(mk(1250, 1300), dir, Seq("k1", "k2"), 1)
     assert(ZOrder.readChangesSince(spark, dir, 1, 0).count() == 50)
+  }
+
+  test("IVM refresh over the change feed reads only the view + delta, never the base data") {
+    val dir = Files.createTempDirectory("graft-zivm").toString
+    val vdir = Files.createTempDirectory("graft-zivm-view").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+    ZOrder.writeZOrdered(mk(0, 1000), dir, Seq("k1", "k2"), 4) // e0 v0
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).cast("long").as("n"),
+        sum(col("k2")).cast("long").as("s"))
+    agg(ZOrder.readSnapshotAt(spark, dir, 0, 0))
+      .coalesce(1).write.parquet(s"$vdir/v0")
+    ZOrder.appendZOrdered(mk(1000, 1200), dir, Seq("k1", "k2"), 1) // v1
+    val refresh = spark.read.parquet(s"$vdir/v0")
+      .unionByName(agg(ZOrder.readChangesSince(spark, dir, 0, 0)))
+      .groupBy(col("grp")).agg(sum(col("n")).cast("long").as("n"),
+        sum(col("s")).cast("long").as("s"))
+    val full = agg(ZOrder.readSnapshot(spark, dir))
+    assert(refresh.exceptAll(full).count() == 0 &&
+      full.exceptAll(refresh).count() == 0,
+      "incremental refresh diverges from the full re-aggregate")
+    val baseFiles = ZOrder.readSnapshotAt(spark, dir, 0, 0).inputFiles.toSet
+    assert(baseFiles.nonEmpty)
+    assert(refresh.inputFiles.toSet.intersect(baseFiles).isEmpty,
+      "the refresh re-read base data files — that's a full refresh, not IVM")
+    // planted positive: the full re-aggregate DOES open the base files,
+    // so the intersection detector above is not vacuous
+    assert(full.inputFiles.toSet.intersect(baseFiles).nonEmpty)
   }
 
   test("a predicate on a stat-less column is refused, not silently unpruned") {
