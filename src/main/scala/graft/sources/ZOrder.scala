@@ -105,10 +105,23 @@ object ZOrder {
     * pruning column; [[statRows]] filters it out of the stats plane. */
   private val SizeKey = "__size__"
 
+  /** Manifest row key of the per-file ROW-COUNT row (`mn` holds the
+    * count): recorded at harvest so [[countZRange]] answers a
+    * fully-covered file from the manifest alone — Delta's
+    * metadata-only `SELECT COUNT(*)`. */
+  private val CountKey = "__count__"
+
+  /** Manifest row-key PREFIX of the per-(file, column) NULL-COUNT rows
+    * (`mn` holds the count, or null when the footer didn't record it):
+    * a file counts as fully covered by a range predicate only when its
+    * predicate column provably holds ZERO nulls — null rows never match
+    * a range, so counting them from the manifest would overcount. */
+  private val NullsPfx = "__nulls__:"
+
   /** The per-(file, column) PRUNING stats — excludes the DDL rows and the
-    * per-file size rows. */
+    * `__`-prefixed per-file metadata rows (size/count/nulls). */
   private def statRows(man: DataFrame): DataFrame =
-    man.filter(col("c") =!= lit(DdlKey) && col("c") =!= lit(SizeKey))
+    man.filter(!col("c").startsWith("__"))
 
   private def manifestRoot(path: String) = new Path(path, "_zmanifest")
 
@@ -687,6 +700,137 @@ object ZOrder {
     }
   }
 
+  /** What a [[mergeByKey]] did: target rows replaced (all rows bearing a
+    * matched key) and source rows inserted (key matched nothing, or null). */
+  final case class MergeResult(updated: Long, inserted: Long)
+
+  /** The column in its canonical COMPARABLE form (the type-respecting
+    * order [[Sources.encodeBound]] strings decode to): long for
+    * int/long, micros-long for timestamp, native for string/double. */
+  private def comparableKey(dt: DataType, c: Column): Column = dt match {
+    case DoubleType => c.cast("double")
+    case StringType => c
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case _ => c.cast("long") // int / long
+  }
+
+  /** Decode a manifest stat string to the same comparable form. */
+  private def decodeStat(dt: DataType, c: Column): Column = dt match {
+    case DoubleType => c.cast("double")
+    case StringType => c
+    case _ => c.cast("long") // int/long/ts-micros
+  }
+
+  /** Keyed copy-on-write MERGE — the lakehouse upsert (Delta's
+    * `MERGE … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *`), whole-row semantics: every target row bearing a key
+    * present in `source` is REPLACED by the source row; source rows whose
+    * key matches nothing (or is null — SQL equality never matches null)
+    * INSERT. Target rows with a null key always survive. A source with
+    * two rows for one non-null key refuses loudly (the merge would be
+    * nondeterministic — Delta raises the same error).
+    *
+    * The manifest stats bound the rewrite the way they bound reads, but
+    * per KEY rather than by the source's global [min, max] (a batch
+    * mixing low-key updates with beyond-max inserts would otherwise span
+    * the whole table): a file carries into the new epoch by reference
+    * unless its recorded key range contains AT LEAST ONE source key — a
+    * distributed range join of the manifest's key rows against the
+    * source's distinct keys, so a CDC batch touching one band rewrites
+    * O(affected files), never O(table). All-null-key files carry; a file
+    * with unknown/absent key stats is read (no evidence = no carry).
+    *
+    * Commit is the epoch swap (concurrent readers see old-or-new, never
+    * partial); the source schema may evolve the store add-only (new
+    * columns null-fill carried files, type change refuses before data
+    * lands); batch TAGS carry, and `tag` makes the merge itself
+    * exactly-once under at-least-once delivery (a replayed tagged merge
+    * no-ops) — the foreachBatch CDC-apply loop's idempotence token. The
+    * superseded epoch stays time-travel-readable until [[vacuumOrphans]]
+    * — the audit trail of what the merge changed. */
+  def mergeByKey(s: SparkSession, path: String, source: DataFrame,
+      keyCol: String, zcols: Seq[String], numFiles: Int = 0,
+      tag: Option[String] = None): MergeResult =
+    Lease.withLease(s, path, "zorder-merge") {
+      val snap = requireSnapshot(s, path)
+      val (man0, recorded) = manifestAndSchema(s, snap)
+      val replayed = tag.exists(t =>
+        man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
+          .limit(1).count() > 0)
+      if (replayed) MergeResult(0L, 0L)
+      else {
+        // add-only union BEFORE any work: a type change refuses here
+        val union = StoreMaint.unionSchemas(s"$path (z-store)",
+          Some(recorded), source.schema)
+        val keyField = source.schema.find(_.name.equalsIgnoreCase(keyCol))
+          .getOrElse(throw new IllegalArgumentException(
+            s"merge key $keyCol is not in the source schema"))
+        require(Sources.statsEligible(keyField.dataType),
+          s"merge key $keyCol: ${keyField.dataType.simpleString} has no " +
+            "canonical stat encoding (long/int/double/string/timestamp do)")
+        require(recorded.exists(_.name.equalsIgnoreCase(keyCol)),
+          s"merge key $keyCol is not a column of the z-store at $path")
+        val dt = keyField.dataType
+        val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+        val man = man0.filter(col("c") =!= lit(DdlKey))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val srcCnt = src.count()
+          if (srcCnt == 0L) MergeResult(0L, 0L)
+          else {
+            val dup = src.filter(col(keyCol).isNotNull)
+              .groupBy(col(keyCol)).count()
+              .filter(col("count") > 1).limit(1).count() > 0
+            require(!dup, s"merge source has multiple rows for one " +
+              s"$keyCol — a whole-row upsert would be nondeterministic")
+            val srcKeys = src.select(
+              comparableKey(dt, col(keyCol)).as("__mk"))
+              .filter(col("__mk").isNotNull).distinct()
+            // per-key carry evidence: a file carries unless its recorded
+            // key range CONTAINS some source key (all-null files carry;
+            // unknown/absent stats keep the file in the rewrite set)
+            val keyRows = man.filter(lower(col("c")) === keyCol.toLowerCase)
+            val allnullF = keyRows.filter(col("allnull")).select(col("f"))
+            val ranged = keyRows.filter(!col("allnull") && col("mn").isNotNull)
+            val hit = ranged.join(srcKeys,
+              decodeStat(dt, ranged("mn")) <= col("__mk") &&
+                col("__mk") <= decodeStat(dt, ranged("mx")), "leftsemi")
+              .select(col("f"))
+            val carry = allnullF.union(ranged.select(col("f")).except(hit))
+            val affected = man.select(col("f")).distinct().except(carry)
+              .collect().map(_.getString(0)).sorted.toSeq
+            val affDf =
+              if (affected.isEmpty)
+                s.createDataFrame(s.sparkContext.emptyRDD[Row], recorded)
+              else s.read.schema(recorded)
+                .parquet(affected.map(f => s"$path/$f"): _*)
+            val eqKey = comparableKey(dt, affDf(keyCol)) === col("__mk")
+            val updated = affDf.join(srcKeys, eqKey, "leftsemi").count()
+            val matchedKeys = srcKeys.join(affDf, eqKey, "leftsemi").count()
+            val survivors = affDf.join(srcKeys, eqKey, "left_anti")
+            val merged = survivors.unionByName(src,
+              allowMissingColumns = true)
+            val nf = if (numFiles > 0) numFiles
+              else math.max(affected.size, 1)
+            val newStats = zWrite(merged, path, zcols, nf) match {
+              case Some(dname) =>
+                harvestStats(s, path, dname, recordedStatCols(man, union),
+                  union)
+              case None => Seq.empty
+            }
+            writeManifestVersion(s,
+              new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+              union.toDDL, carriedStats(man, affected.toSet) ++ newStats,
+              manifestTags(man0) ++ tag.toSeq)
+            MergeResult(updated, srcCnt - matchedKeys)
+          }
+        } finally {
+          man.unpersist(blocking = false)
+          src.unpersist(blocking = false)
+        }
+      }
+    }
+
   /** Bin-pack OPTIMIZE — the maintenance pass continuous ingest makes
     * necessary: every append (q132's micro-batches above all) lands its
     * own small files, and after N batches the snapshot is N small dirs.
@@ -831,6 +975,31 @@ object ZOrder {
       })
     }
 
+  /** q138's store: the documents table z-clustered, then one CDC-style
+    * merge applied — a band of "re-crawled" docs (n_chars grown by 1000)
+    * plus a slice of brand-new ids beyond the old max. */
+  private val mergeStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def mergeStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      mergeStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zmerge").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs, dir, Seq("doc_id", "n_chars"), 8)
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (dmn, dmx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (dmn + (dmx - dmn) * 2 / 10, dmn + (dmx - dmn) * 3 / 10)
+        val upd = docs.filter(col("doc_id").between(lo, hi))
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+        val ins = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(dmx + 1))
+        mergeByKey(s, dir, upd.unionByName(ins), "doc_id",
+          Seq("doc_id", "n_chars"), 4)
+        dir
+      })
+    }
+
   /** q136's store: a documents z-store with a build slice then one
     * appended batch, history kept in ONE epoch (no compaction) so the
     * change feed has a live base coordinate. */
@@ -872,6 +1041,7 @@ object ZOrder {
   /** Drop the store-pointer cache (cold-run probes). */
   def clearCaches(): Unit = synchronized {
     stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
+    mergeStores.clear()
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -1020,6 +1190,39 @@ object ZOrder {
       .orderBy(col("lang"))
   }
 
+  /** q138: keyed copy-on-write MERGE through the z-store — build the
+    * documents table z-clustered, apply ONE CDC-style merge
+    * ([[mergeByKey]]: a doc_id band of whole-row updates + a slice of
+    * beyond-max inserts, per-key stats-pruned rewrite, epoch-swap
+    * commit), then answer the full-table query through the post-merge
+    * snapshot. Oracle = unchanged ∪ updated ∪ inserted as plain SQL, so a
+    * lost update, a surviving stale row (carried-file mishandling), a
+    * dropped insert, or a row lost in the rewrite all hash-fail. The
+    * carry-by-reference I/O shape and the refusal/null edges are pinned
+    * in ZOrderSpec — an oracle can't see I/O. */
+  val q138ZOrderMerge: Q = Q(
+    "q138_zorder_merge",
+    """WITH b AS (SELECT MIN(doc_id) AS dmn, MAX(doc_id) AS dmx
+      |  FROM documents)
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d, b
+      |WHERE NOT (d.doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*2//10
+      |                        AND b.dmn + (b.dmx-b.dmn)*3//10)
+      |UNION ALL
+      |SELECT d.doc_id, d.lang, d.n_chars + 1000 AS n_chars
+      |FROM documents d, b
+      |WHERE d.doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*2//10
+      |                   AND b.dmn + (b.dmx-b.dmn)*3//10
+      |UNION ALL
+      |SELECT d.doc_id + b.dmx + 1 AS doc_id, d.lang, d.n_chars
+      |FROM documents d, b
+      |WHERE d.doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    readSnapshot(s, mergeStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- q132: continuous z-store ingest (exactly-once) ---------------------
 
   private val TargetBatches = 2L
@@ -1130,5 +1333,5 @@ object ZOrder {
 
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
-    q137ZOrderIvm)
+    q137ZOrderIvm, q138ZOrderMerge)
 }

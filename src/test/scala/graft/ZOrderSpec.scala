@@ -499,6 +499,79 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.readSnapshot(spark, dir).count() == 2057 - 350)
   }
 
+  test("keyed merge: per-key carry, whole-row replace, null keys survive/insert, dup refusal, tag replay, audit") {
+    val dir = Files.createTempDirectory("graft-zmerge").toString
+    val base = spark.range(2000).select(col("id").as("k1"),
+        (col("id") % 100).as("k2"))
+      .union(spark.range(7).select(lit(null).cast("long").as("k1"),
+        col("id").as("k2")))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 8)
+    val pre = ZOrder.listDataFiles(spark, dir)
+    // source: a k1-band of whole-row updates (k2 moved past 1000 as the
+    // marker), beyond-max inserts, one null-key row — and a NEW column
+    val upd = spark.range(500, 800).select(col("id").as("k1"),
+      (col("id") % 100 + 1000).as("k2"), lit("u").as("note"))
+    val ins = spark.range(5000, 5050).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"), lit("i").as("note"))
+    val nul = spark.range(1).select(lit(null).cast("long").as("k1"),
+      lit(777L).as("k2"), lit("n").as("note"))
+    val res = ZOrder.mergeByKey(spark, dir,
+      upd.unionByName(ins).unionByName(nul), "k1", Seq("k1", "k2"),
+      numFiles = 2, tag = Some("m1"))
+    assert(res == ZOrder.MergeResult(300L, 51L), res.toString)
+    val post = ZOrder.listDataFiles(spark, dir)
+    // per-key pruning: files whose k1 range misses every source key carry
+    // by reference (the beyond-max inserts must not widen the rewrite)
+    assert(post.toSet.intersect(pre.toSet).nonEmpty,
+      "no file carried — the merge rewrote the whole table")
+    assert(post.toSet != pre.toSet, "merge rewrote nothing")
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 2007 + 51)
+    assert(got.columns.toSet == Set("k1", "k2", "note"),
+      s"schema did not evolve: ${got.columns.mkString(",")}")
+    // whole-row replace: every banded target row updated, no stale rows
+    assert(got.filter(col("k2") >= 1000).count() == 300)
+    assert(got.filter(col("k1").between(500, 799) &&
+      col("k2") < 1000).count() == 0, "stale pre-merge rows survive")
+    // null-key semantics: target nulls survive, the source null inserts
+    assert(got.filter(col("k1").isNull).count() == 8)
+    assert(got.filter(col("k1").isNull && col("note") === "n").count() == 1)
+    // carried (pre-merge) rows null-fill the evolved column
+    assert(got.filter(col("note").isNull).count() == 2007 - 300)
+    // pruning still holds on the merged snapshot
+    assert(files(dir, ("k1", 5000L, 5049L)) < post.size,
+      "merge destroyed pruning")
+    assert(ZOrder.readZRange(spark, dir,
+      Seq(("k1", 5000L, 5049L))).count() == 50)
+    // a replayed tagged merge is a structural no-op
+    assert(ZOrder.mergeByKey(spark, dir, upd.unionByName(ins).unionByName(nul),
+      "k1", Seq("k1", "k2"), tag = Some("m1")) == ZOrder.MergeResult(0L, 0L))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2007 + 51,
+      "a replayed tagged merge re-applied")
+    // a source with two rows for one key refuses loudly, store untouched
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.mergeByKey(spark, dir,
+        upd.limit(1).union(upd.limit(1)), "k1", Seq("k1", "k2"))
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+    assert(ZOrder.listDataFiles(spark, dir) == post,
+      "a refused merge mutated the store")
+    // a key that isn't a store column refuses (no silent full-insert)
+    intercept[IllegalArgumentException] {
+      ZOrder.mergeByKey(spark, dir,
+        spark.range(1).select(col("id").as("zz"), lit(1L).as("k2")),
+        "zz", Seq("k1", "k2"))
+    }
+    // the pre-merge state remains the audit trail until vacuum
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 0).count() == 2007,
+      "pre-merge snapshot not time-travel-readable")
+    ZOrder.vacuumOrphans(spark, dir)
+    intercept[IllegalArgumentException] {
+      ZOrder.readSnapshotAt(spark, dir, 0, 0)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2007 + 51)
+  }
+
   test("bin-pack optimize folds only small files; large files carry by name; rows and pruning unchanged") {
     val dir = Files.createTempDirectory("graft-zopt").toString
     val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
