@@ -13,16 +13,29 @@ object DbgProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayExprs.register(spark)
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(s"[prof] $label out=$n time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/dbg_v")
+    val names = args.toSet
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    new java.io.File(out).mkdirs()
+    val picked = SparkEntry.registry.filter(r => names.contains(r.name))
+    picked.foreach { r =>
+      val t0 = System.nanoTime()
+      r.fn(spark, d).coalesce(1).write.mode("overwrite").parquet(s"$out/${r.name}")
+      println(s"[prof] ${r.name} time=${math.round((System.nanoTime() - t0) / 1e7) / 100.0}")
     }
-    for (q <- Seq(graft.sources.ZOrder.q132ZOrderStreamIngest,
-        graft.sources.ZOrder.q123ZOrderRead)) {
-      time(q.name + "-1")(q.fn(spark, d).count())
-      time(q.name + "-2")(q.fn(spark, d).count())
-    }
+    val json = picked.flatMap(r => r.oracle.map(sql => s"${q(r.name)}: ${q(sql)}"))
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -139,6 +139,13 @@ object ScaleProbe {
         graft.pipeline.TrainingPipeline.q109SequencePacking.fn(spark, d)),
       "q111_merge_learning" -> ((d, _) =>
         graft.text.TextAnalysis.q111MergeLearning.fn(spark, d)),
+      // round-10: BPE APPLY at its merge-table knob (3 → 30 merges on the
+      // 10× corpus): the single-pass fold's cost is one corpus pass
+      // regardless of table size, so growth should track the corpus
+      // (~linear) — the per-merge window rounds it replaced would grow
+      // another 10× with the table
+      "q131_bpe_apply_knob" -> ((d, scale) =>
+        graft.text.TextAnalysis.bpeApplyPass(spark, d, 3 * scale)),
       // round-7: the LSH store's partition knobs exercised at the values a
       // 10× deployment would pin (pfxLen 1→2 = 16→256 band dirs, docPfxMod
       // 16→64 feature dirs) — the "grow with the cluster" claim measured,
@@ -290,7 +297,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference)","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table)","cpus":$cpus}""")
     spark.stop()
   }
 }

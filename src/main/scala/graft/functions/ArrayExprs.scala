@@ -507,3 +507,81 @@ case class CmEstimate(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+object BpeApply {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Apply ONE merge round to a token array, with the ORIGINAL-neighbor
+    * simultaneous semantics of q111/q131's window rounds (and their
+    * unrolled-round DuckDB oracle): position i is DROPPED when its
+    * original left neighbor is `a` and it is `b`; a kept position is
+    * renamed to `merged` when it is `a` and its original right neighbor
+    * is `b`. NOT classic greedy BPE on runs — [b,b,b] under (b,b) folds
+    * to [b_b], exactly what one lead/lag round produces — because the
+    * oracle IS the round. */
+  private[functions] def round(arr: Array[UTF8String], a: UTF8String,
+      b: UTF8String, merged: UTF8String): Array[UTF8String] = {
+    val n = arr.length
+    val out = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!(i > 0 && arr(i - 1).equals(a) && arr(i).equals(b))) {
+        out(m) =
+          if (arr(i).equals(a) && i + 1 < n && arr(i + 1).equals(b)) merged
+          else arr(i)
+        m += 1
+      }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+}
+
+/** Single-pass corpus application of a LEARNED, rank-ordered BPE merge
+  * table: each document's token array folds through ALL merges locally —
+  * ONE pass over the corpus regardless of table size, no window, no
+  * shuffle, no per-merge re-index. This is the scale fix for q131's apply
+  * phase: one lead/lag window round PER MERGE costs O(merge-table) full
+  * passes over 100 TB (a real tokenizer has ~30k merges); per-document
+  * application of a FIXED table needs no cross-row coordination at all,
+  * so it belongs in a partition-local expression with the table riding
+  * the plan as a reference object. Each merge is applied with EXACTLY the
+  * window round's simultaneous original-neighbor semantics
+  * ([[BpeApply.round]]) so the unrolled-round SQL stays the exact oracle;
+  * ArrayExprsSpec pins fold ≡ rounds on adversarial run/overlap cases.
+  * CodegenFallback: per-row feature extraction, not a per-pair hot loop
+  * (the Md5MinHashSig precedent). Input arrays must not contain null
+  * elements (split() output never does). */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with GraftArrayInputCheck
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override protected def expectedInputs: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val table: Array[Array[UTF8String]] =
+    merges.map { case (a, b) => Array(UTF8String.fromString(a),
+      UTF8String.fromString(b), UTF8String.fromString(s"${a}_$b"))
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    var arr = xs.toObjectArray(StringType).asInstanceOf[Array[AnyRef]]
+      .map(_.asInstanceOf[UTF8String])
+    var r = 0
+    while (r < table.length) {
+      val t = table(r)
+      arr = BpeApply.round(arr, t(0), t(1), t(2))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

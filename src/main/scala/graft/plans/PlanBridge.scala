@@ -11,6 +11,18 @@ object PlanBridge {
   def ofRows(s: org.apache.spark.sql.SparkSession, p: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], p)
 
+  /** Wrap a raw Catalyst Expression as a Column — for expressions carrying
+    * a non-Expression constructor parameter (e.g. [[graft.functions.BpeApply]]'s
+    * merge table), which the function-registry path can't build. Third
+    * private[sql] surface we take. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The inverse: a Column's Catalyst Expression (Column.expr is gone in
+    * Spark 4's ColumnNode world). Same shim surface as [[column]]. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The EXECUTED physical plan of a streaming query's most recent
     * micro-batch — the streaming analog of `df.queryExecution.executedPlan`,
     * used by StreamingPlanSpec to pin streaming plan shapes the way

@@ -475,6 +475,48 @@ object Sources {
     acc.toMap
   }
 
+  /** ROW COUNT and per-column NULL COUNTS of one parquet file's footer —
+    * the metadata the z-store's count plane records ([[ZOrder]]'s
+    * `__count__` / `__nulls__:` manifest rows, consumed by
+    * `countZRange`'s metadata-only COUNT(*)). Row count comes from block
+    * metadata (parquet always records it); a column's null count is the
+    * chunk sum, known only when EVERY chunk of that column sets numNulls
+    * (unknown → the file is never counted from metadata, only scanned —
+    * same always-safe degradation as the range stats). A column absent
+    * from the footer reads as all-null: nulls = rowCount. */
+  private[sources] def footerCounts(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : (Long, Map[String, Option[Long]]) = {
+    val byLower = fields.map(f => f.name.toLowerCase -> f).toMap
+    var rows = 0L
+    val nulls = scala.collection.mutable.Map[String, Option[Long]](
+      fields.map(f => f.name.toLowerCase -> (Some(0L): Option[Long])): _*)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+    try {
+      reader.getFooter.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        block.getColumns.forEach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1 && byLower.contains(path(0).toLowerCase)) {
+            val key = path(0).toLowerCase
+            seen += key
+            val stats = cc.getStatistics
+            val chunk: Option[Long] =
+              if (stats != null && stats.isNumNullsSet) Some(stats.getNumNulls)
+              else None
+            nulls(key) = for (a <- nulls(key); b <- chunk) yield a + b
+          }
+        }
+      }
+    } finally reader.close()
+    (rows, nulls.map { case (k, v) =>
+      k -> (if (seen.contains(k)) v else Some(rows)) // absent column: all-null
+    }.toMap)
+  }
+
   /** Canonical string encoding of a parquet footer min/max value. */
   private[sources] def encodeParquetStat(v: AnyRef): String = v match {
     case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8

@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming CHANGE-FEED source over the z-store commit log — the DSv2
+  * MicroBatchStream completion of [[ZOrder.readChangesSince]]'s batch
+  * half: `.readStream.format("graft-zcdf").load(storeDir)` tails the
+  * rows each manifest-version commit ADDED, which is how Delta users
+  * consume a table's CDF first (`readStream.option("readChangeFeed",
+  * true)`). The z-store is insert-only within an epoch, so the stream is
+  * exactly the appended rows in commit order.
+  *
+  * Offsets are the store's own commit coordinates `(epoch, version)` —
+  * checkpoint/restart resumes mid-epoch from the last committed version
+  * with nothing re-emitted (StreamingSpec). An EPOCH SWAP (delete,
+  * merge, re-cluster, optimize, manifest compaction) REFUSES loudly with
+  * the full-refresh message, mapped to a source error: rewritten history
+  * cannot be expressed as a row delta, so the consumer must full-refresh
+  * and restart from the new epoch — precisely Delta's contract when CDF
+  * meets a data rewrite.
+  *
+  * Batching is DETERMINISTIC: `maxVersionsPerTrigger` (default 1) caps
+  * each micro-batch at whole manifest versions under
+  * `SupportsAdmissionControl` + `SupportsTriggerAvailableNow` (without
+  * the latter, AvailableNow would ignore the limit — the GraftShards
+  * lesson), so micro-batch membership is pure commit topology and q140's
+  * oracle can mirror it as SQL. A file "arrives" in the version that
+  * recorded its SIZE row — metadata-attach versions (bloom stats etc.)
+  * re-point files without re-emitting them.
+  *
+  * Scale: `latestOffset` is O(manifest versions) directory metadata;
+  * `planInputPartitions` reads only the delta versions' manifest rows;
+  * each InputPartition is ONE data file read executor-side through
+  * parquet-hadoop's Group reader (the driver never touches row data).
+  * Output schema = the store's recorded schema + `_epoch`/`_ver` commit
+  * coordinates; columns are restricted to the z-store's primitive
+  * surface (long/int/double/float/string/boolean/timestamp-micros) and
+  * anything else refuses at schema inference, not mid-stream. */
+object ZcdfStream {
+  val EpochCol = "_epoch"
+  val VerCol = "_ver"
+
+  private[sources] def pathOf(options: java.util.Map[String, String]): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-zcdf needs a path: .load(<z-store dir>)"))
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType | TimestampType => true
+    case _ => false
+  }
+
+  def tableSchema(s: SparkSession, path: String): StructType = {
+    val (_, _, recorded) = ZOrder.streamState(s, path)
+    recorded.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"graft-zcdf: column ${f.name} has type ${f.dataType.simpleString}; " +
+          "the change-feed wire supports long/int/double/float/string/" +
+          "boolean/timestamp")
+      require(!f.name.equalsIgnoreCase(EpochCol) &&
+        !f.name.equalsIgnoreCase(VerCol),
+        s"graft-zcdf: column ${f.name} collides with the commit-coordinate " +
+          "metadata columns")
+    }
+    StructType(recorded.fields.toSeq :+
+      StructField(EpochCol, LongType, nullable = false) :+
+      StructField(VerCol, LongType, nullable = false))
+  }
+}
+
+case class ZcdfOffset(epoch: Long, ver: Long) extends Offset {
+  override def json(): String = s"""{"epoch":$epoch,"ver":$ver}"""
+}
+
+object ZcdfOffset {
+  private val Re = """"epoch"\s*:\s*(-?\d+).*"ver"\s*:\s*(-?\d+)""".r.unanchored
+  def fromJson(j: String): ZcdfOffset = j match {
+    case Re(e, v) => ZcdfOffset(e.toLong, v.toLong)
+    case _ => throw new IllegalArgumentException(s"bad zcdf offset: $j")
+  }
+}
+
+class ZcdfProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-zcdf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZcdfStream.tableSchema(SparkSession.active, ZcdfStream.pathOf(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ZcdfTable(ZcdfStream.pathOf(properties), schema)
+}
+
+class ZcdfTable(path: String, tschema: StructType) extends Table
+    with SupportsRead {
+  override def name(): String = s"graft-zcdf:$path"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tschema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ZcdfMicroBatchStream(path, tschema, options)
+    }
+}
+
+class ZcdfMicroBatchStream(path: String, tschema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def s = SparkSession.active
+  private val maxVersions: Long = {
+    val v = options.getLong("maxVersionsPerTrigger", 1L)
+    require(v != 0, "maxVersionsPerTrigger must be positive (or <0 = all)")
+    v
+  }
+  private val startingVersion: String =
+    options.getOrDefault("startingVersion", "earliest")
+  @volatile private var availableNowEnd: Option[ZcdfOffset] = None
+
+  private def refuseSwap(cur: Long, seen: Long): Nothing =
+    throw new IllegalStateException(
+      s"z-store at $path was rewritten since e$seen (current: e$cur) — a " +
+        "row delta across an epoch swap does not exist; full-refresh the " +
+        "consumer and restart the stream from the current epoch")
+
+  override def initialOffset(): Offset = {
+    val (e, maxVer, _) = ZOrder.streamState(s, path)
+    startingVersion match {
+      case "earliest" => ZcdfOffset(e, -1L) // v0 onward
+      case "latest" => ZcdfOffset(e, maxVer) // only future commits
+      case v => ZcdfOffset(e, v.toLong) // resume AFTER version v
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersions < 0) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxVersions) // "rows" = whole manifest versions
+
+  private def cap(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => r.maxRows()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(cap).filter(_ != Long.MaxValue)
+        .reduceOption(_ min _).getOrElse(Long.MaxValue)
+    case _ => Long.MaxValue
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val (e, maxVer, _) = ZOrder.streamState(s, path)
+    availableNowEnd = Some(ZcdfOffset(e, maxVer))
+  }
+
+  override def latestOffset(): Offset = {
+    val (e, maxVer, _) = ZOrder.streamState(s, path)
+    ZcdfOffset(e, maxVer)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = start.asInstanceOf[ZcdfOffset]
+    val (curE, curMax) = availableNowEnd match {
+      case Some(pinned) => (pinned.epoch, pinned.ver)
+      case None =>
+        val (e, maxVer, _) = ZOrder.streamState(s, path)
+        (e, maxVer)
+    }
+    if (curE != st.epoch) refuseSwap(curE, st.epoch)
+    val c = cap(limit)
+    // saturating step (the GraftShards overflow lesson)
+    val end = if (c == Long.MaxValue || curMax - st.ver <= c) curMax
+      else st.ver + c
+    ZcdfOffset(curE, math.max(end, st.ver))
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val st = start.asInstanceOf[ZcdfOffset]
+    val en = end.asInstanceOf[ZcdfOffset]
+    if (st.epoch != en.epoch) refuseSwap(en.epoch, st.epoch)
+    if (en.ver <= st.ver) return Array.empty
+    ZOrder.changeFiles(s, path, en.epoch, st.ver, en.ver)
+      .map { case (ver, f) =>
+        ZcdfPartition(s"$path/$f", en.epoch, ver): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZcdfReaderFactory(GraftShardsSource.confOverrides(s),
+      tschema.fields.dropRight(2).map(f => (f.name, f.dataType.catalogString)))
+
+  override def deserializeOffset(json: String): Offset =
+    ZcdfOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class ZcdfPartition(file: String, epoch: Long, ver: Long)
+    extends InputPartition
+
+/** Executor-side parquet reader for one change-feed file: parquet-hadoop's
+  * example Group materializer (public API, on every Spark classpath)
+  * decodes rows without any SparkSession; fields resolve by
+  * case-insensitive name, a column the file predates reads null (the
+  * add-only evolution contract), and timestamps are INT64 micros by the
+  * z-store write contract ([[Sources.writeMicros]]). */
+case class ZcdfReaderFactory(confOverrides: Map[String, String],
+    fields: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZcdfPartition]
+    val types: Array[DataType] =
+      fields.map { case (_, ddl) => DataType.fromDDL(ddl) }
+    new PartitionReader[InternalRow] {
+      private val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new Path(p.file))
+        .withConf(GraftShardsSource.hadoopConf(confOverrides))
+        .build()
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) false
+        else { current = convert(g); true }
+      }
+
+      private def convert(
+          g: org.apache.parquet.example.data.Group): InternalRow = {
+        val gt = g.getType
+        val vals = new Array[Any](fields.length + 2)
+        var i = 0
+        while (i < fields.length) {
+          val name = fields(i)._1
+          val idx = (0 until gt.getFieldCount)
+            .find(j => gt.getFieldName(j).equalsIgnoreCase(name))
+          vals(i) = idx match {
+            case Some(j) if g.getFieldRepetitionCount(j) > 0 =>
+              types(i) match {
+                case LongType | TimestampType => g.getLong(j, 0)
+                case IntegerType => g.getInteger(j, 0)
+                case DoubleType => g.getDouble(j, 0)
+                case FloatType => g.getFloat(j, 0)
+                case BooleanType => g.getBoolean(j, 0)
+                case StringType => UTF8String.fromString(g.getString(j, 0))
+                case dt => throw new IllegalStateException(
+                  s"unreachable: $dt passed schema inference")
+              }
+            case _ => null // absent or null: pre-evolution file
+          }
+          i += 1
+        }
+        vals(fields.length) = p.epoch
+        vals(fields.length + 1) = p.ver
+        new GenericInternalRow(vals)
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}

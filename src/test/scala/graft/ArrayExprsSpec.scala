@@ -56,4 +56,46 @@ class ArrayExprsSpec extends SparkSpec {
       .collect()(0)
     assert(out.isNullAt(0))
   }
+
+  test("graft_bpe_apply: single-pass fold == per-merge window rounds, adversarial runs/overlaps") {
+    import org.apache.spark.sql.expressions.Window
+    val shim = org.apache.spark.sql.graftshim.PlanBridge
+    // adversarial sequences: odd runs ([b,b,b] folds to [b_b] under the
+    // round semantics), overlapping pairs, chained merges where a later
+    // merge consumes an earlier merge's output, empty and 1-token docs
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "b b b"), (3L, "a a b"), (4L, "a b b"),
+      (5L, "x a b y a b"), (6L, "a"), (7L, "a_b c a b c"),
+      (8L, "b a b a b a"), (9L, "c c c c"), (10L, "a b c a b c"),
+    ).toDF("doc_id", "text")
+    val table = Seq(("a", "b"), ("a_b", "c"), ("b", "b"))
+    // reference: one lead/lag window round per merge over exploded tokens
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    var t = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("i", "w")))
+    table.foreach { case (a, b) =>
+      t = t.select(col("doc_id"), col("i"), col("w"),
+          lead(col("w"), 1).over(byDoc).as("nx"),
+          lag(col("w"), 1).over(byDoc).as("pv"))
+        .filter(col("pv").isNull || !(col("pv") === a && col("w") === b))
+        .select(col("doc_id"), row_number().over(byDoc).as("i"),
+          when(col("w") === a && col("nx").isNotNull && col("nx") === b,
+            lit(s"${a}_$b")).otherwise(col("w")).as("w"))
+    }
+    val ref = t.groupBy(col("doc_id"))
+      .agg(array_join(array_sort(collect_list(struct(col("i"), col("w"))))
+        .getField("w"), " ").as("toks"))
+      .orderBy(col("doc_id")).as[(Long, String)].collect()
+    val fold = docs.select(col("doc_id"),
+        array_join(shim.column(graft.functions.BpeApply(
+          shim.expression(split(col("text"), "\\s+")), table)), " ").as("toks"))
+      .orderBy(col("doc_id")).as[(Long, String)].collect()
+    assert(fold.toSeq == ref.toSeq)
+    // and the expected nasty-run results, pinned literally
+    val byId = fold.toMap
+    assert(byId(2L) == "b_b") // odd run folds lossy, exactly like the round
+    assert(byId(1L) == "a_b a_b")
+    assert(byId(4L) == "a_b b") // drop uses ORIGINAL left neighbor
+    assert(byId(10L) == "a_b_c a_b_c") // later merge consumes earlier output
+  }
 }

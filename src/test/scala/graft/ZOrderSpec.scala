@@ -426,15 +426,16 @@ class ZOrderSpec extends SparkSpec {
     assert(!plain.contains("GreaterThanOrEqual(l_partkey"))
   }
 
-  test("z-order writers run in the enforced single-writer slot") {
+  test("epoch rewrites run in the enforced single-writer slot; appends are lock-free") {
     val dir = Files.createTempDirectory("graft-z5").toString
     ZOrder.writeZOrdered(li.limit(100), dir,
       Seq("l_partkey", "l_suppkey"), 2)
     graft.sources.Lease.withLease(spark, dir, "other-writer") {
-      intercept[graft.sources.Lease.HeldException] {
-        ZOrder.appendZOrdered(li.limit(10), dir,
-          Seq("l_partkey", "l_suppkey"), 1)
-      }
+      // the r10 OCC contract: an append lands DESPITE a held lease — it
+      // serializes on the version-claim CAS, not the writer slot
+      ZOrder.appendZOrdered(li.limit(10), dir,
+        Seq("l_partkey", "l_suppkey"), 1)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 110)
       intercept[graft.sources.Lease.HeldException] {
         ZOrder.reclusterZOrdered(spark, dir,
           Seq("l_partkey", "l_suppkey"), 2)
@@ -443,9 +444,88 @@ class ZOrderSpec extends SparkSpec {
         ZOrder.vacuumOrphans(spark, dir)
       }
     }
-    // slot released on exit: the same append now lands
     ZOrder.appendZOrdered(li.limit(10), dir,
       Seq("l_partkey", "l_suppkey"), 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 120)
+  }
+
+  test("two concurrent lock-free appenders: both batches land exactly once, tags intact") {
+    val dir = Files.createTempDirectory("graft-zocc").toString
+    val base = spark.range(500).select(col("id").as("k1"),
+      (col("id") % 50).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 2)
+    val b1 = spark.range(500, 800).select(col("id").as("k1"),
+      (col("id") % 50).as("k2"))
+    val b2 = spark.range(800, 1000).select(col("id").as("k1"),
+      (col("id") % 50).as("k2"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def appender(df: org.apache.spark.sql.DataFrame, tag: String) =
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          ZOrder.appendZOrdered(df, dir, Seq("k1", "k2"), 1,
+            tag = Some(tag))
+        }
+      })
+    val (f1, f2) = (appender(b1, "t1"), appender(b2, "t2"))
+    gate.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 1000, "both concurrent appends visible")
+    assert(got.select(col("k1")).distinct().count() == 1000,
+      "no batch landed twice")
+    // tags recorded: both replays are no-ops now
+    ZOrder.appendZOrdered(b1, dir, Seq("k1", "k2"), 1, tag = Some("t1"))
+    ZOrder.appendZOrdered(b2, dir, Seq("k1", "k2"), 1, tag = Some("t2"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1000)
+  }
+
+  test("an append racing an epoch rewrite is never lost: rollforward or self-rebase lands it once") {
+    val dir = Files.createTempDirectory("graft-zroll").toString
+    val base = spark.range(2000).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 4)
+    // deterministic "late append": resolve the rewrite's snapshot shape by
+    // hand — commit an append AFTER reading the store state the way the
+    // rewrite does, by racing a real recluster against a real append many
+    // times; whichever interleaving occurs, the invariant is the same
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    var expected = 2000L
+    for (i <- 0 until 3) {
+      val batch = spark.range(10000 + i * 100, 10000 + i * 100 + 100)
+        .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+      expected += 100
+      val gate = new CountDownLatch(1)
+      val fa = pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1,
+            tag = Some(s"race$i"))
+        }
+      })
+      val fr = pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+        }
+      })
+      gate.countDown()
+      fa.get(120, TimeUnit.SECONDS); fr.get(120, TimeUnit.SECONDS)
+      assert(ZOrder.readSnapshot(spark, dir).count() == expected,
+        s"round $i: append lost or doubled under a racing rewrite")
+      // and the tag still dedups a replay after the dust settles
+      ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1,
+        tag = Some(s"race$i"))
+      assert(ZOrder.readSnapshot(spark, dir).count() == expected)
+    }
+    pool.shutdown()
+    // distinct keys: nothing double-landed across all the rounds
+    assert(ZOrder.readSnapshot(spark, dir)
+      .select(col("k1")).distinct().count() == expected)
   }
 
   test("copy-on-write delete: unaffected files carry by name, nulls survive, tagged replay can't resurrect, old epoch audits") {
@@ -724,5 +804,90 @@ class ZOrderSpec extends SparkSpec {
         Seq("l_partkey"), 2, statCols = Seq("arr"))
     }
     assert(e2.getMessage.contains("arr"))
+  }
+
+  test("metadata-only count: covered files never opened, null-bearing files scan, totals exact") {
+    val dir = Files.createTempDirectory("graft-zcount").toString
+    // nulls planted in k1 (they z-sort together): those files must fall to
+    // the residual scan — counting a covered-range file that holds nulls
+    // in the predicate column would overcount
+    val df = spark.range(4096).select(
+      col("id"),
+      when(col("id") % 257 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("k1"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 8)
+    val expectAll = df.filter(col("k1").between(0L, 5000L)).count()
+    val wide = Seq(("k1", 0L, 5000L): (String, Any, Any))
+    val parts = ZOrder.countZRangeParts(spark, dir, wide)
+    assert(parts.covered.nonEmpty, "wide band must cover interior files")
+    assert(parts.residual.nonEmpty, "null-bearing files must be scanned")
+    assert(ZOrder.countZRange(spark, dir, wide) == expectAll)
+    // boundary band stays exact against the plain filter
+    val band = Seq(("k1", 1000L, 2000L): (String, Any, Any))
+    assert(ZOrder.countZRange(spark, dir, band) ==
+      df.filter(col("k1").between(1000L, 2000L)).count())
+    // the no-open pin: a covered file physically deleted still counts
+    // from the manifest — proof the metadata path never touches it —
+    // while the row READ on the same predicate fails loudly
+    assert(new java.io.File(dir, parts.covered.head).delete())
+    assert(ZOrder.countZRange(spark, dir, wide) == expectAll)
+    intercept[Exception] {
+      ZOrder.readZRange(spark, dir, wide).count()
+    }
+  }
+
+  test("predicate/stat column-name matching is case-insensitive on read, count and delete paths") {
+    val dir = Files.createTempDirectory("graft-zcase").toString
+    val df = spark.range(1024).select(col("id"),
+      col("id").as("K1"), pmod(hash(col("id")), lit(100)).cast("long").as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("K1", "k2"), 4)
+    // predicate spelled lowercase against the uppercase recorded stat:
+    // must prune (not refuse, not full-rewrite)
+    val got = ZOrder.readZRange(spark, dir, Seq(("k1", 0L, 100L)))
+    assert(got.count() == 101)
+    assert(got.inputFiles.length < ZOrder.listDataFiles(spark, dir).size)
+    assert(ZOrder.countZRange(spark, dir, Seq(("k1", 0L, 100L))) == 101)
+    val nDel = ZOrder.deleteZRange(spark, dir, Seq(("k1", 0L, 99L)),
+      Seq("K1", "k2"))
+    assert(nDel == 100)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1024 - 100)
+  }
+
+  test("vacuum ages from the SUPERSESSION instant, not file mtime: a fresh rewrite keeps old epochs for the window") {
+    val dir = Files.createTempDirectory("graft-zvage").toString
+    val df = spark.range(2048).select(col("id"),
+      col("id").as("k1"), pmod(hash(col("id")), lit(100)).cast("long").as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 4)
+    def backdate(f: java.io.File, t: Long): Unit = {
+      f.setLastModified(t)
+      Option(f.listFiles()).foreach(_.foreach(backdate(_, t)))
+    }
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val hour = 3600 * 1000L
+    // the store is OLD (all mtimes two hours back) ...
+    backdate(new java.io.File(dir), twoHoursAgo)
+    // ... and is re-clustered NOW: e0 is superseded at this instant
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+    // mtime aging would collect e0 + its data dirs here (their mtimes are
+    // 2h old, window 1h) — supersession aging must keep them
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = hour).isEmpty)
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 0).count() == 2048,
+      "superseded epoch stays time-travel-readable inside the window")
+    // a never-committed version dir ages from its OWN mtime (it was
+    // garbage from birth, it supersedes nothing)
+    val crashedV = new java.io.File(dir, "_zmanifest/e1/v7")
+    assert(crashedV.mkdirs())
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = hour).isEmpty)
+    backdate(crashedV, twoHoursAgo)
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = hour) ==
+      Seq("_zmanifest/e1/v7"))
+    // once the supersession itself is outside the window, e0 goes
+    backdate(new java.io.File(dir, "_zmanifest/e1/v0/_SUCCESS"), twoHoursAgo)
+    val removed = ZOrder.vacuumOrphans(spark, dir, minAgeMs = hour)
+    assert(removed.contains("_zmanifest/e0"))
+    assert(removed.exists(_.startsWith("d-")))
+    intercept[Exception] { ZOrder.readSnapshotAt(spark, dir, 0, 0) }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2048)
   }
 }
