@@ -175,6 +175,26 @@ object ScaleProbe {
       // tag-idempotent appends + marker recipe)
       "q132_zorder_ingest" -> ((d, _) =>
         graft.sources.ZOrder.q132ZOrderStreamIngest.fn(spark, d)),
+      // round-10: the CDC-apply merge loop (sixth exactly-once ingest) —
+      // per-batch cost is O(affected files + batch), so growth should
+      // track the CDC volume, never batches × table
+      "q141_cdc_merge" -> ((d, _) =>
+        graft.sources.ZOrder.q141ZOrderCdcMerge.fn(spark, d)),
+      // round-10: bloom point-index lifecycle at the file-count knob
+      // (32→320): build = one distributed pass + O(files) sidecars; the
+      // probe itself opens O(matches) files at either scale
+      "q142_zbloom_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-zbloom").toString
+        val t = Tables.documents(spark, d).select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"))
+        graft.sources.ZOrder.writeZOrdered(t, dir, Seq("k1", "doc_id"),
+          32 * scale)
+        graft.sources.ZOrder.buildBloomIndex(spark, dir, "uk")
+        graft.sources.ZOrder.readZPoint(spark, dir, "uk",
+          (42L * 2654435761L) % 100003L)
+      }),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-sp-vecidx").toString
@@ -297,7 +317,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table)","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files","cpus":$cpus}""")
     spark.stop()
   }
 }

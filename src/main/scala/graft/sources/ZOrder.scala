@@ -791,6 +791,135 @@ object ZOrder {
     } finally man.unpersist(blocking = false)
   }
 
+  // ---- bloom point-predicate index (per-file sidecars) --------------------
+
+  private def bloomSidecar(path: String, colLower: String, rel: String) =
+    new Path(path, s"_zbloom/$colLower/$rel.bloom")
+
+  /** Build per-file BLOOM sidecars for point predicates on a
+    * NON-CLUSTERED column — the pruning plane min/max stats cannot give
+    * (an unclustered column's recorded ranges overlap everywhere, so a
+    * `key = v` lookup through the z-store otherwise opens every file).
+    * This is Delta's OPTIMIZE-time bloom-filter index shape: one small
+    * sidecar per data file under `_zbloom/<col>/`, built in ONE
+    * distributed pass (group by input file → Spark's native
+    * BloomFilterAggregate over xxhash64(col); each executor partition
+    * writes its own sidecars — no driver materialization of O(files ×
+    * bloomBytes)). [[readZPoint]] consults sidecars DISTRIBUTED over the
+    * candidate list, so files opened for data ∝ matching files + the fpp
+    * tail, never table size. Soundness is one-directional by
+    * construction: a missing sidecar (file appended/rewritten after the
+    * build — re-run the build to re-cover, exactly Delta's contract)
+    * always keeps its file; the bloom never excludes a file that holds
+    * the value. Sidecars of vacuumed files are dead weight until the
+    * next build (they are keyed by data-file name and never consulted
+    * for unlisted files). */
+  def buildBloomIndex(s: SparkSession, path: String, colName: String,
+      fpp: Double = 0.03): Unit =
+    Lease.withLease(s, path, "zorder-bloom-build") {
+      val snap = requireSnapshot(s, path)
+      val (man0, schema) = manifestAndSchema(s, snap)
+      val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $colName is not in the z-store schema"))
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+      // expected items per file from the harvested row counts (the
+      // count plane pays off again); conservative max over files
+      val maxRows = man.filter(col("c") === lit(CountKey) &&
+          col("mn").isNotNull)
+        .agg(coalesce(max(col("mn").cast("long")), lit(0L))).head().getLong(0)
+      val n = math.max(maxRows, 1024L)
+      val bits = math.ceil(
+        -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      val shim = org.apache.spark.sql.graftshim.PlanBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val agg = shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(shim.expression(xxhash64(col(f.name))),
+            Literal(n), Literal(bits)).toAggregateExpression())
+      val colLower = f.name.toLowerCase
+      val target = path // stable closure reference
+      val overrides = GraftShardsSource.confOverrides(s)
+      readSnapshotOf(s, path, snap)
+        .groupBy(input_file_name().as("__file")).agg(agg.as("__bf"))
+        .select(col("__file"), col("__bf"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val fs = GraftShardsSource.fs(new Path(target),
+            GraftShardsSource.hadoopConf(overrides))
+          rows.foreach { r =>
+            val abs = r.getString(0)
+            val rel = abs.substring(abs.indexOf("/d-") + 1)
+            val out = fs.create(bloomSidecar(target, colLower, rel), true)
+            out.write(r.getAs[Array[Byte]](1))
+            out.close()
+          }
+        }
+    }
+
+  /** Point lookup `col = value` through the z-store with BLOOM file
+    * pruning: range stats exclude what they can (nothing, on an
+    * unclustered column), then the candidates' bloom sidecars are tested
+    * DISTRIBUTED (small metadata reads, one per candidate — the Delta
+    * bloom-index read shape) and only might-contain files are opened for
+    * data; the exact equality filter stays on top, so a false positive
+    * costs I/O, never correctness, and a missing sidecar degrades to
+    * reading that file. ZOrderSpec pins files-opened ∝ matches with a
+    * planted absent probe. */
+  def readZPoint(s: SparkSession, path: String, colName: String,
+      value: Any): DataFrame = {
+    val snap = requireSnapshot(s, path)
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $colName is not in the z-store schema"))
+    val colLower = f.name.toLowerCase
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      try {
+        val enc = Sources.encodeBound(f.dataType, value)
+        // range stats first (free if recorded; an unclustered column's
+        // ranges exclude nothing and that is fine — bloom is the plane
+        // that prunes here)
+        val excluded = man.filter(lower(col("c")) === colLower &&
+            !col("c").startsWith("__") && (col("allnull") ||
+            (col("mn").isNotNull &&
+              (statLt(f.dataType, col("mx"), enc) ||
+                statGt(f.dataType, col("mn"), enc)))))
+          .select(col("f"))
+        val candidates = man.select(col("f")).distinct().except(excluded)
+          .collect().map(_.getString(0)).sorted.toSeq
+        if (candidates.isEmpty) Seq.empty[String]
+        else {
+          // the probe hash EXACTLY as the build hashed the column
+          val probeHash = s.range(1)
+            .select(xxhash64(lit(value).cast(f.dataType)))
+            .head().getLong(0)
+          val overrides = GraftShardsSource.confOverrides(s)
+          val target = path
+          s.sparkContext
+            .parallelize(candidates, math.min(candidates.size, 32))
+            .filter { rel =>
+              val fs = GraftShardsSource.fs(new Path(target),
+                GraftShardsSource.hadoopConf(overrides))
+              val sc = bloomSidecar(target, colLower, rel)
+              if (!fs.exists(sc)) true // uncovered file: must read
+              else {
+                val in = fs.open(sc)
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                  .mightContainLong(probeHash)
+                finally in.close()
+              }
+            }.collect().sorted.toSeq
+        }
+      } finally man.unpersist(blocking = false)
+    val base =
+      if (kept.nonEmpty)
+        s.read.schema(schema).parquet(kept.map(f0 => s"$path/$f0"): _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    base.filter(col(f.name) === lit(value))
+  }
+
   /** Full current-snapshot read (explicit recorded schema, manifest-listed
     * files) — the OPTIMIZE-path input ([[reclusterZOrdered]]) and the
     * no-predicate table read. O(table files) driver file names, like any
@@ -1403,7 +1532,7 @@ object ZOrder {
   /** Drop the store-pointer cache (cold-run probes). */
   def clearCaches(): Unit = synchronized {
     stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
-    mergeStores.clear(); zcdfStreamStores.clear()
+    mergeStores.clear(); zcdfStreamStores.clear(); bloomStores.clear()
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -1466,6 +1595,50 @@ object ZOrder {
     val (pmn, pmx) = (b.getLong(0), b.getLong(1))
     Seq(countZRange(s, dir,
       Seq(("l_partkey", pmn, pmn + (pmx - pmn) * 5 / 10)))).toDF("n")
+  }
+
+  /** q142's store: documents with a synthetic high-cardinality
+    * NON-CLUSTERED key `uk = (doc_id * 2654435761) % 100003` (a Knuth
+    * multiplicative hash — pure integer arithmetic, so the oracle
+    * mirrors it exactly), z-clustered on (n_chars, doc_id) so uk ranges
+    * overlap in every file, bloom sidecars built on uk. */
+  private val bloomStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def bloomStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      bloomStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zbloom").toString
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+          col("n_chars"))
+        writeZOrdered(t, dir, Seq("n_chars", "doc_id"), 8)
+        buildBloomIndex(s, dir, "uk")
+        dir
+      })
+    }
+
+  /** q142: POINT LOOKUP on a non-clustered column through the bloom
+    * sidecar index ([[readZPoint]]) — probe value = the minimum doc's
+    * uk, derived by the same arithmetic both engines run. Oracle = the
+    * plain equality filter over the source table, so a bloom that
+    * wrongly excluded a matching file (the unsound direction), a broken
+    * residual filter, or a hash/probe mismatch all hash-fail. The
+    * files-opened ∝ matches claim is pinned in ZOrderSpec — an oracle
+    * can't see I/O. */
+  val q142ZOrderPoint: Q = Q(
+    "q142_zorder_point",
+    """WITH b AS (SELECT MIN(doc_id) AS dmn FROM documents)
+      |SELECT d.doc_id, (d.doc_id * 2654435761) % 100003 AS uk, d.n_chars
+      |FROM documents d, b
+      |WHERE (d.doc_id * 2654435761) % 100003
+      |      = (b.dmn * 2654435761) % 100003
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    val dir = bloomStoreFor(s, d)
+    val dmn = Tables.documents(s, d).agg(min(col("doc_id"))).head().getLong(0)
+    readZPoint(s, dir, "uk", (dmn * 2654435761L) % 100003L)
+      .select(col("doc_id"), col("uk"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** q133: range DELETE through the z-store — build the full table
@@ -1880,5 +2053,5 @@ object ZOrder {
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
-    q141ZOrderCdcMerge)
+    q141ZOrderCdcMerge, q142ZOrderPoint)
 }

@@ -940,4 +940,107 @@ class StreamingSpec extends SparkSpec {
     assert(tableRows() ==
       Map("t1" -> "SUCCEEDED", "t2" -> "SUCCEEDED", "t3" -> "SUCCEEDED"))
   }
+
+  // ---- graft-zcdf: the z-store change-feed streaming source (r10) --------
+
+  test("graft-zcdf: version-per-trigger batching, checkpoint restart resumes mid-epoch, nothing re-emitted") {
+    import java.nio.file.Files
+    import graft.sources.ZOrder
+    val store = Files.createTempDirectory("graft-zcdfsrc").toString
+    val out = Files.createTempDirectory("graft-zcdfsrc-out").toString
+    val base = spark.range(100).select(col("id").as("k1"),
+      (col("id") % 10).as("k2"))
+    ZOrder.writeZOrdered(base, store, Seq("k1", "k2"), 2)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-zcdf")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .load(store)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // consumes v0
+    val got0 = spark.read.parquet(s"$out/data")
+    assert(got0.count() == 100)
+    assert(got0.select(col("_ver")).distinct().as[Long].collect().toSet ==
+      Set(0L))
+
+    // two more commits land; the SAME checkpoint resumes AFTER v0
+    ZOrder.appendZOrdered(spark.range(100, 150).select(col("id").as("k1"),
+      (col("id") % 10).as("k2")), store, Seq("k1", "k2"), 1)
+    ZOrder.appendZOrdered(spark.range(150, 160).select(col("id").as("k1"),
+      (col("id") % 10).as("k2")), store, Seq("k1", "k2"), 1)
+    runOnce()
+    val got = spark.read.parquet(s"$out/data")
+    assert(got.count() == 160, "restart re-emitted or missed a version")
+    assert(got.select(col("k1")).distinct().count() == 160)
+    // version coordinates label the arrivals correctly
+    val byVer = got.groupBy(col("_ver")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byVer == Map(0L -> 100L, 1L -> 50L, 2L -> 10L))
+  }
+
+  test("graft-zcdf: an epoch rewrite refuses the stream with the full-refresh contract") {
+    import java.nio.file.Files
+    import graft.sources.ZOrder
+    val store = Files.createTempDirectory("graft-zcdfswap").toString
+    val out = Files.createTempDirectory("graft-zcdfswap-out").toString
+    ZOrder.writeZOrdered(spark.range(64).select(col("id").as("k1"),
+      (col("id") % 8).as("k2")), store, Seq("k1", "k2"), 2)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-zcdf")
+        .option("startingVersion", "earliest")
+        .load(store)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // a delete rewrites history into a new epoch: the stream must fail
+    // loudly (full-refresh), never silently re-read or skip
+    ZOrder.deleteZRange(spark, store, Seq(("k1", 0L, 9L)), Seq("k1", "k2"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("full-refresh")),
+      s"wrong failure: ${chain(e).mkString(" | ")}")
+  }
+
+  test("q141 merge-ingest batch replay: marker skip and tag no-op keep the store exact") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.sources.ZOrder
+    val root = Files.createTempDirectory("graft-zcdc-replay").toString
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("l"), col("id") % 3).as("lang"), (col("id") * 10).as("n_chars"))
+    ZOrder.writeZOrdered(docs, s"$root/store", Seq("doc_id", "n_chars"), 2)
+    val batch = spark.range(0, 50, 7).select(col("id").as("doc_id"),
+      concat(lit("l"), col("id") % 3).as("lang"),
+      (col("id") * 10 + 1000).as("n_chars"), lit(0L).as("version"))
+    ZOrder.mergeIngestBatch(spark, root, batch, 0L)
+    val snap1 = ZOrder.readSnapshot(spark, s"$root/store")
+      .orderBy(col("doc_id")).collect().toSeq
+    // replay with the marker present: wholesale skip
+    ZOrder.mergeIngestBatch(spark, root, batch, 0L)
+    // marker lost, tag present (the crash-between window): merge no-ops
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/applied/0"), true)
+    ZOrder.mergeIngestBatch(spark, root, batch, 0L)
+    val snap2 = ZOrder.readSnapshot(spark, s"$root/store")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(snap1 == snap2, "replayed batch mutated the store")
+    assert(snap1.count(_.getLong(2) >= 1000L) == 8,
+      "unexpected update footprint")
+  }
 }

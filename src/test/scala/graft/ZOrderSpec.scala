@@ -890,4 +890,40 @@ class ZOrderSpec extends SparkSpec {
     intercept[Exception] { ZOrder.readSnapshotAt(spark, dir, 0, 0) }
     assert(ZOrder.readSnapshot(spark, dir).count() == 2048)
   }
+
+  test("bloom sidecar index: files opened track matches on a non-clustered column; missing sidecar degrades safely") {
+    val dir = Files.createTempDirectory("graft-zbloomspec").toString
+    // uk is deliberately NOT a clustering key: its per-file ranges overlap
+    // everywhere, so min/max stats exclude nothing and bloom is the only
+    // pruning plane
+    val df = spark.range(8192).select(col("id"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k2", "id"), 16)
+    ZOrder.buildBloomIndex(spark, dir, "uk")
+    val total = ZOrder.listDataFiles(spark, dir).size
+    assert(total >= 8)
+    val present = (77L * 2654435761L) % 100003L
+    val got = ZOrder.readZPoint(spark, dir, "uk", present)
+    assert(got.count() == df.filter(col("uk") === present).count())
+    assert(got.count() >= 1)
+    assert(got.inputFiles.length <= 3,
+      s"opened ${got.inputFiles.length} of $total files for a point probe")
+    // planted ABSENT probe (uk is always < 100003): only the fpp tail may
+    // open; a min/max-only plane would open all 16
+    val absent = ZOrder.readZPoint(spark, dir, "uk", 100004L)
+    assert(absent.count() == 0)
+    assert(absent.inputFiles.length <= 2,
+      s"absent probe opened ${absent.inputFiles.length} files")
+    // a deleted sidecar degrades to READING that file - never to skipping
+    val opened = got.inputFiles.map(f => f.substring(f.indexOf("/d-") + 1)).toSet
+    val uncovered = ZOrder.listDataFiles(spark, dir).filterNot(opened).head
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(dir, s"_zbloom/uk/$uncovered.bloom"), false))
+    val got2 = ZOrder.readZPoint(spark, dir, "uk", present)
+    assert(got2.count() == got.count())
+    assert(got2.inputFiles.exists(_.endsWith(uncovered)),
+      "uncovered file must be read, not trusted-absent")
+  }
 }
