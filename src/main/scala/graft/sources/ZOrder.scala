@@ -215,7 +215,8 @@ object ZOrder {
         if (files.isEmpty)
           s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
         else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
-      commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man))
+      commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man),
+        rebase = Some((snap.epoch, maxVerOf(snap))))
       rollForwardLateAppends(s, path, snap)
     }
 
@@ -314,13 +315,12 @@ object ZOrder {
       // write it, and re-check the epoch afterwards — a concurrent
       // lease-held rewrite may have swapped epochs under us, superseding
       // the version we just committed
-      var lastCommitted: Option[(Path, Long)] = None
-      var attempts = 0
+      var lastCommitted: Option[(Long, Path, Long)] = None
+      var ticketLost = false
+      var commits = 0
+      var polls = 0
       var done = false
       while (!done) {
-        attempts += 1
-        require(attempts <= 64,
-          s"append to $path: the epoch kept moving for 64 attempts")
         val snap = requireSnapshot(s, path)
         val (man, recorded) = manifestAndSchema(s, snap)
         val landed = tag.exists(t =>
@@ -328,18 +328,42 @@ object ZOrder {
             .limit(1).count() > 0) ||
           man.filter(col("c") =!= lit(DdlKey) &&
             col("f").startsWith(s"$dname/")).limit(1).count() > 0
-        if (landed) done = true // a rewrite's rollforward carried us
-        else {
+        // a rewrite that RESOLVED ITS BASE after our commit consumed our
+        // rows into its rewritten data — the `_rebase` watermark is the
+        // only evidence (a re-cluster destroys the dname). Scanned over
+        // EVERY later epoch, not just the current one: a second rewrite
+        // may already have superseded the one that included us.
+        val included = !landed && lastCommitted.exists { case (e, _, v) =>
+          wasIncludedInRewrite(s, path, e, v)
+        }
+        if (landed || included) done = true
+        else if (ticketLost) {
+          // the rewrite owns the rebase of our superseded commit: WAIT
+          // for its rollforward to land rather than trusting it blindly —
+          // if the rewrite crashed after claiming the ticket, returning
+          // success here would silently lose the batch. Poll, then fail
+          // LOUDLY so an at-least-once caller retries the whole append.
+          polls += 1
+          if (polls > 300) throw new IllegalStateException(
+            s"append to $path: a rewrite claimed the rebase of our " +
+              "superseded commit but its rollforward never landed " +
+              "(crashed mid-rollforward?) — the batch is NOT visible; " +
+              "retry the append")
+          Thread.sleep(100)
+        } else {
           // someone may own the rebase of our superseded commit: the
           // .rolled ticket decides — if the rewrite claimed it, it WILL
           // copy our version; if we claim it, the rewrite skips us
           val mayRecommit = lastCommitted match {
             case None => true
-            case Some((edir, v)) => claimRebaseTicket(
+            case Some((_, edir, v)) => claimRebaseTicket(
               StoreMaint.fsFor(s, edir), edir, v)
           }
-          if (!mayRecommit) done = true
+          if (!mayRecommit) ticketLost = true
           else {
+            commits += 1
+            require(commits <= 64,
+              s"append to $path: the epoch kept moving for 64 attempts")
             val union = StoreMaint.unionSchemas(s"$path (z-store)",
               Some(recorded), df.schema)
             val fs = StoreMaint.fsFor(s, snap.epochDir)
@@ -347,7 +371,7 @@ object ZOrder {
             writeManifestVersion(s, snap.epochDir, ver, union.toDDL,
               stats, tag.toSeq)
             if (requireSnapshot(s, path).epoch == snap.epoch) done = true
-            else lastCommitted = Some((snap.epochDir, ver))
+            else lastCommitted = Some((snap.epoch, snap.epochDir, ver))
           }
         }
       }
@@ -381,6 +405,57 @@ object ZOrder {
     }
     throw new IllegalStateException(
       s"could not claim a manifest version under $edir in 256 attempts")
+  }
+
+  /** Epoch rewrites record WHAT THEY CONSUMED in a `_rebase` marker file
+    * inside the new epoch dir ("baseEpoch:baseMaxVer"): an appender that
+    * observes the swap reads it to distinguish "my committed version was
+    * INCLUDED in the rewrite's base" (rows live on in the rewritten
+    * data — re-committing would DOUBLE them; the dname check alone can't
+    * see this because a re-cluster rewrites rows into new files) from
+    * "my version was missed" (the rollforward/ticket path). A rebuild
+    * ([[writeZOrdered]] over an existing store) consumed nothing —
+    * no marker — so a concurrent append re-commits itself, i.e.
+    * serializes AFTER the replace. */
+  private def writeRebaseMarker(fs: org.apache.hadoop.fs.FileSystem,
+      edir: Path, baseEpoch: Long, baseMaxVer: Long): Unit = {
+    val out = fs.create(new Path(edir, "_rebase"), true)
+    out.write(s"$baseEpoch:$baseMaxVer".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readRebaseMarker(fs: org.apache.hadoop.fs.FileSystem,
+      edir: Path): Option[(Long, Long)] =
+    try {
+      val p = new Path(edir, "_rebase")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+        new String(bytes, "UTF-8").split(':') match {
+          case Array(e, v) => Some((e.toLong, v.toLong))
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None } // torn/absent: not included
+
+  private def maxVerOf(snap: ZSnapshot): Long =
+    snap.vdirs.flatMap(p => parseIdx(p.getName, "v")).maxOption.getOrElse(-1L)
+
+  /** Did ANY later epoch's rewrite consume version `v` of epoch `e`?
+    * (The chain case: the epoch that included us may itself be
+    * superseded — its dir, and marker, persist until vacuum, and the
+    * vacuum window must exceed an append's duration anyway.) */
+  private def wasIncludedInRewrite(s: SparkSession, path: String,
+      e: Long, v: Long): Boolean = {
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    fs.listStatus(mroot).filter(_.isDirectory)
+      .flatMap(st => parseIdx(st.getPath.getName, "e").map(_ -> st.getPath))
+      .filter(_._1 > e)
+      .exists { case (_, p) => readRebaseMarker(fs, p).exists {
+        case (be, bv) => be == e && v <= bv } }
   }
 
   /** Exclusive-create the rebase ticket of a superseded epoch's version:
@@ -450,19 +525,24 @@ object ZOrder {
 
   private def commitNewEpoch(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String],
-      tags: Seq[String] = Seq.empty): Unit = {
+      tags: Seq[String] = Seq.empty,
+      rebase: Option[(Long, Long)] = None): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
     val nextE = nextEpoch(s, path)
+    val edir = new Path(mroot, s"e$nextE")
     // data first, then the epoch's v0 manifest: v0/_SUCCESS is the commit
-    // point that flips readers to the new epoch
+    // point that flips readers to the new epoch. The _rebase marker (what
+    // base snapshot a REWRITE consumed) must exist before the flip so an
+    // OCC appender never mistakes an included commit for a missed one.
+    rebase.foreach { case (e, v) =>
+      writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, e, v) }
     val stats = zWrite(df, path, zcols, numFiles) match {
       case Some(dname) => harvestStats(s, path, dname,
         if (statCols.nonEmpty) statCols else zcols, df.schema)
       case None => Seq.empty // empty table: schema-only manifest
     }
-    writeManifestVersion(s, new Path(mroot, s"e$nextE"), 0L, df.schema.toDDL,
-      stats, tags)
+    writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags)
   }
 
   /** Write one z-clustered batch into a FRESH data dir; returns its name,
@@ -719,6 +799,10 @@ object ZOrder {
     * predicate column would overcount, so zero-nulls is REQUIRED
     * evidence). ZOrderSpec pins the no-open claim by physically deleting
     * a covered file and counting anyway. */
+  /** EMPTY `preds` = the predicate-less `SELECT COUNT(*)`: every file
+    * with a recorded row count charges the manifest directly (null
+    * counts are irrelevant without predicates — COUNT(*) counts null
+    * rows too); only count-less files (pre-r10 manifests) scan. */
   def countZRange(s: SparkSession, path: String,
       preds: Seq[(String, Any, Any)]): Long = {
     val parts = countZRangeParts(s, path, preds)
@@ -737,7 +821,6 @@ object ZOrder {
 
   private[graft] def countZRangeParts(s: SparkSession, path: String,
       preds: Seq[(String, Any, Any)]): ZCount = {
-    require(preds.nonEmpty, "countZRange needs at least one predicate")
     val snap = requireSnapshot(s, path)
     val (man0, schema) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -755,15 +838,18 @@ object ZOrder {
         (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
           Sources.encodeBound(f.dataType, hi))
       }
-      val excluded = typed.map { case (c0, dt, loE, hiE) =>
-        man.filter(lower(col("c")) === c0.toLowerCase && (col("allnull") ||
-            (col("mn").isNotNull &&
-              (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
-          .select(col("f"))
-      }.reduce(_ union _)
+      val excluded =
+        if (typed.isEmpty) man.select(col("f")).limit(0)
+        else typed.map { case (c0, dt, loE, hiE) =>
+          man.filter(lower(col("c")) === c0.toLowerCase && (col("allnull") ||
+              (col("mn").isNotNull &&
+                (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
+            .select(col("f"))
+        }.reduce(_ union _)
       // coverage needs DEFINITE evidence per predicate: recorded range
       // inside the bounds AND a zero null count — plus a recorded row
-      // count to charge to the manifest
+      // count to charge to the manifest (with no predicates, the count
+      // row alone is the evidence)
       val coveredPer = typed.map { case (c0, dt, loE, hiE) =>
         val rangeIn = man.filter(lower(col("c")) === c0.toLowerCase &&
             !col("allnull") && col("mn").isNotNull &&
@@ -1061,8 +1147,10 @@ object ZOrder {
     Lease.withLease(s, path, "zorder-manifest-compact") {
       val snap = requireSnapshot(s, path)
       val (man, schema) = manifestAndSchema(s, snap)
-      writeManifestVersion(s,
-        new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+      val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
+      writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, snap.epoch,
+        maxVerOf(snap))
+      writeManifestVersion(s, edir, 0L,
         schema.toDDL, Seq.empty, manifestTags(man),
         carried = Some(carriedStatsDf(s, man, Seq.empty)))
       rollForwardLateAppends(s, path, snap)
@@ -1137,8 +1225,11 @@ object ZOrder {
                     schema)
                 case None => Seq.empty
               }
-              writeManifestVersion(s,
-                new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+              val edir = new Path(manifestRoot(path),
+                s"e${nextEpoch(s, path)}")
+              writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+                snap.epoch, maxVerOf(snap))
+              writeManifestVersion(s, edir, 0L,
                 schema.toDDL, newStats, manifestTags(man0),
                 carried = Some(carriedStatsDf(s, man, affected)))
               rollForwardLateAppends(s, path, snap)
@@ -1268,8 +1359,11 @@ object ZOrder {
                   union)
               case None => Seq.empty
             }
-            writeManifestVersion(s,
-              new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+            val edir = new Path(manifestRoot(path),
+              s"e${nextEpoch(s, path)}")
+            writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+              snap.epoch, maxVerOf(snap))
+            writeManifestVersion(s, edir, 0L,
               union.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
               carried = Some(carriedStatsDf(s, man, affected)))
             rollForwardLateAppends(s, path, snap)
@@ -1322,8 +1416,10 @@ object ZOrder {
               schema)
           case None => Seq.empty
         }
-        writeManifestVersion(s,
-          new Path(manifestRoot(path), s"e${nextEpoch(s, path)}"), 0L,
+        val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
+        writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, snap.epoch,
+          maxVerOf(snap))
+        writeManifestVersion(s, edir, 0L,
           schema.toDDL, newStats, manifestTags(man0),
           carried = Some(carriedStatsDf(s, man, smallNames)))
         rollForwardLateAppends(s, path, snap)
@@ -1386,13 +1482,43 @@ object ZOrder {
                 rm(st.getPath, s"_zmanifest/${st.getPath.getName}",
                   supersededAt)
               else
-                fs.listStatus(st.getPath).filter(_.isDirectory).foreach { v =>
-                  // never-committed version dirs were garbage from birth:
-                  // own mtime ages them (they supersede nothing)
-                  if (!isCommitted(fs, v.getPath))
-                    rm(v.getPath,
-                      s"_zmanifest/${st.getPath.getName}/${v.getPath.getName}",
-                      0L)
+                fs.listStatus(st.getPath).foreach { v =>
+                  val n = v.getPath.getName
+                  if (v.isDirectory) {
+                    // never-committed version dirs were garbage from
+                    // birth: own mtime ages them (they supersede nothing)
+                    if (!isCommitted(fs, v.getPath))
+                      rm(v.getPath,
+                        s"_zmanifest/${st.getPath.getName}/$n", 0L)
+                  } else if (n.endsWith(".claim")) {
+                    // silent hygiene (not reported in `removed` — the
+                    // return value is about data/manifest dirs): a claim
+                    // whose version COMMITTED is redundant (the v-dir
+                    // itself reserves the number); an uncommitted claim
+                    // may belong to an in-flight OCC append, so it ages
+                    // by its own mtime — the number is never reused
+                    // under a live claimant
+                    val ver = parseIdx(n.stripSuffix(".claim"), "v")
+                    val committed = ver.exists(i =>
+                      isCommitted(fs, new Path(st.getPath, s"v$i")))
+                    if (committed ||
+                        fs.getFileStatus(v.getPath).getModificationTime
+                          <= cutoff)
+                      fs.delete(v.getPath, false)
+                  }
+                }
+            }
+          // bloom sidecar dirs of data dirs the snapshot no longer lists
+          // (vacuumed/rewritten files): same supersession aging
+          val zbloom = new Path(path, "_zbloom")
+          if (fs.exists(zbloom))
+            fs.listStatus(zbloom).filter(_.isDirectory).foreach { cdir =>
+              fs.listStatus(cdir.getPath).filter(_.isDirectory)
+                .foreach { ddir =>
+                  if (!liveDirs.contains(ddir.getPath.getName))
+                    rm(ddir.getPath,
+                      s"_zbloom/${cdir.getPath.getName}/${ddir.getPath.getName}",
+                      supersededAt)
                 }
             }
           removed.sorted.toSeq

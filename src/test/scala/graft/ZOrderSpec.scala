@@ -495,16 +495,19 @@ class ZOrderSpec extends SparkSpec {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(2)
     var expected = 2000L
-    for (i <- 0 until 3) {
+    for (i <- 0 until 4) {
       val batch = spark.range(10000 + i * 100, 10000 + i * 100 + 100)
         .select(col("id").as("k1"), (col("id") % 100).as("k2"))
       expected += 100
+      // alternate tagged and UNTAGGED: an untagged append whose version
+      // the rewrite's base already consumed must recognize itself in the
+      // _rebase watermark instead of re-committing (double-land)
+      val tag = if (i % 2 == 0) Some(s"race$i") else None
       val gate = new CountDownLatch(1)
       val fa = pool.submit(new Runnable {
         def run(): Unit = {
           gate.await()
-          ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1,
-            tag = Some(s"race$i"))
+          ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1, tag = tag)
         }
       })
       val fr = pool.submit(new Runnable {
@@ -517,10 +520,11 @@ class ZOrderSpec extends SparkSpec {
       fa.get(120, TimeUnit.SECONDS); fr.get(120, TimeUnit.SECONDS)
       assert(ZOrder.readSnapshot(spark, dir).count() == expected,
         s"round $i: append lost or doubled under a racing rewrite")
-      // and the tag still dedups a replay after the dust settles
-      ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1,
-        tag = Some(s"race$i"))
-      assert(ZOrder.readSnapshot(spark, dir).count() == expected)
+      // and a tagged replay still dedups after the dust settles
+      tag.foreach { t =>
+        ZOrder.appendZOrdered(batch, dir, Seq("k1", "k2"), 1, tag = Some(t))
+        assert(ZOrder.readSnapshot(spark, dir).count() == expected)
+      }
     }
     pool.shutdown()
     // distinct keys: nothing double-landed across all the rounds
@@ -835,6 +839,11 @@ class ZOrderSpec extends SparkSpec {
     intercept[Exception] {
       ZOrder.readZRange(spark, dir, wide).count()
     }
+    // predicate-less COUNT(*) is pure metadata (null rows count too):
+    // still answers over the physically deleted file
+    val empty = Seq.empty[(String, Any, Any)]
+    assert(ZOrder.countZRangeParts(spark, dir, empty).residual.isEmpty)
+    assert(ZOrder.countZRange(spark, dir, empty) == 4096L)
   }
 
   test("predicate/stat column-name matching is case-insensitive on read, count and delete paths") {
@@ -925,5 +934,44 @@ class ZOrderSpec extends SparkSpec {
     assert(got2.count() == got.count())
     assert(got2.inputFiles.exists(_.endsWith(uncovered)),
       "uncovered file must be read, not trusted-absent")
+  }
+
+  test("vacuum sweeps redundant version claims and orphaned bloom sidecar dirs") {
+    val dir = Files.createTempDirectory("graft-zsweep").toString
+    val df = spark.range(512).select(col("id").as("k1"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 16).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 2)
+    ZOrder.appendZOrdered(spark.range(512, 600).select(col("id").as("k1"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 16).as("k2")), dir, Seq("k1", "k2"), 1)
+    ZOrder.buildBloomIndex(spark, dir, "uk")
+    val e0 = new java.io.File(dir, "_zmanifest/e0")
+    assert(e0.listFiles().exists(_.getName.endsWith(".claim")),
+      "OCC append should have left a claim file (planted positive)")
+    val oldDirs = ZOrder.listDataFiles(spark, dir).map(_.split('/').head)
+      .distinct
+    oldDirs.foreach { d =>
+      assert(new java.io.File(dir, s"_zbloom/uk/$d").exists())
+    }
+    // committed claims sweep even INSIDE the retention window; the
+    // snapshot itself is untouched
+    assert(ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L).isEmpty)
+    assert(!e0.listFiles().exists(_.getName.endsWith(".claim")),
+      "committed claim not swept")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 600)
+    // a re-cluster orphans the old data dirs AND their bloom sidecars,
+    // and records WHAT IT CONSUMED for racing OCC appenders
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 2)
+    val marker = new java.io.File(dir, "_zmanifest/e1/_rebase")
+    assert(marker.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      "UTF-8") == "0:1", "rebase watermark must name base epoch 0 thru v1")
+    val removed = ZOrder.vacuumOrphans(spark, dir)
+    oldDirs.foreach { d =>
+      assert(removed.contains(s"_zbloom/uk/$d"), removed.toString)
+      assert(!new java.io.File(dir, s"_zbloom/uk/$d").exists())
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 600)
   }
 }

@@ -239,4 +239,42 @@ class ObjectStoreSafetySpec extends graft.SparkSpec {
     ZOrder.vacuumOrphans(spark, path)
     assert(checksum() == expect)
   }
+
+  test("z-store: two lock-free appenders racing through slow object-store renames land exactly once") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ZOrder
+    val dir = slowPath("graft-zocc-slow")
+    val base = spark.range(200).select(col("id").as("k1"),
+      (col("id") % 20).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 2)
+    val b1 = spark.range(200, 300).select(col("id").as("k1"),
+      (col("id") % 20).as("k2"))
+    val b2 = spark.range(300, 350).select(col("id").as("k1"),
+      (col("id") % 20).as("k2"))
+    SlowRenameFileSystem.renameDelayMs = 40
+    try {
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def appender(df: org.apache.spark.sql.DataFrame, tag: String) =
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await()
+            ZOrder.appendZOrdered(df, dir, Seq("k1", "k2"), 1,
+              tag = Some(tag))
+          }
+        })
+      val (f1, f2) = (appender(b1, "st1"), appender(b2, "st2"))
+      gate.countDown()
+      f1.get(180, TimeUnit.SECONDS); f2.get(180, TimeUnit.SECONDS)
+      pool.shutdown()
+    } finally SlowRenameFileSystem.renameDelayMs = 0
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 350, "a racing append was lost or doubled")
+    assert(got.select(col("k1")).distinct().count() == 350)
+    // both tags committed: replays are no-ops even after the race
+    ZOrder.appendZOrdered(b1, dir, Seq("k1", "k2"), 1, tag = Some("st1"))
+    ZOrder.appendZOrdered(b2, dir, Seq("k1", "k2"), 1, tag = Some("st2"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 350)
+  }
 }
