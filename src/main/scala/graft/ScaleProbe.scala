@@ -180,6 +180,13 @@ object ScaleProbe {
       // track the CDC volume, never batches × table
       "q141_cdc_merge" -> ((d, _) =>
         graft.sources.ZOrder.q141ZOrderCdcMerge.fn(spark, d)),
+      // round-10: change-feed stream consume and the continuous IVM over
+      // it — cost is O(delta files) reads + per-version folds (view rows
+      // ≤ #langs), so growth should track data volume
+      "q140_zcdf_stream" -> ((d, _) =>
+        graft.sources.ZOrder.q140ZcdfStream.fn(spark, d)),
+      "q143_zcdf_ivm" -> ((d, _) =>
+        graft.sources.ZOrder.q143ZcdfIvm.fn(spark, d)),
       // round-10: bloom point-index lifecycle at the file-count knob
       // (32→320): build = one distributed pass + O(files) sidecars; the
       // probe itself opens O(matches) files at either scale

@@ -2051,6 +2051,93 @@ object ZOrder {
       .orderBy(col("batch"), col("doc_id"))
   }
 
+  // ---- q143: CONTINUOUS IVM over the change-feed stream -------------------
+
+  /** One streaming-IVM micro-batch: fold the change-feed delta into the
+    * materialized view — `view(v) = view(v-1) ⊎ agg(delta(v))`, the
+    * q137 refresh as a CONTINUOUS loop. The view is versioned by the
+    * COMMIT COORDINATE it covers (not the Spark batch id), so a
+    * replayed batch recomputes v from the same v-1 + the same delta and
+    * overwrites the same dir — deterministic content makes the replay a
+    * no-op even without the marker; the marker still short-circuits it.
+    * The refresh plan reads the previous view (rows ≤ #langs) plus the
+    * batch's own delta rows — structurally never the base store (the
+    * delta arrives FROM the source; nothing here can touch base files). */
+  private[graft] def ivmBatch(s: SparkSession, root: String,
+      df: DataFrame, id: Long): Unit = {
+    if (StoreMaint.batchAlreadyApplied(s, root, id)) return
+    val conf = s.conf
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      if (df.limit(1).count() > 0) {
+        val ver = df.agg(max(col(ZcdfStream.VerCol))).head().getLong(0)
+        val delta = df.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+        val prevView =
+          if (ver == 0L) delta.limit(0)
+          else s.read.parquet(s"$root/view/v${ver - 1}")
+        val next = prevView.unionByName(delta).groupBy(col("lang"))
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("sum_chars")).cast("long").as("sum_chars"))
+          .localCheckpoint() // sever the self-referencing view lineage
+        next.coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/view/v$ver")
+        next.select(lit(ver).as("ver"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+          .coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/out/batch=$id")
+      }
+      StoreMaint.markApplied(s, root, id)
+    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+
+  /** q143: CONTINUOUS incremental view maintenance — the composition the
+    * graft-zcdf source exists for, and the streaming completion of
+    * q137's batch refresh: the per-lang aggregate view is maintained by
+    * tailing the z-store's commit log version-per-trigger and folding
+    * each delta into the previous view state (`view ⊎ agg(delta)` — the
+    * Delta "CDF → aggregate view" pattern). Output is every view STATE
+    * keyed by the commit coordinate it covers, so the oracle replays the
+    * cumulative aggregates per version in SQL (version ≡ doc_id % 3 by
+    * the store's construction) — a missed delta, a double-fold, or a
+    * state keyed to the wrong coordinate all hash-fail. Exactly-once is
+    * the marker + coordinate-keyed deterministic view write;
+    * StreamingSpec pins checkpoint-restart resume (views re-derived for
+    * NEW versions only). */
+  val q143ZcdfIvm: Q = Q(
+    "q143_zcdf_ivm",
+    """WITH vs AS (SELECT 0 AS ver UNION ALL SELECT 1 UNION ALL SELECT 2)
+      |SELECT CAST(v.ver AS BIGINT) AS ver, d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM vs v JOIN documents d ON d.doc_id % 3 <= v.ver
+      |GROUP BY v.ver, d.lang
+      |ORDER BY ver, d.lang""".stripMargin,
+  ) { (s, d) =>
+    val dir = zcdfStreamStoreFor(s, d)
+    val root = Files.createTempDirectory("graft-zcdfivm").toString
+    val q = s.readStream.format("graft-zcdf")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ivmBatch(s, root, df, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("ver"), col("lang"), col("n_docs"), col("sum_chars"))
+      .orderBy(col("ver"), col("lang"))
+  }
+
   // ---- q141: CDC-apply streaming MERGE loop (exactly-once) ----------------
 
   /** One CDC-apply micro-batch — Delta's "merge in foreachBatch" pattern:
@@ -2179,5 +2266,5 @@ object ZOrder {
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
-    q141ZOrderCdcMerge, q142ZOrderPoint)
+    q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm)
 }

@@ -1043,4 +1043,56 @@ class StreamingSpec extends SparkSpec {
     assert(snap1.count(_.getLong(2) >= 1000L) == 8,
       "unexpected update footprint")
   }
+
+  test("zcdf streaming IVM: restart folds only NEW versions; view states stay coordinate-exact") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, count, lit, sum => fsum}
+    import graft.sources.ZOrder
+    val store = Files.createTempDirectory("graft-zivm-store").toString
+    val root = Files.createTempDirectory("graft-zivm-root").toString
+    def slice(a: Long, b: Long) = spark.range(a, b).select(
+      col("id").as("doc_id"), concat(lit("l"), col("id") % 3).as("lang"),
+      (col("id") * 7).as("n_chars"))
+    ZOrder.writeZOrdered(slice(0, 100), store, Seq("doc_id", "n_chars"), 2)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-zcdf")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .load(store)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          ZOrder.ivmBatch(spark, root, df, id)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // v0 only
+    def states() = spark.read.parquet(s"$root/out")
+      .select(col("ver"), col("lang"), col("n_docs"), col("sum_chars"))
+      .orderBy(col("ver"), col("lang"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val s0 = states()
+    assert(s0.map(_._1).toSet == Set(0L))
+    assert(s0.map(_._3).sum == 100L)
+    ZOrder.appendZOrdered(slice(100, 150), store, Seq("doc_id", "n_chars"), 1)
+    ZOrder.appendZOrdered(slice(150, 160), store, Seq("doc_id", "n_chars"), 1)
+    run() // resumes: folds v1 and v2 ONLY
+    val s1 = states()
+    assert(s1.map(_._1).toSet == Set(0L, 1L, 2L))
+    // v0's state is untouched by the restart
+    assert(s1.filter(_._1 == 0L) == s0)
+    // the final state equals the straight aggregate over everything
+    val expect = slice(0, 160).groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        fsum(col("n_chars")).cast("long").as("sc"))
+      .orderBy(col("lang")).as[(String, Long, Long)].collect().toSeq
+    val fin = s1.filter(_._1 == 2L).map(t => (t._2, t._3, t._4))
+    assert(fin == expect, s"view drifted: $fin vs $expect")
+    // a full replay run is a no-op (markers + deterministic view writes)
+    run()
+    assert(states() == s1)
+  }
 }
