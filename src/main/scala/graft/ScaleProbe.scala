@@ -108,6 +108,20 @@ object ScaleProbe {
     val x1 = writeCorpus(1)
     val x10 = writeCorpus(Factor)
 
+    // prebuilt z-store for the q144 metadata-aggregate probe: the build
+    // is deliberately OUTSIDE the timed passes (q123_zorder_knob measures
+    // it) so the probe isolates the metadata plane itself
+    def buildZMeta(dir: String, scale: Int): Unit = {
+      val t = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"),
+          pmod(hash(col("doc_id"), lit(2)), lit(100000)).cast("long").as("k2"))
+      graft.sources.ZOrder.writeZOrdered(t, s"$dir/zmeta", Seq("k1", "k2"),
+        32 * scale)
+    }
+    buildZMeta(x1, 1)
+    buildZMeta(x10, Factor)
+
     import graft.dedup.Dedup
     val probes: Seq[(String, (String, Int) => DataFrame)] = Seq(
       "q41_jaccard" -> ((d, _) => Dedup.q41DedupJaccard.fn(spark, d)),
@@ -201,6 +215,18 @@ object ScaleProbe {
         graft.sources.ZOrder.buildBloomIndex(spark, dir, "uk")
         graft.sources.ZOrder.readZPoint(spark, dir, "uk",
           (42L * 2654435761L) % 100003L)
+      }),
+      // round-10: the metadata-only aggregate plane (q139 COUNT + q144
+      // MIN/MAX) over the PREBUILT zmeta store (build excluded — the
+      // build cost is q123_zorder_knob's number): the aggregates read the
+      // manifest + band-edge boundary files only, so cost should stay
+      // ~flat as the table grows 10x (32->320 files)
+      "q144_zmeta_agg_knob" -> ((d, _) => {
+        val zd = s"$d/zmeta"
+        val band = Seq(("k1", 20000L, 30000L): (String, Any, Any))
+        val n = graft.sources.ZOrder.countZRange(spark, zd, band)
+        graft.sources.ZOrder.minMaxZRange(spark, zd, Seq("k2"), band)
+          .withColumn("n", lit(n))
       }),
       "q107_ann_index_knob" -> ((d, scale) => {
         val dir = java.nio.file.Files
@@ -324,7 +350,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -216,7 +216,7 @@ object ZOrder {
           s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
         else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
       commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man),
-        rebase = Some((snap.epoch, maxVerOf(snap))))
+        rebase = Some((snap.epoch, maxVerOf(snap))), op = "recluster")
       rollForwardLateAppends(s, path, snap)
     }
 
@@ -278,7 +278,7 @@ object ZOrder {
               currentSnapshot(s, path) match {
                 case None =>
                   commitNewEpoch(df, path, zcols, numFiles, statCols,
-                    tag.toSeq)
+                    tag.toSeq, op = "append")
                   done = true
                 case Some(_) => // bootstrapped meanwhile: loop → OCC path
               }
@@ -369,7 +369,7 @@ object ZOrder {
             val fs = StoreMaint.fsFor(s, snap.epochDir)
             val ver = claimNextVersion(fs, snap.epochDir)
             writeManifestVersion(s, snap.epochDir, ver, union.toDDL,
-              stats, tag.toSeq)
+              stats, tag.toSeq, op = "append")
             if (requireSnapshot(s, path).epoch == snap.epoch) done = true
             else lastCommitted = Some((snap.epoch, snap.epochDir, ver))
           }
@@ -507,7 +507,8 @@ object ZOrder {
         val ver = claimNextVersion(StoreMaint.fsFor(s, cur.epochDir),
           cur.epochDir)
         writeManifestVersion(s, cur.epochDir, ver, union.toDDL, Seq.empty,
-          tags, carried = Some(carriedStatsDf(s, rows, Seq.empty)))
+          tags, carried = Some(carriedStatsDf(s, rows, Seq.empty)),
+          op = "rollforward")
       }
     }
   }
@@ -526,7 +527,8 @@ object ZOrder {
   private def commitNewEpoch(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String],
       tags: Seq[String] = Seq.empty,
-      rebase: Option[(Long, Long)] = None): Unit = {
+      rebase: Option[(Long, Long)] = None,
+      op: String = "create"): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
     val nextE = nextEpoch(s, path)
@@ -542,7 +544,7 @@ object ZOrder {
         if (statCols.nonEmpty) statCols else zcols, df.schema)
       case None => Seq.empty // empty table: schema-only manifest
     }
-    writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags)
+    writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags, op = op)
   }
 
   /** Write one z-clustered batch into a FRESH data dir; returns its name,
@@ -646,8 +648,19 @@ object ZOrder {
   private def writeManifestVersion(s: SparkSession, edir: Path, ver: Long,
       ddl: String,
       stats: Seq[(String, String, Option[String], Option[String], Boolean)],
-      tags: Seq[String] = Seq.empty, carried: Option[DataFrame] = None): Unit = {
+      tags: Seq[String] = Seq.empty, carried: Option[DataFrame] = None,
+      op: String = "unknown"): Unit = {
     import s.implicits._
+    // the operation AUDIT record ([[describeHistory]]): a `v<N>.op`
+    // sidecar beside the version dir, written BEFORE the version's own
+    // commit so every committed version carries one (a crash in between
+    // leaves an orphan sidecar for a version that never existed —
+    // harmless, history only reports committed coordinates)
+    locally {
+      val fs = StoreMaint.fsFor(s, edir)
+      val out = fs.create(new Path(edir, s"v$ver.op"), true)
+      try out.write(op.getBytes("UTF-8")) finally out.close()
+    }
     val rows = stats.map { case (f, c, mn, mx, an) =>
       (ver, f, c, mn, mx, an)
     } ++ tags.distinct.map(t =>
@@ -877,6 +890,161 @@ object ZOrder {
     } finally man.unpersist(blocking = false)
   }
 
+  private[graft] final case class ZMinMax(charged: Seq[String],
+      residual: Seq[String])
+
+  /** Decode a manifest stat string to the column's TRUE Spark type (unlike
+    * [[decodeStat]]'s comparable form, timestamps come back as timestamps)
+    * — what [[minMaxZRange]] surfaces to the caller. */
+  private def decodeStatTyped(dt: DataType, c: Column): Column = dt match {
+    case DoubleType => c.cast("double")
+    case StringType => c
+    case org.apache.spark.sql.types.TimestampType =>
+      timestamp_micros(c.cast("long"))
+    case org.apache.spark.sql.types.IntegerType => c.cast("int")
+    case _ => c.cast("long")
+  }
+
+  /** Metadata-only MIN/MAX under the [[readZRange]] predicate language —
+    * the aggregate sibling of [[countZRange]] (Delta answers
+    * `SELECT MIN(x), MAX(x)` from file stats the same way): a file every
+    * predicate FULLY COVERS (recorded range inside [lo, hi] + provably
+    * zero nulls in each predicate column — covered means ALL its rows
+    * match, so its recorded per-column extremes ARE extremes over
+    * matching rows) charges its recorded `mn`/`mx` for each requested
+    * column WITHOUT being opened; only boundary files are scanned, with
+    * the exact residual filter. Returns one row with `mn_<col>` /
+    * `mx_<col>` in the column's true type.
+    *
+    * Exactness rules (a degradation is always to SCANNING, never to a
+    * wrong bound):
+    *  - predicate columns need the countZRange evidence (range-in + zero
+    *    nulls); the AGG columns do NOT need null evidence — SQL MIN/MAX
+    *    and parquet footer stats both ignore nulls, so a recorded range
+    *    over the non-null values is exactly the answer's contribution.
+    *  - an agg column with unknown stats in some covered file sends that
+    *    file to the scan set; a definitively ALL-NULL agg column
+    *    contributes nothing (exactly SQL's behavior).
+    *  - DOUBLE bounds equal to ±0.0 are not trusted as attained values:
+    *    parquet-java widens zero bounds (min +0.0 → -0.0, max -0.0 →
+    *    +0.0) so a recorded zero may not exist in the data — the file
+    *    scans instead.
+    * Empty `preds` = the predicate-less `SELECT MIN(x), MAX(x)`: every
+    * file with recorded stats for all agg columns charges the manifest.
+    * ZOrderSpec pins the no-open claim by physically deleting a charged
+    * file and aggregating anyway. */
+  def minMaxZRange(s: SparkSession, path: String, aggCols: Seq[String],
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(aggCols.nonEmpty, "minMaxZRange needs at least one agg column")
+    val snap = requireSnapshot(s, path)
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val aggFields = aggCols.map { c =>
+      val f = schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c is not in the z-store schema"))
+      require(Sources.statsEligible(f.dataType),
+        s"agg column $c: ${f.dataType.simpleString} has no canonical " +
+          "min/max order (long/int/double/string/timestamp do)")
+      f
+    }
+    val parts = minMaxZRangeParts(s, path, aggCols, preds)
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+    import s.implicits._
+    val chargedRows = man
+      .join(parts.charged.toDF("f"), Seq("f"), "leftsemi")
+      .filter(!col("allnull"))
+    val aggExprs = aggFields.flatMap { f =>
+      val a = f.name.toLowerCase
+      Seq(
+        min(when(lower(col("c")) === a,
+          decodeStatTyped(f.dataType, col("mn")))).as(s"cmn_$a"),
+        max(when(lower(col("c")) === a,
+          decodeStatTyped(f.dataType, col("mx")))).as(s"cmx_$a"))
+    }
+    val chargedAgg = chargedRows.agg(aggExprs.head, aggExprs.tail: _*)
+    val scanBase =
+      if (parts.residual.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.schema(schema)
+        .parquet(parts.residual.map(f => s"$path/$f"): _*)
+    val scanFiltered = preds.foldLeft(scanBase) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+    val scanExprs = aggFields.flatMap { f =>
+      val a = f.name.toLowerCase
+      Seq(min(col(f.name)).as(s"smn_$a"), max(col(f.name)).as(s"smx_$a"))
+    }
+    val scanAgg = scanFiltered.agg(scanExprs.head, scanExprs.tail: _*)
+    chargedAgg.crossJoin(scanAgg).select(aggFields.flatMap { f =>
+      val a = f.name.toLowerCase
+      Seq(least(col(s"cmn_$a"), col(s"smn_$a")).as(s"mn_${f.name}"),
+        greatest(col(s"cmx_$a"), col(s"smx_$a")).as(s"mx_${f.name}"))
+    }: _*)
+  }
+
+  /** The charged/scan decomposition behind [[minMaxZRange]] — exposed for
+    * the spec's no-open pinning, mirroring [[countZRangeParts]]. */
+  private[graft] def minMaxZRangeParts(s: SparkSession, path: String,
+      aggCols: Seq[String], preds: Seq[(String, Any, Any)]): ZMinMax = {
+    val snap = requireSnapshot(s, path)
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val have = statRows(man).select(lower(col("c"))).distinct()
+        .collect().map(_.getString(0)).toSet
+      preds.foreach(p => require(have.contains(p._1.toLowerCase),
+        s"no manifest stats for column ${p._1} " +
+          s"(have ${have.toSeq.sorted.mkString(", ")})"))
+      val typed = preds.map { case (c0, lo, hi) =>
+        val f = schema.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $c0 is not in the z-store schema"))
+        (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
+          Sources.encodeBound(f.dataType, hi))
+      }
+      val aggFields = aggCols.map(c =>
+        schema.find(_.name.equalsIgnoreCase(c)).get)
+      val excluded =
+        if (typed.isEmpty) man.select(col("f")).limit(0)
+        else typed.map { case (c0, dt, loE, hiE) =>
+          man.filter(lower(col("c")) === c0.toLowerCase && (col("allnull") ||
+              (col("mn").isNotNull &&
+                (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
+            .select(col("f"))
+        }.reduce(_ union _)
+      val predCovered = typed.map { case (c0, dt, loE, hiE) =>
+        val rangeIn = man.filter(lower(col("c")) === c0.toLowerCase &&
+            !col("allnull") && col("mn").isNotNull &&
+            !statLt(dt, col("mn"), loE) && !statGt(dt, col("mx"), hiE))
+          .select(col("f"))
+        val zeroNulls = man.filter(
+            col("c") === lit(NullsPfx + c0.toLowerCase) &&
+              col("mn") === lit("0"))
+          .select(col("f"))
+        rangeIn.intersect(zeroNulls)
+      }
+      val evidencePer = aggFields.map { f =>
+        val a = f.name.toLowerCase
+        val zeroGuard =
+          if (f.dataType == DoubleType)
+            col("mn").cast("double") =!= lit(0.0) &&
+              col("mx").cast("double") =!= lit(0.0)
+          else lit(true)
+        man.filter(lower(col("c")) === a && (col("allnull") ||
+            (col("mn").isNotNull && col("mx").isNotNull && zeroGuard)))
+          .select(col("f"))
+      }
+      val base = man.select(col("f")).distinct()
+      val charged = (predCovered ++ evidencePer)
+        .foldLeft(base)(_ intersect _).except(excluded)
+      val chargedNames = charged.collect().map(_.getString(0)).sorted.toSeq
+      val residual = base.except(excluded).except(charged)
+        .collect().map(_.getString(0)).sorted.toSeq
+      ZMinMax(chargedNames, residual)
+    } finally man.unpersist(blocking = false)
+  }
+
   // ---- bloom point-predicate index (per-file sidecars) --------------------
 
   private def bloomSidecar(path: String, colLower: String, rel: String) =
@@ -1024,6 +1192,34 @@ object ZOrder {
 
   // ---- time travel --------------------------------------------------------
 
+  /** The commit log as data — Delta's `DESCRIBE HISTORY`: one row per
+    * committed (epoch, version) with the OPERATION that produced it
+    * (create / append / delete / merge / recluster / optimize /
+    * manifest-compact / rollforward), read from the `v<N>.op` sidecar
+    * each commit writes before its version lands. Metadata-plane only —
+    * O(committed versions) sidecar reads, bounded by [[compactManifest]]'s
+    * O(1)-versions discipline; vacuumed epochs disappear with their
+    * history, exactly like time travel (the audit window IS the retention
+    * window). A committed version without a sidecar (pre-r10 store)
+    * reads `unknown`. */
+  def describeHistory(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val rows = listVersions(s, path).map { case (e, v) =>
+      val edir = new Path(manifestRoot(path), s"e$e")
+      val fs = StoreMaint.fsFor(s, edir)
+      val opf = new Path(edir, s"v$v.op")
+      val op =
+        if (!fs.exists(opf)) "unknown"
+        else {
+          val in = fs.open(opf)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      (e, v, op)
+    }
+    rows.toDF("epoch", "ver", "op").orderBy(col("epoch"), col("ver"))
+  }
+
   /** Every committed snapshot, as (epoch, version) in commit order — the
     * travel coordinates for [[readSnapshotAt]]/[[readZRangeAt]]. A version
     * of epoch e means "epoch e's state after its first version+1 commits";
@@ -1152,7 +1348,8 @@ object ZOrder {
         maxVerOf(snap))
       writeManifestVersion(s, edir, 0L,
         schema.toDDL, Seq.empty, manifestTags(man),
-        carried = Some(carriedStatsDf(s, man, Seq.empty)))
+        carried = Some(carriedStatsDf(s, man, Seq.empty)),
+        op = "manifest-compact")
       rollForwardLateAppends(s, path, snap)
     }
 
@@ -1231,7 +1428,8 @@ object ZOrder {
                 snap.epoch, maxVerOf(snap))
               writeManifestVersion(s, edir, 0L,
                 schema.toDDL, newStats, manifestTags(man0),
-                carried = Some(carriedStatsDf(s, man, affected)))
+                carried = Some(carriedStatsDf(s, man, affected)),
+                op = "delete")
               rollForwardLateAppends(s, path, snap)
             }
             nDel
@@ -1365,7 +1563,8 @@ object ZOrder {
               snap.epoch, maxVerOf(snap))
             writeManifestVersion(s, edir, 0L,
               union.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
-              carried = Some(carriedStatsDf(s, man, affected)))
+              carried = Some(carriedStatsDf(s, man, affected)),
+              op = "merge")
             rollForwardLateAppends(s, path, snap)
             MergeResult(updated, srcCnt - matchedKeys)
           }
@@ -1421,7 +1620,8 @@ object ZOrder {
           maxVerOf(snap))
         writeManifestVersion(s, edir, 0L,
           schema.toDDL, newStats, manifestTags(man0),
-          carried = Some(carriedStatsDf(s, man, smallNames)))
+          carried = Some(carriedStatsDf(s, man, smallNames)),
+          op = "optimize")
         rollForwardLateAppends(s, path, snap)
         small.size
       }
@@ -1502,6 +1702,18 @@ object ZOrder {
                     val committed = ver.exists(i =>
                       isCommitted(fs, new Path(st.getPath, s"v$i")))
                     if (committed ||
+                        fs.getFileStatus(v.getPath).getModificationTime
+                          <= cutoff)
+                      fs.delete(v.getPath, false)
+                  } else if (n.endsWith(".op")) {
+                    // an op record whose version never committed is the
+                    // orphan of a crashed commit: age by own mtime.
+                    // Committed versions KEEP theirs — they ARE the
+                    // history ([[describeHistory]])
+                    val ver = parseIdx(n.stripSuffix(".op"), "v")
+                    val committed = ver.exists(i =>
+                      isCommitted(fs, new Path(st.getPath, s"v$i")))
+                    if (!committed &&
                         fs.getFileStatus(v.getPath).getModificationTime
                           <= cutoff)
                       fs.delete(v.getPath, false)
@@ -1721,6 +1933,78 @@ object ZOrder {
     val (pmn, pmx) = (b.getLong(0), b.getLong(1))
     Seq(countZRange(s, dir,
       Seq(("l_partkey", pmn, pmn + (pmx - pmn) * 5 / 10)))).toDF("n")
+  }
+
+  /** q144: metadata-only MIN/MAX through the z-store ([[minMaxZRange]]) —
+    * the same half-table `l_partkey` band as q139, aggregating both the
+    * predicate column and the second cluster column: interior files
+    * charge their recorded footer extremes to the manifest, boundary
+    * files scan with the residual filter. Oracle = the plain MIN/MAX
+    * over the source table, so a stat drifting from the data (truncated
+    * or widened bound trusted, carried-row mishandling through the
+    * compaction) or an unsound coverage decision hash-fails. The no-open
+    * claim for charged files is pinned in ZOrderSpec (the aggregate
+    * survives a physically deleted charged file); an oracle can't see
+    * I/O. */
+  val q144ZOrderMinMax: Q = Q(
+    "q144_zorder_minmax",
+    """WITH b AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx
+      |  FROM lineitem)
+      |SELECT CAST(MIN(l.l_suppkey) AS BIGINT) AS mn_l_suppkey,
+      |  CAST(MAX(l.l_suppkey) AS BIGINT) AS mx_l_suppkey,
+      |  CAST(MIN(l.l_partkey) AS BIGINT) AS mn_l_partkey,
+      |  CAST(MAX(l.l_partkey) AS BIGINT) AS mx_l_partkey
+      |FROM lineitem l, b
+      |WHERE l.l_partkey BETWEEN b.pmn
+      |                      AND b.pmn + (b.pmx-b.pmn)*5//10""".stripMargin,
+  ) { (s, d) =>
+    val dir = storeFor(s, d)
+    val b = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (pmn, pmx) = (b.getLong(0), b.getLong(1))
+    minMaxZRange(s, dir, Seq("l_suppkey", "l_partkey"),
+      Seq(("l_partkey", pmn, pmn + (pmx - pmn) * 5 / 10)))
+  }
+
+  /** q145: the commit log surfaced as data ([[describeHistory]] —
+    * Delta's DESCRIBE HISTORY) — a deterministic lifecycle (create, two
+    * appends, a derived-band delete, a keyed merge, a manifest
+    * compaction) whose commit TOPOLOGY is the operator's observable
+    * output: appends land as versions of the creating epoch, every
+    * rewrite opens the next epoch at v0. Oracle = the expected history
+    * as a VALUES literal — exact in the q140 sense (coordinates are
+    * deterministic by construction), so drift in version allocation,
+    * epoch numbering, op recording, or the history read hash-fails.
+    * The op labels across rollforward/recluster and the orphan-sidecar
+    * vacuum are pinned in ZOrderSpec. */
+  val q145ZOrderHistory: Q = Q(
+    "q145_zorder_history",
+    """SELECT CAST(epoch AS BIGINT) AS epoch, CAST(ver AS BIGINT) AS ver,
+      |  op
+      |FROM (VALUES (0, 0, 'create'), (0, 1, 'append'), (0, 2, 'append'),
+      |             (1, 0, 'delete'), (2, 0, 'merge'),
+      |             (3, 0, 'manifest-compact')) AS t(epoch, ver, op)
+      |ORDER BY epoch, ver""".stripMargin,
+  ) { (s, d) =>
+    val dir = Files.createTempDirectory("graft-zhist").toString
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      col("n_chars").cast("long").as("len"))
+    writeZOrdered(t.filter(col("doc_id") % 3 === 0), dir,
+      Seq("len", "doc_id"), 4)
+    appendZOrdered(t.filter(col("doc_id") % 3 === 1), dir,
+      Seq("len", "doc_id"), 2)
+    appendZOrdered(t.filter(col("doc_id") % 3 === 2), dir,
+      Seq("len", "doc_id"), 2)
+    val b = t.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    deleteZRange(s, dir, Seq(("doc_id", mn, mn)), Seq("len", "doc_id"))
+    val src = t.filter(col("doc_id") === mn + 1)
+      .select(col("doc_id"), lit(1L).as("len"))
+      .union(t.filter(col("doc_id") === mn + 1)
+        .select((col("doc_id") + mx + 1L).as("doc_id"), col("len")))
+    mergeByKey(s, dir, src, "doc_id", Seq("len", "doc_id"))
+    compactManifest(s, dir)
+    describeHistory(s, dir)
   }
 
   /** q142's store: documents with a synthetic high-cardinality
@@ -2266,5 +2550,6 @@ object ZOrder {
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
-    q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm)
+    q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
+    q145ZOrderHistory)
 }

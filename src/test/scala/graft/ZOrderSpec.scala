@@ -846,6 +846,102 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.countZRange(spark, dir, empty) == 4096L)
   }
 
+  test("metadata-only min/max: charged files never opened, double-zero bounds scan, extremes exact") {
+    val dir = Files.createTempDirectory("graft-zminmax").toString
+    // nulls planted in the PREDICATE column k1 (those files must scan —
+    // coverage needs zero-null evidence) and in the AGG column v (which
+    // needs none: MIN/MAX and footer stats both ignore nulls); ts pins
+    // the typed decode of timestamp stats
+    val df = spark.range(4096).select(
+      col("id"),
+      when(col("id") % 257 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("k1"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("k2"),
+      when(col("id") % 5 === 0, lit(null))
+        .otherwise(pmod(hash(col("id") + 7), lit(997)).cast("double") + 1.0)
+        .as("v"),
+      timestamp_micros(col("id") * 1000000L).as("ts"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 8,
+      statCols = Seq("k1", "k2", "v", "ts"))
+    val wide = Seq(("k1", 0L, 5000L): (String, Any, Any))
+    val exp = df.filter(col("k1").between(0L, 5000L))
+      .agg(min(col("k2")), max(col("k2")), min(col("v")), max(col("v")),
+        min(col("ts")), max(col("ts"))).head()
+    val got = ZOrder.minMaxZRange(spark, dir, Seq("k2", "v", "ts"), wide)
+    assert(got.columns.toSeq == Seq("mn_k2", "mx_k2", "mn_v", "mx_v",
+      "mn_ts", "mx_ts"))
+    assert(got.head() == exp)
+    val parts = ZOrder.minMaxZRangeParts(spark, dir, Seq("k2", "v"), wide)
+    assert(parts.charged.nonEmpty, "wide band must charge interior files")
+    assert(parts.residual.nonEmpty, "null-bearing k1 files must scan")
+    // boundary band stays exact against the plain filter
+    val band = Seq(("k1", 1000L, 2000L): (String, Any, Any))
+    assert(ZOrder.minMaxZRange(spark, dir, Seq("k2"), band).head() ==
+      df.filter(col("k1").between(1000L, 2000L)).agg(
+        min(col("k2")), max(col("k2"))).head())
+    // the no-open pin: a charged file physically deleted still answers
+    // from the manifest, while the row READ on the same predicate fails
+    assert(new java.io.File(dir, parts.charged.head).delete())
+    assert(ZOrder.minMaxZRange(spark, dir, Seq("k2", "v", "ts"), wide)
+      .head() == exp)
+    intercept[Exception] {
+      ZOrder.readZRange(spark, dir, wide).count()
+    }
+    // predicate-less MIN/MAX still answers over the deleted file
+    val empty = Seq.empty[(String, Any, Any)]
+    assert(ZOrder.minMaxZRangeParts(spark, dir, Seq("k2"), empty)
+      .residual.isEmpty)
+    assert(ZOrder.minMaxZRange(spark, dir, Seq("k2"), empty).head() ==
+      df.agg(min(col("k2")), max(col("k2"))).head())
+    // DOUBLE bounds of ±0.0 are never trusted as attained values
+    // (parquet-java widens zero bounds): an all-zero column's files all
+    // fall to the scan set, and the answer comes from the data
+    val zDir = Files.createTempDirectory("graft-zminmax0").toString
+    val z = spark.range(256).select(col("id"), col("id").as("k1"),
+      lit(0.0).as("dz"))
+    ZOrder.writeZOrdered(z, zDir, Seq("k1"), 2, statCols = Seq("k1", "dz"))
+    val zParts = ZOrder.minMaxZRangeParts(spark, zDir, Seq("dz"), empty)
+    assert(zParts.charged.isEmpty && zParts.residual.nonEmpty,
+      "zero double bounds must not charge from the manifest")
+    val zRow = ZOrder.minMaxZRange(spark, zDir, Seq("dz"), empty).head()
+    assert(zRow.getDouble(0) == 0.0 && zRow.getDouble(1) == 0.0)
+  }
+
+  test("describe history: every commit records its operation; missing sidecar reads unknown; orphan sidecars vacuum") {
+    val dir = Files.createTempDirectory("graft-zhist-spec").toString
+    def gen(a: Long, b: Long) = spark.range(a, b).select(col("id"),
+      col("id").as("k1"),
+      pmod(hash(col("id")), lit(100)).cast("long").as("k2"))
+    ZOrder.writeZOrdered(gen(0, 512), dir, Seq("k1", "k2"), 4)
+    ZOrder.appendZOrdered(gen(512, 600), dir, Seq("k1", "k2"), 2)
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+    ZOrder.deleteZRange(spark, dir, Seq(("k1", 0L, 10L)), Seq("k1", "k2"))
+    ZOrder.compactSmallFiles(spark, dir, Seq("k1", "k2"), 1L << 30)
+    val hist = ZOrder.describeHistory(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(hist == Seq((0L, 0L, "create"), (0L, 1L, "append"),
+      (1L, 0L, "recluster"), (2L, 0L, "delete"), (3L, 0L, "optimize")))
+    // pre-r10 stores have no sidecars: a committed version without one
+    // reads unknown, never fails
+    val e3 = new java.io.File(dir, "_zmanifest/e3")
+    assert(new java.io.File(e3, "v0.op").delete())
+    assert(ZOrder.describeHistory(spark, dir).collect()
+      .map(_.getString(2)).toSeq ==
+      Seq("create", "append", "recluster", "delete", "unknown"))
+    // an op sidecar whose version never committed (crashed commit) is
+    // vacuumed once aged; committed versions' sidecars survive — they
+    // ARE the history
+    val orphan = new java.io.File(e3, "v99.op")
+    java.nio.file.Files.write(orphan.toPath, "append".getBytes)
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 2 * 3600 * 1000L))
+    ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L)
+    assert(!orphan.exists())
+    assert(new java.io.File(e3, "_SUCCESS").exists() ||
+      new java.io.File(e3, "v0/_SUCCESS").exists())
+    assert(ZOrder.describeHistory(spark, dir).count() == 5)
+  }
+
   test("predicate/stat column-name matching is case-insensitive on read, count and delete paths") {
     val dir = Files.createTempDirectory("graft-zcase").toString
     val df = spark.range(1024).select(col("id"),
