@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The z-store as a PLAIN SPARK TABLE — `spark.read.format("graft-z")
+  * .load(storeDir)`: the DSv2 batch completion of the explicit API
+  * surface ([[ZOrder.readZRange]] et al.), so any SQL consumer queries
+  * the store with ordinary filters and the MANIFEST does the file
+  * skipping invisibly, the way Delta/Iceberg readers consume their commit
+  * logs. `df.filter($"k" between (lo, hi))` plans only the files whose
+  * recorded ranges can hold matches.
+  *
+  * Pushdown contract (the parquet source's own): range/equality filters
+  * on stat-eligible columns are REPORTED as pushed and drive manifest
+  * pruning, but every filter is also returned as unhandled so Spark keeps
+  * the full predicate on top — pruning is best-effort; correctness never
+  * depends on it (a column with no recorded stats prunes nothing and is
+  * still filtered exactly). Column pruning reaches the wire: the reader
+  * materializes only the projected fields.
+  *
+  * Scale: planning is the read path's distributed manifest job + the
+  * surviving file-name list; each InputPartition is ONE data file decoded
+  * executor-side through parquet-hadoop's Group materializer against the
+  * RECORDED schema (absent column = null — the add-only evolution
+  * contract; the driver never touches row data). The snapshot is resolved
+  * ONCE at scan build: a concurrent epoch rewrite can't tear the file
+  * list mid-query (old-or-new, never a mix), and a listed-but-missing
+  * file fails the read loudly. */
+class ZBatchProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-z"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZcdfStream.wireSchema(SparkSession.active, ZcdfStream.pathOf(options),
+      "graft-z")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ZBatchTable(ZcdfStream.pathOf(properties), schema)
+}
+
+class ZBatchTable(path: String, tschema: StructType) extends Table
+    with SupportsRead {
+  override def name(): String = s"graft-z:$path"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZBatchScanBuilder(path, tschema)
+}
+
+class ZBatchScanBuilder(path: String, tschema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tschema
+
+  /** Fold one source filter into the per-column (lo, hi) bound map —
+    * only shapes the manifest's range stats can act on; strict
+    * inequalities widen to inclusive (sound: never prunes more). */
+  private def boundsOf(f: Filter,
+      acc: Map[String, (Option[Any], Option[Any])])
+      : Option[Map[String, (Option[Any], Option[Any])]] = {
+    def merge(c: String, lo: Option[Any], hi: Option[Any]) = {
+      val (l0, h0) = acc.getOrElse(c, (None, None))
+      // several bounds on one column: keep any one per side (pruning is
+      // best-effort; the tightest-vs-any choice only affects efficiency)
+      Some(acc.updated(c, (lo.orElse(l0), hi.orElse(h0))))
+    }
+    f match {
+      case EqualTo(c, v) if v != null => merge(c, Some(v), Some(v))
+      case GreaterThan(c, v) if v != null => merge(c, Some(v), None)
+      case GreaterThanOrEqual(c, v) if v != null => merge(c, Some(v), None)
+      case LessThan(c, v) if v != null => merge(c, None, Some(v))
+      case LessThanOrEqual(c, v) if v != null => merge(c, None, Some(v))
+      case And(l, r) => boundsOf(l, acc).flatMap(boundsOf(r, _))
+      case _ => None
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => boundsOf(f, Map.empty).isDefined)
+    filters // ALL filters stay with Spark: pruning is best-effort
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = {
+    val bounds = pushed.foldLeft(Map.empty[String, (Option[Any], Option[Any])]) {
+      (acc, f) => boundsOf(f, acc).getOrElse(acc)
+    }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+    new ZBatchScan(path, required, bounds)
+  }
+}
+
+class ZBatchScan(path: String, required: StructType,
+    bounds: Seq[(String, Option[Any], Option[Any])]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-z $path, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = SparkSession.active
+    val (files, _) = ZOrder.pruneFilesForScan(s, path, bounds)
+    files.map(f => ZBatchPartition(s"$path/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZBatchReaderFactory(
+      GraftShardsSource.confOverrides(SparkSession.active),
+      required.fields.map(f => (f.name, f.dataType.catalogString)))
+}
+
+case class ZBatchPartition(file: String) extends InputPartition
+
+/** Executor-side parquet reader for one manifest-listed z-store file:
+  * the zcdf wire decode ([[ZcdfStream.decodeGroup]]) over the PROJECTED
+  * columns only — the projection is pushed into the parquet reader
+  * itself (requested-schema = the file schema restricted to the
+  * projected names, so only those column chunks are decoded; a file
+  * predating an evolved column simply omits it and the row reads null),
+  * not merely applied after a full-row materialization. */
+case class ZBatchReaderFactory(confOverrides: Map[String, String],
+    fields: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZBatchPartition]
+    val types: Array[DataType] =
+      fields.map { case (_, ddl) => DataType.fromDDL(ddl) }
+    new PartitionReader[InternalRow] {
+      // a PRIVATE conf copy: the projection below is per-scan state and
+      // must never leak into the shared session configuration
+      private val conf = new org.apache.hadoop.conf.Configuration(
+        GraftShardsSource.hadoopConf(confOverrides))
+      locally {
+        import scala.jdk.CollectionConverters._
+        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p.file), conf)
+        val fileSchema = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+          try r.getFooter.getFileMetaData.getSchema finally r.close()
+        }
+        val wanted = fields.map(_._1.toLowerCase).toSet
+        val kept = fileSchema.getFields.asScala
+          .filter(f => wanted.contains(f.getName.toLowerCase)).asJava
+        // an all-absent projection (e.g. COUNT(*) over a column this file
+        // predates) falls back to the full schema — rows still count
+        if (!kept.isEmpty)
+          conf.set(org.apache.parquet.hadoop.api.ReadSupport
+              .PARQUET_READ_SCHEMA,
+            new org.apache.parquet.schema.MessageType("spark_schema", kept)
+              .toString)
+      }
+      private val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new Path(p.file))
+        .withConf(conf)
+        .build()
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) false
+        else {
+          current = new GenericInternalRow(
+            ZcdfStream.decodeGroup(g, fields, types, extra = 0))
+          true
+        }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -205,6 +205,7 @@ object ZOrder {
   def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
     Lease.withLease(s, path, "zorder-recluster") {
+      recoverLostRollforwards(s, path)
       // batch tags carry into the new epoch: a replayed tagged append
       // stays a no-op even when the re-cluster already folded its rows in
       val snap = requireSnapshot(s, path)
@@ -357,7 +358,7 @@ object ZOrder {
           val mayRecommit = lastCommitted match {
             case None => true
             case Some((_, edir, v)) => claimRebaseTicket(
-              StoreMaint.fsFor(s, edir), edir, v)
+              StoreMaint.fsFor(s, edir), edir, v, "appender")
           }
           if (!mayRecommit) ticketLost = true
           else {
@@ -368,8 +369,13 @@ object ZOrder {
               Some(recorded), df.schema)
             val fs = StoreMaint.fsFor(s, snap.epochDir)
             val ver = claimNextVersion(fs, snap.epochDir)
+            // a re-commit after an epoch swap stamps the [[rebaseTag]]
+            // provenance of the superseded commit it replaces, so the
+            // recovery sweep can tell it was settled
+            val provTags = lastCommitted.map { case (e, _, v) =>
+              rebaseTag(e, v) }.toSeq
             writeManifestVersion(s, snap.epochDir, ver, union.toDDL,
-              stats, tag.toSeq, op = "append")
+              stats, tag.toSeq ++ provTags, op = "append")
             if (requireSnapshot(s, path).epoch == snap.epoch) done = true
             else lastCommitted = Some((snap.epoch, snap.epochDir, ver))
           }
@@ -460,15 +466,43 @@ object ZOrder {
 
   /** Exclusive-create the rebase ticket of a superseded epoch's version:
     * exactly one of {the appender that committed it, the rewrite rolling
-    * the epoch forward} wins and re-commits those rows into the new
-    * epoch; the other walks away — the both-copy double-land is
-    * structurally impossible. */
+    * the epoch forward, the recovery sweep} wins and re-commits those
+    * rows into the new epoch; the others walk away — the both-copy
+    * double-land is structurally impossible. The ticket RECORDS ITS
+    * CLAIMANT (`who`): [[recoverLostRollforwards]] may take over a dead
+    * "rewrite"/"recovery" claimant's ticket (it runs under the same lease
+    * those hold, so the claimant can't still be mid-rollforward), but
+    * never an "appender"'s — a live appender owns its own re-commit, and
+    * a crashed one never returned success, so its at-least-once caller
+    * retries the whole append (tag dedup keeps the retry exactly-once). */
   private def claimRebaseTicket(fs: org.apache.hadoop.fs.FileSystem,
-      edir: Path, ver: Long): Boolean =
+      edir: Path, ver: Long, who: String): Boolean =
     try {
-      fs.create(new Path(edir, s"v$ver.rolled"), false).close()
+      val out = fs.create(new Path(edir, s"v$ver.rolled"), false)
+      try out.write(who.getBytes("UTF-8")) finally out.close()
       true
     } catch { case _: java.io.IOException => false }
+
+  /** The recorded claimant of an existing rebase ticket; None when the
+    * content is empty/unreadable (a torn write, or a pre-r11 ticket). */
+  private def ticketWho(fs: org.apache.hadoop.fs.FileSystem,
+      ticket: Path): Option[String] =
+    try {
+      val in = fs.open(ticket)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+      Some(new String(bytes, "UTF-8")).filter(_.nonEmpty)
+    } catch { case _: Exception => None }
+
+  /** The synthetic PROVENANCE tag every rebase re-commit carries (the
+    * appender's self-re-commit, a rewrite's rollforward, and the recovery
+    * sweep all stamp it): durable, manifest-carried evidence that version
+    * `v` of superseded epoch `e` has been rebased — what lets
+    * [[recoverLostRollforwards]] distinguish "already rolled forward"
+    * from "the claimant crashed before its rollforward landed" without
+    * trusting the ticket alone. Rides the DDL rows' tag slot and carries
+    * through every manifest rewrite like user batch tags. */
+  private def rebaseTag(e: Long, v: Long): String = s"__rebase:e$e:v$v"
 
   /** Lease-held epoch rewrites call this AFTER their new-epoch commit:
     * versions that committed into `base`'s epoch after `base` was
@@ -492,26 +526,108 @@ object ZOrder {
       .filter { case (_, p) => !seen.contains(p.getName) && isCommitted(fs, p) }
       .sortBy(_._1)
     late.foreach { case (v, vdir) =>
-      if (claimRebaseTicket(fs, base.epochDir, v)) {
-        val cur = requireSnapshot(s, path)
-        val rows = s.read.parquet(vdir.toString)
-        val tags = rows.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
-          .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
-        // the late append may itself have evolved the schema: carry its
-        // recorded DDL through the add-only union, not just the rewrite's
-        val lateDdl = rows.filter(col("c") === lit(DdlKey))
-          .select(col("mn")).head().getString(0)
-        val (_, curSchema) = manifestAndSchema(s, cur)
-        val union = StoreMaint.unionSchemas(s"$path (z-store)",
-          Some(curSchema), StructType.fromDDL(lateDdl))
-        val ver = claimNextVersion(StoreMaint.fsFor(s, cur.epochDir),
-          cur.epochDir)
-        writeManifestVersion(s, cur.epochDir, ver, union.toDDL, Seq.empty,
-          tags, carried = Some(carriedStatsDf(s, rows, Seq.empty)),
-          op = "rollforward")
-      }
+      if (claimRebaseTicket(fs, base.epochDir, v, "rewrite"))
+        rebaseVersionForward(s, path, base.epoch, v, vdir)
     }
   }
+
+  /** Re-commit one superseded-epoch committed version into the CURRENT
+    * epoch by reference (files untouched; stat rows, tags and evolved DDL
+    * re-commit), stamping the [[rebaseTag]] provenance — the shared body
+    * of a rewrite's rollforward, and of [[recoverLostRollforwards]]. */
+  private def rebaseVersionForward(s: SparkSession, path: String,
+      srcEpoch: Long, srcVer: Long, vdir: Path): Unit = {
+    val cur = requireSnapshot(s, path)
+    val rows = s.read.parquet(vdir.toString)
+    val tags = rows.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
+      .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
+    // the late append may itself have evolved the schema: carry its
+    // recorded DDL through the add-only union, not just the rewrite's
+    val lateDdl = rows.filter(col("c") === lit(DdlKey))
+      .select(col("mn")).head().getString(0)
+    val (_, curSchema) = manifestAndSchema(s, cur)
+    val union = StoreMaint.unionSchemas(s"$path (z-store)",
+      Some(curSchema), StructType.fromDDL(lateDdl))
+    val ver = claimNextVersion(StoreMaint.fsFor(s, cur.epochDir),
+      cur.epochDir)
+    writeManifestVersion(s, cur.epochDir, ver, union.toDDL, Seq.empty,
+      tags :+ rebaseTag(srcEpoch, srcVer),
+      carried = Some(carriedStatsDf(s, rows, Seq.empty)),
+      op = "rollforward")
+  }
+
+  /** Grace before the recovery sweep trusts an EMPTY/torn rebase ticket
+    * to belong to a dead claimant (a pre-r11 ticket, or a crash between
+    * the exclusive create and the claimant-name write). Named claimants
+    * need no aging: "rewrite"/"recovery" held the lease the sweep now
+    * holds, "appender" is never taken over. */
+  private val RecoveryGraceMs: Long = 10L * 60L * 1000L
+
+  /** Recover rollforwards a crashed rewrite never completed — the r10
+    * advisor's silent-loss window: an appender whose post-commit epoch
+    * check passed has already returned success when a racing rewrite
+    * flips the epoch; if that rewrite dies after its new-epoch v0 commit
+    * but before [[rollForwardLateAppends]], the append's version lives
+    * only in the superseded epoch and, without this sweep, nothing would
+    * ever revisit it. Every lease-held maintenance op (and the vacuum,
+    * BEFORE it deletes anything) runs the sweep first, so "committed ⇒
+    * eventually visible" survives any single writer crash.
+    *
+    * For each superseded epoch named by some later epoch's `_rebase`
+    * watermark, each committed version ABOVE the watermark is a late
+    * append the consuming rewrite promised to roll forward. It is
+    * settled iff the [[rebaseTag]] provenance is in the current manifest
+    * (rolled by someone, carried through all later rewrites). Otherwise
+    * the ticket decides ownership: unclaimed → the sweep claims and
+    * rolls it; claimed by "rewrite"/"recovery" → the claimant held the
+    * lease the sweep now holds, so it is dead and the sweep rolls on its
+    * behalf (the provenance check above is what makes that re-roll
+    * impossible to double); claimed by an "appender" → left alone — a
+    * live appender is mid-re-commit, a dead one never returned success
+    * and its caller's retry lands the rows (tag-deduped); empty/unknown
+    * content → aged by [[RecoveryGraceMs]] before being treated as dead. */
+  private[graft] def recoverLostRollforwards(s: SparkSession,
+      path: String): Unit =
+    currentSnapshot(s, path).foreach { cur =>
+      val mroot = manifestRoot(path)
+      val fs = StoreMaint.fsFor(s, mroot)
+      val edirs = fs.listStatus(mroot).filter(_.isDirectory)
+        .flatMap(st => parseIdx(st.getPath.getName, "e").map(_ -> st.getPath))
+        .toMap
+      // highest consumed watermark per superseded base epoch, over ALL
+      // later epochs' markers (the chain case: the epoch that consumed a
+      // base may itself be superseded)
+      val consumed = edirs.values.toSeq
+        .flatMap(p => readRebaseMarker(fs, p))
+        .groupBy(_._1).map { case (e, vs) => e -> vs.map(_._2).max }
+        .filter { case (e, _) => e < cur.epoch && edirs.contains(e) }
+      val candidates = consumed.toSeq.sortBy(_._1).flatMap { case (be, bv) =>
+        val bdir = edirs(be)
+        fs.listStatus(bdir).filter(_.isDirectory)
+          .flatMap(st => parseIdx(st.getPath.getName, "v")
+            .map(v => (be, bdir, v, st.getPath)))
+          .filter { case (_, _, v, p) => v > bv && isCommitted(fs, p) }
+          .sortBy(_._3)
+      }
+      if (candidates.nonEmpty) {
+        val (man, _) = manifestAndSchema(s, cur)
+        val settled = manifestTags(man).toSet
+        candidates.foreach { case (be, bdir, v, vdir) =>
+          if (!settled.contains(rebaseTag(be, v))) {
+            val owns =
+              if (claimRebaseTicket(fs, bdir, v, "recovery")) true
+              else ticketWho(fs, new Path(bdir, s"v$v.rolled")) match {
+                case Some("appender") => false
+                case Some(_) => true // dead lease-holder: we hold it now
+                case None => System.currentTimeMillis() - fs.getFileStatus(
+                    new Path(bdir, s"v$v.rolled")).getModificationTime >
+                  RecoveryGraceMs
+              }
+            if (owns) rebaseVersionForward(s, path, be, v, vdir)
+          }
+        }
+      }
+    }
 
   /** Next epoch number past EVERY existing epoch dir, committed or
     * crashed — an uncommitted leftover is never reused. */
@@ -789,6 +905,48 @@ object ZOrder {
     preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
+  }
+
+  /** Manifest-pruned (surviving files, recorded schema) for OPTIONAL
+    * one-sided bounds — [[readZRange]]'s exclusion rule generalized for
+    * the graft-z DSv2 batch scan ([[ZBatch]]): exclusion still needs
+    * definite evidence (recorded range disjoint from a present bound, or
+    * an all-null file under any bound), unknown stats keep the file, and
+    * a bound on a column with no stats anywhere simply excludes nothing —
+    * the scan is BEST-EFFORT by contract (Spark re-applies the full
+    * filter on top), so unpruned is safe and wrong-pruned is impossible
+    * for the same reason it is on the explicit read path. */
+  private[sources] def pruneFilesForScan(s: SparkSession, path: String,
+      bounds: Seq[(String, Option[Any], Option[Any])])
+      : (Seq[String], StructType) = {
+    val snap = requireSnapshot(s, path)
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val applicable = bounds.flatMap { case (c0, lo, hi) =>
+      schema.find(_.name.equalsIgnoreCase(c0))
+        .filter(f => Sources.statsEligible(f.dataType) &&
+          (lo.nonEmpty || hi.nonEmpty))
+        .map(f => (f.name, f.dataType,
+          lo.map(Sources.encodeBound(f.dataType, _)),
+          hi.map(Sources.encodeBound(f.dataType, _))))
+    }
+    val allFiles = man.select(col("f")).distinct()
+    val keepDf =
+      if (applicable.isEmpty) allFiles
+      else {
+        val excluded = applicable.map { case (c0, dt, loE, hiE) =>
+          val below = loE.map(l => statLt(dt, col("mx"), l))
+            .getOrElse(lit(false))
+          val above = hiE.map(h => statGt(dt, col("mn"), h))
+            .getOrElse(lit(false))
+          man.filter(lower(col("c")) === c0.toLowerCase &&
+              (col("allnull") ||
+                (col("mn").isNotNull && (below || above))))
+            .select(col("f"))
+        }.reduce(_ union _)
+        allFiles.except(excluded)
+      }
+    (keepDf.collect().map(_.getString(0)).sorted.toSeq, schema)
   }
 
   private[graft] final case class ZCount(metaRows: Long,
@@ -1094,6 +1252,15 @@ object ZOrder {
       val colLower = f.name.toLowerCase
       val target = path // stable closure reference
       val overrides = GraftShardsSource.confOverrides(s)
+      // sidecars key by the file's path RELATIVE TO THE STORE ROOT (the
+      // manifest's `f` column, what readZPoint looks up) — resolved by
+      // stripping the qualified root prefix, never by pattern-searching
+      // for "/d-": a store path that itself contains "/d-" would key
+      // every sidecar wrongly and silently defeat the index (the r10
+      // advisor finding). A scanned file outside the root fails loudly.
+      val rootAbs = GraftShardsSource.fs(new Path(target),
+          GraftShardsSource.hadoopConf(overrides))
+        .makeQualified(new Path(target)).toUri.getPath
       readSnapshotOf(s, path, snap)
         .groupBy(input_file_name().as("__file")).agg(agg.as("__bf"))
         .select(col("__file"), col("__bf"))
@@ -1101,8 +1268,11 @@ object ZOrder {
           val fs = GraftShardsSource.fs(new Path(target),
             GraftShardsSource.hadoopConf(overrides))
           rows.foreach { r =>
-            val abs = r.getString(0)
-            val rel = abs.substring(abs.indexOf("/d-") + 1)
+            val abs = new Path(r.getString(0)).toUri.getPath
+            require(abs != null && abs.startsWith(rootAbs + "/"),
+              s"bloom build: scanned file ${r.getString(0)} is not under " +
+                s"the z-store root $rootAbs")
+            val rel = abs.substring(rootAbs.length + 1)
             val out = fs.create(bloomSidecar(target, colLower, rel), true)
             out.write(r.getAs[Array[Byte]](1))
             out.close()
@@ -1303,10 +1473,12 @@ object ZOrder {
   }
 
   /** The (version, file) arrivals with fromVer < version ≤ toVer in the
-    * current epoch — a file ARRIVES at its FIRST-appearance version, so
-    * a later metadata-attach version ([[attachBloomStats]]) re-points it
-    * without re-emitting its rows through the change feed. Refuses on an
-    * epoch swap: the CDF-meets-rewrite contract. */
+    * current epoch — a file ARRIVES at its FIRST-appearance version:
+    * today every file is listed by exactly one version within an epoch,
+    * but the min-version grouping keeps the contract future-proof
+    * against a metadata-only version re-pointing existing files (a stats
+    * backfill would re-list files without making them deltas again).
+    * Refuses on an epoch swap: the CDF-meets-rewrite contract. */
   private[sources] def changeFiles(s: SparkSession, path: String,
       epoch: Long, fromVer: Long, toVer: Long): Seq[(Long, String)] = {
     val snap = requireSnapshot(s, path)
@@ -1341,6 +1513,7 @@ object ZOrder {
     * [[vacuumOrphans]]. */
   def compactManifest(s: SparkSession, path: String): Unit =
     Lease.withLease(s, path, "zorder-manifest-compact") {
+      recoverLostRollforwards(s, path)
       val snap = requireSnapshot(s, path)
       val (man, schema) = manifestAndSchema(s, snap)
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
@@ -1374,6 +1547,7 @@ object ZOrder {
       numFiles: Int = 0): Long = {
     require(preds.nonEmpty, "deleteZRange needs at least one predicate")
     Lease.withLease(s, path, "zorder-delete") {
+      recoverLostRollforwards(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -1491,6 +1665,7 @@ object ZOrder {
       keyCol: String, zcols: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): MergeResult =
     Lease.withLease(s, path, "zorder-merge") {
+      recoverLostRollforwards(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, recorded) = manifestAndSchema(s, snap)
       val replayed = tag.exists(t =>
@@ -1590,6 +1765,7 @@ object ZOrder {
   def compactSmallFiles(s: SparkSession, path: String, zcols: Seq[String],
       smallBytes: Long): Int =
     Lease.withLease(s, path, "zorder-optimize") {
+      recoverLostRollforwards(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -1627,6 +1803,170 @@ object ZOrder {
       }
     }
 
+  /** Copy-on-write predicate UPDATE — Delta's `UPDATE … SET … WHERE`:
+    * rewrite every row matching ALL `preds` (the [[readZRange]] predicate
+    * language; a NULL in a predicate column never matches, so those rows
+    * are never updated) with the `set` expressions, each a SQL expression
+    * over the PRE-UPDATE row (standard UPDATE semantics: all SET clauses
+    * see the old values). SET can change values, never the schema: an
+    * unknown column or an expression whose type differs from the recorded
+    * column type refuses BEFORE any data lands — UPDATE cannot add or
+    * retype columns (that's [[StoreMaint.evolveSchema]]'s add-only job).
+    *
+    * The manifest stats bound the rewrite exactly like [[deleteZRange]]:
+    * files whose recorded ranges definitively exclude every matching row
+    * CARRY into the new epoch by reference (zero I/O); only
+    * possibly-affected files are read and re-z-clustered — an update
+    * touching one band rewrites O(affected files), never the table.
+    * Commit is the epoch swap; batch tags carry, and `tag` makes the
+    * update itself exactly-once under at-least-once replay (the CDC
+    * foreachBatch token, like [[mergeByKey]]'s). The superseded epoch
+    * stays time-travel-readable until [[vacuumOrphans]] — the audit
+    * trail of what changed. Returns the number of rows updated; 0 = no
+    * commit, store untouched. */
+  def updateZRange(s: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)], set: Map[String, String],
+      zcols: Seq[String], numFiles: Int = 0,
+      tag: Option[String] = None): Long = {
+    require(preds.nonEmpty, "updateZRange needs at least one predicate")
+    require(set.nonEmpty, "updateZRange needs at least one SET expression")
+    Lease.withLease(s, path, "zorder-update") {
+      recoverLostRollforwards(s, path)
+      val snap = requireSnapshot(s, path)
+      val (man0, schema) = manifestAndSchema(s, snap)
+      val replayed = tag.exists(t =>
+        man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
+          .limit(1).count() > 0)
+      if (replayed) 0L
+      else {
+        set.keys.foreach(k => require(
+          schema.exists(_.name.equalsIgnoreCase(k)),
+          s"SET column $k is not a column of the z-store at $path — " +
+            "UPDATE cannot add columns"))
+        val man = man0.filter(col("c") =!= lit(DdlKey))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val typed = preds.map { case (c0, lo, hi) =>
+            val f = schema.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+              throw new IllegalArgumentException(
+                s"column $c0 is not in the z-store schema"))
+            (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
+              Sources.encodeBound(f.dataType, hi))
+          }
+          val excluded = typed.map { case (c0, dt, loE, hiE) =>
+            man.filter(lower(col("c")) === c0.toLowerCase &&
+                (col("allnull") || (col("mn").isNotNull &&
+                  (statLt(dt, col("mx"), loE) || statGt(dt, col("mn"), hiE)))))
+              .select(col("f"))
+          }.reduce(_ union _)
+          val affected = man.select(col("f")).distinct().except(excluded)
+            .collect().map(_.getString(0)).sorted.toSeq
+          if (affected.isEmpty) 0L
+          else {
+            val aff = s.read.schema(schema)
+              .parquet(affected.map(f => s"$path/$f"): _*)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            try {
+              val matchAll = preds.map { case (c, lo, hi) =>
+                col(c) >= lit(lo) && col(c) <= lit(hi)
+              }.reduce(_ && _)
+              val hit = coalesce(matchAll, lit(false))
+              val nUpd = aff.filter(hit).count()
+              if (nUpd > 0L) {
+                val rewritten = aff.select(schema.map { f =>
+                  set.find(_._1.equalsIgnoreCase(f.name)) match {
+                    case Some((_, e)) =>
+                      when(hit, expr(e)).otherwise(col(f.name)).as(f.name)
+                    case None => col(f.name)
+                  }
+                }: _*)
+                schema.foreach { f =>
+                  val got = rewritten.schema(f.name).dataType
+                  require(got == f.dataType,
+                    s"SET ${f.name}: expression type ${got.simpleString} " +
+                      s"!= column type ${f.dataType.simpleString} — " +
+                      "UPDATE cannot change a column's type")
+                }
+                val nf = if (numFiles > 0) numFiles else affected.size
+                val newStats = zWrite(rewritten, path, zcols, nf) match {
+                  case Some(dname) => harvestStats(s, path, dname,
+                    recordedStatCols(man, schema), schema)
+                  case None => Seq.empty
+                }
+                val edir = new Path(manifestRoot(path),
+                  s"e${nextEpoch(s, path)}")
+                writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+                  snap.epoch, maxVerOf(snap))
+                writeManifestVersion(s, edir, 0L,
+                  schema.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
+                  carried = Some(carriedStatsDf(s, man, affected)),
+                  op = "update")
+                rollForwardLateAppends(s, path, snap)
+              }
+              nUpd
+            } finally aff.unpersist(blocking = false)
+          }
+        } finally man.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** RESTORE the store to a PAST committed snapshot — Delta's
+    * `RESTORE TABLE … TO VERSION AS OF`: commits a NEW epoch whose v0
+    * re-points the past snapshot's files (and its recorded schema — a
+    * column added later doesn't exist in the past) entirely BY REFERENCE,
+    * so rolling a 100 TB store back from a bad delete/merge is an
+    * O(manifest) metadata operation with zero data I/O. Every referenced
+    * file is existence-checked DISTRIBUTED before the commit: restoring
+    * to a vacuumed state refuses loudly instead of poisoning the store
+    * with dangling references (sizing the vacuum's `minAgeMs` past the
+    * restore horizon is the same retention contract as time travel).
+    *
+    * The restored-over state stays time-travel-readable until
+    * [[vacuumOrphans]] — the audit trail of the restore, and what makes
+    * a restore-of-a-restore work. CURRENT batch tags carry (not just the
+    * past's): a tagged batch that landed after the restore point stays
+    * replay-deduped — an at-least-once redelivery must not resurrect it,
+    * exactly the delete path's non-resurrection rule. Concurrency is the
+    * epoch rewrite's: lease-held, `_rebase` watermark over the current
+    * snapshot (an append that committed before the restore resolved is
+    * part of the restored-over state, i.e. serialized BEFORE it), late
+    * concurrent appends roll forward into the restored epoch. */
+  def restoreTo(s: SparkSession, path: String, epoch: Long,
+      version: Long): Unit =
+    Lease.withLease(s, path, "zorder-restore") {
+      recoverLostRollforwards(s, path)
+      val cur = requireSnapshot(s, path)
+      val past = snapshotAt(s, path, epoch, version)
+      val (manP, schemaP) = manifestAndSchema(s, past)
+      val (man0, _) = manifestAndSchema(s, cur)
+      val files = manP.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val overrides = GraftShardsSource.confOverrides(s)
+      val target = path
+      val missing =
+        if (files.isEmpty) Array.empty[String]
+        else s.sparkContext
+          .parallelize(files, math.min(files.size, 32))
+          .filter { rel =>
+            !GraftShardsSource.fs(new Path(target),
+                GraftShardsSource.hadoopConf(overrides))
+              .exists(new Path(target, rel))
+          }.collect()
+      require(missing.isEmpty,
+        s"restore to (e$epoch, v$version): ${missing.length} referenced " +
+          s"file(s) no longer exist (vacuumed?) — e.g. " +
+          s"${missing.take(3).mkString(", ")}; a restore must re-point " +
+          "only files that are still on disk")
+      val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
+      writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, cur.epoch,
+        maxVerOf(cur))
+      writeManifestVersion(s, edir, 0L, schemaP.toDDL, Seq.empty,
+        manifestTags(man0),
+        carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore")
+      rollForwardLateAppends(s, path, cur)
+    }
+
   /** Garbage-collect everything the current snapshot doesn't reference:
     * data dirs of crashed appends and superseded epochs, manifest dirs of
     * old epochs, and uncommitted version dirs in the current epoch. Runs
@@ -1649,6 +1989,10 @@ object ZOrder {
   def vacuumOrphans(s: SparkSession, path: String,
       minAgeMs: Long = 0L): Seq[String] =
     Lease.withLease(s, path, "zorder-vacuum") {
+      // recover crashed rollforwards BEFORE deleting anything: a lost
+      // late append's data dir must re-enter the live set, not the
+      // vacuum set
+      recoverLostRollforwards(s, path)
       currentSnapshot(s, path) match {
         case None => Seq.empty
         case Some(snap) =>
@@ -2355,23 +2699,47 @@ object ZOrder {
     conf.set("spark.sql.shuffle.partitions", "4")
     try {
       if (df.limit(1).count() > 0) {
-        val ver = df.agg(max(col(ZcdfStream.VerCol))).head().getLong(0)
-        val delta = df.groupBy(col("lang"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(col("n_chars")).cast("long").as("sum_chars"))
-        val prevView =
-          if (ver == 0L) delta.limit(0)
-          else s.read.parquet(s"$root/view/v${ver - 1}")
-        val next = prevView.unionByName(delta).groupBy(col("lang"))
-          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-            sum(col("sum_chars")).cast("long").as("sum_chars"))
-          .localCheckpoint() // sever the self-referencing view lineage
-        next.coalesce(1).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$root/view/v$ver")
-        next.select(lit(ver).as("ver"), col("lang"), col("n_docs"),
+        // fold PER VERSION, resolving the previous state from what EXISTS:
+        // committed version numbers are not contiguous (claimNextVersion
+        // skips a crashed claimant's number) and maxVersionsPerTrigger>1
+        // puts several commits in one micro-batch — `view/v(ver-1)` may
+        // be a nonexistent path, or the batch may span versions (the r10
+        // advisor finding). The previous view is the highest existing
+        // `view/v*` BELOW the batch's first version; each version's delta
+        // then folds in commit order, every covered state still keyed by
+        // its own commit coordinate (replay-deterministic as before).
+        val vers = df.select(col(ZcdfStream.VerCol)).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val viewDir = new Path(s"$root/view")
+        val fs = StoreMaint.fsFor(s, viewDir)
+        val prevVer: Option[Long] =
+          if (!fs.exists(viewDir)) None
+          else fs.listStatus(viewDir).filter(_.isDirectory)
+            .flatMap(st => parseIdx(st.getPath.getName, "v"))
+            .filter(_ < vers.head).maxOption
+        var prev: DataFrame = prevVer match {
+          case Some(pv) => s.read.parquet(s"$root/view/v$pv")
+          case None => df.limit(0).groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("n_chars")).cast("long").as("sum_chars"))
+        }
+        val states = vers.map { ver =>
+          val delta = df.filter(col(ZcdfStream.VerCol) === lit(ver))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("n_chars")).cast("long").as("sum_chars"))
+          val next = prev.unionByName(delta).groupBy(col("lang"))
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("sum_chars")).cast("long").as("sum_chars"))
+            .localCheckpoint() // sever the self-referencing view lineage
+          next.coalesce(1).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/view/v$ver")
+          prev = next
+          next.select(lit(ver).as("ver"), col("lang"), col("n_docs"),
             col("sum_chars"))
-          .coalesce(1).write
+        }
+        states.reduce(_ unionByName _).coalesce(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$root/out/batch=$id")
       }
@@ -2547,9 +2915,140 @@ object ZOrder {
       .orderBy(col("batch"), col("doc_id"))
   }
 
+  // ---- q146: RESTORE to a past snapshot ------------------------------------
+
+  /** q146's store: documents z-clustered, then an (errant) band delete,
+    * then a RESTORE to the pre-delete coordinate — the rollback-a-bad-
+    * maintenance-op lifecycle every lakehouse eventually runs. */
+  private val restoreStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def restoreStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      restoreStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zrestore").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs, dir, Seq("doc_id", "n_chars"), 4) // (e0, v0)
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val n = deleteZRange(s, dir,
+          Seq(("doc_id", mn + (mx - mn) * 2 / 10, mn + (mx - mn) * 3 / 10)),
+          Seq("doc_id", "n_chars"))
+        require(n > 0, "q146 store: the errant delete deleted nothing")
+        restoreTo(s, dir, 0, 0)
+        dir
+      })
+    }
+
+  /** q146: RESTORE — roll the store back to the coordinate before a bad
+    * range delete ([[restoreTo]]): zero data I/O (the new epoch re-points
+    * the original files by reference — spec-pinned), audit trail intact.
+    * Oracle = the PLAIN full table: a restore that leaks the delete,
+    * drops a row, re-points a wrong file, or resolves the wrong
+    * coordinate hash-fails. The refusal shapes (vacuumed files, bogus
+    * coordinates) are pinned in ZOrderSpec. */
+  val q146ZOrderRestore: Q = Q(
+    "q146_zorder_restore",
+    "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+  ) { (s, d) =>
+    readSnapshot(s, restoreStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q147: copy-on-write predicate UPDATE --------------------------------
+
+  /** q147's store: documents z-clustered, then a band UPDATE (re-tag the
+    * language, bump the char count) — the in-place-correction pass
+    * (PII re-tagging, quality re-scores) a training-data store serves. */
+  private val updStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def updStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      updStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zupdate").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs, dir, Seq("doc_id", "n_chars"), 4)
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val n = updateZRange(s, dir,
+          Seq(("doc_id", mn + (mx - mn) * 2 / 10, mn + (mx - mn) * 3 / 10)),
+          Map("lang" -> "'upd'", "n_chars" -> "n_chars + 1000"),
+          Seq("doc_id", "n_chars"))
+        require(n > 0, "q147 store: the band update updated nothing")
+        dir
+      })
+    }
+
+  /** q147: predicate UPDATE — rewrite a doc_id band's lang/n_chars
+    * copy-on-write ([[updateZRange]]): stats prune the rewrite to the
+    * band's files (carry-by-reference spec-pinned), SET expressions see
+    * the pre-update row. Oracle = the equivalent CASE projection over
+    * the plain table: an update that touches rows outside the band,
+    * misses rows inside it, or mangles an untouched column hash-fails. */
+  val q147ZOrderUpdate: Q = Q(
+    "q147_zorder_update",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                         AND b.mn + (b.mx-b.mn)*3//10
+      |    THEN 'upd' ELSE d.lang END AS lang,
+      |  CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                         AND b.mn + (b.mx-b.mn)*3//10
+      |    THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+      |FROM documents d, b ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    readSnapshot(s, updStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q148: the z-store as a plain Spark TABLE (DSv2 batch) ---------------
+
+  /** q148: q123's band query through the graft-z DSv2 TABLE
+    * ([[ZBatch]]) — `spark.read.format("graft-z")` + ordinary `.filter`,
+    * with the manifest skipping riding the pushed filters instead of the
+    * explicit [[readZRange]] API: the "store is a table" completion of
+    * the read surface (what lets any SQL consumer query the store).
+    * Shares q123's store (build + append + manifest compaction) and
+    * oracle, so a wire-decode bug, a filter lost in pushdown, or an
+    * unsound prune all hash-fail; the files-planned-∝-band claim is
+    * pinned in ZOrderSpec (an oracle can't see I/O). */
+  val q148ZBatchTable: Q = Q(
+    "q148_zorder_table",
+    """WITH b AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+      |    MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx FROM lineitem)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+      |  l.l_quantity
+      |FROM lineitem l, b
+      |WHERE l.l_partkey BETWEEN b.pmn + (b.pmx-b.pmn)*2//10
+      |                      AND b.pmn + (b.pmx-b.pmn)*3//10
+      |  AND l.l_suppkey BETWEEN b.smn + (b.smx-b.smn)*4//10
+      |                      AND b.smn + (b.smx-b.smn)*5//10
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+  ) { (s, d) =>
+    val dir = storeFor(s, d)
+    val b = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pmn, pmx, smn, smx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    s.read.format("graft-z").load(dir)
+      .filter(col("l_partkey").between(
+        pmn + (pmx - pmn) * 2 / 10, pmn + (pmx - pmn) * 3 / 10) &&
+        col("l_suppkey").between(
+          smn + (smx - smn) * 4 / 10, smn + (smx - smn) * 5 / 10))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
-    q145ZOrderHistory)
+    q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
+    q148ZBatchTable)
 }

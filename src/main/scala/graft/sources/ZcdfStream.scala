@@ -57,17 +57,13 @@ object ZcdfStream {
 
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | TimestampType => true
+         BooleanType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
   def tableSchema(s: SparkSession, path: String): StructType = {
-    val (_, _, recorded) = ZOrder.streamState(s, path)
+    val recorded = wireSchema(s, path, "graft-zcdf")
     recorded.fields.foreach { f =>
-      require(supported(f.dataType),
-        s"graft-zcdf: column ${f.name} has type ${f.dataType.simpleString}; " +
-          "the change-feed wire supports long/int/double/float/string/" +
-          "boolean/timestamp")
       require(!f.name.equalsIgnoreCase(EpochCol) &&
         !f.name.equalsIgnoreCase(VerCol),
         s"graft-zcdf: column ${f.name} collides with the commit-coordinate " +
@@ -76,6 +72,58 @@ object ZcdfStream {
     StructType(recorded.fields.toSeq :+
       StructField(EpochCol, LongType, nullable = false) :+
       StructField(VerCol, LongType, nullable = false))
+  }
+
+  /** The store's recorded schema, validated against the primitive wire
+    * surface the executor-side Group reader can decode — shared by the
+    * change-feed stream and the graft-z batch table ([[ZBatch]]). */
+  private[sources] def wireSchema(s: SparkSession, path: String,
+      source: String): StructType = {
+    val (_, _, recorded) = ZOrder.streamState(s, path)
+    recorded.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"$source: column ${f.name} has type ${f.dataType.simpleString}; " +
+          "the wire supports long/int/double/float/string/" +
+          "boolean/timestamp[_ntz]")
+    }
+    recorded
+  }
+
+  /** Decode one parquet-hadoop Group into `fields`-ordered values: fields
+    * resolve by case-insensitive name, a column the file predates reads
+    * null (the add-only evolution contract), timestamps are INT64 micros
+    * by the z-store write contract ([[Sources.writeMicros]]). Shared by
+    * the zcdf streaming reader and the graft-z batch reader. */
+  private[sources] def decodeGroup(g: org.apache.parquet.example.data.Group,
+      fields: Array[(String, String)], types: Array[DataType],
+      extra: Int): Array[Any] = {
+    val gt = g.getType
+    val vals = new Array[Any](fields.length + extra)
+    var i = 0
+    while (i < fields.length) {
+      val name = fields(i)._1
+      val idx = (0 until gt.getFieldCount)
+        .find(j => gt.getFieldName(j).equalsIgnoreCase(name))
+      vals(i) = idx match {
+        case Some(j) if g.getFieldRepetitionCount(j) > 0 =>
+          types(i) match {
+            // both timestamp flavors are INT64 micros on the wire
+            // (Sources.writeMicros); NTZ vs UTC is a logical-type label
+            case LongType | TimestampType | TimestampNTZType =>
+              g.getLong(j, 0)
+            case IntegerType => g.getInteger(j, 0)
+            case DoubleType => g.getDouble(j, 0)
+            case FloatType => g.getFloat(j, 0)
+            case BooleanType => g.getBoolean(j, 0)
+            case StringType => UTF8String.fromString(g.getString(j, 0))
+            case dt => throw new IllegalStateException(
+              s"unreachable: $dt passed schema inference")
+          }
+        case _ => null // absent or null: pre-evolution file
+      }
+      i += 1
+    }
+    vals
   }
 }
 
@@ -93,6 +141,12 @@ object ZcdfOffset {
 
 class ZcdfProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-zcdf"
+  // a user-supplied .schema() is accepted (e.g. a column subset, or a
+  // pre-evolution shape) but ZcdfTable validates it ends with the
+  // commit-coordinate columns — the wire mapping treats the last two
+  // fields as metadata, so a schema without them would silently drop
+  // the last two DATA columns (the r10 advisor finding)
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZcdfStream.tableSchema(SparkSession.active, ZcdfStream.pathOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -102,6 +156,18 @@ class ZcdfProvider extends TableProvider with DataSourceRegister {
 
 class ZcdfTable(path: String, tschema: StructType) extends Table
     with SupportsRead {
+  // the wire mapping treats the LAST TWO fields as the _epoch/_ver commit
+  // coordinates — a user-supplied .schema() without them would silently
+  // drop the last two real data columns (the r10 advisor finding), so a
+  // schema that doesn't end with them refuses at load time
+  require(tschema.fields.length >= 2 && {
+    val Array(e, v) = tschema.fields.takeRight(2)
+    e.name.equalsIgnoreCase(ZcdfStream.EpochCol) && e.dataType == LongType &&
+    v.name.equalsIgnoreCase(ZcdfStream.VerCol) && v.dataType == LongType
+  }, s"graft-zcdf: the read schema must end with the commit-coordinate " +
+    s"columns ${ZcdfStream.EpochCol} BIGINT, ${ZcdfStream.VerCol} BIGINT " +
+    s"(got: ${tschema.simpleString}) — omit .schema() to use the store's " +
+    "recorded schema")
   override def name(): String = s"graft-zcdf:$path"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -236,29 +302,7 @@ case class ZcdfReaderFactory(confOverrides: Map[String, String],
 
       private def convert(
           g: org.apache.parquet.example.data.Group): InternalRow = {
-        val gt = g.getType
-        val vals = new Array[Any](fields.length + 2)
-        var i = 0
-        while (i < fields.length) {
-          val name = fields(i)._1
-          val idx = (0 until gt.getFieldCount)
-            .find(j => gt.getFieldName(j).equalsIgnoreCase(name))
-          vals(i) = idx match {
-            case Some(j) if g.getFieldRepetitionCount(j) > 0 =>
-              types(i) match {
-                case LongType | TimestampType => g.getLong(j, 0)
-                case IntegerType => g.getInteger(j, 0)
-                case DoubleType => g.getDouble(j, 0)
-                case FloatType => g.getFloat(j, 0)
-                case BooleanType => g.getBoolean(j, 0)
-                case StringType => UTF8String.fromString(g.getString(j, 0))
-                case dt => throw new IllegalStateException(
-                  s"unreachable: $dt passed schema inference")
-              }
-            case _ => null // absent or null: pre-evolution file
-          }
-          i += 1
-        }
+        val vals = ZcdfStream.decodeGroup(g, fields, types, extra = 2)
         vals(fields.length) = p.epoch
         vals(fields.length + 1) = p.ver
         new GenericInternalRow(vals)

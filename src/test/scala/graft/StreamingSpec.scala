@@ -1016,6 +1016,28 @@ class StreamingSpec extends SparkSpec {
       s"wrong failure: ${chain(e).mkString(" | ")}")
   }
 
+  test("graft-zcdf refuses a user schema without the trailing commit-coordinate columns") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.{ZcdfStream, ZOrder}
+    val store = Files.createTempDirectory("graft-zcdfschema").toString
+    ZOrder.writeZOrdered(spark.range(16).select(col("id").as("k1"),
+      (col("id") % 4).as("k2")), store, Seq("k1", "k2"), 1)
+    // the wire mapping drops the LAST TWO fields as metadata — a schema
+    // that doesn't end with _epoch/_ver would silently lose the last two
+    // DATA columns, so it must refuse at load time
+    val bad = new StructType().add("k1", "long").add("k2", "long")
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-zcdf").schema(bad).load(store)
+    }
+    assert(e.getMessage.contains(ZcdfStream.EpochCol), e.getMessage)
+    // the full derived schema (data + coordinates) is accepted
+    val ok = ZcdfStream.tableSchema(spark, store)
+    assert(spark.readStream.format("graft-zcdf").schema(ok).load(store)
+      .schema.fieldNames.takeRight(2).toSeq ==
+      Seq(ZcdfStream.EpochCol, ZcdfStream.VerCol))
+  }
+
   test("q141 merge-ingest batch replay: marker skip and tag no-op keep the store exact") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{concat, lit}

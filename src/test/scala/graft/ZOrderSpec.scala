@@ -1070,4 +1070,312 @@ class ZOrderSpec extends SparkSpec {
     }
     assert(ZOrder.readSnapshot(spark, dir).count() == 600)
   }
+
+  test("graft-z DSv2 table: pushed filters prune planned files, residual stays exact, evolution null-fills, unsupported types refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ztable").toString
+    val df = spark.range(8192).select(col("id").as("k1"),
+      (col("id") % 128).as("k2"),
+      concat(lit("s"), col("id")).as("tag0"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 16)
+    val t = spark.read.format("graft-z").load(dir)
+    val total = ZOrder.listDataFiles(spark, dir).size
+    assert(total >= 8)
+    // planted positive: an unfiltered scan plans EVERY file
+    assert(t.rdd.getNumPartitions == total)
+    // a selective band on a clustered column prunes the plan to a
+    // fraction of the files — the manifest acting through ordinary
+    // DataFrame filters, no explicit readZRange call
+    val band = t.filter(col("k1").between(1000L, 1200L))
+    assert(band.rdd.getNumPartitions < total / 2,
+      s"planned ${band.rdd.getNumPartitions} of $total files")
+    // exact under the retained residual filter: boundary files hold
+    // out-of-range rows and Spark's own filter drops them
+    val got = band.select(col("k1"), col("k2"), col("tag0"))
+      .orderBy(col("k1")).collect().toSeq
+    val expect = df.filter(col("k1").between(1000L, 1200L))
+      .select(col("k1"), col("k2"), col("tag0"))
+      .orderBy(col("k1")).collect().toSeq
+    assert(got == expect, "DSv2 band read diverges from the plain filter")
+    // a filter on a stat-LESS column prunes nothing (best-effort
+    // contract) but stays exact — and column pruning still serves it
+    val sel = t.filter(col("tag0") === "s55").select(col("k1"))
+    assert(sel.rdd.getNumPartitions == total)
+    assert(sel.as[Long].collect().toSeq == Seq(55L))
+    // add-only evolution: files predating a column read null through
+    // the table, evolved rows carry their values
+    ZOrder.appendZOrdered(spark.range(8192, 8200).select(col("id").as("k1"),
+        (col("id") % 128).as("k2"), concat(lit("s"), col("id")).as("tag0"),
+        lit(7L).as("extra")),
+      dir, Seq("k1", "k2"), 1)
+    val t2 = spark.read.format("graft-z").load(dir)
+    assert(t2.filter(col("k1") < 8192L && col("extra").isNotNull)
+      .count() == 0)
+    assert(t2.filter(col("extra") === 7L).count() == 8)
+    // a store column outside the wire surface refuses at load, not
+    // mid-stream
+    val badDir = Files.createTempDirectory("graft-ztable-bad").toString
+    ZOrder.writeZOrdered(spark.range(8).select(col("id").as("k1"),
+        (col("id") % 2).as("k2"), array(col("id")).as("arr")),
+      badDir, Seq("k1", "k2"), 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-z").load(badDir)
+    }
+    assert(e.getMessage.contains("arr"), e.getMessage)
+  }
+
+  test("restore re-points a past snapshot by reference: zero copy, no resurrection, audit intact, lost files refuse") {
+    val dir = Files.createTempDirectory("graft-zrestore-spec").toString
+    val base = spark.range(2000).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 8) // (0, 0)
+    ZOrder.appendZOrdered(spark.range(2000, 2100).select(col("id").as("k1"),
+      (col("id") % 100).as("k2")), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1")) // (0, 1)
+    val origFiles = ZOrder.listDataFiles(spark, dir).toSet
+    ZOrder.deleteZRange(spark, dir, Seq(("k1", 0L, 499L)),
+      Seq("k1", "k2")) // the errant delete → e1
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1600)
+    ZOrder.restoreTo(spark, dir, 0, 1)
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 2100, "restore did not reproduce the coordinate")
+    assert(got.select(col("k1")).distinct().count() == 2100)
+    // ZERO COPY: the restored epoch re-points exactly the original files
+    assert(ZOrder.listDataFiles(spark, dir).toSet == origFiles,
+      "restore copied or dropped data files instead of re-pointing")
+    // current tags carried: a replayed tagged batch cannot double itself
+    ZOrder.appendZOrdered(spark.range(2000, 2100).select(col("id").as("k1"),
+      (col("id") % 100).as("k2")), dir, Seq("k1", "k2"), 1,
+      tag = Some("b1"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 2100,
+      "a replayed tagged append re-landed after the restore")
+    // the restored-over delete stays time-travel auditable, and the
+    // history names the restore
+    assert(ZOrder.readSnapshotAt(spark, dir, 1, 0).count() == 1600)
+    assert(ZOrder.describeHistory(spark, dir)
+      .filter(col("op") === "restore").count() == 1)
+    // a physically lost referenced file refuses the restore LOUDLY
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4) // fresh files
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(dir, origFiles.head), false))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.restoreTo(spark, dir, 0, 1)
+    }
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+    // and a vacuumed coordinate refuses at resolution
+    ZOrder.vacuumOrphans(spark, dir)
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.restoreTo(spark, dir, 0, 1)
+    }
+    assert(e2.getMessage.contains("no committed epoch"), e2.getMessage)
+  }
+
+  test("copy-on-write update: band-bounded rewrite, SET sees pre-update rows, null predicates never match, type guard, tag replay") {
+    val dir = Files.createTempDirectory("graft-zupd-spec").toString
+    val base = spark.range(2000).select(col("id").as("k1"),
+        (col("id") % 100).as("k2"))
+      .union(spark.range(7).select(lit(null).cast("long").as("k1"),
+        col("id").as("k2")))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 8)
+    val pre = ZOrder.listDataFiles(spark, dir).toSet
+    // SET expressions see the PRE-update row: new k2 = old k2 + k1
+    val n = ZOrder.updateZRange(spark, dir, Seq(("k1", 500L, 799L)),
+      Map("k2" -> "k2 + k1"), Seq("k1", "k2"), tag = Some("u1"))
+    assert(n == 300, s"updated $n rows")
+    val post = ZOrder.listDataFiles(spark, dir).toSet
+    assert(post.intersect(pre).nonEmpty,
+      "no file carried by reference — the update rewrote the whole table")
+    assert(post != pre, "update rewrote nothing")
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 2007)
+    assert(got.filter(col("k1").between(500, 799) &&
+      col("k2") =!= col("k1") % 100 + col("k1")).count() == 0,
+      "SET did not evaluate against the pre-update row")
+    assert(got.filter(!col("k1").between(500, 799) &&
+      col("k1").isNotNull && col("k2") =!= col("k1") % 100).count() == 0,
+      "rows outside the band were touched")
+    // a NULL in the predicate column never matches: those rows keep k2
+    assert(got.filter(col("k1").isNull).agg(sum(col("k2"))).head()
+      .getLong(0) == 21, "null-predicate rows were updated")
+    // tagged replay no-ops (the CDC exactly-once token)
+    assert(ZOrder.updateZRange(spark, dir, Seq(("k1", 500L, 799L)),
+      Map("k2" -> "k2 + k1"), Seq("k1", "k2"), tag = Some("u1")) == 0L)
+    // UPDATE cannot add columns...
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.updateZRange(spark, dir, Seq(("k1", 0L, 9L)),
+        Map("nope" -> "1"), Seq("k1", "k2"))
+    }
+    assert(e.getMessage.contains("cannot add columns"), e.getMessage)
+    // ...nor change a column's type
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.updateZRange(spark, dir, Seq(("k1", 0L, 9L)),
+        Map("k2" -> "cast(k2 as double)"), Seq("k1", "k2"))
+    }
+    assert(e2.getMessage.contains("cannot change a column's type"),
+      e2.getMessage)
+    // the pre-update state stays time-travel auditable
+    assert(ZOrder.readSnapshotAt(spark, dir, 0, 0)
+      .filter(col("k1").between(500, 799) &&
+        col("k2") =!= col("k1") % 100).count() == 0)
+  }
+
+  /** Recursive file copy — the spec's crashed-rewrite surgery below
+    * clones a committed manifest version dir byte-for-byte (checksum
+    * sidecars included, so the local FS's crc validation keeps passing). */
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      val d = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyDir(f, d)
+      else java.nio.file.Files.copy(f.toPath, d.toPath)
+    }
+  }
+
+  /** Build a store, land a tagged append that RETURNS (pre-swap), then
+    * fake the r10-advisor crash: a rewrite resolved its base BEFORE the
+    * append, committed its new epoch's v0, and died before
+    * rollForwardLateAppends — the append's version now lives only in the
+    * superseded epoch. Returns (storeDir, the lost batch). */
+  private def lostAppendStore(): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("graft-zrec").toString
+    val base = spark.range(1000).select(col("id").as("k1"),
+      (col("id") % 50).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 4) // e0/v0
+    val late = spark.range(1000, 1100).select(col("id").as("k1"),
+      (col("id") % 50).as("k2"))
+    ZOrder.appendZOrdered(late, dir, Seq("k1", "k2"), 1,
+      tag = Some("late")) // e0/v1, returns success
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+    val m = new java.io.File(dir, "_zmanifest")
+    val e1 = new java.io.File(m, "e1")
+    e1.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(e1.toString, "_rebase"), "0:0".getBytes)
+    copyDir(new java.io.File(m, "e0/v0"), new java.io.File(e1, "v0"))
+    // the silent-loss state the sweep exists for
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1000,
+      "surgery failed: the new epoch should hide the late append")
+    (dir, late)
+  }
+
+  test("a rewrite crash between epoch commit and rollforward: the next lease-held op recovers the late append") {
+    val (dir, _) = lostAppendStore()
+    // ANY lease-held maintenance op sweeps first — the append reappears
+    ZOrder.compactManifest(spark, dir)
+    val got = ZOrder.readSnapshot(spark, dir)
+    assert(got.count() == 1100, "late append not recovered")
+    assert(got.select(col("k1")).distinct().count() == 1100)
+    // the recovery is settled by manifest provenance, not the ticket:
+    // further ops must not double-roll it
+    ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L)
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k1", "k2"), 4)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+      "recovery double-landed under later maintenance ops")
+    // and the user tag still dedups an at-least-once replay
+    ZOrder.appendZOrdered(spark.range(1000, 1100)
+      .select(col("id").as("k1"), (col("id") % 50).as("k2")),
+      dir, Seq("k1", "k2"), 1, tag = Some("late"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+  }
+
+  test("recovery honors rebase-ticket ownership: dead rewrite taken over, live appender left alone, empty tickets age") {
+    // (a) ticket claimed by the crashed REWRITE itself (died between the
+    // ticket claim and its rollforward commit): the sweep holds the same
+    // lease, so the claimant is provably dead — take over and roll
+    locally {
+      val (dir, _) = lostAppendStore()
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        dir, "_zmanifest/e0/v1.rolled"), "rewrite".getBytes)
+      ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+        "dead rewrite's claimed rollforward not recovered")
+    }
+    // (b) ticket claimed by an APPENDER: it owns its own re-commit (a
+    // live one is mid-flight; a dead one never returned success, so its
+    // caller retries) — the sweep must NOT roll, or it could double-land
+    locally {
+      val (dir, late) = lostAppendStore()
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        dir, "_zmanifest/e0/v1.rolled"), "appender".getBytes)
+      ZOrder.compactManifest(spark, dir)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 1000,
+        "recovery rolled a version an appender owns")
+      // the at-least-once caller's retry lands the batch exactly once
+      ZOrder.appendZOrdered(late, dir, Seq("k1", "k2"), 1,
+        tag = Some("late"))
+      val got = ZOrder.readSnapshot(spark, dir)
+      assert(got.count() == 1100)
+      assert(got.select(col("k1")).distinct().count() == 1100)
+    }
+    // (c) EMPTY ticket (torn write / pre-r11): trusted dead only past the
+    // grace window — fresh stays untouched, back-dated recovers
+    locally {
+      val (dir, _) = lostAppendStore()
+      val ticket = new java.io.File(dir, "_zmanifest/e0/v1.rolled")
+      java.nio.file.Files.write(ticket.toPath, Array.empty[Byte])
+      ZOrder.compactManifest(spark, dir)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 1000,
+        "a fresh unattributed ticket must wait out the grace window")
+      assert(ticket.setLastModified(
+        System.currentTimeMillis() - 11 * 60 * 1000L))
+      ZOrder.vacuumOrphans(spark, dir, minAgeMs = 24 * 3600 * 1000L)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+        "an aged unattributed ticket was not treated as a dead claimant")
+    }
+  }
+
+  test("bloom sidecars key by the store-root-relative path even when the root itself contains /d-") {
+    val outer = Files.createTempDirectory("graft-zbloomroot").toString
+    val dir = s"$outer/d-lake/store" // the r10 advisor's adversarial root
+    val df = spark.range(2048).select(col("id"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 50).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k2", "id"), 8)
+    ZOrder.buildBloomIndex(spark, dir, "uk")
+    val files = ZOrder.listDataFiles(spark, dir)
+    files.foreach { f =>
+      assert(new java.io.File(dir, s"_zbloom/uk/$f.bloom").exists(),
+        s"sidecar missing for $f — pattern-keying broke under a /d- root")
+    }
+    val present = (99L * 2654435761L) % 100003L
+    val got = ZOrder.readZPoint(spark, dir, "uk", present)
+    assert(got.count() == df.filter(col("uk") === present).count())
+    assert(got.inputFiles.length <= 3,
+      s"bloom pruning defeated: opened ${got.inputFiles.length} of " +
+        s"${files.size} files")
+  }
+
+  test("ivmBatch folds per version and resolves the previous view from what EXISTS (gaps, multi-version batches)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-zivmgap").toString
+    def mk(rows: (String, Long, Long)*) =
+      rows.toSeq.toDF("lang", "n_chars", "_ver")
+    // batch 0 spans versions 0 and 2 — version 1's claimant crashed, so
+    // the number was skipped and view/v1 will never exist (the r10
+    // advisor finding: view/v(ver-1) is not a resolvable path)
+    ZOrder.ivmBatch(spark, root,
+      mk(("en", 10L, 0L), ("fr", 5L, 0L), ("en", 7L, 2L)), 0L)
+    assert(new java.io.File(root, "view/v0").exists())
+    assert(!new java.io.File(root, "view/v1").exists())
+    assert(new java.io.File(root, "view/v2").exists())
+    val v2 = spark.read.parquet(s"$root/view/v2")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, _) => l -> n }.toMap
+    assert(v2 == Map("en" -> 2L, "fr" -> 1L), v2.toString)
+    // batch 1 carries version 5 only: the previous state resolves to the
+    // HIGHEST existing view below it (v2), not the nonexistent v4
+    ZOrder.ivmBatch(spark, root, mk(("fr", 3L, 5L)), 1L)
+    val v5 = spark.read.parquet(s"$root/view/v5")
+      .orderBy(col("lang")).as[(String, Long, Long)].collect().toSeq
+    assert(v5 == Seq(("en", 2L, 17L), ("fr", 2L, 8L)), v5.toString)
+    // the out table carries one state per covered coordinate
+    val outVers = spark.read.parquet(s"$root/out")
+      .select(col("ver")).distinct().as[Long].collect().sorted.toSeq
+    assert(outVers == Seq(0L, 2L, 5L))
+    // replayed batch: the marker short-circuits it
+    ZOrder.ivmBatch(spark, root, mk(("en", 999L, 0L)), 0L)
+    assert(spark.read.parquet(s"$root/view/v0")
+      .filter(col("lang") === "en").head().getAs[Long]("sum_chars") == 10L)
+  }
 }
