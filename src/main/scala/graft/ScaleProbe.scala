@@ -316,6 +316,33 @@ object ScaleProbe {
         graft.sources.ZOrder.readZRange(spark, dir,
           Seq(("k2", 40000L, 50000L)))
       }),
+      // round-11: copy-on-write UPDATE at scale — the delete twin: a
+      // fixed 10% k1-band SET against a 10x-bigger store (files 32→320);
+      // cost should track the AFFECTED file volume (stats prune the
+      // rewrite set, unaffected files carry by reference), then a pruned
+      // read over the post-update epoch
+      "q147_zupdate_knob" -> ((d, scale) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sp-zupdate").toString
+        val t = Tables.documents(spark, d).select(col("doc_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(100000)).cast("long").as("k1"),
+          pmod(hash(col("doc_id"), lit(2)), lit(100000)).cast("long").as("k2"))
+        graft.sources.ZOrder.writeZOrdered(t, dir, Seq("k1", "k2"),
+          32 * scale)
+        graft.sources.ZOrder.updateZRange(spark, dir,
+          Seq(("k1", 20000L, 30000L)), Map("k2" -> "k2 + 1"),
+          Seq("k1", "k2"))
+        graft.sources.ZOrder.readZRange(spark, dir,
+          Seq(("k2", 40000L, 50000L)))
+      }),
+      // round-11: the graft-z DSv2 table over the PREBUILT zmeta store
+      // (build excluded — q123_zorder_knob owns that number): a fixed
+      // 10% k1-band filter plans only the band's files, so cost should
+      // track the BAND's volume (result rows grow 10x with the corpus),
+      // never table-minus-band
+      "q148_ztable_knob" -> ((d, _) =>
+        spark.read.format("graft-z").load(s"$d/zmeta")
+          .filter(col("k1").between(20000L, 30000L))),
     )
 
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
@@ -350,7 +377,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
-    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth","docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x)","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -668,10 +668,35 @@ object ZOrder {
     * files, no manifest version, no NPE on the null bounds row). */
   private def zWrite(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int): Option[String] = {
-    val aggs = count(lit(1)).as("cnt") +:
-      zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    // CHECK constraints ride the SAME aggregation pass as the clustering
+    // bounds — enforcement costs no extra scan. SQL CHECK semantics: a
+    // row violates only when the expression is FALSE (UNKNOWN/null
+    // passes); any violation refuses the whole batch BEFORE a byte lands.
+    val cons = listCheckConstraints(df.sparkSession, path)
+    val conAggs = cons.map { case (n, e) =>
+      val violated =
+        try not(coalesce(expr(e), lit(true)))
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint $n ($e) cannot be parsed: ${ex.getMessage}") }
+      sum(when(violated, 1L).otherwise(0L)).as(s"__viol_$n")
+    }
+    val aggs = (count(lit(1)).as("cnt") +:
+      zcols.flatMap(c => Seq(min(col(c)), max(col(c))))) ++ conAggs
+    val b =
+      try df.agg(aggs.head, aggs.tail: _*).head()
+      catch { case ex: org.apache.spark.sql.AnalysisException
+          if cons.nonEmpty => throw new IllegalArgumentException(
+        s"batch for $path cannot be validated against its CHECK " +
+          s"constraints (${cons.map(_._1).mkString(", ")}): " +
+          ex.getMessage)
+      }
     if (b.getLong(0) == 0L) return None
+    cons.zipWithIndex.foreach { case ((n, e), i) =>
+      val viol = b.getLong(1 + 2 * zcols.size + i)
+      require(viol == 0L,
+        s"CHECK constraint $n violated by $viol row(s) of the batch " +
+          s"(expression: $e) — nothing was written")
+    }
     val qs = zcols.zipWithIndex.map { case (c, i) =>
       // an all-null clustering column contributes a constant (its rows
       // still land; the other dimensions keep clustering)
@@ -1803,6 +1828,78 @@ object ZOrder {
       }
     }
 
+  // ---- CHECK constraints ----------------------------------------------------
+
+  /** Declared CHECK constraints live as one small file per constraint
+    * under `_zconstraints/<name>` (content = the SQL boolean expression,
+    * atomic temp+rename), OUTSIDE the manifest — they are store POLICY,
+    * not snapshot state: epoch rewrites, restores and vacuum never touch
+    * them. Enforcement rides [[zWrite]]'s existing bounds aggregation
+    * (no extra scan): SQL CHECK semantics — a row violates only when the
+    * expression is FALSE (UNKNOWN passes, SQL's rule and Delta's) — and
+    * one violation refuses the whole batch before any data lands, on
+    * every write path (build, append, merge, update, streaming ingest;
+    * maintenance rewrites re-validate for free). */
+  def listCheckConstraints(s: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val cdir = new Path(path, "_zconstraints")
+    val fs = StoreMaint.fsFor(s, cdir)
+    if (!fs.exists(cdir)) Seq.empty
+    else fs.listStatus(cdir).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+        (st.getPath.getName, new String(bytes, "UTF-8"))
+      }.toSeq
+  }
+
+  /** ADD CONSTRAINT … CHECK (expr) — validates EVERY existing row first
+    * (Delta scans the table the same way) and refuses if any violates;
+    * the constraint file lands only after the scan passes. Lease-held:
+    * no epoch rewrite can race the validation. An OCC append that began
+    * before the file landed and commits after the validation scan is the
+    * one unvalidated window (it validated against the constraints it saw
+    * at start) — the same add-vs-lock-free-write tradeoff every
+    * optimistic log has; size operational adds accordingly. */
+  def addCheckConstraint(s: SparkSession, path: String, name: String,
+      sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name $name must be [A-Za-z0-9_-]+")
+    Lease.withLease(s, path, "zorder-add-constraint") {
+      val existing =
+        try readSnapshot(s, path).filter(
+          not(coalesce(expr(sqlExpr), lit(true)))).count()
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint $name ($sqlExpr) cannot be evaluated " +
+            s"against the store's schema: ${ex.getMessage}")
+        }
+      require(existing == 0L,
+        s"cannot add CHECK constraint $name: $existing existing row(s) " +
+          s"violate ($sqlExpr)")
+      val cdir = new Path(path, "_zconstraints")
+      val fs = StoreMaint.fsFor(s, cdir)
+      fs.mkdirs(cdir)
+      val tmp = new Path(cdir, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(sqlExpr.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, new Path(cdir, name)) ||
+        { fs.delete(new Path(cdir, name), false)
+          fs.rename(tmp, new Path(cdir, name)) },
+        s"could not publish constraint $name")
+    }
+  }
+
+  /** DROP CONSTRAINT — writes after the drop admit what it forbade. */
+  def dropCheckConstraint(s: SparkSession, path: String,
+      name: String): Boolean =
+    Lease.withLease(s, path, "zorder-drop-constraint") {
+      val fs = StoreMaint.fsFor(s, new Path(path, "_zconstraints"))
+      fs.delete(new Path(new Path(path, "_zconstraints"), name), false)
+    }
+
   /** Copy-on-write predicate UPDATE — Delta's `UPDATE … SET … WHERE`:
     * rewrite every row matching ALL `preds` (the [[readZRange]] predicate
     * language; a NULL in a predicate column never matches, so those rows
@@ -1958,6 +2055,29 @@ object ZOrder {
           s"file(s) no longer exist (vacuumed?) — e.g. " +
           s"${missing.take(3).mkString(", ")}; a restore must re-point " +
           "only files that are still on disk")
+      // a restore re-points HISTORY: rows that predate a CHECK constraint
+      // would return unvalidated and silently break the "every committed
+      // snapshot satisfies the declared constraints" invariant — when
+      // constraints exist, the restored snapshot is validated (the one
+      // case a restore pays a data scan; constraint-less restores stay
+      // pure metadata)
+      val cons = listCheckConstraints(s, path)
+      if (cons.nonEmpty) {
+        val conAggs = cons.map { case (n, e) =>
+          sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L))
+            .as(s"__viol_$n")
+        }
+        val past0 = readSnapshotOf(s, path, past)
+        if (past0.limit(1).count() > 0) {
+          val v = past0.agg(conAggs.head, conAggs.tail: _*).head()
+          cons.zipWithIndex.foreach { case ((n, e), i) =>
+            require(v.getLong(i) == 0L,
+              s"restore to (e$epoch, v$version) would resurrect " +
+                s"${v.getLong(i)} row(s) violating CHECK constraint $n " +
+                s"($e) — drop the constraint first or restore elsewhere")
+          }
+        }
+      }
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
       writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, cur.epoch,
         maxVerOf(cur))
@@ -2330,26 +2450,39 @@ object ZOrder {
       |             (3, 0, 'manifest-compact')) AS t(epoch, ver, op)
       |ORDER BY epoch, ver""".stripMargin,
   ) { (s, d) =>
-    val dir = Files.createTempDirectory("graft-zhist").toString
-    val t = Tables.documents(s, d).select(col("doc_id"),
-      col("n_chars").cast("long").as("len"))
-    writeZOrdered(t.filter(col("doc_id") % 3 === 0), dir,
-      Seq("len", "doc_id"), 4)
-    appendZOrdered(t.filter(col("doc_id") % 3 === 1), dir,
-      Seq("len", "doc_id"), 2)
-    appendZOrdered(t.filter(col("doc_id") % 3 === 2), dir,
-      Seq("len", "doc_id"), 2)
-    val b = t.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    val (mn, mx) = (b.getLong(0), b.getLong(1))
-    deleteZRange(s, dir, Seq(("doc_id", mn, mn)), Seq("len", "doc_id"))
-    val src = t.filter(col("doc_id") === mn + 1)
-      .select(col("doc_id"), lit(1L).as("len"))
-      .union(t.filter(col("doc_id") === mn + 1)
-        .select((col("doc_id") + mx + 1L).as("doc_id"), col("len")))
-    mergeByKey(s, dir, src, "doc_id", Seq("len", "doc_id"))
-    compactManifest(s, dir)
-    describeHistory(s, dir)
+    describeHistory(s, histStoreFor(s, d))
   }
+
+  /** q145's store: the six-op lifecycle, built ONCE per dataset dir (the
+    * storeFor discipline — the operator under test is the metadata-plane
+    * [[describeHistory]], not the build; the lifecycle's commit topology
+    * is deterministic, so the cached store answers every pass). */
+  private val histStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def histStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      histStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zhist").toString
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars").cast("long").as("len"))
+        writeZOrdered(t.filter(col("doc_id") % 3 === 0), dir,
+          Seq("len", "doc_id"), 4)
+        appendZOrdered(t.filter(col("doc_id") % 3 === 1), dir,
+          Seq("len", "doc_id"), 2)
+        appendZOrdered(t.filter(col("doc_id") % 3 === 2), dir,
+          Seq("len", "doc_id"), 2)
+        val b = t.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        deleteZRange(s, dir, Seq(("doc_id", mn, mn)), Seq("len", "doc_id"))
+        val src = t.filter(col("doc_id") === mn + 1)
+          .select(col("doc_id"), lit(1L).as("len"))
+          .union(t.filter(col("doc_id") === mn + 1)
+            .select((col("doc_id") + mx + 1L).as("doc_id"), col("len")))
+        mergeByKey(s, dir, src, "doc_id", Seq("len", "doc_id"))
+        compactManifest(s, dir)
+        dir
+      })
+    }
 
   /** q142's store: documents with a synthetic high-cardinality
     * NON-CLUSTERED key `uk = (doc_id * 2654435761) % 100003` (a Knuth
@@ -3045,10 +3178,60 @@ object ZOrder {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  // ---- q149: CHECK constraints gate every write -----------------------------
+
+  /** q149's store: documents behind two CHECK constraints; a violating
+    * batch is refused WHOLESALE (nothing lands), the compliant batch
+    * lands — the ingestion-contract lifecycle (Delta's ADD CONSTRAINT +
+    * enforced writes). */
+  private val consStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def consStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      consStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zcons").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs.filter(col("doc_id") % 10 =!= 9), dir,
+          Seq("doc_id", "n_chars"), 4)
+        addCheckConstraint(s, dir, "chars_nonneg", "n_chars >= 0")
+        addCheckConstraint(s, dir, "doc_id_nonneg", "doc_id >= 0")
+        val bad = docs.filter(col("doc_id") % 10 === 9)
+          .withColumn("n_chars", -col("n_chars") - 1)
+        val refused =
+          try { appendZOrdered(bad, dir, Seq("doc_id", "n_chars"), 1); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("chars_nonneg") }
+        require(refused, "q149 store: the violating batch was not refused")
+        appendZOrdered(docs.filter(col("doc_id") % 10 === 9), dir,
+          Seq("doc_id", "n_chars"), 1)
+        dir
+      })
+    }
+
+  /** q149: CHECK constraints — the write-path ingestion gate (Delta's
+    * table constraints): declared expressions validated against every
+    * incoming batch inside [[zWrite]]'s existing bounds pass (no extra
+    * scan), one violation refusing the whole batch before a byte lands.
+    * The lifecycle appends a VIOLATING batch (refused — its rows must
+    * not appear) then the compliant one; oracle = the plain full table,
+    * so a partially-landed refused batch or a lost compliant batch
+    * hash-fails. Refusal shapes, SQL UNKNOWN-passes semantics,
+    * unvalidatable-batch refusal, add-time validation, drop, and
+    * restore-vs-constraint interplay are pinned in ZOrderSpec. */
+  val q149ZOrderConstraints: Q = Q(
+    "q149_zorder_constraints",
+    "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+  ) { (s, d) =>
+    readSnapshot(s, consStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
-    q148ZBatchTable)
+    q148ZBatchTable, q149ZOrderConstraints)
 }

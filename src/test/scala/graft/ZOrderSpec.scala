@@ -1220,6 +1220,75 @@ class ZOrderSpec extends SparkSpec {
         col("k2") =!= col("k1") % 100).count() == 0)
   }
 
+  test("CHECK constraints: wholesale refusal on every write path, UNKNOWN passes, add validates, drop lifts, restore guards") {
+    val dir = Files.createTempDirectory("graft-zcons-spec").toString
+    val base = spark.range(1000).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 4) // (0, 0)
+    // ADD validates existing rows: a constraint the data violates refuses
+    val e0 = intercept[IllegalArgumentException] {
+      ZOrder.addCheckConstraint(spark, dir, "k2_small", "k2 < 50")
+    }
+    assert(e0.getMessage.contains("existing"), e0.getMessage)
+    // ...and an unevaluatable expression refuses with its own message
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.addCheckConstraint(spark, dir, "bad", "nope > 0")
+    }
+    assert(e1.getMessage.contains("cannot be evaluated"), e1.getMessage)
+    ZOrder.addCheckConstraint(spark, dir, "k2_range", "k2 BETWEEN 0 AND 99")
+    // a violating batch refuses WHOLESALE; the store is untouched
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(1000, 1100)
+        .select(col("id").as("k1"), (col("id") % 100 + 100).as("k2")),
+        dir, Seq("k1", "k2"), 1)
+    }
+    assert(e2.getMessage.contains("k2_range") &&
+      e2.getMessage.contains("100 row"), e2.getMessage)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1000)
+    // SQL CHECK semantics: UNKNOWN (null) passes — null-k2 rows admit
+    ZOrder.appendZOrdered(spark.range(3)
+      .select((col("id") + 5000).as("k1"), lit(null).cast("long").as("k2")),
+      dir, Seq("k1", "k2"), 1) // (0, 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1003)
+    // a batch MISSING the constrained column cannot be validated: refuse
+    val e3 = intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(2)
+        .select((col("id") + 6000).as("k1")), dir, Seq("k1"), 1)
+    }
+    assert(e3.getMessage.contains("cannot be validated"), e3.getMessage)
+    // UPDATE whose SET would violate refuses before committing
+    intercept[IllegalArgumentException] {
+      ZOrder.updateZRange(spark, dir, Seq(("k1", 0L, 9L)),
+        Map("k2" -> "k2 + 1000"), Seq("k1", "k2"))
+    }
+    assert(ZOrder.readSnapshot(spark, dir)
+      .filter(col("k2") > 99).count() == 0)
+    // MERGE with a violating source refuses too
+    intercept[IllegalArgumentException] {
+      ZOrder.mergeByKey(spark, dir,
+        spark.range(1).select(col("id").as("k1"), lit(777L).as("k2")),
+        "k1", Seq("k1", "k2"))
+    }
+    // RESTORE cannot resurrect rows a newer constraint forbids
+    ZOrder.deleteZRange(spark, dir, Seq(("k2", 90L, 99L)), Seq("k1", "k2"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 903)
+    ZOrder.addCheckConstraint(spark, dir, "k2_lt90", "k2 < 90")
+    val e4 = intercept[IllegalArgumentException] {
+      ZOrder.restoreTo(spark, dir, 0, 1)
+    }
+    assert(e4.getMessage.contains("resurrect") &&
+      e4.getMessage.contains("k2_lt90"), e4.getMessage)
+    assert(ZOrder.dropCheckConstraint(spark, dir, "k2_lt90"))
+    ZOrder.restoreTo(spark, dir, 0, 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1003)
+    // DROP lifts the gate: the formerly violating batch lands
+    assert(ZOrder.dropCheckConstraint(spark, dir, "k2_range"))
+    ZOrder.appendZOrdered(spark.range(1000, 1100)
+      .select(col("id").as("k1"), (col("id") % 100 + 100).as("k2")),
+      dir, Seq("k1", "k2"), 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1103)
+  }
+
   /** Recursive file copy — the spec's crashed-rewrite surgery below
     * clones a committed manifest version dir byte-for-byte (checksum
     * sidecars included, so the local FS's crc validation keeps passing). */
