@@ -39,23 +39,107 @@ class ZBatchProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-z"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZcdfStream.wireSchema(SparkSession.active, ZcdfStream.pathOf(options),
-      "graft-z")
+      "graft-z", ZBatch.travelOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new ZBatchTable(ZcdfStream.pathOf(properties), schema)
 }
 
+object ZBatch {
+  /** Time-travel coordinates from read options — Delta's two travel
+    * forms through the table surface: `epoch` + `version` (versionAsOf —
+    * both or neither) or `timestampAsOf` (epoch-millis, resolved to the
+    * latest commit at-or-before via [[ZOrder.versionAsOfTimestamp]]).
+    * The snapshot's own schema governs the read; vacuumed/bogus
+    * coordinates refuse at load. */
+  private[sources] def travelOf(
+      options: java.util.Map[String, String]): Option[(Long, Long)] = {
+    val e = Option(options.get("epoch"))
+    val v = Option(options.get("version"))
+    val ts = Option(options.get("timestampAsOf"))
+    require(e.isEmpty == v.isEmpty,
+      "graft-z time travel needs BOTH .option(\"epoch\", …) and " +
+        ".option(\"version\", …)")
+    require(ts.isEmpty || e.isEmpty,
+      "graft-z time travel takes EITHER epoch/version OR timestampAsOf, " +
+        "not both")
+    ts match {
+      case Some(t) => Some(ZOrder.versionAsOfTimestamp(SparkSession.active,
+        ZcdfStream.pathOf(options), t.toLong))
+      case None => e.zip(v).map { case (a, b) => (a.toLong, b.toLong) }
+    }
+  }
+}
+
 class ZBatchTable(path: String, tschema: StructType) extends Table
-    with SupportsRead {
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-z:$path"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZBatchScanBuilder(path, tschema)
+    new ZBatchScanBuilder(path, tschema, ZBatch.travelOf(options))
+
+  /** The WRITE half of the table surface, via the V1 insert bridge (the
+    * Kafka-sink pattern): the z-append/rebuild commit protocol is
+    * driver-orchestrated (z-sort job + footer harvest + manifest-version
+    * CAS), so the table delegates to [[ZOrder.appendZOrdered]] /
+    * [[ZOrder.writeZOrdered]] rather than reimplementing it as per-task
+    * writers — `df.write.format("graft-z").option("zcols", "k1,k2")
+    * .mode("append"|"overwrite").save(dir)`, with `numFiles`, `statCols`
+    * and the exactly-once `tag` as options. Append schema evolution
+    * through the TABLE surface follows Spark's by-name output resolution
+    * (extra columns refuse at analysis); the programmatic API remains
+    * the add-only evolution path. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZBatchWriteBuilder(path, info)
 }
 
-class ZBatchScanBuilder(path: String, tschema: StructType)
+class ZBatchWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwriteArg: Boolean): Unit = {
+            val opts = info.options
+            val zcols = Option(opts.get("zcols"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(throw new IllegalArgumentException(
+                "graft-z write needs .option(\"zcols\", \"c1,c2\") — " +
+                  "the clustering keys of the batch"))
+            val numFiles = Option(opts.get("numFiles"))
+              .map(_.toInt).getOrElse(32)
+            val statCols = Option(opts.get("statCols"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Seq.empty)
+            val tag = Option(opts.get("tag"))
+            if (overwrite || overwriteArg)
+              ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
+            else
+              ZOrder.appendZOrdered(data, path, zcols, numFiles, statCols,
+                tag)
+          }
+        }
+    }
+}
+
+class ZBatchScanBuilder(path: String, tschema: StructType,
+    travel: Option[(Long, Long)])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -99,20 +183,22 @@ class ZBatchScanBuilder(path: String, tschema: StructType)
     val bounds = pushed.foldLeft(Map.empty[String, (Option[Any], Option[Any])]) {
       (acc, f) => boundsOf(f, acc).getOrElse(acc)
     }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    new ZBatchScan(path, required, bounds)
+    new ZBatchScan(path, required, bounds, travel)
   }
 }
 
 class ZBatchScan(path: String, required: StructType,
-    bounds: Seq[(String, Option[Any], Option[Any])]) extends Scan with Batch {
+    bounds: Seq[(String, Option[Any], Option[Any])],
+    travel: Option[(Long, Long)]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-z $path, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]"
+    s"graft-z $path${travel.map(t => s" @ (e${t._1}, v${t._2})")
+      .getOrElse("")}, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val s = SparkSession.active
-    val (files, _) = ZOrder.pruneFilesForScan(s, path, bounds)
+    val (files, _) = ZOrder.pruneFilesForScan(s, path, bounds, travel)
     files.map(f => ZBatchPartition(s"$path/$f"): InputPartition).toArray
   }
 

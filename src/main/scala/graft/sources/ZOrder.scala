@@ -942,9 +942,12 @@ object ZOrder {
     * filter on top), so unpruned is safe and wrong-pruned is impossible
     * for the same reason it is on the explicit read path. */
   private[sources] def pruneFilesForScan(s: SparkSession, path: String,
-      bounds: Seq[(String, Option[Any], Option[Any])])
-      : (Seq[String], StructType) = {
-    val snap = requireSnapshot(s, path)
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      at: Option[(Long, Long)] = None): (Seq[String], StructType) = {
+    val snap = at match {
+      case Some((e, v)) => snapshotAt(s, path, e, v)
+      case None => requireSnapshot(s, path)
+    }
     val (man0, schema) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
     val applicable = bounds.flatMap { case (c0, lo, hi) =>
@@ -1486,6 +1489,13 @@ object ZOrder {
     else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** A past committed snapshot's recorded schema — the graft-z table's
+    * time-travel schema surface (a travel read sees the PAST's columns,
+    * [[readSnapshotAt]]'s contract). */
+  private[sources] def recordedSchemaAt(s: SparkSession, path: String,
+      epoch: Long, version: Long): StructType =
+    manifestAndSchema(s, snapshotAt(s, path, epoch, version))._2
+
   /** (current epoch, max committed version, recorded schema) — the
     * graft-zcdf streaming source's metadata surface ([[ZcdfStream]]):
     * O(manifest versions) directory metadata per call, never data. */
@@ -1527,6 +1537,38 @@ object ZOrder {
   def readSnapshotAt(s: SparkSession, path: String, epoch: Long,
       version: Long): DataFrame =
     readSnapshotOf(s, path, snapshotAt(s, path, epoch, version))
+
+  /** The latest committed coordinate whose COMMIT INSTANT is ≤
+    * `tsMillis` — Delta's `timestampAsOf` half of time travel ("what did
+    * the table look like yesterday at noon"). The commit instant is the
+    * version's `_SUCCESS` mtime (the atomic visibility flip, the same
+    * instant [[vacuumOrphans]]'s supersession aging trusts); commit
+    * order is (epoch, version) order, so the resolution takes the
+    * max coordinate under the cutoff rather than trusting cross-file
+    * clock monotonicity. Refuses loudly when the timestamp predates the
+    * store (Delta's contract) — a silently-empty past is the worst
+    * answer to an audit query. */
+  def versionAsOfTimestamp(s: SparkSession, path: String,
+      tsMillis: Long): (Long, Long) = {
+    val mroot = manifestRoot(path)
+    val fs = StoreMaint.fsFor(s, mroot)
+    val eligible = listVersions(s, path).filter { case (e, v) =>
+      fs.getFileStatus(new Path(new Path(mroot, s"e$e"),
+        s"v$v/_SUCCESS")).getModificationTime <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"no committed snapshot of $path at or before timestamp " +
+        s"$tsMillis (earliest commit is later, or the history was " +
+        "vacuumed) — see listVersions/describeHistory")
+    eligible.max
+  }
+
+  /** [[readSnapshotAt]] by wall-clock instant ([[versionAsOfTimestamp]]). */
+  def readSnapshotAsOf(s: SparkSession, path: String,
+      tsMillis: Long): DataFrame = {
+    val (e, v) = versionAsOfTimestamp(s, path, tsMillis)
+    readSnapshotAt(s, path, e, v)
+  }
 
   /** Collapse the current epoch's accumulated manifest versions into ONE
     * (a new epoch whose v0 carries the same stats rows, re-pointing the
@@ -3228,10 +3270,67 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q150: DataFrame-API round trip through the graft-z table ------------
+
+  /** q150's store: the build slice lands programmatically, the rest
+    * arrives through the PUBLIC TABLE WRITE surface
+    * (`df.write.format("graft-z").mode("append")`) under an
+    * exactly-once tag — replayed immediately to prove the tag dedups
+    * through the API path too. */
+  private val apiStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def apiStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      apiStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zapi").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs.filter(col("doc_id") % 10 =!= 9), dir,
+          Seq("doc_id", "n_chars"), 4)
+        def apiAppend(): Unit = docs.filter(col("doc_id") % 10 === 9)
+          .write.format("graft-z")
+          .option("zcols", "doc_id,n_chars")
+          .option("numFiles", "1")
+          .option("tag", "api-b1")
+          .mode("append").save(dir)
+        apiAppend()
+        apiAppend() // at-least-once redelivery: the tag makes it a no-op
+        dir
+      })
+    }
+
+  /** q150: the full DataFrame-API round trip — rows written through
+    * `df.write.format("graft-z")` (the V1-insert bridge onto the
+    * tag-deduped OCC append) and read back through
+    * `spark.read.format("graft-z")` with an ordinary band filter doing
+    * manifest skipping; the lifecycle REPLAYS the API append to prove
+    * exactly-once holds through the public surface. Oracle = the plain
+    * band filter over the full table (a lost or doubled API batch
+    * hash-fails because the band straddles both slices). */
+  val q150ZBatchWrite: Q = Q(
+    "q150_zorder_table_write",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d, b
+      |WHERE d.doc_id BETWEEN b.mn + (b.mx-b.mn)*1//10
+      |                   AND b.mn + (b.mx-b.mn)*4//10
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    val dir = apiStoreFor(s, d)
+    val b = Tables.documents(s, d)
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    s.read.format("graft-z").load(dir)
+      .filter(col("doc_id").between(
+        mn + (mx - mn) * 1 / 10, mn + (mx - mn) * 4 / 10))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
-    q148ZBatchTable, q149ZOrderConstraints)
+    q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite)
 }

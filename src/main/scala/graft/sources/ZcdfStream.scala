@@ -74,12 +74,17 @@ object ZcdfStream {
       StructField(VerCol, LongType, nullable = false))
   }
 
-  /** The store's recorded schema, validated against the primitive wire
-    * surface the executor-side Group reader can decode — shared by the
-    * change-feed stream and the graft-z batch table ([[ZBatch]]). */
+  /** The store's recorded schema (current snapshot, or a PAST committed
+    * coordinate for time-travel reads — a past snapshot's schema is the
+    * PAST's), validated against the primitive wire surface the
+    * executor-side Group reader can decode — shared by the change-feed
+    * stream and the graft-z batch table ([[ZBatch]]). */
   private[sources] def wireSchema(s: SparkSession, path: String,
-      source: String): StructType = {
-    val (_, _, recorded) = ZOrder.streamState(s, path)
+      source: String, at: Option[(Long, Long)] = None): StructType = {
+    val recorded = at match {
+      case Some((e, v)) => ZOrder.recordedSchemaAt(s, path, e, v)
+      case None => ZOrder.streamState(s, path)._3
+    }
     recorded.fields.foreach { f =>
       require(supported(f.dataType),
         s"$source: column ${f.name} has type ${f.dataType.simpleString}; " +

@@ -1124,6 +1124,77 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("arr"), e.getMessage)
   }
 
+  test("graft-z table WRITE surface: tagged API appends are exactly-once, overwrite rebuilds, zcols required, travel options read the past") {
+    val dir = Files.createTempDirectory("graft-ztable-w").toString
+    val base = spark.range(1000).select(col("id").as("k1"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1", "k2"), 4) // (0, 0)
+    // append through the public table surface, tag-deduped
+    def apiAppend(): Unit = spark.range(1000, 1100)
+      .select(col("id").as("k1"), (col("id") % 100).as("k2"))
+      .write.format("graft-z").option("zcols", "k1,k2")
+      .option("numFiles", "1").option("tag", "w1")
+      .mode("append").save(dir)
+    apiAppend() // (0, 1)
+    apiAppend() // replay: the tag rides the same OCC commit — no-op
+    val t = spark.read.format("graft-z").load(dir)
+    assert(t.count() == 1100)
+    assert(t.select(col("k1")).distinct().count() == 1100,
+      "the replayed API append double-landed")
+    // time travel through the table surface: the pre-append coordinate
+    val past = spark.read.format("graft-z")
+      .option("epoch", "0").option("version", "0").load(dir)
+    assert(past.count() == 1000)
+    // travel + pushed filter prune against the PAST snapshot's manifest
+    assert(past.filter(col("k1").between(0L, 10L)).rdd.getNumPartitions
+      < past.rdd.getNumPartitions)
+    // half-specified travel refuses; a bogus coordinate refuses loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-z").option("epoch", "0").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-z")
+        .option("epoch", "7").option("version", "0").load(dir).count()
+    }
+    // timestampAsOf: the commit instant is the version's _SUCCESS mtime —
+    // back-date v0's and a cutoff between the two commits resolves it
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    lfs.setTimes(new Path(dir, "_zmanifest/e0/v0/_SUCCESS"),
+      now - 600000L, -1)
+    val asOld = spark.read.format("graft-z")
+      .option("timestampAsOf", (now - 300000L).toString).load(dir)
+    assert(asOld.count() == 1000,
+      "timestampAsOf did not resolve the latest commit at-or-before")
+    // a timestamp predating the store refuses; mixing both forms refuses
+    val e5 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-z")
+        .option("timestampAsOf", (now - 86400000L).toString).load(dir)
+    }
+    assert(e5.getMessage.contains("at or before"), e5.getMessage)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-z").option("epoch", "0")
+        .option("version", "0")
+        .option("timestampAsOf", now.toString).load(dir)
+    }
+    // overwrite through the table surface = the versioned-epoch REBUILD
+    spark.range(50).select(col("id").as("k1"), (col("id") % 5).as("k2"))
+      .write.format("graft-z").option("zcols", "k1,k2")
+      .option("numFiles", "1").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-z").load(dir).count() == 50)
+    // ...and the pre-rebuild state is still a travel coordinate
+    assert(spark.read.format("graft-z")
+      .option("epoch", "0").option("version", "1").load(dir)
+      .count() == 1100)
+    // a write without the clustering keys refuses
+    val e = intercept[Exception] {
+      spark.range(3).select(col("id").as("k1"), (col("id") % 5).as("k2"))
+        .write.format("graft-z").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("zcols"), e.getMessage)
+  }
+
   test("restore re-points a past snapshot by reference: zero copy, no resurrection, audit intact, lost files refuse") {
     val dir = Files.createTempDirectory("graft-zrestore-spec").toString
     val base = spark.range(2000).select(col("id").as("k1"),
