@@ -167,7 +167,21 @@ object Bench {
       val (fullQs, _) = fmt(oneShot)
       val (fullSteady, _) = fmt(steady)
       val detail = s"""{"metric":"total","value":$total,"steady_total":$steadyTotal,"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$fullQs,"steady_queries":$fullSteady}"""
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      // a HOT run must not clobber a committed CALM record (the r9/r10
+      // hygiene lesson — the repo's headline detail artifact twice got
+      // overwritten by an ambient-loaded run and contradicted the SURVEY
+      // paragraph citing it): when this run is load_hot and the existing
+      // BENCH_DETAIL.json is a calm record, the detail lands beside it
+      // as BENCH_DETAIL_hot.json instead
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
+        val calmOnDisk =
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+            .contains("\"load_hot\":false")
+          catch { case _: Throwable => false }
+        if (loadStart > 1.0 && calmOnDisk) "BENCH_DETAIL_hot.json"
+        else "BENCH_DETAIL.json"
+      })
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (detail + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
