@@ -196,10 +196,29 @@ class ZBatchScan(path: String, required: StructType,
     s"graft-z $path${travel.map(t => s" @ (e${t._1}, v${t._2})")
       .getOrElse("")}, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]"
 
+  /** Surviving files BIN-PACKED into partitions at
+    * `spark.sql.files.maxPartitionBytes` (the FileSourceScan discipline):
+    * at 1M small files, one-task-per-file is a scheduler storm — sizes
+    * come from the manifest's `__size__` rows (no per-file HEADs at plan
+    * time; a pre-size manifest row with no size gets its own partition),
+    * and packing runs over the z-SORTED file list so a partition's files
+    * stay curve-adjacent (one task reads one z-range neighborhood). */
   override def planInputPartitions(): Array[InputPartition] = {
     val s = SparkSession.active
     val (files, _) = ZOrder.pruneFilesForScan(s, path, bounds, travel)
-    files.map(f => ZBatchPartition(s"$path/$f"): InputPartition).toArray
+    val maxBytes = s.sessionState.conf.filesMaxPartitionBytes
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var cur = Vector.empty[String]
+    var curBytes = 0L
+    files.foreach { case (f, szOpt) =>
+      val sz = szOpt.getOrElse(maxBytes) // unknown size: own partition
+      if (cur.nonEmpty && curBytes + sz > maxBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= s"$path/$f"; curBytes += sz
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.map(fs => ZBatchPartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -208,7 +227,7 @@ class ZBatchScan(path: String, required: StructType,
       required.fields.map(f => (f.name, f.dataType.catalogString)))
 }
 
-case class ZBatchPartition(file: String) extends InputPartition
+case class ZBatchPartition(files: Seq[String]) extends InputPartition
 
 /** Executor-side parquet reader for one manifest-listed z-store file:
   * the zcdf wire decode ([[ZcdfStream.decodeGroup]]) over the PROJECTED
@@ -224,48 +243,63 @@ case class ZBatchReaderFactory(confOverrides: Map[String, String],
     val types: Array[DataType] =
       fields.map { case (_, ddl) => DataType.fromDDL(ddl) }
     new PartitionReader[InternalRow] {
-      // a PRIVATE conf copy: the projection below is per-scan state and
-      // must never leak into the shared session configuration
-      private val conf = new org.apache.hadoop.conf.Configuration(
-        GraftShardsSource.hadoopConf(confOverrides))
-      locally {
-        import scala.jdk.CollectionConverters._
-        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(p.file), conf)
-        val fileSchema = {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
-          try r.getFooter.getFileMetaData.getSchema finally r.close()
-        }
-        val wanted = fields.map(_._1.toLowerCase).toSet
-        val kept = fileSchema.getFields.asScala
-          .filter(f => wanted.contains(f.getName.toLowerCase)).asJava
-        // an all-absent projection (e.g. COUNT(*) over a column this file
-        // predates) falls back to the full schema — rows still count
-        if (!kept.isEmpty)
-          conf.set(org.apache.parquet.hadoop.api.ReadSupport
-              .PARQUET_READ_SCHEMA,
-            new org.apache.parquet.schema.MessageType("spark_schema", kept)
-              .toString)
-      }
-      private val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          new Path(p.file))
-        .withConf(conf)
-        .build()
+      private val it = p.files.iterator
+      private var reader: org.apache.parquet.hadoop.ParquetReader[
+        org.apache.parquet.example.data.Group] = _
       private var current: InternalRow = _
 
-      override def next(): Boolean = {
-        val g = reader.read()
-        if (g == null) false
+      /** Open the next file of the bin with a PRIVATE conf copy (the
+        * per-file projection must never leak into the shared session
+        * configuration): requested-schema = file schema ∩ projection,
+        * so only projected chunks decode; a file where every projected
+        * column is absent falls back to the full schema (rows still
+        * count for e.g. COUNT(*)). */
+      private def openNext(): Boolean =
+        if (!it.hasNext) false
         else {
-          current = new GenericInternalRow(
-            ZcdfStream.decodeGroup(g, fields, types, extra = 0))
+          val file = it.next()
+          val conf = new org.apache.hadoop.conf.Configuration(
+            GraftShardsSource.hadoopConf(confOverrides))
+          import scala.jdk.CollectionConverters._
+          val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(file), conf)
+          val fileSchema = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+            try r.getFooter.getFileMetaData.getSchema finally r.close()
+          }
+          val wanted = fields.map(_._1.toLowerCase).toSet
+          val kept = fileSchema.getFields.asScala
+            .filter(f => wanted.contains(f.getName.toLowerCase)).asJava
+          if (!kept.isEmpty)
+            conf.set(org.apache.parquet.hadoop.api.ReadSupport
+                .PARQUET_READ_SCHEMA,
+              new org.apache.parquet.schema.MessageType("spark_schema",
+                kept).toString)
+          reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              new Path(file))
+            .withConf(conf)
+            .build()
           true
         }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) { if (!openNext()) return false }
+          val g = reader.read()
+          if (g != null) {
+            current = new GenericInternalRow(
+              ZcdfStream.decodeGroup(g, fields, types, extra = 0))
+            return true
+          }
+          reader.close()
+          reader = null
+        }
+        false // unreachable
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

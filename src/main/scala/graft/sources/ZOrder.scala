@@ -941,9 +941,13 @@ object ZOrder {
     * the scan is BEST-EFFORT by contract (Spark re-applies the full
     * filter on top), so unpruned is safe and wrong-pruned is impossible
     * for the same reason it is on the explicit read path. */
+  /** Surviving files WITH their recorded byte sizes (null when a
+    * pre-size manifest has no `__size__` row) — the graft-z scan packs
+    * partitions from these, so planning never HEADs the files. */
   private[sources] def pruneFilesForScan(s: SparkSession, path: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
-      at: Option[(Long, Long)] = None): (Seq[String], StructType) = {
+      at: Option[(Long, Long)] = None)
+      : (Seq[(String, Option[Long])], StructType) = {
     val snap = at match {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
@@ -974,7 +978,15 @@ object ZOrder {
         }.reduce(_ union _)
         allFiles.except(excluded)
       }
-    (keepDf.collect().map(_.getString(0)).sorted.toSeq, schema)
+    val sized = keepDf.join(
+        man.filter(col("c") === lit(SizeKey))
+          .select(col("f"), col("mn").as("__sz")),
+        Seq("f"), "left")
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getString(1)).flatMap(_.toLongOption)))
+      .sortBy(_._1).toSeq
+    (sized, schema)
   }
 
   private[graft] final case class ZCount(metaRows: Long,

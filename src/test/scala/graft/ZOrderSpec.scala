@@ -1081,14 +1081,28 @@ class ZOrderSpec extends SparkSpec {
     val t = spark.read.format("graft-z").load(dir)
     val total = ZOrder.listDataFiles(spark, dir).size
     assert(total >= 8)
-    // planted positive: an unfiltered scan plans EVERY file
-    assert(t.rdd.getNumPartitions == total)
-    // a selective band on a clustered column prunes the plan to a
-    // fraction of the files — the manifest acting through ordinary
-    // DataFrame filters, no explicit readZRange call
+    // files BIN-PACK into partitions at maxPartitionBytes (the
+    // FileSourceScan discipline — one task per tiny file would be a
+    // scheduler storm at 1M files): these small files pack into fewer
+    // partitions than files under the default 128 MB...
+    assert(t.rdd.getNumPartitions < total,
+      s"${t.rdd.getNumPartitions} partitions for $total small files")
+    // ...so the per-FILE pruning assertions pin partitions ≡ files by
+    // shrinking the pack bin to one byte (conf is read at PLAN time and
+    // Dataset.rdd memoizes — build fresh frames under the pinned conf)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val t1 = spark.read.format("graft-z").load(dir)
+      // planted positive: an unfiltered scan plans EVERY file
+      assert(t1.rdd.getNumPartitions == total)
+      // a selective band on a clustered column prunes the plan to a
+      // fraction of the files — the manifest acting through ordinary
+      // DataFrame filters, no explicit readZRange call
+      val band1 = t1.filter(col("k1").between(1000L, 1200L))
+      assert(band1.rdd.getNumPartitions < total / 2,
+        s"planned ${band1.rdd.getNumPartitions} of $total files")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     val band = t.filter(col("k1").between(1000L, 1200L))
-    assert(band.rdd.getNumPartitions < total / 2,
-      s"planned ${band.rdd.getNumPartitions} of $total files")
     // exact under the retained residual filter: boundary files hold
     // out-of-range rows and Spark's own filter drops them
     val got = band.select(col("k1"), col("k2"), col("tag0"))
@@ -1099,8 +1113,12 @@ class ZOrderSpec extends SparkSpec {
     assert(got == expect, "DSv2 band read diverges from the plain filter")
     // a filter on a stat-LESS column prunes nothing (best-effort
     // contract) but stays exact — and column pruning still serves it
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try assert(spark.read.format("graft-z").load(dir)
+      .filter(col("tag0") === "s55").select(col("k1"))
+      .rdd.getNumPartitions == total)
+    finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     val sel = t.filter(col("tag0") === "s55").select(col("k1"))
-    assert(sel.rdd.getNumPartitions == total)
     assert(sel.as[Long].collect().toSeq == Seq(55L))
     // add-only evolution: files predating a column read null through
     // the table, evolved rows carry their values
@@ -1146,8 +1164,15 @@ class ZOrderSpec extends SparkSpec {
       .option("epoch", "0").option("version", "0").load(dir)
     assert(past.count() == 1000)
     // travel + pushed filter prune against the PAST snapshot's manifest
-    assert(past.filter(col("k1").between(0L, 10L)).rdd.getNumPartitions
-      < past.rdd.getNumPartitions)
+    // (bin size pinned to one byte so partitions ≡ files; frames built
+    // fresh under the pinned conf — Dataset.rdd memoizes)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      def pastF() = spark.read.format("graft-z")
+        .option("epoch", "0").option("version", "0").load(dir)
+      assert(pastF().filter(col("k1").between(0L, 10L))
+        .rdd.getNumPartitions < pastF().rdd.getNumPartitions)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     // half-specified travel refuses; a bogus coordinate refuses loudly
     intercept[IllegalArgumentException] {
       spark.read.format("graft-z").option("epoch", "0").load(dir)
