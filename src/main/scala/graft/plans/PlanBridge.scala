@@ -23,6 +23,20 @@ object PlanBridge {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Re-wrap the micro-batch DataFrame a V1 `Sink.addBatch` receives as a
+    * standalone BATCH frame (ForeachBatchSink's own recipe —
+    * `LogicalRDD.fromDataset` over the executed RDD): the incoming
+    * frame's plan belongs to the streaming IncrementalExecution, so
+    * running further jobs against it (the z-append's bounds aggregation,
+    * CHECK-constraint pass, clustered write) would re-plan the stream.
+    * Fourth private[sql] surface we take. */
+  def freezeBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      cdf.queryExecution.toRdd, cdf, isStreaming = false)
+    classic.Dataset.ofRows(cdf.sparkSession, node)
+  }
+
   /** The EXECUTED physical plan of a streaming query's most recent
     * micro-batch — the streaming analog of `df.queryExecution.executedPlan`,
     * used by StreamingPlanSpec to pin streaming plan shapes the way

@@ -34,21 +34,52 @@ object Lease {
 
   val DefaultTtlMs: Long = 10 * 60 * 1000L
 
+  /** Safety margin before the TTL deadline past which [[Handle.stillHeld]]
+    * reports false: a commit started inside the margin could still be
+    * in flight when a breaker legitimately acts at the deadline, so the
+    * holder must stop committing this long BEFORE expiry. Sized to
+    * dominate one manifest-version write (a small single-task Spark
+    * job), not the 10-minute TTL. */
+  private val ExpiryMarginMs: Long = 30 * 1000L
+
+  /** Live proof of lease ownership — what a holder consults immediately
+    * before an irreversible commit. `stillHeld` is true only while (a)
+    * the TTL deadline is comfortably ahead ([[ExpiryMarginMs]] — past it
+    * a breaker may already be acting) AND (b) the lease file still
+    * carries this acquisition's NONCE (a broken-and-reacquired lease has
+    * someone else's). A holder that observes false must ABORT, not
+    * retry: the takeover protocol assumes an expired holder stops
+    * writing (the r11 advisor's double-rollforward window). */
+  final class Handle private[Lease] (fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, nonce: String, deadline: Long) {
+    def stillHeld(): Boolean =
+      System.currentTimeMillis() + ExpiryMarginMs < deadline &&
+        readInfo(fs, p).exists(_._3.contains(nonce))
+  }
+
   private def leasePath(root: String) = new Path(root, "_LEASE")
 
   /** Run `body` holding the store's writer lease; release on every exit
     * path. Refuses with [[HeldException]] if another holder's unexpired
     * lease is present. */
   def withLease[T](s: SparkSession, root: String, holder: String,
-      ttlMs: Long = DefaultTtlMs)(body: => T): T = {
+      ttlMs: Long = DefaultTtlMs)(body: => T): T =
+    withLeaseHandle(s, root, holder, ttlMs)(_ => body)
+
+  /** [[withLease]] exposing the acquisition's [[Handle]] so the body can
+    * re-verify ownership right before a commit it must never double. */
+  def withLeaseHandle[T](s: SparkSession, root: String, holder: String,
+      ttlMs: Long = DefaultTtlMs)(body: Handle => T): T = {
     val p = leasePath(root)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
-    if (!tryCreate(fs, p, holder, ttlMs)) {
+    val nonce = java.util.UUID.randomUUID().toString
+    var deadline = tryCreate(fs, p, holder, ttlMs, nonce)
+    if (deadline.isEmpty) {
       // existing lease: break it only if expired, then ONE more attempt
       val info = readInfo(fs, p)
       val now = System.currentTimeMillis()
-      val expired = info.forall { case (_, deadline) => now > deadline }
+      val expired = info.forall { case (_, d, _) => now > d }
       if (!expired)
         throw new HeldException(
           s"$root is locked by writer '${info.map(_._1).getOrElse("?")}' " +
@@ -56,33 +87,40 @@ object Lease {
             "the store allows ONE writer; run appends/compactions " +
             "sequentially (e.g. from the same foreachBatch loop)")
       fs.delete(p, false)
-      if (!tryCreate(fs, p, holder, ttlMs))
+      deadline = tryCreate(fs, p, holder, ttlMs, nonce)
+      if (deadline.isEmpty)
         throw new HeldException(
           s"$root: lost the lease race while breaking an expired lease — " +
             "another writer acquired it; retry later")
     }
-    try body
-    finally fs.delete(p, false)
+    try body(new Handle(fs, p, nonce, deadline.get))
+    finally {
+      // release ONLY our own acquisition: a holder whose expired lease
+      // was broken and re-acquired must not delete the new holder's file
+      // (that would let a THIRD writer in while the second still runs)
+      if (readInfo(fs, p).exists(_._3.contains(nonce))) fs.delete(p, false)
+    }
   }
 
   private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      holder: String, ttlMs: Long): Boolean =
+      holder: String, ttlMs: Long, nonce: String): Option[Long] =
     try {
+      val deadline = System.currentTimeMillis() + ttlMs
       val out = fs.create(p, false) // overwrite=false: atomic exclusive
-      out.write(s"$holder|${System.currentTimeMillis() + ttlMs}"
-        .getBytes("UTF-8"))
+      out.write(s"$holder|$deadline|$nonce".getBytes("UTF-8"))
       out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+      Some(deadline)
+    } catch { case _: java.io.IOException => None }
 
   private def readInfo(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[(String, Long)] =
+      p: Path): Option[(String, Long, Option[String])] =
     try {
       val in = fs.open(p)
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
       finally in.close()
       new String(bytes, "UTF-8").split('|') match {
-        case Array(h, d) => Some((h, d.toLong))
+        case Array(h, d, n) => Some((h, d.toLong, Some(n)))
+        case Array(h, d) => Some((h, d.toLong, None)) // pre-r12 lease file
         case _ => None
       }
     } catch { case _: Exception => None } // torn/vanished: treat as expired

@@ -176,6 +176,43 @@ object ZOrder {
     currentSnapshot(s, path).getOrElse(throw new IllegalArgumentException(
       s"no committed z-store under $path"))
 
+  /** Is there a committed z-store at `path`? O(epochs) manifest-dir
+    * metadata — what the table surface's create-on-write branch checks. */
+  private[sources] def storeExists(s: SparkSession, path: String): Boolean =
+    currentSnapshot(s, path).nonEmpty
+
+  /** The store's recorded CLUSTERING KEYS — store POLICY like the CHECK
+    * constraints (one small `_zschema/clustering` file outside the
+    * manifest; epoch rewrites and restores never touch it), written by
+    * every epoch-creating op that takes a zcols parameter. What lets a
+    * write that does not restate the keys (`INSERT INTO` through the
+    * catalog, `df.write` without the option) cluster the way the table
+    * was declared. */
+  private def zcolsFile(path: String) = new Path(path, "_zschema/clustering")
+
+  private[sources] def recordedZcols(s: SparkSession,
+      path: String): Option[Seq[String]] = {
+    val p = zcolsFile(path)
+    val fs = StoreMaint.fsFor(s, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(body.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+    }
+  }
+
+  private def recordZcols(s: SparkSession, path: String,
+      zcols: Seq[String]): Unit = {
+    val p = zcolsFile(path)
+    val fs = StoreMaint.fsFor(s, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(zcols.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
   /** Manifest-listed relative data-file paths of the current snapshot —
     * ops/spec surface; O(table files) driver rows by nature. */
   def listDataFiles(s: SparkSession, path: String): Seq[String] = {
@@ -204,8 +241,8 @@ object ZOrder {
     * see the old snapshot or the new one, never a mix. */
   def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
-    Lease.withLease(s, path, "zorder-recluster") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-recluster") { lease =>
+      recoverLostRollforwards(s, path, lease)
       // batch tags carry into the new epoch: a replayed tagged append
       // stays a no-op even when the re-cluster already folded its rows in
       val snap = requireSnapshot(s, path)
@@ -218,7 +255,7 @@ object ZOrder {
         else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
       commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man),
         rebase = Some((snap.epoch, maxVerOf(snap))), op = "recluster")
-      rollForwardLateAppends(s, path, snap)
+      rollForwardLateAppends(s, path, snap, lease)
     }
 
   /** Append a batch: z-sort it by its OWN bounds into a fresh data dir of
@@ -518,7 +555,7 @@ object ZOrder {
     * call, and the STATE converges with no row lost or doubled
     * (spec-pinned by racing real threads through the slow-rename FS). */
   private def rollForwardLateAppends(s: SparkSession, path: String,
-      base: ZSnapshot): Unit = {
+      base: ZSnapshot, lease: Lease.Handle): Unit = {
     val fs = StoreMaint.fsFor(s, base.epochDir)
     val seen = base.vdirs.map(_.getName).toSet
     val late = fs.listStatus(base.epochDir).filter(_.isDirectory)
@@ -527,20 +564,57 @@ object ZOrder {
       .sortBy(_._1)
     late.foreach { case (v, vdir) =>
       if (claimRebaseTicket(fs, base.epochDir, v, "rewrite"))
-        rebaseVersionForward(s, path, base.epoch, v, vdir)
+        rebaseVersionForward(s, path, base.epoch, v, vdir, lease)
     }
+  }
+
+  /** Is superseded version (`srcEpoch`, `srcVer`) already re-committed
+    * into the given manifest? Two independent evidence planes, either
+    * sufficient: the [[rebaseTag]] provenance (carried through every
+    * later rewrite), or — for pre-provenance history — ANY of the
+    * version's own data files listed (file names are unique per batch
+    * dir, so presence proves the roll landed; a later DELETE may prune
+    * some, but it can never have listed a version that was never
+    * rolled). The r11 advisor's aging finding: without the file
+    * evidence, a pre-r11 rolled version with an empty ticket and no tag
+    * re-rolls after the grace window, doubling its manifest listings. */
+  private def versionSettledIn(s: SparkSession, man: DataFrame,
+      srcEpoch: Long, srcVer: Long, vFiles: Seq[String]): Boolean = {
+    val tagged = man.filter(col("c") === lit(DdlKey) &&
+        col("mx") === lit(rebaseTag(srcEpoch, srcVer)))
+      .limit(1).count() > 0
+    tagged || (vFiles.nonEmpty && {
+      import s.implicits._
+      man.filter(col("c") =!= lit(DdlKey))
+        .join(vFiles.toDF("f"), Seq("f"), "leftsemi")
+        .limit(1).count() > 0
+    })
   }
 
   /** Re-commit one superseded-epoch committed version into the CURRENT
     * epoch by reference (files untouched; stat rows, tags and evolved DDL
     * re-commit), stamping the [[rebaseTag]] provenance — the shared body
-    * of a rewrite's rollforward, and of [[recoverLostRollforwards]]. */
+    * of a rewrite's rollforward, and of [[recoverLostRollforwards]].
+    *
+    * Double-commit guards (the r11 advisor's expired-lease window: a
+    * rewrite slower than the lease TTL, taken over mid-rollforward by a
+    * later maintenance op, must not let BOTH land the same version):
+    * the settled check re-runs on a FRESH manifest AFTER the version
+    * slot is claimed, and the commit aborts loudly unless the caller's
+    * lease is verifiably still held ([[Lease.Handle.stillHeld]] is false
+    * from [[Lease.ExpiryMarginMs]] before the TTL deadline — before any
+    * legitimate takeover can begin — and after any break). An abandoned
+    * claimed slot is just a skipped version number, like any crashed
+    * claimant's. */
   private def rebaseVersionForward(s: SparkSession, path: String,
-      srcEpoch: Long, srcVer: Long, vdir: Path): Unit = {
+      srcEpoch: Long, srcVer: Long, vdir: Path,
+      lease: Lease.Handle): Unit = {
     val cur = requireSnapshot(s, path)
     val rows = s.read.parquet(vdir.toString)
     val tags = rows.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
       .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
+    val vFiles = rows.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
     // the late append may itself have evolved the schema: carry its
     // recorded DDL through the add-only union, not just the rewrite's
     val lateDdl = rows.filter(col("c") === lit(DdlKey))
@@ -550,6 +624,18 @@ object ZOrder {
       Some(curSchema), StructType.fromDDL(lateDdl))
     val ver = claimNextVersion(StoreMaint.fsFor(s, cur.epochDir),
       cur.epochDir)
+    // settled re-check under the claimed slot: a takeover that landed
+    // this rollforward between our candidate scan and here shows up in
+    // the fresh manifest (tag or files) — abandon the slot, do not write
+    val cur2 = requireSnapshot(s, path)
+    if (cur2.epoch == cur.epoch &&
+        versionSettledIn(s, manifestAndSchema(s, cur2)._1,
+          srcEpoch, srcVer, vFiles)) return
+    if (!lease.stillHeld()) throw new IllegalStateException(
+      s"rollforward of e$srcEpoch/v$srcVer into $path aborted: the " +
+        "maintenance lease expired (or was broken) before the commit — " +
+        "a takeover may be rolling this version; the next lease-held op " +
+        "completes the recovery")
     writeManifestVersion(s, cur.epochDir, ver, union.toDDL, Seq.empty,
       tags :+ rebaseTag(srcEpoch, srcVer),
       carried = Some(carriedStatsDf(s, rows, Seq.empty)),
@@ -587,7 +673,7 @@ object ZOrder {
     * and its caller's retry lands the rows (tag-deduped); empty/unknown
     * content → aged by [[RecoveryGraceMs]] before being treated as dead. */
   private[graft] def recoverLostRollforwards(s: SparkSession,
-      path: String): Unit =
+      path: String, lease: Lease.Handle): Unit =
     currentSnapshot(s, path).foreach { cur =>
       val mroot = manifestRoot(path)
       val fs = StoreMaint.fsFor(s, mroot)
@@ -613,7 +699,16 @@ object ZOrder {
         val (man, _) = manifestAndSchema(s, cur)
         val settled = manifestTags(man).toSet
         candidates.foreach { case (be, bdir, v, vdir) =>
-          if (!settled.contains(rebaseTag(be, v))) {
+          // settled evidence, either plane: the provenance tag, or ANY of
+          // the version's files listed in the current manifest — the
+          // latter is what keeps a PRE-provenance rollforward (empty
+          // ticket, no tag) from being re-rolled once its ticket ages
+          // past the grace window (the r11 advisor finding)
+          def filesListed = versionSettledIn(s, man, be, v,
+            s.read.parquet(vdir.toString)
+              .filter(col("c") =!= lit(DdlKey)).select(col("f"))
+              .distinct().collect().map(_.getString(0)).toSeq)
+          if (!settled.contains(rebaseTag(be, v)) && !filesListed) {
             val owns =
               if (claimRebaseTicket(fs, bdir, v, "recovery")) true
               else ticketWho(fs, new Path(bdir, s"v$v.rolled")) match {
@@ -623,7 +718,7 @@ object ZOrder {
                     new Path(bdir, s"v$v.rolled")).getModificationTime >
                   RecoveryGraceMs
               }
-            if (owns) rebaseVersionForward(s, path, be, v, vdir)
+            if (owns) rebaseVersionForward(s, path, be, v, vdir, lease)
           }
         }
       }
@@ -655,6 +750,7 @@ object ZOrder {
     // OCC appender never mistakes an included commit for a missed one.
     rebase.foreach { case (e, v) =>
       writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, e, v) }
+    recordZcols(s, path, zcols) // the declared keys become store policy
     val stats = zWrite(df, path, zcols, numFiles) match {
       case Some(dname) => harvestStats(s, path, dname,
         if (statCols.nonEmpty) statCols else zcols, df.schema)
@@ -944,6 +1040,24 @@ object ZOrder {
   /** Surviving files WITH their recorded byte sizes (null when a
     * pre-size manifest has no `__size__` row) — the graft-z scan packs
     * partitions from these, so planning never HEADs the files. */
+  /** Plan cache for the DSv2 table: repeated reads of an UNCHANGED store
+    * skip the O(files) manifest job + driver name-list materialization
+    * (the r11 advisor watch item — at 1M files that is ~10⁸ bytes of
+    * driver strings re-built per query). Keyed on the snapshot's exact
+    * committed-version set (a new commit — append, rewrite, even an
+    * out-of-order OCC version landing late — changes the key, so writers
+    * never need to invalidate), plus the pushed bounds. Bounded LRU. */
+  private val scanPlanCache =
+    new java.util.LinkedHashMap[String, (Seq[(String, Option[Long])],
+      StructType)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[(String, Option[Long])],
+            StructType)]): Boolean = size > 32
+    }
+  /** Cache-miss counter — the spec's deterministic "2nd read runs zero
+    * manifest scans" detector. */
+  private[graft] val scanPlanMisses = new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def pruneFilesForScan(s: SparkSession, path: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
       at: Option[(Long, Long)] = None)
@@ -951,6 +1065,16 @@ object ZOrder {
     val snap = at match {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
+    }
+    val key = s"$path|e${snap.epoch}|" +
+      s"${snap.vdirs.map(_.getName).sorted.mkString(",")}|" +
+      bounds.map { case (c, lo, hi) => s"$c:$lo:$hi" }.sorted.mkString(";") +
+      s"|$at"
+    scanPlanCache.synchronized {
+      Option(scanPlanCache.get(key))
+    } match {
+      case Some(hit) => return hit
+      case None => scanPlanMisses.incrementAndGet()
     }
     val (man0, schema) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -978,15 +1102,23 @@ object ZOrder {
         }.reduce(_ union _)
         allFiles.except(excluded)
       }
+    // ONE size row per file (groupBy, not a raw join): a file that ever
+    // carries duplicate __size__ listings (recovered pre-provenance
+    // history) must not fan the left join out — a doubled (f, size) pair
+    // here would plan the file into TWO partitions and the DSv2 table
+    // would return its rows twice (the r11 advisor finding; readZRange's
+    // distinct() path was already immune, masking the divergence)
     val sized = keepDf.join(
         man.filter(col("c") === lit(SizeKey))
-          .select(col("f"), col("mn").as("__sz")),
+          .groupBy(col("f")).agg(max(col("mn")).as("__sz")),
         Seq("f"), "left")
       .collect()
       .map(r => (r.getString(0),
         Option(r.getString(1)).flatMap(_.toLongOption)))
       .sortBy(_._1).toSeq
-    (sized, schema)
+    val out = (sized, schema)
+    scanPlanCache.synchronized { scanPlanCache.put(key, out) }
+    out
   }
 
   private[graft] final case class ZCount(metaRows: Long,
@@ -1076,9 +1208,11 @@ object ZOrder {
         col("mn").isNotNull).select(col("f"))
       val covered = (coveredPer :+ counted).reduce(_ intersect _)
         .except(excluded)
+      // one count row per file (duplicate listings must not double-count)
       val metaRows = man.filter(col("c") === lit(CountKey))
+        .groupBy(col("f")).agg(max(col("mn").cast("long")).as("__n"))
         .join(covered, Seq("f"), "leftsemi")
-        .agg(coalesce(sum(col("mn").cast("long")), lit(0L)))
+        .agg(coalesce(sum(col("__n")), lit(0L)))
         .head().getLong(0)
       val coveredNames = covered.collect().map(_.getString(0)).sorted.toSeq
       val residual = man.select(col("f")).distinct().except(excluded)
@@ -1319,6 +1453,61 @@ object ZOrder {
           }
         }
     }
+
+  /** Prune a scan's surviving-file list by the BLOOM sidecars of its
+    * pushed POINT equalities — [[readZPoint]]'s pruning plane wired into
+    * the graft-z DSv2 table ([[ZBatch]]; the r11 verdict's item 3: an
+    * `EqualTo` on a non-clustered column through `spark.read.format
+    * ("graft-z")` used to get only min/max bounds, which cannot prune an
+    * unclustered column). Per point column with a sidecar root, ONE
+    * driver hash (the same engine expression the build hashed with —
+    * xxhash64 of the value cast to the column type) and a DISTRIBUTED
+    * might-contain pass over the candidates; a column with no sidecars,
+    * or a file missing one, keeps its files. Sound for the same reason
+    * readZPoint is: bloom negatives are definite, positives cost I/O
+    * only (Spark re-applies the full predicate on top), and sidecars
+    * describe IMMUTABLE files, so time-travel candidates probe the same
+    * way. */
+  private[sources] def bloomPruneScan(s: SparkSession, path: String,
+      points: Seq[(String, Any)], schema: StructType,
+      candidates: Seq[(String, Option[Long])])
+      : Seq[(String, Option[Long])] = {
+    if (points.isEmpty || candidates.isEmpty) return candidates
+    val overrides = GraftShardsSource.confOverrides(s)
+    val fs0 = GraftShardsSource.fs(new Path(path),
+      GraftShardsSource.hadoopConf(overrides))
+    val probes = points.flatMap { case (c0, v) =>
+      schema.find(_.name.equalsIgnoreCase(c0)).flatMap { f =>
+        val colLower = f.name.toLowerCase
+        if (v == null ||
+            !fs0.exists(new Path(path, s"_zbloom/$colLower"))) None
+        else Some((colLower, s.range(1)
+          .select(xxhash64(lit(v).cast(f.dataType))).head().getLong(0)))
+      }
+    }
+    if (probes.isEmpty) candidates
+    else {
+      val names = candidates.map(_._1)
+      val target = path
+      val kept = s.sparkContext
+        .parallelize(names, math.min(names.size, 32))
+        .filter { rel =>
+          val fs = GraftShardsSource.fs(new Path(target),
+            GraftShardsSource.hadoopConf(overrides))
+          probes.forall { case (cl, h) =>
+            val sc = bloomSidecar(target, cl, rel)
+            if (!fs.exists(sc)) true // uncovered file: must read
+            else {
+              val in = fs.open(sc)
+              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                .mightContainLong(h)
+              finally in.close()
+            }
+          }
+        }.collect().toSet
+      candidates.filter(c => kept(c._1))
+    }
+  }
 
   /** Point lookup `col = value` through the z-store with BLOOM file
     * pruning: range stats exclude what they can (nothing, on an
@@ -1591,8 +1780,8 @@ object ZOrder {
     * manifest (only — the data is still referenced) falls to
     * [[vacuumOrphans]]. */
   def compactManifest(s: SparkSession, path: String): Unit =
-    Lease.withLease(s, path, "zorder-manifest-compact") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-manifest-compact") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man, schema) = manifestAndSchema(s, snap)
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
@@ -1602,7 +1791,7 @@ object ZOrder {
         schema.toDDL, Seq.empty, manifestTags(man),
         carried = Some(carriedStatsDf(s, man, Seq.empty)),
         op = "manifest-compact")
-      rollForwardLateAppends(s, path, snap)
+      rollForwardLateAppends(s, path, snap, lease)
     }
 
   /** Copy-on-write range DELETE — the takedown/right-to-erasure pass a
@@ -1625,8 +1814,8 @@ object ZOrder {
       preds: Seq[(String, Any, Any)], zcols: Seq[String],
       numFiles: Int = 0): Long = {
     require(preds.nonEmpty, "deleteZRange needs at least one predicate")
-    Lease.withLease(s, path, "zorder-delete") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-delete") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -1683,7 +1872,7 @@ object ZOrder {
                 schema.toDDL, newStats, manifestTags(man0),
                 carried = Some(carriedStatsDf(s, man, affected)),
                 op = "delete")
-              rollForwardLateAppends(s, path, snap)
+              rollForwardLateAppends(s, path, snap, lease)
             }
             nDel
           } finally aff.unpersist(blocking = false)
@@ -1743,8 +1932,8 @@ object ZOrder {
   def mergeByKey(s: SparkSession, path: String, source: DataFrame,
       keyCol: String, zcols: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): MergeResult =
-    Lease.withLease(s, path, "zorder-merge") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-merge") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man0, recorded) = manifestAndSchema(s, snap)
       val replayed = tag.exists(t =>
@@ -1819,7 +2008,7 @@ object ZOrder {
               union.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
               carried = Some(carriedStatsDf(s, man, affected)),
               op = "merge")
-            rollForwardLateAppends(s, path, snap)
+            rollForwardLateAppends(s, path, snap, lease)
             MergeResult(updated, srcCnt - matchedKeys)
           }
         } finally {
@@ -1843,8 +2032,8 @@ object ZOrder {
     * of small files folded; fewer than 2 candidates = no-op, no commit. */
   def compactSmallFiles(s: SparkSession, path: String, zcols: Seq[String],
       smallBytes: Long): Int =
-    Lease.withLease(s, path, "zorder-optimize") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-optimize") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -1877,7 +2066,7 @@ object ZOrder {
           schema.toDDL, newStats, manifestTags(man0),
           carried = Some(carriedStatsDf(s, man, smallNames)),
           op = "optimize")
-        rollForwardLateAppends(s, path, snap)
+        rollForwardLateAppends(s, path, snap, lease)
         small.size
       }
     }
@@ -1981,8 +2170,8 @@ object ZOrder {
       tag: Option[String] = None): Long = {
     require(preds.nonEmpty, "updateZRange needs at least one predicate")
     require(set.nonEmpty, "updateZRange needs at least one SET expression")
-    Lease.withLease(s, path, "zorder-update") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-update") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val replayed = tag.exists(t =>
@@ -2052,7 +2241,7 @@ object ZOrder {
                   schema.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
                   carried = Some(carriedStatsDf(s, man, affected)),
                   op = "update")
-                rollForwardLateAppends(s, path, snap)
+                rollForwardLateAppends(s, path, snap, lease)
               }
               nUpd
             } finally aff.unpersist(blocking = false)
@@ -2085,8 +2274,8 @@ object ZOrder {
     * concurrent appends roll forward into the restored epoch. */
   def restoreTo(s: SparkSession, path: String, epoch: Long,
       version: Long): Unit =
-    Lease.withLease(s, path, "zorder-restore") {
-      recoverLostRollforwards(s, path)
+    Lease.withLeaseHandle(s, path, "zorder-restore") { lease =>
+      recoverLostRollforwards(s, path, lease)
       val cur = requireSnapshot(s, path)
       val past = snapshotAt(s, path, epoch, version)
       val (manP, schemaP) = manifestAndSchema(s, past)
@@ -2138,7 +2327,7 @@ object ZOrder {
       writeManifestVersion(s, edir, 0L, schemaP.toDDL, Seq.empty,
         manifestTags(man0),
         carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore")
-      rollForwardLateAppends(s, path, cur)
+      rollForwardLateAppends(s, path, cur, lease)
     }
 
   /** Garbage-collect everything the current snapshot doesn't reference:
@@ -2162,11 +2351,11 @@ object ZOrder {
     * Returns the removed root-relative names. */
   def vacuumOrphans(s: SparkSession, path: String,
       minAgeMs: Long = 0L): Seq[String] =
-    Lease.withLease(s, path, "zorder-vacuum") {
+    Lease.withLeaseHandle(s, path, "zorder-vacuum") { lease =>
       // recover crashed rollforwards BEFORE deleting anything: a lost
       // late append's data dir must re-enter the live set, not the
       // vacuum set
-      recoverLostRollforwards(s, path)
+      recoverLostRollforwards(s, path, lease)
       currentSnapshot(s, path) match {
         case None => Seq.empty
         case Some(snap) =>
@@ -2389,6 +2578,7 @@ object ZOrder {
   def clearCaches(): Unit = synchronized {
     stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
     mergeStores.clear(); zcdfStreamStores.clear(); bloomStores.clear()
+    scanPlanCache.synchronized { scanPlanCache.clear() }
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -3339,10 +3529,138 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q151: CREATE-on-write — the store born through the table surface ----
+
+  /** q151's store: NEVER touched by the programmatic API — created by
+    * `df.write.format("graft-z").option("zcols", …).mode("append")` on a
+    * fresh directory (the bootstrap append under an exactly-once tag,
+    * replayed immediately to prove create-time dedup), then grown by a
+    * second tagged API append. */
+  private val createStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def createStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      createStores.getOrElseUpdate(d, {
+        val dir =
+          Files.createTempDirectory("graft-zcreateq").toString + "/store"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def put(slice: DataFrame, tag: String): Unit =
+          slice.write.format("graft-z")
+            .option("zcols", "doc_id,n_chars")
+            .option("numFiles", "4")
+            .option("tag", tag)
+            .mode("append").save(dir)
+        put(docs.filter(col("doc_id") % 10 =!= 9), "create-b0") // CREATES
+        put(docs.filter(col("doc_id") % 10 =!= 9), "create-b0") // replay no-op
+        put(docs.filter(col("doc_id") % 10 === 9), "create-b1")
+        dir
+      })
+    }
+
+  /** q151: CREATE-on-write through the table surface (the r11 verdict's
+    * top missing item — the first thing a SQL-surface user does with a
+    * table format is create a table with it): a fresh directory becomes
+    * a z-store purely via `df.write.format("graft-z")`, exactly-once
+    * under create-time replay, then serves ordinary pruned reads.
+    * Oracle = the plain full table, so a doubled create batch, a lost
+    * append, or a mis-clustered decode all hash-fail; the
+    * refusal shapes (read of a missing store, write without zcols) are
+    * pinned in ZOrderSpec. */
+  val q151ZBatchCreate: Q = Q(
+    "q151_zorder_table_create",
+    "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+  ) { (s, d) =>
+    // read back through the TABLE surface too: the whole q151 lifecycle
+    // never touches the programmatic API
+    s.read.format("graft-z").load(createStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q152: streaming ingest through the NATIVE graft-z sink --------------
+
+  /** q152's store: q132's stream (documents over graft-shards, explicit
+    * routing, two rate-limited micro-batches) written through
+    * `writeStream.format("graft-z")` — the NATIVE sink, no foreachBatch
+    * loop — then the whole bounded stream REPLAYED from a fresh
+    * checkpoint under the same `tagPrefix` to prove the sink's
+    * cross-checkpoint exactly-once through the public surface. */
+  private val sinkStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def sinkStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      sinkStores.getOrElseUpdate(d, {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val root = Files.createTempDirectory("graft-zsinkq").toString
+        val store = s"$root/store"
+        val numShards = GraftShards.NumShards
+        val shardDir = GraftShards.documentsShards(s, d)
+        val maxShardCnt = Tables.documents(s, d)
+          .groupBy(pmod(col("doc_id"), lit(numShards))).count()
+          .agg(max(col("count"))).head().getLong(0)
+        val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        def run(ckpt: String): Unit = {
+          val q = s.readStream.format("graft-shards")
+            .option("startingPosition", "TRIM_HORIZON")
+            .option("maxRecordsPerShardPerTrigger", limit.toString)
+            .load(shardDir)
+            .select(from_json(col("data"), docSchema).as("r"))
+            .select(col("r.*"))
+            .select(col("doc_id"),
+              length(col("text")).cast("long").as("k1"),
+              pmod(col("doc_id"), lit(997L)).as("k2"))
+            .writeStream.format("graft-z")
+            .option("zcols", "k1,k2").option("numFiles", "2")
+            .option("tagPrefix", "q152")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(store)
+          q.awaitTermination()
+        }
+        run(s"$root/ckpt1")
+        run(s"$root/ckpt2") // full from-scratch replay: tags dedupe
+        root
+      })
+    }
+
+  /** q152: continuous ingest through the NATIVE streaming sink — q132's
+    * pipeline with `writeStream.format("graft-z")` in place of the
+    * foreachBatch loop (the r11 verdict's item 4: the table surface's
+    * streaming symmetry). Each micro-batch is one tagged OCC append; the
+    * lifecycle replays the whole bounded stream from a FRESH checkpoint
+    * under the same tagPrefix, so a doubled batch hash-fails against the
+    * exact oracle (the standing k1-band over the final store, whose
+    * counts double on any re-land). Checkpoint-restart and refusal
+    * shapes are pinned in ZOrderSpec. */
+  val q152ZStreamSink: Q = Q(
+    "q152_zorder_stream_sink",
+    """WITH b0 AS (SELECT MIN(LENGTH(text)) AS mn, MAX(LENGTH(text)) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id, LENGTH(d.text) AS k1, d.doc_id % 997 AS k2
+      |FROM documents d, b0
+      |WHERE LENGTH(d.text) BETWEEN b0.mn + (b0.mx - b0.mn) * 3 // 10
+      |                         AND b0.mn + (b0.mx - b0.mn) * 7 // 10
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    val root = sinkStoreFor(s, d)
+    val b = Tables.documents(s, d)
+      .agg(min(length(col("text"))), max(length(col("text")))).head()
+    val (mn, mx) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    s.read.format("graft-z").load(s"$root/store")
+      .filter(col("k1").between(
+        mn + (mx - mn) * 3 / 10, mn + (mx - mn) * 7 / 10))
+      .select(col("doc_id"), col("k1"), col("k2"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
-    q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite)
+    q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite,
+    q151ZBatchCreate, q152ZStreamSink)
 }

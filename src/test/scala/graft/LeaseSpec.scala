@@ -71,6 +71,44 @@ class LeaseSpec extends SparkSpec {
     Lease.withLease(spark, dir, "next") { () } // slot must be free
   }
 
+  test("handle: stillHeld sees a break-and-reacquire, and release never deletes a successor's lease") {
+    val dir = freshDir()
+    val p = new org.apache.hadoop.fs.Path(dir, "_LEASE")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Lease.withLeaseHandle(spark, dir, "owner") { h =>
+      assert(h.stillHeld(), "a fresh full-TTL lease must read as held")
+      // simulate a breaker that judged our lease expired: delete + its
+      // own exclusive create (a different acquisition nonce)
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      out.write(("takeover|" + (System.currentTimeMillis() + 3600000L) +
+        "|other-nonce").getBytes("UTF-8"))
+      out.close()
+      assert(!h.stillHeld(),
+        "a broken-and-reacquired lease must not read as held — the old " +
+          "holder would commit over the takeover (the r11 advisor's " +
+          "double-rollforward window)")
+    }
+    // release must be acquisition-scoped: the successor's file survives
+    assert(fs.exists(p),
+      "release deleted a successor's lease — a third writer could enter " +
+        "while the second still runs")
+    fs.delete(p, false)
+  }
+
+  test("handle: stillHeld refuses commits inside the expiry margin of the TTL") {
+    // a 5 s TTL is entirely inside the 30 s commit margin: the handle
+    // must refuse from the start — commits this close to the deadline
+    // could still be in flight when a breaker legitimately acts
+    Lease.withLeaseHandle(spark, freshDir(), "short", ttlMs = 5000L) { h =>
+      assert(!h.stillHeld(),
+        "a lease inside the expiry margin must refuse commits")
+    }
+    Lease.withLeaseHandle(spark, freshDir(), "long") { h =>
+      assert(h.stillHeld())
+    }
+  }
+
   test("store appends really run under the lease (end-to-end planted positive)") {
     val dir = freshDir()
     TextIndex.write(

@@ -31,4 +31,92 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(viaSql == viaDf, s"$name: SQL and DataFrame results differ")
     }
   }
+
+  test("graftz catalog: CREATE / INSERT / SELECT / INSERT OVERWRITE / SHOW / DROP z-stores in pure SQL") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-zcat").toString
+    spark.conf.set("spark.sql.catalog.graftz", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftz.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE graftz.lake")
+      // PARTITIONED BY declares the z-clustering keys (recorded as store
+      // policy — option-less INSERTs cluster by them)
+      spark.sql("""CREATE TABLE graftz.lake.t1
+        (k1 BIGINT, k2 BIGINT, s STRING) PARTITIONED BY (k1, k2)""")
+      spark.sql("""INSERT INTO graftz.lake.t1
+        SELECT id, id % 8, concat('x', id) FROM range(1000)""")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 1000)
+      // manifest skipping serves ordinary SQL WHERE clauses
+      assert(spark.sql(
+        "SELECT count(*) FROM graftz.lake.t1 WHERE k1 BETWEEN 10 AND 19")
+        .head().getLong(0) == 10)
+      assert(spark.sql("SELECT s FROM graftz.lake.t1 WHERE k1 = 55")
+        .head().getString(0) == "x55")
+      // a second INSERT is a lock-free z-append (clustered by the
+      // recorded keys); counts accumulate
+      spark.sql("""INSERT INTO graftz.lake.t1
+        SELECT id, id % 8, concat('x', id) FROM range(1000, 1100)""")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 1100)
+      // INSERT OVERWRITE = the versioned epoch rebuild
+      spark.sql("""INSERT OVERWRITE graftz.lake.t1
+        SELECT id, id % 3, concat('y', id) FROM range(50)""")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 50)
+      // the catalog lists what the directory tree holds
+      assert(spark.sql("SHOW TABLES IN graftz.lake").collect()
+        .map(_.getString(1)).toSeq == Seq("t1"))
+      // the history read option = DESCRIBE HISTORY (create + appends +
+      // the overwrite epoch, in commit order)
+      val hist = spark.read.format("graft-z").option("history", true)
+        .load(s"$root/lake/t1")
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      assert(hist.take(3) == Seq("create", "append", "append") &&
+        hist.contains("create"), hist.mkString(","))
+      // SQL DELETE = the copy-on-write band delete (exact conversion or
+      // loud refusal — a delete may not approximate); the deleted state
+      // stays a travel coordinate
+      spark.sql("""INSERT INTO graftz.lake.t1
+        SELECT id, id % 3, concat('y', id) FROM range(50, 1000)""")
+      spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 BETWEEN 100 AND 199")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 900)
+      spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 = 500 AND k2 = 2")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 899)
+      val eDel = intercept[Exception] {
+        spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 > 5 OR k2 = 1")
+      }
+      assert(eDel.getMessage.toLowerCase.contains("delete"),
+        eDel.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 899, "a refused DELETE must change nothing")
+      // TRUNCATE = rebuild to empty (schema + clustering policy survive)
+      spark.sql("TRUNCATE TABLE graftz.lake.t1")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 0)
+      spark.sql("""INSERT INTO graftz.lake.t1
+        SELECT id, id, concat('z', id) FROM range(10)""")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 10)
+      // refusal shapes: missing clustering declaration, ALTER, RENAME
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE graftz.lake.bad (a BIGINT, b STRING)")
+      }
+      assert(e1.getMessage.contains("PARTITIONED BY"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE graftz.lake.bad (a BIGINT, b STRING) " +
+          "PARTITIONED BY (b)")
+      }
+      assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+      spark.sql("DROP TABLE graftz.lake.t1")
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graftz.lake.t1").collect()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftz")
+      spark.conf.unset("spark.sql.catalog.graftz.root")
+    }
+  }
 }

