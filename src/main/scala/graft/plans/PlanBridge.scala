@@ -37,6 +37,14 @@ object PlanBridge {
     classic.Dataset.ofRows(cdf.sparkSession, node)
   }
 
+  /** A one-row DataFrame's head as a CATALYST InternalRow (UTF8String /
+    * epoch-micros / primitives) — what a DSv2 scan that answers an
+    * aggregate from the metadata plane embeds in its single partition,
+    * skipping the external→internal round trip. Fifth shim surface. */
+  def internalHead(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.InternalRow =
+    df.asInstanceOf[classic.DataFrame].queryExecution.executedPlan
+      .executeCollect()(0)
+
   /** The EXECUTED physical plan of a streaming query's most recent
     * micro-batch — the streaming analog of `df.queryExecution.executedPlan`,
     * used by StreamingPlanSpec to pin streaming plan shapes the way

@@ -406,10 +406,72 @@ class ZBatchWriteBuilder(path: String,
 class ZBatchScanBuilder(path: String, tschema: StructType,
     travel: Option[(Long, Long)])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var sawFilters = false
   private var required: StructType = tschema
+  private var aggPushed: Option[(Seq[ZAgg], StructType)] = None
+
+  /** Ungrouped COUNT(*)/MIN/MAX with NO residual filters answer from the
+    * store's METADATA plane ([[ZOrder.countZRange]]/[[ZOrder
+    * .minMaxZRange]] with empty predicates — Delta's stats-answered
+    * `SELECT COUNT(*)` fast path, wired into the table so SQL consumers
+    * get it for free): the scan emits ONE precomputed row; covered files
+    * are never opened (count-less / stat-less files still scan inside
+    * the metadata APIs, so the answer is always exact). Deliberately
+    * NOT offered when the query carries any filter: this scan's filter
+    * pushdown is best-effort (every filter stays residual), so Spark
+    * will not complete-push an aggregate over it — and completing one
+    * ourselves would drop the residual. Travel reads keep the ordinary
+    * scan (the metadata APIs are current-snapshot). */
+  private def toZAggs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[ZAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        tschema.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+          .filter(f => Sources.statsEligible(f.dataType))
+      case _ => None
+    }
+    if (sawFilters || travel.nonEmpty || tschema.isEmpty ||
+        agg.groupByExpressions().nonEmpty) None
+    else {
+      val zs = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(ZCountStar)
+        case m: Min => field(m.column()).map(f => ZMin(f.name, f.dataType))
+        case m: Max => field(m.column()).map(f => ZMax(f.name, f.dataType))
+        case _ => None
+      }
+      if (zs.forall(_.nonEmpty)) Some(zs.flatten) else None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = toZAggs(agg).nonEmpty
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    toZAggs(agg) match {
+      case Some(zs) =>
+        val out = StructType(zs.zipWithIndex.map {
+          case (ZCountStar, i) => org.apache.spark.sql.types.StructField(
+            s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          case (ZMin(c, dt), i) =>
+            org.apache.spark.sql.types.StructField(s"min_${c}_$i", dt)
+          case (ZMax(c, dt), i) =>
+            org.apache.spark.sql.types.StructField(s"max_${c}_$i", dt)
+        })
+        aggPushed = Some((zs, out))
+        true
+      case None => false
+    }
 
   /** Fold one source filter into the per-column (lo, hi) bound map —
     * only shapes the manifest's range stats can act on; strict
@@ -435,6 +497,7 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     pushed = filters.filter(f => boundsOf(f, Map.empty).isDefined)
     filters // ALL filters stay with Spark: pruning is best-effort
   }
@@ -452,12 +515,75 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
     case _ => Seq.empty
   }
 
-  override def build(): Scan = {
-    val bounds = pushed.foldLeft(Map.empty[String, (Option[Any], Option[Any])]) {
-      (acc, f) => boundsOf(f, acc).getOrElse(acc)
-    }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    new ZBatchScan(path, required, bounds,
-      pushed.toSeq.flatMap(pointsOf).distinct, travel)
+  override def build(): Scan = aggPushed match {
+    case Some((zs, out)) => new ZBatchAggScan(path, zs, out)
+    case None =>
+      val bounds = pushed.foldLeft(
+          Map.empty[String, (Option[Any], Option[Any])]) {
+        (acc, f) => boundsOf(f, acc).getOrElse(acc)
+      }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      new ZBatchScan(path, required, bounds,
+        pushed.toSeq.flatMap(pointsOf).distinct, travel)
+  }
+}
+
+/** The pushed-aggregate shapes the metadata plane can answer. */
+private[sources] sealed trait ZAgg extends Serializable
+private[sources] case object ZCountStar extends ZAgg
+private[sources] final case class ZMin(col: String, dt: DataType) extends ZAgg
+private[sources] final case class ZMax(col: String, dt: DataType) extends ZAgg
+
+/** The one-row scan behind a COMPLETELY pushed ungrouped
+  * COUNT(*)/MIN/MAX: values come off [[ZOrder.countZRange]] /
+  * [[ZOrder.minMaxZRange]] at PLAN time (metadata rows for covered
+  * files; only count-less or boundary files are opened, inside those
+  * APIs), land in the single InputPartition, and the reader just emits
+  * them — a 100 TB `SELECT COUNT(*)` opens no data files. */
+class ZBatchAggScan(path: String, aggs: Seq[ZAgg], out: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-z $path, metadata-answered [${aggs.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = SparkSession.active
+    val mmCols = aggs.collect {
+      case ZMin(c, _) => c
+      case ZMax(c, _) => c
+    }.distinct
+    val mmRow = if (mmCols.isEmpty) None else Some(
+      org.apache.spark.sql.graftshim.PlanBridge.internalHead(
+        ZOrder.minMaxZRange(s, path, mmCols, Seq.empty)))
+    // minMaxZRange's output is (mn_c, mx_c) per requested column in order
+    def mm(c: String, isMin: Boolean, dt: DataType): Any = {
+      val i = mmCols.indexOf(c) * 2 + (if (isMin) 0 else 1)
+      val r = mmRow.get
+      if (r.isNullAt(i)) null else r.get(i, dt)
+    }
+    val values = aggs.map {
+      case ZCountStar => ZOrder.countZRange(s, path, Seq.empty)
+      case ZMin(c, dt) => mm(c, isMin = true, dt)
+      case ZMax(c, dt) => mm(c, isMin = false, dt)
+    }
+    Array(ZAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZAggReaderFactory()
+}
+
+case class ZAggPartition(values: Seq[Any]) extends InputPartition
+
+case class ZAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private var done = false
+    private val row = new GenericInternalRow(
+      partition.asInstanceOf[ZAggPartition].values.toArray)
+    override def next(): Boolean = if (done) false else { done = true; true }
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
   }
 }
 

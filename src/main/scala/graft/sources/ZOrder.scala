@@ -3656,11 +3656,36 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q153: metadata-answered aggregates through the TABLE surface --------
+
+  /** q153: ungrouped COUNT(*)/MIN/MAX through `spark.read.format
+    * ("graft-z")` — the q139/q144 metadata plane wired into the DSv2
+    * scan as a COMPLETE aggregate pushdown ([[ZBatchAggScan]]), so any
+    * SQL consumer's `SELECT COUNT(*) …` opens no data files (Delta's
+    * stats-answered fast path). Shares q123's store (build + appends +
+    * manifest compaction); exact oracle = the same aggregates over the
+    * source table, so a count row lost/doubled in any manifest rewrite,
+    * or a stats bound that isn't an attained value, hash-fails. The
+    * files-never-opened claim is pinned in ZOrderSpec by physically
+    * deleting a data file (an oracle can't see I/O). */
+  val q153ZBatchAgg: Q = Q(
+    "q153_zorder_table_agg",
+    """SELECT COUNT(*) AS n,
+      |  MIN(l_partkey) AS mn_pk, MAX(l_partkey) AS mx_pk,
+      |  MIN(l_suppkey) AS mn_sk, MAX(l_suppkey) AS mx_sk
+      |FROM lineitem""".stripMargin,
+  ) { (s, d) =>
+    s.read.format("graft-z").load(storeFor(s, d))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("mn_pk"), max(col("l_partkey")).as("mx_pk"),
+        min(col("l_suppkey")).as("mn_sk"), max(col("l_suppkey")).as("mx_sk"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
     q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite,
-    q151ZBatchCreate, q152ZStreamSink)
+    q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg)
 }

@@ -1236,6 +1236,35 @@ class ZOrderSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
 
+  test("graft-z aggregate pushdown: ungrouped COUNT(*)/MIN/MAX answer from the metadata plane (data files never opened)") {
+    val dir = Files.createTempDirectory("graft-zaggpush").toString
+    val df = spark.range(5000).select(col("id").as("k1"),
+      (col("id") % 40).as("k2"), concat(lit("s"), col("id")).as("s"))
+    ZOrder.writeZOrdered(df, dir, Seq("k1", "k2"), 8)
+    def t() = spark.read.format("graft-z").load(dir)
+    // exactness first, intact store: pushed and non-pushed shapes agree
+    assert(t().count() == 5000)
+    val r = t().agg(min(col("k1")), max(col("k1")), count(lit(1))).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4999L &&
+      r.getLong(2) == 5000L)
+    // a stat-LESS agg column degrades to scanning inside the API — exact
+    assert(t().agg(min(col("s"))).head().getString(0) == "s0")
+    // filtered/grouped aggregates do NOT complete-push (this scan's
+    // filter pushdown is best-effort) — they stay exact via the data path
+    assert(t().filter(col("k1") < 100).count() == 100)
+    assert(t().groupBy(col("k2")).count().count() == 40)
+    // planted positive: physically delete a data file — the data plane
+    // now FAILS LOUDLY (listed ⇒ present), so the aggregates below can
+    // only succeed if they truly answered from the metadata plane
+    val victim = ZOrder.listDataFiles(spark, dir).head
+    assert(new java.io.File(dir, victim).delete(), "surgery failed")
+    assert(t().count() == 5000, "COUNT(*) was not metadata-answered")
+    val r2 = t().agg(min(col("k1")), max(col("k2"))).head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 39L,
+      "MIN/MAX were not metadata-answered")
+    intercept[Exception] { t().collect() } // the data plane is truly broken
+  }
+
   test("graft-z scan-plan cache: a repeated read of an unchanged store runs ZERO manifest scans; any commit changes the key") {
     val dir = Files.createTempDirectory("graft-zplancache").toString
     val df = spark.range(1024).select(col("id").as("k1"),
@@ -1734,7 +1763,9 @@ class ZOrderSpec extends SparkSpec {
     val man = spark.read.parquet(s"$dir/_zmanifest/e0/v0")
     man.withColumn("ver", lit(1L)).coalesce(1).write
       .parquet(s"$dir/_zmanifest/e0/v1")
-    assert(spark.read.format("graft-z").load(dir).count() == 100,
+    // collect(), not count(): an unfiltered count is metadata-answered
+    // since the r12 aggregate pushdown and would not exercise the scan
+    assert(spark.read.format("graft-z").load(dir).collect().length == 100,
       "duplicate size rows fanned the scan's file list out")
     assert(spark.read.format("graft-z").load(dir)
       .filter(col("k1") < 50).count() == 50)
