@@ -236,12 +236,25 @@ object ZBatch {
   }
 }
 
-class ZBatchTable(path: String, tschema: StructType) extends Table
+/** `pinnedTravel` is a catalog-level time-travel coordinate (`SELECT …
+  * FROM graftz.ns.t VERSION AS OF 'e:v'` / `TIMESTAMP AS OF …` →
+  * [[ZCatalog.loadTable]]'s travel overloads): the PAST snapshot's
+  * schema was already resolved into `tschema`, every scan prunes
+  * against the past manifest, and all write/delete/truncate verbs
+  * refuse — history is read-only. */
+class ZBatchTable(path: String, tschema: StructType,
+    pinnedTravel: Option[(Long, Long)] = None) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
-  override def name(): String = s"graft-z:$path"
+  override def name(): String = s"graft-z:$path" +
+    pinnedTravel.map(t => s"@e${t._1}v${t._2}").getOrElse("")
+
+  private def refuseWriteToPast(): Unit =
+    require(pinnedTravel.isEmpty,
+      s"$path VERSION/TIMESTAMP AS OF is a read-only snapshot — writes, " +
+        "DELETE and TRUNCATE target the current table")
 
   // ---- SQL DELETE / TRUNCATE (through the catalog) -------------------------
 
@@ -296,7 +309,8 @@ class ZBatchTable(path: String, tschema: StructType) extends Table
     filters.isEmpty ||
       (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue])
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseWriteToPast()
     if (isDeleteAll(filters)) { truncateTable(); () }
     else {
       val preds = deletePreds(filters).getOrElse(
@@ -308,11 +322,13 @@ class ZBatchTable(path: String, tschema: StructType) extends Table
         recordedZcolsOrRefuse)
       ()
     }
+  }
 
   /** `TRUNCATE TABLE graftz.ns.t` — a versioned epoch rebuild to the
     * empty state (schema and clustering policy survive; the truncated
     * state remains a time-travel coordinate until vacuum). */
   override def truncateTable(): Boolean = {
+    refuseWriteToPast()
     val s = SparkSession.active
     ZOrder.writeZOrdered(
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -339,7 +355,11 @@ class ZBatchTable(path: String, tschema: StructType) extends Table
     require(tschema.nonEmpty,
       s"$path holds no committed z-store yet — it can only be CREATED " +
         "by a write (.option(\"zcols\", …)), not read")
-    new ZBatchScanBuilder(path, tschema, ZBatch.travelOf(options))
+    val optTravel = ZBatch.travelOf(options)
+    require(optTravel.isEmpty || pinnedTravel.isEmpty,
+      s"$path is already pinned at VERSION AS OF e${pinnedTravel.get._1}:" +
+        s"v${pinnedTravel.get._2} — travel read options do not combine")
+    new ZBatchScanBuilder(path, tschema, optTravel.orElse(pinnedTravel))
   }
 
   /** The WRITE half of the table surface, via the V1 insert bridge (the
@@ -355,8 +375,10 @@ class ZBatchTable(path: String, tschema: StructType) extends Table
     * the add-only evolution path. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseWriteToPast()
     new ZBatchWriteBuilder(path, info)
+  }
 }
 
 class ZBatchWriteBuilder(path: String,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Path-rooted `TableCatalog` over z-stores — the pure-SQL front door
@@ -36,16 +36,114 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * clustering declaration: z-ordering IS this format's physical layout
   * story, and identity transforms are exactly the shape SQL can say.
   *
-  * Deliberately NOT here: ALTER TABLE (schema evolution is the add-only
-  * union on the write path — [[StoreMaint.evolveSchema]]), RENAME (a
-  * path-addressed store's name is its location), and maintenance verbs
-  * (OPTIMIZE/VACUUM/RESTORE stay programmatic — Delta needs a SQL parser
-  * extension for those, which would outgrow a catalog). */
-class ZCatalog extends TableCatalog with SupportsNamespaces {
+  * Maintenance verbs are SQL too — Spark 4's `CALL` statement binds to
+  * this catalog's [[ZProcedure]]s (see [[procs]]): optimize / recluster /
+  * compact_manifest / vacuum / restore / build_bloom_index — no parser
+  * extension needed (the piece Delta carries one for). Deliberately NOT
+  * here: ALTER TABLE (schema evolution is the add-only union on the
+  * write path — [[StoreMaint.evolveSchema]]) and RENAME (a
+  * path-addressed store's name is its location). */
+class ZCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
   private def s: SparkSession = SparkSession.active
+
+  // ---- maintenance verbs as SQL procedures (`CALL graftz.optimize(…)`) -----
+
+  /** The maintenance surface in pure SQL — Spark 4's `CALL` statement +
+    * `ProcedureCatalog` (what Delta needs a parser extension for):
+    *
+    * {{{
+    * CALL graftz.optimize(tbl => 'lake.t1', small_bytes => 16777216)
+    * CALL graftz.recluster(tbl => 'lake.t1', num_files => 32)
+    * CALL graftz.compact_manifest(tbl => 'lake.t1')
+    * CALL graftz.vacuum(tbl => 'lake.t1', min_age_ms => 604800000)
+    * CALL graftz.restore(tbl => 'lake.t1', epoch => 0, version => 2)
+    * CALL graftz.build_bloom_index(tbl => 'lake.t1', col => 'user_id')
+    * }}}
+    *
+    * Each delegates to the programmatic op (which holds the writer lease
+    * and runs the recovery sweep first) and returns a one-row summary.
+    * `tbl` is catalog-relative (`ns…name`, dot-separated). */
+  private def procs: Map[String, ZProcedure] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter.in
+    def tblOf(r: org.apache.spark.sql.catalyst.InternalRow): String = {
+      val parts = r.getUTF8String(0).toString.split('.').toSeq
+      (root +: parts).mkString("/")
+    }
+    def longRow(v: Long) = Array[Any](v)
+    Map(
+      "optimize" -> ZProcedure("optimize",
+        Array(in("tbl", StringType).build(),
+          in("small_bytes", LongType).defaultValue("16777216").build()),
+        StructType(Seq(StructField("files_folded", LongType))),
+        r => longRow(ZOrder.compactSmallFiles(s, tblOf(r),
+          ZOrder.recordedZcols(s, tblOf(r)).getOrElse(
+            throw new IllegalArgumentException(
+              s"${r.getUTF8String(0)} predates recorded clustering keys")),
+          r.getLong(1)).toLong)),
+      "recluster" -> ZProcedure("recluster",
+        Array(in("tbl", StringType).build(),
+          in("num_files", LongType).defaultValue("32").build()),
+        StructType(Seq(StructField("num_files", LongType))),
+        r => {
+          ZOrder.reclusterZOrdered(s, tblOf(r),
+            ZOrder.recordedZcols(s, tblOf(r)).getOrElse(
+              throw new IllegalArgumentException(
+                s"${r.getUTF8String(0)} predates recorded clustering keys")),
+            r.getLong(1).toInt)
+          longRow(r.getLong(1))
+        }),
+      "compact_manifest" -> ZProcedure("compact_manifest",
+        Array(in("tbl", StringType).build()),
+        StructType(Seq(StructField("versions", LongType))),
+        r => {
+          ZOrder.compactManifest(s, tblOf(r))
+          longRow(ZOrder.listVersions(s, tblOf(r)).size.toLong)
+        }),
+      "vacuum" -> ZProcedure("vacuum",
+        Array(in("tbl", StringType).build(),
+          in("min_age_ms", LongType).defaultValue("604800000").build()),
+        StructType(Seq(StructField("paths_removed", LongType))),
+        r => longRow(
+          ZOrder.vacuumOrphans(s, tblOf(r), r.getLong(1)).size.toLong)),
+      "restore" -> ZProcedure("restore",
+        Array(in("tbl", StringType).build(),
+          in("epoch", LongType).build(), in("version", LongType).build()),
+        StructType(Seq(StructField("restored_rows", LongType))),
+        r => {
+          ZOrder.restoreTo(s, tblOf(r), r.getLong(1), r.getLong(2))
+          longRow(ZOrder.countZRange(s, tblOf(r), Seq.empty))
+        }),
+      "build_bloom_index" -> ZProcedure("build_bloom_index",
+        Array(in("tbl", StringType).build(), in("col", StringType).build(),
+          in("fpp", DoubleType).defaultValue("0.03").build()),
+        StructType(Seq(StructField("files_covered", LongType))),
+        r => {
+          ZOrder.buildBloomIndex(s, tblOf(r), r.getUTF8String(1).toString,
+            r.getDouble(2))
+          longRow(ZOrder.listDataFiles(s, tblOf(r)).size.toLong)
+        }),
+    )
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty,
+      s"$catalogName procedures live at the catalog root: CALL " +
+        s"$catalogName.<name>(tbl => 'ns.table', …)")
+    procs.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"$catalogName has no procedure '${ident.name()}' " +
+        s"(have: ${procs.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else procs.keys.toSeq.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -79,6 +177,39 @@ class ZCatalog extends TableCatalog with SupportsNamespaces {
     if (!ZOrder.storeExists(s, dir)) throw new NoSuchTableException(ident)
     new ZBatchTable(dir,
       ZcdfStream.wireSchema(s, dir, s"$catalogName.$ident"))
+  }
+
+  /** `SELECT … FROM graftz.ns.t VERSION AS OF 'e:v'` — the commit
+    * coordinates are the store's own (epoch, version), exactly the
+    * programmatic [[ZOrder.readSnapshotAt]] language; the PAST
+    * snapshot's schema governs and the table is read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!ZOrder.storeExists(s, dir)) throw new NoSuchTableException(ident)
+    val coord = version.split("[:.]") match {
+      case Array(e, v) if e.forall(_.isDigit) && v.forall(_.isDigit) =>
+        (e.toLong, v.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft-z VERSION AS OF takes the commit coordinate " +
+          s"'<epoch>:<version>' (see the history read option); got " +
+          s"'$version'")
+    }
+    new ZBatchTable(dir,
+      ZcdfStream.wireSchema(s, dir, s"$catalogName.$ident", Some(coord)),
+      pinnedTravel = Some(coord))
+  }
+
+  /** `SELECT … FROM graftz.ns.t TIMESTAMP AS OF …` — Spark hands the
+    * cutoff in MICROseconds; resolved to the latest commit whose
+    * `_SUCCESS` instant ≤ the cutoff ([[ZOrder.versionAsOfTimestamp]],
+    * Delta's wall-clock travel form). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!ZOrder.storeExists(s, dir)) throw new NoSuchTableException(ident)
+    val coord = ZOrder.versionAsOfTimestamp(s, dir, timestampMicros / 1000L)
+    new ZBatchTable(dir,
+      ZcdfStream.wireSchema(s, dir, s"$catalogName.$ident", Some(coord)),
+      pinnedTravel = Some(coord))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -197,5 +328,39 @@ class ZCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty")
       fs.delete(p, true)
     }
+  }
+}
+
+/** One maintenance procedure: unbound ≡ bound (the parameter list is
+  * static), side-effecting (`isDeterministic` false), returning a
+  * one-row summary as a [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private[sources] final case class ZProcedure(
+    override val name: String,
+    params: Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter],
+    out: StructType,
+    body: org.apache.spark.sql.catalyst.InternalRow => Array[Any])
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure =
+    this
+  override def parameters()
+      : Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter] =
+    params
+  override def isDeterministic: Boolean = false
+  override def description(): String = s"graft-z maintenance: $name"
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(body(input))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(row)
+        override def readSchema(): StructType = out
+      }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }

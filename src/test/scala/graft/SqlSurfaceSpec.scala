@@ -60,10 +60,28 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 1100)
       // INSERT OVERWRITE = the versioned epoch rebuild
+      Thread.sleep(120) // separate the commit instants for TIMESTAMP AS OF
+      val cutoff = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.of("UTC"))
+        .format(java.time.Instant.now())
+      Thread.sleep(120)
       spark.sql("""INSERT OVERWRITE graftz.lake.t1
         SELECT id, id % 3, concat('y', id) FROM range(50)""")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 50)
+      // pure-SQL time travel: the pre-overwrite snapshot by commit
+      // coordinate and by wall clock (read-only; past schema governs)
+      assert(spark.sql(
+        "SELECT count(*) FROM graftz.lake.t1 VERSION AS OF '0:2'")
+        .head().getLong(0) == 1100)
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1 " +
+        s"TIMESTAMP AS OF '$cutoff'").head().getLong(0) == 1100)
+      val eTv = intercept[Exception] {
+        spark.sql("SELECT * FROM graftz.lake.t1 VERSION AS OF 'banana'")
+          .collect()
+      }
+      assert(eTv.getMessage.contains("epoch"), eTv.getMessage)
       // the catalog lists what the directory tree holds
       assert(spark.sql("SHOW TABLES IN graftz.lake").collect()
         .map(_.getString(1)).toSeq == Seq("t1"))
@@ -92,6 +110,37 @@ class SqlSurfaceSpec extends SparkSpec {
         eDel.getMessage)
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 899, "a refused DELETE must change nothing")
+      // maintenance verbs in pure SQL: CALL procedures (Spark 4's
+      // ProcedureCatalog — the piece Delta needs a parser extension for)
+      val folded = spark.sql(
+        "CALL graftz.optimize(tbl => 'lake.t1', small_bytes => 16777216)")
+        .head().getLong(0)
+      assert(folded >= 2, s"optimize folded $folded small files")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 899, "optimize changed visible rows")
+      // restore by CALL: roll the table back to the pre-DELETE snapshot
+      val hist2 = spark.read.format("graft-z").option("history", true)
+        .load(s"$root/lake/t1").collect()
+      val (de, dv) = { // the coordinate just before the first delete
+        val r = hist2.filter(_.getString(2) == "delete").head
+        val prev = hist2.filter(x => x.getLong(0) < r.getLong(0))
+          .maxBy(x => (x.getLong(0), x.getLong(1)))
+        (prev.getLong(0), prev.getLong(1))
+      }
+      val restored = spark.sql(
+        s"CALL graftz.restore(tbl => 'lake.t1', epoch => $de, version => $dv)")
+        .head().getLong(0)
+      assert(restored == 1000, s"restore brought back $restored rows")
+      assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
+        .head().getLong(0) == 1000)
+      // vacuum with a huge retention window removes nothing
+      assert(spark.sql(
+        "CALL graftz.vacuum(tbl => 'lake.t1', min_age_ms => 86400000)")
+        .head().getLong(0) == 0L)
+      val eProc = intercept[Exception] {
+        spark.sql("CALL graftz.flurble(tbl => 'lake.t1')")
+      }
+      assert(eProc.getMessage.contains("flurble"), eProc.getMessage)
       // TRUNCATE = rebuild to empty (schema + clustering policy survive)
       spark.sql("TRUNCATE TABLE graftz.lake.t1")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
