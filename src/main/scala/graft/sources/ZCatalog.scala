@@ -38,11 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Maintenance verbs are SQL too — Spark 4's `CALL` statement binds to
   * this catalog's [[ZProcedure]]s (see [[procs]]): optimize / recluster /
-  * compact_manifest / vacuum / restore / build_bloom_index — no parser
-  * extension needed (the piece Delta carries one for). Deliberately NOT
-  * here: ALTER TABLE (schema evolution is the add-only union on the
-  * write path — [[StoreMaint.evolveSchema]]) and RENAME (a
-  * path-addressed store's name is its location). */
+  * compact_manifest / vacuum / restore / build_bloom_index / history —
+  * no parser extension needed (the piece Delta carries one for).
+  * `ALTER TABLE … ADD COLUMN` commits a metadata-only evolution (the
+  * store's add-only contract); every other ALTER shape and RENAME
+  * refuse (a rename without logical→physical name indirection would
+  * corrupt every existing file's reads; a path-addressed store's name
+  * is its location). */
 class ZCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -74,7 +76,7 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
       val parts = r.getUTF8String(0).toString.split('.').toSeq
       (root +: parts).mkString("/")
     }
-    def longRow(v: Long) = Array[Any](v)
+    def longRow(v: Long) = Seq(Array[Any](v))
     Map(
       "optimize" -> ZProcedure("optimize",
         Array(in("tbl", StringType).build(),
@@ -127,6 +129,15 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
             r.getDouble(2))
           longRow(ZOrder.listDataFiles(s, tblOf(r)).size.toLong)
         }),
+      // DESCRIBE HISTORY as a procedure (the read-option twin, reachable
+      // from pure SQL): one row per committed coordinate, commit order
+      "history" -> ZProcedure("history",
+        Array(in("tbl", StringType).build()),
+        ZBatch.HistorySchema,
+        r => ZOrder.describeHistory(s, tblOf(r)).collect().toSeq
+          .map(x => Array[Any](x.getLong(0), x.getLong(1),
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.getString(2))))),
     )
   }
 
@@ -251,11 +262,46 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported — schema evolution is " +
-        "the add-only union on the write path (append a batch carrying " +
-        "the new column)")
+  /** `ALTER TABLE graftz.ns.t ADD COLUMN c BIGINT` — the add-only half
+    * of schema evolution as a METADATA-ONLY commit ([[ZOrder
+    * .evolveAddColumns]]: the evolved DDL lands as the next manifest
+    * version with no files; every existing row null-fills, exactly like
+    * a file predating an appended column). Everything else (rename,
+    * drop, type change, repositioning) refuses — the store's evolution
+    * contract is add-only, and a rename without logical→physical name
+    * indirection would corrupt every existing file's reads. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!ZOrder.storeExists(s, dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft-z columns are top-level; got ${a.fieldNames().mkString(".")}")
+        require(a.position() == null,
+          "graft-z ADD COLUMN appends at the end (FIRST/AFTER positions " +
+            "would re-order the recorded schema for no layout benefit)")
+        val ok = a.dataType() match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BooleanType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }
+        require(ok, s"column ${a.fieldNames()(0)}: " +
+          s"${a.dataType().simpleString} is outside the table wire surface " +
+          "(long/int/double/float/string/boolean/timestamp[_ntz])")
+        StructField(a.fieldNames()(0), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only ADD COLUMN is supported — the store's " +
+          s"evolution contract is add-only (got $other)")
+    }
+    ZOrder.evolveAddColumns(s, dir, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -338,7 +384,7 @@ private[sources] final case class ZProcedure(
     override val name: String,
     params: Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter],
     out: StructType,
-    body: org.apache.spark.sql.catalyst.InternalRow => Array[Any])
+    body: org.apache.spark.sql.catalyst.InternalRow => Seq[Array[Any]])
   extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
   with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
 
@@ -353,12 +399,13 @@ private[sources] final case class ZProcedure(
 
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-    val row = new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(body(input))
+    val rs = body(input).map(vals =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        : org.apache.spark.sql.catalyst.InternalRow).toArray
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-          Array(row)
+          rs
         override def readSchema(): StructType = out
       }
     java.util.Collections.singletonList(scan).iterator()

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.{Q, Tables}
@@ -203,6 +203,34 @@ object ZOrder {
         .filter(_.nonEmpty)
     }
   }
+
+  /** Metadata-only ADD COLUMN — the catalog's `ALTER TABLE … ADD
+    * COLUMN` ([[ZCatalog.alterTable]]): commit the evolved DDL as the
+    * epoch's next manifest version with NO files (every existing row
+    * null-fills through the recorded-schema read, exactly like a file
+    * predating an evolved column). Add-only by construction — the same
+    * contract the write path's union enforces; existing names refuse.
+    * Lease-held so two evolutions serialize; the pre-existing
+    * append-vs-append DDL-union race semantics are unchanged. Returns
+    * the evolved schema. */
+  private[sources] def evolveAddColumns(s: SparkSession, path: String,
+      adds: Seq[StructField]): StructType =
+    Lease.withLease(s, path, "zorder-evolve") {
+      require(adds.nonEmpty, "ADD COLUMN needs at least one column")
+      val snap = requireSnapshot(s, path)
+      val (_, recorded) = manifestAndSchema(s, snap)
+      adds.foreach { f =>
+        require(!recorded.exists(_.name.equalsIgnoreCase(f.name)),
+          s"column ${f.name} already exists in $path")
+      }
+      val union = StructType(recorded.fields ++
+        adds.map(_.copy(nullable = true))) // old rows read null
+      val ver = claimNextVersion(StoreMaint.fsFor(s, snap.epochDir),
+        snap.epochDir)
+      writeManifestVersion(s, snap.epochDir, ver, union.toDDL, Seq.empty,
+        op = "evolve")
+      union
+    }
 
   private def recordZcols(s: SparkSession, path: String,
       zcols: Seq[String]): Unit = {

@@ -141,12 +141,37 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.sql("CALL graftz.flurble(tbl => 'lake.t1')")
       }
       assert(eProc.getMessage.contains("flurble"), eProc.getMessage)
+      // DESCRIBE HISTORY reachable from pure SQL too
+      val histOps = spark.sql("CALL graftz.history(tbl => 'lake.t1')")
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      assert(histOps.head == "create" && histOps.contains("delete") &&
+        histOps.contains("restore"), histOps.mkString(","))
+      // ALTER TABLE ADD COLUMN: metadata-only evolution — old rows read
+      // null, new batches carry values; everything else refuses
+      spark.sql("ALTER TABLE graftz.lake.t1 ADD COLUMN extra BIGINT")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftz.lake.t1 WHERE extra IS NULL")
+        .head().getLong(0) == 1000, "pre-evolution rows must read null")
+      spark.sql("""INSERT INTO graftz.lake.t1
+        SELECT id, id % 3, concat('e', id), 7L FROM range(5000, 5010)""")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftz.lake.t1 WHERE extra = 7")
+        .head().getLong(0) == 10)
+      val eAlter = intercept[Exception] {
+        spark.sql("ALTER TABLE graftz.lake.t1 RENAME COLUMN extra TO e2")
+      }
+      assert(eAlter.getMessage.contains("add-only"), eAlter.getMessage)
+      val eAlter2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graftz.lake.t1 ADD COLUMN dup ARRAY<INT>")
+      }
+      assert(eAlter2.getMessage.contains("wire surface"), eAlter2.getMessage)
       // TRUNCATE = rebuild to empty (schema + clustering policy survive)
       spark.sql("TRUNCATE TABLE graftz.lake.t1")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 0)
       spark.sql("""INSERT INTO graftz.lake.t1
-        SELECT id, id, concat('z', id) FROM range(10)""")
+        SELECT id, id, concat('z', id), CAST(NULL AS BIGINT)
+        FROM range(10)""")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 10)
       // refusal shapes: missing clustering declaration, ALTER, RENAME
