@@ -97,8 +97,21 @@ object Lease {
     finally {
       // release ONLY our own acquisition: a holder whose expired lease
       // was broken and re-acquired must not delete the new holder's file
-      // (that would let a THIRD writer in while the second still runs)
-      if (readInfo(fs, p).exists(_._3.contains(nonce))) fs.delete(p, false)
+      // (that would let a THIRD writer in while the second still runs).
+      // The nonce check alone is read-then-delete, not atomic — if our
+      // lease EXPIRED during body, a breaker could delete+reacquire in
+      // that window and we would delete the successor's file. So delete
+      // only while the deadline is still comfortably ahead (the
+      // stillHeld margin): inside that window no breaker may legally
+      // act, so the read-delete pair cannot interleave with one. An
+      // expired lease is simply LEFT for the next acquirer's break path
+      // (it is already past-deadline, so the break is immediate).
+      // Residual window: a filesystem whose delete itself stalls past
+      // the margin — on stores where that matters, size ExpiryMarginMs
+      // to the store's worst-case metadata-op latency.
+      if (System.currentTimeMillis() + ExpiryMarginMs < deadline.get &&
+          readInfo(fs, p).exists(_._3.contains(nonce)))
+        fs.delete(p, false)
     }
   }
 

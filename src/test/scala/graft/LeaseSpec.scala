@@ -96,6 +96,25 @@ class LeaseSpec extends SparkSpec {
     fs.delete(p, false)
   }
 
+  test("release inside the expiry margin leaves the file for the break path (read-then-delete must not race a breaker)") {
+    // the r12 advisor's narrowed race: a lease that EXPIRED during body
+    // could be broken+reacquired between release's nonce read and its
+    // delete, deleting the successor's file. Release therefore deletes
+    // only while the deadline is comfortably ahead; an expired (or
+    // near-expired) lease is left for the next acquirer's break path.
+    val dir = freshDir()
+    val p = new org.apache.hadoop.fs.Path(dir, "_LEASE")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Lease.withLeaseHandle(spark, dir, "short", ttlMs = 1000L) { _ => () }
+    assert(fs.exists(p),
+      "a release inside the expiry margin must leave the lease file")
+    Thread.sleep(1100) // past the deadline: the break path takes over
+    var ran = false
+    Lease.withLease(spark, dir, "next") { ran = true }
+    assert(ran, "the leftover expired lease must be breakable")
+    assert(!fs.exists(p), "a full-TTL release must delete normally")
+  }
+
   test("handle: stillHeld refuses commits inside the expiry margin of the TTL") {
     // a 5 s TTL is entirely inside the 30 s commit margin: the handle
     // must refuse from the start — commits this close to the deadline
