@@ -136,6 +136,13 @@ object ScaleProbe {
       "q45_cc_over_lsh" -> ((d, _) =>
         Dedup.connectedComponents(Dedup.q42DedupMinhashLsh.fn(spark, d))),
       "q48_record_linkage" -> ((d, _) => Dedup.q48RecordLinkage.fn(spark, d)),
+      // r13 decomposition of q48's growth (the r12 verdict's `weak`):
+      // the CANDIDATE plane alone (segment-content join + the
+      // shift-consistency filter, NO levenshtein) — its timed count and
+      // result rows split candidate generation from verify, so a growth
+      // drift is attributable instead of a single opaque number
+      "q48_candidates" -> ((d, _) =>
+        Dedup.linkagePairs(Dedup.linkageKeyed(spark, d), verify = false)),
       // linear-by-design text curation ops (round-5 post-gate additions):
       // measured here to keep the "no silent super-linear path" claim honest
       "q97_span_dedup" -> ((d, _) => Dedup.q97SpanDedup.fn(spark, d)),

@@ -838,6 +838,13 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
       |WHERE levenshtein(a.key, b.key) <= 5
       |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (s, d) =>
+    linkagePairs(linkageKeyed(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q48's keyed corpus (base docs + the edited recrawl, with the
+    * blocking keys) — shared with the scale probe's decomposition. */
+  private[graft] def linkageKeyed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), col("lang"))
     val corpus = docs.unionAll(
@@ -845,12 +852,28 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(lit("revA "), expr("substring(text, 6)")).as("text"),
           col("lang")))
-    val keyed = corpus.select(col("doc_id"), col("lang"),
+    corpus.select(col("doc_id"), col("lang"),
       floor(length(col("text")) / 100).as("band"),
       substring(col("text"), 1, 64).as("key"))
-    // a-side: the 6 pigeonhole segments; b-side: every segment-length
-    // substring whose start is within ±MaxDist of the segment's position
-    // (clamped to >=1 — Spark substring treats negatives as from-the-end)
+  }
+
+  /** q48's candidate+verify join over a keyed corpus — split out so the
+    * scale probe can decompose candidate volume from verify time.
+    *
+    * Multi-match-aware shift consistency (the PassJoin paper's second
+    * pruning plane, added in r13 for the scale-growth watch item): if
+    * a's intact segment appears in b at shift `s`, the edit script needs
+    * ≥|s| ops before it (the prefix changes length by s) and ≥|Δ−s| ops
+    * after it (the suffix must land the total length change
+    * Δ = len(b) − len(a)), so `|s| + |Δ−s| ≤ τ` — for the equal-length
+    * keys this corpus produces, that is `2|s| ≤ 5`, i.e. 5 of each
+    * segment's 11 shifts survive. LOSSLESS by the same argument that
+    * makes the pigeonhole lossless (DedupSpec proves both, indels
+    * included); evaluated BEFORE the banded levenshtein in the join
+    * condition, so ~60% of content-collision candidates on a
+    * low-entropy corpus never reach the O(τ·n) verify. */
+  private[graft] def linkagePairs(keyed: DataFrame,
+      verify: Boolean = true): DataFrame = {
     val segs = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("band").as("band_a"), col("key").as("key_a"),
       explode(array(LinkSegments.zipWithIndex.map { case ((p, l), i) =>
@@ -861,17 +884,24 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
       explode(array((for {
         ((p, l), i) <- LinkSegments.zipWithIndex
         start <- math.max(1, p - LinkMaxDist) to (p + LinkMaxDist)
-      } yield struct(lit(i).as("seg_id"),
+      } yield struct(lit(i).as("seg_id"), lit(start - p).as("shift"),
         substring(col("key"), start, l).as("piece"))): _*)).as("sub"))
+    val delta = length(col("key_b")) - length(col("key_a"))
+    val shiftOk = abs(col("sub.shift")) +
+      abs(delta - col("sub.shift")) <= LinkMaxDist
     val dist = levenshtein(col("key_a"), col("key_b"), LinkMaxDist)
-    segs.join(subs,
-        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
-          col("seg.seg_id") === col("sub.seg_id") &&
-          col("seg.piece") === col("sub.piece") &&
-          col("doc_a") < col("doc_b") && dist =!= -1)
-      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    val cond0 =
+      col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+        col("seg.seg_id") === col("sub.seg_id") &&
+        col("seg.piece") === col("sub.piece") &&
+        col("doc_a") < col("doc_b") && shiftOk
+    if (!verify) // the probe's candidate plane: pairs entering verify
+      segs.join(subs, cond0)
+        .select(col("doc_a"), col("doc_b")).distinct()
+    else
+      segs.join(subs, cond0 && dist =!= -1)
+        .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
+        .distinct()
   }
 
   /** PassJoin segmentation of the 64-char linkage key: MaxDist+1 = 6
