@@ -76,12 +76,23 @@ object Bench {
       }.mkString("{", ",", "}"),
       results.collect { case (_, v) if v >= 0 => v }.sum)
     // pass 1 = one-shot (includes per-query first-run codegen, the cost a
-    // cold cluster pays); pass 2 = steady state in the warmed JVM, so
-    // round-over-round per-query deltas aren't masked by fixed costs
+    // cold cluster pays); passes 2-3 = steady state in the warmed JVM.
+    // steady_min3 = per-query MIN across all passes: the ±25% ambient
+    // smear on a shared box (q01 read 0.34 ↔ 1.03 across r12 runs with
+    // no plan change) made single-query round-over-round diffs
+    // unreadable — the min is the stable per-query signal (the r12
+    // verdict's bench-hygiene item).
     val oneShot = runPass()
     val steady = runPass()
+    val steady2 = runPass()
+    val steadyMin3: Seq[(String, Double)] =
+      oneShot.zip(steady).zip(steady2).map { case (((k, a), (_, b)), (_, c)) =>
+        val ok = Seq(a, b, c).filter(_ >= 0)
+        k -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
     val (qs, total) = fmt(oneShot, shortKeys = true)
     val (_, steadyTotal) = fmt(steady)
+    val (_, steadyMin3Total) = fmt(steadyMin3)
 
     // Skew mitigation at bench scale (synthesized zipf — TESTDATA is
     // uniform): one shuffle join with 50% of rows on one key, dim modeled
@@ -162,11 +173,12 @@ object Bench {
     // Full record (full names, millisecond precision, both passes) goes to
     // a file the builder commits per round; the stdout line stays compact
     // enough to survive the driver's 2000-char tail capture.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"steady_total":${f"$steadyTotal%.3f"},"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"steady_total":${f"$steadyTotal%.3f"},"steady_min3_total":${f"$steadyMin3Total%.3f"},"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$qs}"""
     locally {
       val (fullQs, _) = fmt(oneShot)
       val (fullSteady, _) = fmt(steady)
-      val detail = s"""{"metric":"total","value":$total,"steady_total":$steadyTotal,"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$fullQs,"steady_queries":$fullSteady}"""
+      val (fullMin3, _) = fmt(steadyMin3)
+      val detail = s"""{"metric":"total","value":$total,"steady_total":$steadyTotal,"steady_min3_total":$steadyMin3Total,"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$fullQs,"steady_queries":$fullSteady,"steady_min3_queries":$fullMin3}"""
       // a HOT run must not clobber a committed CALM record (the r9/r10
       // hygiene lesson — the repo's headline detail artifact twice got
       // overwritten by an ambient-loaded run and contradicted the SURVEY
