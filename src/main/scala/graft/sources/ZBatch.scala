@@ -202,6 +202,81 @@ class ZStreamSink(parameters: Map[String, String])
 }
 
 object ZBatch {
+  /** The `_file` metadata column's name ([[ZBatchTable.metadataColumns]]). */
+  private[sources] val FileCol = "_file"
+
+  /** Fold one source filter into the per-column (lo, hi) bound map —
+    * only shapes the manifest's range stats can act on; strict
+    * inequalities widen to inclusive (sound: never prunes more). Shared
+    * by the batch scan and the row-level operation scan. */
+  private[sources] def foldBounds(f: Filter,
+      acc: Map[String, (Option[Any], Option[Any])])
+      : Option[Map[String, (Option[Any], Option[Any])]] = {
+    def merge(c: String, lo: Option[Any], hi: Option[Any]) = {
+      val (l0, h0) = acc.getOrElse(c, (None, None))
+      // several bounds on one column: keep any one per side (pruning is
+      // best-effort; the tightest-vs-any choice only affects efficiency)
+      Some(acc.updated(c, (lo.orElse(l0), hi.orElse(h0))))
+    }
+    f match {
+      case EqualTo(c, v) if v != null => merge(c, Some(v), Some(v))
+      case GreaterThan(c, v) if v != null => merge(c, Some(v), None)
+      case GreaterThanOrEqual(c, v) if v != null => merge(c, Some(v), None)
+      case LessThan(c, v) if v != null => merge(c, None, Some(v))
+      case LessThanOrEqual(c, v) if v != null => merge(c, None, Some(v))
+      case And(l, r) => foldBounds(l, acc).flatMap(foldBounds(r, _))
+      case _ => None
+    }
+  }
+
+  /** The pushed POINT equalities (And-nested included) — the filters the
+    * bloom-sidecar plane can act on beyond range stats. */
+  private[sources] def pointsOf(f: Filter): Seq[(String, Any)] = f match {
+    case EqualTo(c, v) if v != null => Seq((c, v))
+    case And(l, r) => pointsOf(l) ++ pointsOf(r)
+    case _ => Seq.empty
+  }
+
+  /** The (bounds, points) a pushed filter set yields for manifest/bloom
+    * pruning. */
+  private[sources] def pruningShapes(pushed: Seq[Filter])
+      : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Any)]) = {
+    val bounds = pushed.foldLeft(
+        Map.empty[String, (Option[Any], Option[Any])]) {
+      (acc, f) => foldBounds(f, acc).getOrElse(acc)
+    }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+    (bounds, pushed.flatMap(pointsOf).distinct)
+  }
+
+  /** Surviving files BIN-PACKED into partitions at
+    * `spark.sql.files.maxPartitionBytes` (the FileSourceScan discipline):
+    * at 1M small files, one-task-per-file is a scheduler storm — sizes
+    * come from the manifest's `__size__` rows (no per-file HEADs at plan
+    * time; a pre-size manifest row with no size gets its own partition),
+    * and packing runs over the z-SORTED file list so a partition's files
+    * stay curve-adjacent (one task reads one z-range neighborhood). */
+  private[sources] def packPartitions(s: SparkSession, path: String,
+      files: Seq[(String, Option[Long])]): Array[InputPartition] = {
+    val maxBytes = s.sessionState.conf.filesMaxPartitionBytes
+    val bins =
+      scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, String)]]
+    var cur = Vector.empty[(String, Long, String)]
+    var curBytes = 0L
+    files.foreach { case (f, szOpt) =>
+      val sz = szOpt.getOrElse(maxBytes) // unknown size: own partition
+      if (cur.nonEmpty && curBytes + sz > maxBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      // the recorded size rides into the partition: the reader's split
+      // length comes from the manifest, never a per-file HEAD (-1 = a
+      // pre-size manifest; the reader stats that one file). The rel
+      // path rides too — the `_file` metadata column's value.
+      cur :+= ((s"$path/$f", szOpt.getOrElse(-1L), f)); curBytes += sz
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.map(fs => ZBatchPartition(fs): InputPartition).toArray
+  }
+
   /** The `.option("history", true)` read's schema ([[ZHistoryTable]]). */
   val HistorySchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("epoch",
@@ -247,7 +322,27 @@ class ZBatchTable(path: String, tschema: StructType,
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `_file` — the manifest-relative data-file path of each row
+    * (Delta/Iceberg's file metadata column): `SELECT _file, …` works on
+    * any graft-z table, and it is the GROUP identity the row-level
+    * operations' runtime filtering prunes by ([[ZRowLevelScan]]) — the
+    * dynamic-pruning subquery collects distinct `_file`s of MATCHING
+    * rows, so the driver-side value set is bounded by FILE COUNT, never
+    * row count. A data column named `_file` shadows it (Spark's rule). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ZBatch.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "store-relative data-file path of the row (manifest identity)"
+    })
   override def name(): String = s"graft-z:$path" +
     pinnedTravel.map(t => s"@e${t._1}v${t._2}").getOrElse("")
 
@@ -349,6 +444,7 @@ class ZBatchTable(path: String, tschema: StructType,
         TableCapability.ACCEPT_ANY_SCHEMA)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -359,7 +455,28 @@ class ZBatchTable(path: String, tschema: StructType,
     require(optTravel.isEmpty || pinnedTravel.isEmpty,
       s"$path is already pinned at VERSION AS OF e${pinnedTravel.get._1}:" +
         s"v${pinnedTravel.get._2} — travel read options do not combine")
-    new ZBatchScanBuilder(path, tschema, optTravel.orElse(pinnedTravel))
+    new ZBatchScanBuilder(path, tschema, optTravel.orElse(pinnedTravel),
+      options)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and non-band `DELETE`) — Spark 4's
+    * GROUP-BASED row-level operation protocol, the copy-on-write shape
+    * (Delta/Iceberg's COW mode): Spark rewrites the statement into
+    * ReplaceData over this operation's scan (which prunes the AFFECTED
+    * file set by the condition's bounds — [[ZRowLevelScan]]), computes
+    * the full replacement row set itself, and hands it to the
+    * operation's write, whose driver-side commit swaps exactly the
+    * scanned files for the replacement ([[ZOrder.replaceScannedFiles]]).
+    * Exact-band DELETEs keep the cheaper [[deleteWhere]] metadata path —
+    * Spark's OptimizeMetadataOnlyDeleteFromTable converts back when
+    * [[canDeleteWhere]] accepts. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseWriteToPast()
+    require(tschema.nonEmpty,
+      s"$path holds no committed z-store yet — nothing to ${info.command}")
+    () => new ZRowLevelOperation(path, info.command())
   }
 
   /** The WRITE half of the table surface, via the V1 insert bridge (the
@@ -426,7 +543,9 @@ class ZBatchWriteBuilder(path: String,
 }
 
 class ZBatchScanBuilder(path: String, tschema: StructType,
-    travel: Option[(Long, Long)])
+    travel: Option[(Long, Long)],
+    options: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -495,32 +614,9 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
       case None => false
     }
 
-  /** Fold one source filter into the per-column (lo, hi) bound map —
-    * only shapes the manifest's range stats can act on; strict
-    * inequalities widen to inclusive (sound: never prunes more). */
-  private def boundsOf(f: Filter,
-      acc: Map[String, (Option[Any], Option[Any])])
-      : Option[Map[String, (Option[Any], Option[Any])]] = {
-    def merge(c: String, lo: Option[Any], hi: Option[Any]) = {
-      val (l0, h0) = acc.getOrElse(c, (None, None))
-      // several bounds on one column: keep any one per side (pruning is
-      // best-effort; the tightest-vs-any choice only affects efficiency)
-      Some(acc.updated(c, (lo.orElse(l0), hi.orElse(h0))))
-    }
-    f match {
-      case EqualTo(c, v) if v != null => merge(c, Some(v), Some(v))
-      case GreaterThan(c, v) if v != null => merge(c, Some(v), None)
-      case GreaterThanOrEqual(c, v) if v != null => merge(c, Some(v), None)
-      case LessThan(c, v) if v != null => merge(c, None, Some(v))
-      case LessThanOrEqual(c, v) if v != null => merge(c, None, Some(v))
-      case And(l, r) => boundsOf(l, acc).flatMap(boundsOf(r, _))
-      case _ => None
-    }
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
-    pushed = filters.filter(f => boundsOf(f, Map.empty).isDefined)
+    pushed = filters.filter(f => ZBatch.foldBounds(f, Map.empty).isDefined)
     filters // ALL filters stay with Spark: pruning is best-effort
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -529,23 +625,14 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
     required = requiredSchema
   }
 
-  /** The pushed POINT equalities (And-nested included) — the filters the
-    * bloom-sidecar plane can act on beyond range stats. */
-  private def pointsOf(f: Filter): Seq[(String, Any)] = f match {
-    case EqualTo(c, v) if v != null => Seq((c, v))
-    case And(l, r) => pointsOf(l) ++ pointsOf(r)
-    case _ => Seq.empty
-  }
-
   override def build(): Scan = aggPushed match {
     case Some((zs, out)) => new ZBatchAggScan(path, zs, out)
     case None =>
-      val bounds = pushed.foldLeft(
-          Map.empty[String, (Option[Any], Option[Any])]) {
-        (acc, f) => boundsOf(f, acc).getOrElse(acc)
-      }.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-      new ZBatchScan(path, required, bounds,
-        pushed.toSeq.flatMap(pointsOf).distinct, travel)
+      val (bounds, points) = ZBatch.pruningShapes(pushed.toSeq)
+      new ZBatchScan(path, required, bounds, points, travel, options,
+        // `_file` is the metadata column unless a DATA column shadows it
+        metaFileCol = required.fieldNames.contains(ZBatch.FileCol) &&
+          !tschema.fieldNames.contains(ZBatch.FileCol))
   }
 }
 
@@ -612,21 +699,33 @@ case class ZAggReaderFactory() extends PartitionReaderFactory {
 class ZBatchScan(path: String, required: StructType,
     bounds: Seq[(String, Option[Any], Option[Any])],
     points: Seq[(String, Any)],
-    travel: Option[(Long, Long)]) extends Scan with Batch {
+    travel: Option[(Long, Long)],
+    options: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty(),
+    metaFileCol: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("graftz.ns.t")` / `.format("graft-z")
+    * .load(dir)` — tail the table through the zcdf change-feed stream
+    * under the TABLE's own schema ([[ZTableMicroBatchStream]]); stream
+    * options (`startingVersion`, `maxVersionsPerTrigger`) ride the read
+    * options. Pushed filters stay residual in streaming exactly as in
+    * batch; time travel is batch-only. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(travel.isEmpty,
+      s"$path: a VERSION/TIMESTAMP AS OF snapshot is a fixed past state — " +
+        "streaming reads tail the live table")
+    new ZTableMicroBatchStream(path, required, options)
+  }
   override def description(): String =
     s"graft-z $path${travel.map(t => s" @ (e${t._1}, v${t._2})")
       .getOrElse("")}, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]" +
       s", bloom-probed on [${points.map(_._1).sorted.distinct.mkString(", ")}]"
 
-  /** Surviving files BIN-PACKED into partitions at
-    * `spark.sql.files.maxPartitionBytes` (the FileSourceScan discipline):
-    * at 1M small files, one-task-per-file is a scheduler storm — sizes
-    * come from the manifest's `__size__` rows (no per-file HEADs at plan
-    * time; a pre-size manifest row with no size gets its own partition),
-    * and packing runs over the z-SORTED file list so a partition's files
-    * stay curve-adjacent (one task reads one z-range neighborhood). */
+  /** Surviving files bin-packed into partitions ([[ZBatch.packPartitions]]
+    * — sizes from the manifest, no per-file HEADs at plan time). */
   override def planInputPartitions(): Array[InputPartition] = {
     val s = SparkSession.active
     val (files0, recorded) = ZOrder.pruneFilesForScan(s, path, bounds, travel)
@@ -634,31 +733,18 @@ class ZBatchScan(path: String, required: StructType,
     // plane that prunes an UNCLUSTERED column's `k = v`, where every
     // file's min/max range overlaps the probe)
     val files = ZOrder.bloomPruneScan(s, path, points, recorded, files0)
-    val maxBytes = s.sessionState.conf.filesMaxPartitionBytes
-    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long)]]
-    var cur = Vector.empty[(String, Long)]
-    var curBytes = 0L
-    files.foreach { case (f, szOpt) =>
-      val sz = szOpt.getOrElse(maxBytes) // unknown size: own partition
-      if (cur.nonEmpty && curBytes + sz > maxBytes) {
-        bins += cur; cur = Vector.empty; curBytes = 0L
-      }
-      // the recorded size rides into the partition: the reader's split
-      // length comes from the manifest, never a per-file HEAD (-1 = a
-      // pre-size manifest; the reader stats that one file)
-      cur :+= ((s"$path/$f", szOpt.getOrElse(-1L))); curBytes += sz
-    }
-    if (cur.nonEmpty) bins += cur
-    bins.map(fs => ZBatchPartition(fs): InputPartition).toArray
+    ZBatch.packPartitions(s, path, files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZBatchReaderFactory(
       GraftShardsSource.confOverrides(SparkSession.active),
-      required.fields.map(f => (f.name, f.dataType.catalogString)))
+      required.fields.map(f => (f.name, f.dataType.catalogString)),
+      metaFileCol)
 }
 
-case class ZBatchPartition(files: Seq[(String, Long)]) extends InputPartition
+case class ZBatchPartition(files: Seq[(String, Long, String)])
+  extends InputPartition
 
 /** Executor-side VECTORIZED parquet decode of one bin of manifest-listed
   * z-store files — Spark's own `VectorizedParquetRecordReader` returning
@@ -677,7 +763,8 @@ case class ZBatchPartition(files: Seq[(String, Long)]) extends InputPartition
   * zcdf STREAMING source keeps the row-at-a-time Group decode — its
   * batches are tiny commit deltas where reader setup dominates. */
 case class ZBatchReaderFactory(confOverrides: Map[String, String],
-    fields: Array[(String, String)]) extends PartitionReaderFactory {
+    fields: Array[(String, String)], metaFileCol: Boolean = false)
+    extends PartitionReaderFactory {
 
   private def requiredSchema: StructType =
     StructType(fields.map { case (n, ddl) =>
@@ -694,16 +781,25 @@ case class ZBatchReaderFactory(confOverrides: Map[String, String],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ZBatchPartition]
-    val schema = requiredSchema
+    val full = requiredSchema
+    // `_file` (when it is the METADATA column, not a shadowing data
+    // column) is synthesized per file as a constant vector — it never
+    // reaches the parquet reader's requested schema
+    val schema =
+      if (metaFileCol) StructType(full.filterNot(_.name == ZBatch.FileCol))
+      else full
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private val it = p.files.iterator
       private var reader: org.apache.spark.sql.execution.datasources
         .parquet.VectorizedParquetRecordReader = _
+      private var constFile
+          : org.apache.spark.sql.execution.vectorized.ConstantColumnVector = _
+      private var wrapped: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
       private def openNext(): Boolean =
         if (!it.hasNext) false
         else {
-          val (file, recordedLen) = it.next()
+          val (file, recordedLen, rel) = it.next()
           // a PRIVATE conf copy per file: the requested-schema key must
           // never leak into the shared session configuration
           val conf = new org.apache.hadoop.conf.Configuration(
@@ -741,6 +837,14 @@ case class ZBatchReaderFactory(confOverrides: Map[String, String],
           r.initBatch(new StructType(), InternalRow.empty)
           r.enableReturningBatches()
           reader = r
+          if (metaFileCol) {
+            constFile = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(4096, // the reader's batch capacity
+                org.apache.spark.sql.types.StringType)
+            constFile.setUtf8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(rel))
+            wrapped = null // rebuilt against this file's result batch
+          }
           true
         }
 
@@ -754,8 +858,23 @@ case class ZBatchReaderFactory(confOverrides: Map[String, String],
         false // unreachable
       }
 
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        reader.resultBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val inner = reader.resultBatch()
+        if (!metaFileCol) inner
+        else {
+          if (wrapped == null) {
+            var j = 0
+            val cols = full.fields.map { f =>
+              if (f.name == ZBatch.FileCol)
+                constFile: org.apache.spark.sql.vectorized.ColumnVector
+              else { val c = inner.column(j); j += 1; c }
+            }
+            wrapped = new org.apache.spark.sql.vectorized.ColumnarBatch(cols)
+          }
+          wrapped.setNumRows(inner.numRows())
+          wrapped
+        }
+      }
       override def close(): Unit = if (reader != null) reader.close()
     }
   }

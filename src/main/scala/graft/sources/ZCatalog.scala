@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -74,7 +75,7 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter.in
     def tblOf(r: org.apache.spark.sql.catalyst.InternalRow): String = {
       val parts = r.getUTF8String(0).toString.split('.').toSeq
-      (root +: parts).mkString("/")
+      (root +: parts.map(validSeg)).mkString("/")
     }
     def longRow(v: Long) = Seq(Array[Any](v))
     Map(
@@ -129,15 +130,56 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
             r.getDouble(2))
           longRow(ZOrder.listDataFiles(s, tblOf(r)).size.toLong)
         }),
-      // DESCRIBE HISTORY as a procedure (the read-option twin, reachable
-      // from pure SQL): one row per committed coordinate, commit order
-      "history" -> ZProcedure("history",
+      // the CHECK-constraint surface in pure SQL (q149's programmatic
+      // triple): add validates EXISTING rows before committing the
+      // policy, enforcement rides every subsequent write's bounds pass
+      "add_constraint" -> ZProcedure("add_constraint",
+        Array(in("tbl", StringType).build(),
+          in("name", StringType).build(),
+          in("expr", StringType).build()),
+        StructType(Seq(StructField("constraints", LongType))),
+        r => {
+          ZOrder.addCheckConstraint(s, tblOf(r),
+            r.getUTF8String(1).toString, r.getUTF8String(2).toString)
+          longRow(ZOrder.listCheckConstraints(s, tblOf(r)).size.toLong)
+        }),
+      "drop_constraint" -> ZProcedure("drop_constraint",
+        Array(in("tbl", StringType).build(),
+          in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", LongType))),
+        r => longRow(if (ZOrder.dropCheckConstraint(s, tblOf(r),
+          r.getUTF8String(1).toString)) 1L else 0L)),
+      "list_constraints" -> ZProcedure("list_constraints",
         Array(in("tbl", StringType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("expr", StringType))),
+        r => ZOrder.listCheckConstraints(s, tblOf(r)).map { case (n, e) =>
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(e))
+        }),
+      // DESCRIBE HISTORY as a procedure (the read-option twin, reachable
+      // from pure SQL): one row per committed coordinate, commit order.
+      // `limit` BOUNDS the driver-side row materialization to the NEWEST
+      // N coordinates (default 1000) — a store never manifest-compacted
+      // has O(appends) history, and a CALL result is a driver-local
+      // LocalScan by shape (the r12 verdict's history-bound item; the
+      // full audit plane stays reachable through the `history` read
+      // option's distributed frame, and compactManifest folds the
+      // coordinate count back to O(1))
+      "history" -> ZProcedure("history",
+        Array(in("tbl", StringType).build(),
+          in("limit", LongType).defaultValue("1000").build()),
         ZBatch.HistorySchema,
-        r => ZOrder.describeHistory(s, tblOf(r)).collect().toSeq
-          .map(x => Array[Any](x.getLong(0), x.getLong(1),
-            org.apache.spark.unsafe.types.UTF8String
-              .fromString(x.getString(2))))),
+        r => {
+          val lim = r.getLong(1).toInt
+          require(lim > 0, "history: limit must be positive")
+          ZOrder.describeHistory(s, tblOf(r))
+            .orderBy(col("epoch").desc, col("ver").desc).limit(lim)
+            .collect().toSeq.reverse // newest N, re-presented oldest-first
+            .map(x => Array[Any](x.getLong(0), x.getLong(1),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(x.getString(2))))
+        }),
     )
   }
 
@@ -167,11 +209,26 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Identifier segments and procedure `tbl` parts become FILESYSTEM
+    * path segments — validate each one, or a backtick identifier (or
+    * CALL argument) containing `..`/`/` resolves OUTSIDE the catalog
+    * root, turning `DROP TABLE` into a recursive delete of an arbitrary
+    * directory (the r12 advisor's traversal finding). */
+  private def validSeg(seg: String): String = {
+    require(seg.nonEmpty && seg != "." && seg != ".." &&
+        !seg.contains('/') && !seg.contains('\\'),
+      s"$catalogName: identifier segment '$seg' is not a valid table/" +
+        "namespace name — path separators and dot-dots would resolve " +
+        "outside the catalog root")
+    seg
+  }
+
   private def dirOf(ident: Identifier): String =
-    (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    (root +: ident.namespace().toSeq.map(validSeg) :+
+      validSeg(ident.name())).mkString("/")
 
   private def nsDir(namespace: Seq[String]): Path =
-    new Path((root +: namespace).mkString("/"))
+    new Path((root +: namespace.map(validSeg)).mkString("/"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = nsDir(namespace.toSeq)
@@ -255,6 +312,16 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
         s"clustering column $c must be BIGINT (z-quantization is " +
           s"long-typed); got ${f.dataType.simpleString}")
     }
+    // ... and EVERY declared column against the wire surface: committing
+    // first and letting the trailing loadTable's wireSchema check throw
+    // would leave a committed-but-unreadable table behind (the r12
+    // advisor's finding)
+    schema.foreach { f =>
+      require(ZcdfStream.supported(f.dataType),
+        s"CREATE TABLE $catalogName.$ident: column ${f.name} has type " +
+          s"${f.dataType.simpleString}; the table wire surface supports " +
+          "long/int/double/float/string/boolean/timestamp[_ntz]")
+    }
     // an empty committed store: schema-only epoch-0 manifest + the
     // recorded clustering policy — INSERTs append against it
     ZOrder.writeZOrdered(
@@ -280,18 +347,8 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
         require(a.position() == null,
           "graft-z ADD COLUMN appends at the end (FIRST/AFTER positions " +
             "would re-order the recorded schema for no layout benefit)")
-        val ok = a.dataType() match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.DoubleType |
-               org.apache.spark.sql.types.FloatType |
-               org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.BooleanType |
-               org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType => true
-          case _ => false
-        }
-        require(ok, s"column ${a.fieldNames()(0)}: " +
+        require(ZcdfStream.supported(a.dataType()),
+          s"column ${a.fieldNames()(0)}: " +
           s"${a.dataType().simpleString} is outside the table wire surface " +
           "(long/int/double/float/string/boolean/timestamp[_ntz])")
         StructField(a.fieldNames()(0), a.dataType())

@@ -732,21 +732,58 @@ object ZOrder {
           // latter is what keeps a PRE-provenance rollforward (empty
           // ticket, no tag) from being re-rolled once its ticket ages
           // past the grace window (the r11 advisor finding)
-          def filesListed = versionSettledIn(s, man, be, v,
-            s.read.parquet(vdir.toString)
-              .filter(col("c") =!= lit(DdlKey)).select(col("f"))
-              .distinct().collect().map(_.getString(0)).toSeq)
+          lazy val vFiles = s.read.parquet(vdir.toString)
+            .filter(col("c") =!= lit(DdlKey)).select(col("f"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          def filesListed = versionSettledIn(s, man, be, v, vFiles)
           if (!settled.contains(rebaseTag(be, v)) && !filesListed) {
-            val owns =
-              if (claimRebaseTicket(fs, bdir, v, "recovery")) true
-              else ticketWho(fs, new Path(bdir, s"v$v.rolled")) match {
-                case Some("appender") => false
-                case Some(_) => true // dead lease-holder: we hold it now
-                case None => System.currentTimeMillis() - fs.getFileStatus(
-                    new Path(bdir, s"v$v.rolled")).getModificationTime >
-                  RecoveryGraceMs
+            // the current manifest shows NO trace of an untagged rolled
+            // candidate — but "no trace" is also what a roll that LANDED
+            // and was then fully pruned by a later delete/compaction
+            // looks like (the r12 advisor's finding: re-rolling it would
+            // resurrect deleted rows). Before re-rolling, consult the
+            // still-on-disk INTERMEDIATE epochs' manifests for the roll
+            // (it landed there if it landed at all); a vacuumed gap in
+            // that chain makes the question unanswerable — refuse loudly
+            // and surface for manual recovery rather than guess. Only
+            // pre-provenance history can reach this branch: every roll
+            // since r11 stamps its tag, and tags carry through every
+            // manifest rewrite.
+            val laterEpochs = ((be + 1) until cur.epoch).map(e =>
+              e -> edirs.get(e))
+            def rolledIntoIntermediate = laterEpochs.flatMap(_._2)
+              .exists { edir =>
+                val ivdirs = fs.listStatus(edir).filter(_.isDirectory)
+                  .filter(st =>
+                    parseIdx(st.getPath.getName, "v").nonEmpty &&
+                      isCommitted(fs, st.getPath))
+                  .map(_.getPath.toString).toSeq
+                ivdirs.nonEmpty && versionSettledIn(s,
+                  s.read.parquet(ivdirs: _*), be, v, vFiles)
               }
-            if (owns) rebaseVersionForward(s, path, be, v, vdir, lease)
+            if (rolledIntoIntermediate) () // settled; a later rewrite pruned it
+            else if (laterEpochs.exists(_._2.isEmpty))
+              throw new IllegalStateException(
+                s"$path: superseded version e$be/v$v has no provenance " +
+                  "tag, none of its files are listed, and part of the " +
+                  "epoch chain that could prove whether it was ever " +
+                  "rolled forward has been vacuumed — re-rolling could " +
+                  "resurrect deleted rows, not rolling could lose an " +
+                  "append. Refusing; inspect the batch and either " +
+                  "re-append it or delete the stale version dir " +
+                  s"($vdir) to clear this.")
+            else {
+              val owns =
+                if (claimRebaseTicket(fs, bdir, v, "recovery")) true
+                else ticketWho(fs, new Path(bdir, s"v$v.rolled")) match {
+                  case Some("appender") => false
+                  case Some(_) => true // dead lease-holder: we hold it now
+                  case None => System.currentTimeMillis() - fs.getFileStatus(
+                      new Path(bdir, s"v$v.rolled")).getModificationTime >
+                    RecoveryGraceMs
+                }
+              if (owns) rebaseVersionForward(s, path, be, v, vdir, lease)
+            }
           }
         }
       }
@@ -1074,17 +1111,59 @@ object ZOrder {
     * driver strings re-built per query). Keyed on the snapshot's exact
     * committed-version set (a new commit — append, rewrite, even an
     * out-of-order OCC version landing late — changes the key, so writers
-    * never need to invalidate), plus the pushed bounds. Bounded LRU. */
+    * never need to invalidate) PLUS the store's birth identity (the
+    * current epoch's v0 `_SUCCESS` mtime — a DROPPED-and-recreated store
+    * restarts at the same e0/v0 coordinates, and without the identity a
+    * same-session read would plan the OLD store's deleted files; the r12
+    * advisor's medium), plus the pushed bounds.
+    *
+    * Eviction is WEIGHED by file count, not entry count (the r12
+    * verdict's watch item #2): each entry is a driver-resident name
+    * list, so 32 entries of a 1M-file store would pin ~GBs. The LRU
+    * evicts until the aggregate weight fits [[ScanPlanCacheMaxWeight]];
+    * an entry that alone exceeds it is never cached — huge stores fall
+    * through to uncached planning instead of monopolizing the cache. */
+  /** Total cached file names across all entries (var ONLY so the bound
+    * spec can exercise eviction without building a 200k-file store). */
+  private[graft] var scanPlanCacheMaxWeight = 200000L
+  private def ScanPlanCacheMaxWeight = scanPlanCacheMaxWeight
   private val scanPlanCache =
     new java.util.LinkedHashMap[String, (Seq[(String, Option[Long])],
-      StructType)](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Seq[(String, Option[Long])],
-            StructType)]): Boolean = size > 32
+      StructType)](16, 0.75f, true)
+  private var scanPlanWeight = 0L
+  private def scanPlanPut(key: String,
+      v: (Seq[(String, Option[Long])], StructType)): Unit = {
+    val w = v._1.size.toLong.max(1L)
+    if (w > ScanPlanCacheMaxWeight) return // huge store: plan uncached
+    scanPlanCache.synchronized {
+      Option(scanPlanCache.remove(key)).foreach(old =>
+        scanPlanWeight -= old._1.size.toLong.max(1L))
+      scanPlanCache.put(key, v)
+      scanPlanWeight += w
+      val it = scanPlanCache.entrySet().iterator()
+      while (scanPlanWeight > ScanPlanCacheMaxWeight && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { // never evict what was just inserted
+          scanPlanWeight -= e.getValue._1.size.toLong.max(1L)
+          it.remove()
+        }
+      }
     }
+  }
+  /** Aggregate cached file-name count — the size-bound spec's probe. */
+  private[graft] def scanPlanCacheWeight: Long =
+    scanPlanCache.synchronized(scanPlanWeight)
   /** Cache-miss counter — the spec's deterministic "2nd read runs zero
     * manifest scans" detector. */
   private[graft] val scanPlanMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** The store's BIRTH identity for cache keying: the current epoch's v0
+    * `_SUCCESS` mtime. Two stores that ever lived at the same path can
+    * share (epoch, version) NAMES but never this instant. O(1) metadata. */
+  private def snapIdentity(s: SparkSession, snap: ZSnapshot): Long =
+    StoreMaint.fsFor(s, snap.epochDir)
+      .getFileStatus(new Path(new Path(snap.epochDir, "v0"), "_SUCCESS"))
+      .getModificationTime
 
   private[sources] def pruneFilesForScan(s: SparkSession, path: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
@@ -1094,7 +1173,14 @@ object ZOrder {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
     }
-    val key = s"$path|e${snap.epoch}|" +
+    pruneFilesForSnap(s, path, snap, bounds, at)
+  }
+
+  private[sources] def pruneFilesForSnap(s: SparkSession, path: String,
+      snap: ZSnapshot, bounds: Seq[(String, Option[Any], Option[Any])],
+      at: Option[(Long, Long)])
+      : (Seq[(String, Option[Long])], StructType) = {
+    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
       s"${snap.vdirs.map(_.getName).sorted.mkString(",")}|" +
       bounds.map { case (c, lo, hi) => s"$c:$lo:$hi" }.sorted.mkString(";") +
       s"|$at"
@@ -1145,7 +1231,7 @@ object ZOrder {
         Option(r.getString(1)).flatMap(_.toLongOption)))
       .sortBy(_._1).toSeq
     val out = (sized, schema)
-    scanPlanCache.synchronized { scanPlanCache.put(key, out) }
+    scanPlanPut(key, out)
     out
   }
 
@@ -1909,6 +1995,86 @@ object ZOrder {
     }
   }
 
+  /** The SCAN half of a group-based SQL row-level operation (UPDATE /
+    * MERGE / non-band DELETE through [[ZBatchTable]]'s
+    * `SupportsRowLevelOperations`): resolve the snapshot ONCE and prune
+    * the AFFECTED file set by the pushed condition bounds + bloom points
+    * — the same best-effort evidence rule as the read path, which is
+    * exactly what group-based copy-on-write needs (a pruned file provably
+    * holds no matching row, so its rows carry by reference; an unpruned
+    * file's rows all flow through Spark's replacement projection). The
+    * snapshot rides to [[replaceScannedFiles]] so scan and commit agree
+    * on what "the table" was. */
+  private[sources] def planRowLevelScan(s: SparkSession, path: String,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      points: Seq[(String, Any)])
+      : (ZSnapshot, Seq[(String, Option[Long])], StructType) = {
+    val snap = requireSnapshot(s, path)
+    val (files0, schema) = pruneFilesForSnap(s, path, snap, bounds, None)
+    val files = bloomPruneScan(s, path, points, schema, files0)
+    (snap, files, schema)
+  }
+
+  /** The COMMIT half of a group-based SQL row-level operation: replace
+    * exactly the files the operation's scan planned (`affected`) with
+    * `replacement` (the full post-operation row set of those files, as
+    * computed by Spark's ReplaceData rewrite — updated/merged rows plus
+    * untouched rows of the same files, plus MERGE's not-matched inserts),
+    * as a copy-on-write epoch swap: unaffected files carry by reference,
+    * batch tags carry (a replayed tagged append after an UPDATE must not
+    * resurrect pre-update rows — the delete path's non-resurrection
+    * rule), CHECK constraints validate the replacement inside [[zWrite]]
+    * before a byte lands, and the superseded epoch stays
+    * time-travel-readable until [[vacuumOrphans]].
+    *
+    * Concurrency: lease-held like every epoch rewrite. The scan resolved
+    * its snapshot OUTSIDE the lease (at plan time), so the commit
+    * re-verifies the world: a concurrent EPOCH rewrite (delete/merge/
+    * optimize/another row-level op) since the scan refuses loudly — the
+    * replacement rows were computed against a table that no longer
+    * exists; retry re-plans. Concurrent lock-free APPENDS into the
+    * scanned epoch serialize AFTER this operation: the rebase watermark
+    * is the SCAN's snapshot, so [[rollForwardLateAppends]] re-points
+    * them into the new epoch — exactly the append-vs-rewrite resolution
+    * every other rewrite uses. */
+  private[sources] def replaceScannedFiles(s: SparkSession, path: String,
+      scanSnap: ZSnapshot, affected: Seq[String], replacement: DataFrame,
+      op: String): Unit =
+    Lease.withLeaseHandle(s, path, s"zorder-rowlevel-$op") { lease =>
+      recoverLostRollforwards(s, path, lease)
+      val cur = requireSnapshot(s, path)
+      require(cur.epoch == scanSnap.epoch &&
+          scanSnap.vdirs.map(_.getName).toSet
+            .subsetOf(cur.vdirs.map(_.getName).toSet),
+        s"$path: the snapshot this $op scanned (e${scanSnap.epoch}, " +
+          s"${scanSnap.vdirs.size} versions) was superseded by a " +
+          s"concurrent rewrite (now e${cur.epoch}) — the replacement " +
+          "rows describe a table that no longer exists; retry the " +
+          "statement")
+      val (man0, schema) = manifestAndSchema(s, scanSnap)
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val zcols = recordedZcols(s, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path predates recorded clustering keys — run one write " +
+              "with .option(\"zcols\", …) (or the programmatic API) first"))
+        val nf = math.max(affected.size, 1)
+        val newStats = zWrite(replacement, path, zcols, nf) match {
+          case Some(dname) => harvestStats(s, path, dname,
+            recordedStatCols(man, schema), schema)
+          case None => Seq.empty // every affected row deleted
+        }
+        val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
+        writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+          scanSnap.epoch, maxVerOf(scanSnap))
+        writeManifestVersion(s, edir, 0L, schema.toDDL, newStats,
+          manifestTags(man0),
+          carried = Some(carriedStatsDf(s, man, affected)), op = op)
+        rollForwardLateAppends(s, path, scanSnap, lease)
+      } finally man.unpersist(blocking = false)
+    }
+
   /** What a [[mergeByKey]] did: target rows replaced (all rows bearing a
     * matched key) and source rows inserted (key matched nothing, or null). */
   final case class MergeResult(updated: Long, inserted: Long)
@@ -2165,11 +2331,15 @@ object ZOrder {
 
   /** DROP CONSTRAINT — writes after the drop admit what it forbade. */
   def dropCheckConstraint(s: SparkSession, path: String,
-      name: String): Boolean =
+      name: String): Boolean = {
+    require(name.matches("[A-Za-z0-9_-]+"), // the add-side contract; also
+      // keeps a hostile name ('../…') from deleting outside the store
+      s"constraint name $name must be [A-Za-z0-9_-]+")
     Lease.withLease(s, path, "zorder-drop-constraint") {
       val fs = StoreMaint.fsFor(s, new Path(path, "_zconstraints"))
       fs.delete(new Path(new Path(path, "_zconstraints"), name), false)
     }
+  }
 
   /** Copy-on-write predicate UPDATE — Delta's `UPDATE … SET … WHERE`:
     * rewrite every row matching ALL `preds` (the [[readZRange]] predicate
@@ -2606,7 +2776,7 @@ object ZOrder {
   def clearCaches(): Unit = synchronized {
     stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
     mergeStores.clear(); zcdfStreamStores.clear(); bloomStores.clear()
-    scanPlanCache.synchronized { scanPlanCache.clear() }
+    scanPlanCache.synchronized { scanPlanCache.clear(); scanPlanWeight = 0L }
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -3709,11 +3879,172 @@ object ZOrder {
         min(col("l_suppkey")).as("mn_sk"), max(col("l_suppkey")).as("mx_sk"))
   }
 
+  // ---- q154: the full SQL DML lifecycle (UPDATE / MERGE INTO / DELETE) -----
+
+  /** q154's store: built and mutated ENTIRELY in SQL through the
+    * catalog — CREATE TABLE, INSERT INTO, a banded UPDATE, a MERGE INTO
+    * with matched updates + not-matched inserts, and an OR-shaped DELETE
+    * (the shape the exact-band conversion refuses, exercising the
+    * group-based copy-on-write row-level operation end to end). Returns
+    * (catalogName, storeDir). */
+  private val sqlDmlStores =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def sqlDmlStoreFor(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      sqlDmlStores.getOrElseUpdate(d, {
+        val root = Files.createTempDirectory("graft-zsqldml").toString
+        // one catalog NAME per sf dir: Spark caches catalog instances by
+        // name, so a name may never be re-rooted within a session
+        val cat = s"graftq154c${math.abs(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.createOrReplaceTempView("q154_base")
+        s.sql(s"CREATE NAMESPACE $cat.lake")
+        s.sql(s"""CREATE TABLE $cat.lake.docs
+          (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          PARTITIONED BY (doc_id, n_chars)""")
+        s.sql(s"INSERT INTO $cat.lake.docs SELECT * FROM q154_base")
+        // banded UPDATE (bounds folded driver-side, q147's band)
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) * 2 / 10, mn + (mx - mn) * 3 / 10)
+        s.sql(s"""UPDATE $cat.lake.docs
+          SET lang = 'upd', n_chars = n_chars + 1000
+          WHERE doc_id BETWEEN $lo AND $hi""")
+        // MERGE: every %10==7 doc re-scores (from its PRE-update chars,
+        // the source is the base table); every %100==3 doc inserts a
+        // 'new' twin at doc_id + 10^9
+        s.sql("""SELECT doc_id, 'mrg' AS lang, n_chars * 2 AS n_chars
+          FROM q154_base WHERE doc_id % 10 = 7
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id, 'new' AS lang,
+            42L AS n_chars
+          FROM q154_base WHERE doc_id % 100 = 3""")
+          .createOrReplaceTempView("q154_src")
+        s.sql(s"""MERGE INTO $cat.lake.docs t USING q154_src u
+          ON t.doc_id = u.doc_id
+          WHEN MATCHED THEN UPDATE SET lang = u.lang, n_chars = u.n_chars
+          WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            VALUES (u.doc_id, u.lang, u.n_chars)""")
+        // an OR/modulo DELETE: not expressible as closed bands, so it
+        // exercises the group-based row-level path (not deleteWhere)
+        s.sql(s"""DELETE FROM $cat.lake.docs
+          WHERE lang = 'new' AND doc_id % 2 = 1""")
+        (cat, s"$root/lake/docs")
+      })
+    }
+
+  /** q154: SQL row-level DML end to end — `UPDATE`, `MERGE INTO` (matched
+    * update + not-matched insert) and a non-band `DELETE` driven through
+    * the catalog in pure SQL (Spark 4's `SupportsRowLevelOperations`
+    * group-based protocol → [[ZRowLevelOperation]]), then the final
+    * state read back through the same table. Oracle = the identical DML
+    * algebra over the plain table (CASE for the update, LEFT JOIN +
+    * anti-semijoin for the merge, a NOT filter for the delete): a row
+    * updated outside the band, a merge that drops/doubles a row, a
+    * delete that over- or under-shoots — any of it hash-fails. */
+  val q154ZOrderSqlDml: Q = Q(
+    "q154_zorder_sql_dml",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |    FROM documents),
+      |  upd AS (
+      |    SELECT d.doc_id,
+      |      CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                             AND b.mn + (b.mx-b.mn)*3//10
+      |        THEN 'upd' ELSE d.lang END AS lang,
+      |      CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                             AND b.mn + (b.mx-b.mn)*3//10
+      |        THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+      |    FROM documents d, b),
+      |  src AS (
+      |    SELECT doc_id, 'mrg' AS lang, n_chars * 2 AS n_chars
+      |    FROM documents WHERE doc_id % 10 = 7
+      |    UNION ALL
+      |    SELECT doc_id + 1000000000 AS doc_id, 'new' AS lang,
+      |      42 AS n_chars
+      |    FROM documents WHERE doc_id % 100 = 3),
+      |  merged AS (
+      |    SELECT u.doc_id, COALESCE(s.lang, u.lang) AS lang,
+      |      COALESCE(s.n_chars, u.n_chars) AS n_chars
+      |    FROM upd u LEFT JOIN src s ON u.doc_id = s.doc_id
+      |    UNION ALL
+      |    SELECT s.doc_id, s.lang, s.n_chars FROM src s
+      |    WHERE s.doc_id NOT IN (SELECT doc_id FROM upd))
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM merged
+      |WHERE NOT (lang = 'new' AND doc_id % 2 = 1)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val (cat, _) = sqlDmlStoreFor(s, d)
+    s.sql(s"""SELECT doc_id, lang, n_chars FROM $cat.lake.docs
+      ORDER BY doc_id""")
+  }
+
+  /** q155: STREAMING read of the catalog table —
+    * `spark.readStream.table("<cat>.lake.docs")` tails q154's post-DML
+    * store through the TABLE surface (the r12 verdict's item 4: no
+    * format("graft-zcdf")+path switch), projecting the zcdf wire's
+    * commit coordinates away so the stream's schema IS the table's.
+    * A bounded AvailableNow run over the settled store must reproduce
+    * the exact final state — oracle = q154's (the stream's current
+    * epoch v0 carries the whole post-DML table). Incremental tailing
+    * and the epoch-rewrite refusal through the table name are pinned in
+    * ZOrderSpec (an oracle can't see offsets). */
+  val q155ZTableStream: Q = Q(
+    "q155_zorder_table_stream",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |    FROM documents),
+      |  upd AS (
+      |    SELECT d.doc_id,
+      |      CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                             AND b.mn + (b.mx-b.mn)*3//10
+      |        THEN 'upd' ELSE d.lang END AS lang,
+      |      CASE WHEN d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                             AND b.mn + (b.mx-b.mn)*3//10
+      |        THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+      |    FROM documents d, b),
+      |  src AS (
+      |    SELECT doc_id, 'mrg' AS lang, n_chars * 2 AS n_chars
+      |    FROM documents WHERE doc_id % 10 = 7
+      |    UNION ALL
+      |    SELECT doc_id + 1000000000 AS doc_id, 'new' AS lang,
+      |      42 AS n_chars
+      |    FROM documents WHERE doc_id % 100 = 3),
+      |  merged AS (
+      |    SELECT u.doc_id, COALESCE(s.lang, u.lang) AS lang,
+      |      COALESCE(s.n_chars, u.n_chars) AS n_chars
+      |    FROM upd u LEFT JOIN src s ON u.doc_id = s.doc_id
+      |    UNION ALL
+      |    SELECT s.doc_id, s.lang, s.n_chars FROM src s
+      |    WHERE s.doc_id NOT IN (SELECT doc_id FROM upd))
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM merged
+      |WHERE NOT (lang = 'new' AND doc_id % 2 = 1)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val (cat, _) = sqlDmlStoreFor(s, d)
+    val out = Files.createTempDirectory("graft-ztblstream").toString
+    val q = s.readStream.table(s"$cat.lake.docs")
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/data")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
     q141ZOrderCdcMerge, q142ZOrderPoint, q143ZcdfIvm, q144ZOrderMinMax,
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
     q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite,
-    q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg)
+    q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
+    q155ZTableStream)
 }

@@ -55,7 +55,7 @@ object ZcdfStream {
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-zcdf needs a path: .load(<z-store dir>)"))
 
-  private def supported(dt: DataType): Boolean = dt match {
+  private[sources] def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | TimestampNTZType => true
     case _ => false
@@ -184,6 +184,71 @@ class ZcdfTable(path: String, tschema: StructType) extends Table
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ZcdfMicroBatchStream(path, tschema, options)
     }
+}
+
+/** The graft-z TABLE's streaming read — what makes
+  * `spark.readStream.table("graftz.ns.t")` (and `spark.readStream
+  * .format("graft-z").load(dir)`) tail the store without switching to
+  * the `graft-zcdf` format+path incantation (the r12 verdict's item 4:
+  * "one table, all verbs"). A thin projection over the change-feed
+  * stream: the TABLE's streaming schema is its own columns (Spark
+  * resolves the streaming relation against the table schema), so the
+  * `_epoch`/`_ver` commit coordinates the zcdf wire carries are
+  * projected away (consumers who want them keep the zcdf format). Same
+  * offsets, same admission control, same epoch-rewrite refusal
+  * contract — spec-pinned through the catalog name. */
+private[sources] class ZTableMicroBatchStream(path: String,
+    required: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private val full = ZcdfStream.tableSchema(SparkSession.active, path)
+  private val inner = new ZcdfMicroBatchStream(path, full, options)
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def latestOffset(): Offset = inner.latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def getDefaultReadLimit: ReadLimit = inner.getDefaultReadLimit
+  override def prepareForTriggerAvailableNow(): Unit =
+    inner.prepareForTriggerAvailableNow()
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    inner.planInputPartitions(start, end)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ordinals = required.fields.map { f =>
+      val i = full.fields.indexWhere(_.name.equalsIgnoreCase(f.name))
+      require(i >= 0, s"graft-z stream: column ${f.name} is not in the " +
+        s"store schema (${full.fieldNames.mkString(", ")})")
+      i
+    }
+    ZTableProjectingFactory(inner.createReaderFactory(), ordinals,
+      required.fields.map(f => (f.name, f.dataType.catalogString)))
+  }
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+}
+
+/** Executor-side projection of the zcdf wire row (data ++ coordinates)
+  * onto the TABLE's requested columns. */
+private[sources] case class ZTableProjectingFactory(
+    inner: PartitionReaderFactory, ordinals: Array[Int],
+    fields: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val in = inner.createReader(partition)
+    val schema = StructType(fields.map { case (n, ddl) =>
+      org.apache.spark.sql.types.StructField(n, DataType.fromDDL(ddl))
+    })
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      schema, ordinals.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = { proj.project(in.get()); proj }
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 class ZcdfMicroBatchStream(path: String, tschema: StructType,

@@ -103,13 +103,13 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 = 500 AND k2 = 2")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
         .head().getLong(0) == 899)
-      val eDel = intercept[Exception] {
-        spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 > 5 OR k2 = 1")
-      }
-      assert(eDel.getMessage.toLowerCase.contains("delete"),
-        eDel.getMessage)
+      // a DELETE the exact-band conversion can NOT express (OR) falls
+      // through to the GROUP-BASED copy-on-write row-level operation
+      // (since r13) instead of refusing: same rows gone, exact semantics
+      spark.sql("DELETE FROM graftz.lake.t1 WHERE k1 = 600 OR k1 = 601")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
-        .head().getLong(0) == 899, "a refused DELETE must change nothing")
+        .head().getLong(0) == 897,
+        "an OR-shaped DELETE must run group-based")
       // maintenance verbs in pure SQL: CALL procedures (Spark 4's
       // ProcedureCatalog — the piece Delta needs a parser extension for)
       val folded = spark.sql(
@@ -117,7 +117,7 @@ class SqlSurfaceSpec extends SparkSpec {
         .head().getLong(0)
       assert(folded >= 2, s"optimize folded $folded small files")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
-        .head().getLong(0) == 899, "optimize changed visible rows")
+        .head().getLong(0) == 897, "optimize changed visible rows")
       // restore by CALL: roll the table back to the pre-DELETE snapshot
       val hist2 = spark.read.format("graft-z").option("history", true)
         .load(s"$root/lake/t1").collect()
@@ -165,6 +165,14 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.sql("ALTER TABLE graftz.lake.t1 ADD COLUMN dup ARRAY<INT>")
       }
       assert(eAlter2.getMessage.contains("wire surface"), eAlter2.getMessage)
+      // column rename/drop: the FORMAT CONTRACT is add-only evolution
+      // (decided in r13 after two carries — logical→physical name
+      // indirection would touch every read/write/stat/bloom plane for
+      // the lowest-ranked item); the refusal must SAY so
+      val eAlter3 = intercept[Exception] {
+        spark.sql("ALTER TABLE graftz.lake.t1 DROP COLUMN extra")
+      }
+      assert(eAlter3.getMessage.contains("add-only"), eAlter3.getMessage)
       // TRUNCATE = rebuild to empty (schema + clustering policy survive)
       spark.sql("TRUNCATE TABLE graftz.lake.t1")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
@@ -191,6 +199,132 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.graftz")
       spark.conf.unset("spark.sql.catalog.graftz.root")
+    }
+  }
+
+  test("graftz catalog: SQL UPDATE / MERGE INTO — group-based copy-on-write row-level operations") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ZOrder
+    val root = java.nio.file.Files.createTempDirectory("graft-zdml").toString
+    spark.conf.set("spark.sql.catalog.graftdml", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftdml.root", root)
+    try {
+      val dir = s"$root/dml/t"
+      spark.sql("CREATE NAMESPACE graftdml.dml")
+      spark.sql("""CREATE TABLE graftdml.dml.t
+        (k BIGINT, grp BIGINT, v BIGINT, s STRING) PARTITIONED BY (k, grp)""")
+      spark.sql("""INSERT INTO graftdml.dml.t
+        SELECT id, id % 10, id * 2, concat('s', id) FROM range(1000)""")
+      val filesBefore = ZOrder.listDataFiles(spark, dir).toSet
+
+      // UPDATE with arithmetic SET expressions and a band condition
+      spark.sql("""UPDATE graftdml.dml.t
+        SET v = v + 1000, s = concat(s, '!') WHERE k BETWEEN 100 AND 199""")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftdml.dml.t WHERE s LIKE '%!'")
+        .head().getLong(0) == 100)
+      val wantSum = (0 until 1000).map(_ * 2L).sum + 100 * 1000L
+      assert(spark.sql("SELECT sum(v) FROM graftdml.dml.t")
+        .head().getLong(0) == wantSum, "UPDATE must touch only the band")
+      assert(spark.sql("SELECT count(*) FROM graftdml.dml.t")
+        .head().getLong(0) == 1000, "UPDATE must not change cardinality")
+      // copy-on-write at FILE granularity: the band's files rewrote, the
+      // rest carried by reference into the new epoch
+      val filesAfter = ZOrder.listDataFiles(spark, dir).toSet
+      // a 10% band on a 2-D z-curve overlaps more than 10% of files (k
+      // interleaves with grp), but far less than all of them
+      val carried = (filesBefore intersect filesAfter).size
+      assert(carried >= filesBefore.size / 2 && carried < filesBefore.size,
+        s"banded UPDATE must rewrite O(band) files: ${filesBefore.size} " +
+          s"before, $carried carried")
+      // ... and the pre-update state is still a travel coordinate
+      val hist = ZOrder.describeHistory(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(hist.exists(_._3 == "update"), hist.mkString(","))
+      val (pe, pv, _) = hist.filter(_._3 != "update")
+        .maxBy(h => (h._1, h._2))
+      assert(spark.sql("SELECT sum(v) FROM graftdml.dml.t " +
+        s"VERSION AS OF '$pe:$pv'").head().getLong(0) ==
+        (0 until 1000).map(_ * 2L).sum)
+
+      // an UPDATE whose condition provably matches no file is a no-op:
+      // no new epoch, no version, no rewrite
+      val versBefore = ZOrder.listVersions(spark, dir)
+      spark.sql("UPDATE graftdml.dml.t SET v = 0 WHERE k = 123456")
+      assert(ZOrder.listVersions(spark, dir) == versBefore,
+        "a no-match UPDATE must not commit anything")
+
+      // MERGE INTO: matched rows update, unmatched source rows insert
+      spark.range(990, 1010)
+        .selectExpr("id AS k", "id % 10 AS grp", "id * 100 AS v",
+          "concat('m', id) AS s")
+        .createOrReplaceTempView("updates")
+      spark.sql("""MERGE INTO graftdml.dml.t t USING updates u ON t.k = u.k
+        WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s
+        WHEN NOT MATCHED THEN INSERT (k, grp, v, s)
+          VALUES (u.k, u.grp, u.v, u.s)""")
+      assert(spark.sql("SELECT count(*) FROM graftdml.dml.t")
+        .head().getLong(0) == 1010, "10 source rows must INSERT")
+      // runtime GROUP filtering: the merge condition can never push
+      // statically, but the dynamic-pruning subquery narrows the rewrite
+      // to the files actually holding matched keys (990-999 = the top
+      // z-band) — most files must carry by reference
+      val filesPostMerge = ZOrder.listDataFiles(spark, dir).toSet
+      val carriedMerge = (filesAfter intersect filesPostMerge).size
+      assert(carriedMerge >= filesAfter.size / 2 &&
+        carriedMerge < filesAfter.size,
+        s"MERGE must rewrite O(matched files): ${filesAfter.size} before, " +
+          s"$carriedMerge carried")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftdml.dml.t WHERE s LIKE 'm%'")
+        .head().getLong(0) == 20, "20 source rows must land their s")
+      assert(spark.sql(
+        "SELECT sum(v) FROM graftdml.dml.t WHERE k >= 990")
+        .head().getLong(0) == (990 until 1010).map(_ * 100L).sum)
+      assert(spark.sql(
+        "SELECT count(*) FROM graftdml.dml.t WHERE s LIKE '%!'")
+        .head().getLong(0) == 100, "MERGE must not disturb earlier rows")
+
+      // MERGE with WHEN NOT MATCHED BY SOURCE (delete stragglers)
+      spark.sql("""MERGE INTO graftdml.dml.t t USING updates u ON t.k = u.k
+        WHEN MATCHED THEN UPDATE SET v = u.v
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 1000 THEN DELETE""")
+      assert(spark.sql("SELECT count(*) FROM graftdml.dml.t")
+        .head().getLong(0) == 1010,
+        "k >= 1000 rows all came from `updates`; none may delete")
+
+      // CHECK constraints — added through the CALL surface — validate
+      // the REPLACEMENT rows before a byte lands: an UPDATE that would
+      // violate refuses and changes nothing
+      assert(spark.sql("CALL graftdml.add_constraint(tbl => 'dml.t', " +
+        "name => 'v_nonneg', expr => 'v >= 0')").head().getLong(0) == 1L)
+      val before = spark.sql("SELECT sum(v) FROM graftdml.dml.t")
+        .head().getLong(0)
+      val eCon = intercept[Exception] {
+        spark.sql("UPDATE graftdml.dml.t SET v = -1 WHERE k = 10")
+      }
+      assert(eCon.getMessage.contains("v_nonneg"), eCon.getMessage)
+      assert(spark.sql("SELECT sum(v) FROM graftdml.dml.t")
+        .head().getLong(0) == before,
+        "a CHECK-refused UPDATE must change nothing")
+      // list → drop → the formerly-violating UPDATE lands
+      assert(spark.sql("CALL graftdml.list_constraints(tbl => 'dml.t')")
+        .collect().map(_.getString(0)).toSeq == Seq("v_nonneg"))
+      assert(spark.sql("CALL graftdml.drop_constraint(tbl => 'dml.t', " +
+        "name => 'v_nonneg')").head().getLong(0) == 1L)
+      spark.sql("UPDATE graftdml.dml.t SET v = -1 WHERE k = 10")
+      assert(spark.sql("SELECT sum(v) FROM graftdml.dml.t")
+        .head().getLong(0) == before - 21,
+        "the post-drop UPDATE must land (k=10 held v=20)")
+
+      // a row-level verb against a travel-pinned table refuses
+      val eTv = intercept[Exception] {
+        spark.sql(s"UPDATE graftdml.dml.t VERSION AS OF '$pe:$pv' SET v = 0")
+      }
+      assert(eTv != null)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftdml")
+      spark.conf.unset("spark.sql.catalog.graftdml.root")
     }
   }
 }

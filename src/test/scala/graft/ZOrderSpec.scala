@@ -1296,6 +1296,55 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.format("graft-z").load(dir).count() == 1124)
   }
 
+  test("graft-z scan-plan cache: a DROPPED-and-recreated store at the same path never serves the old store's plan") {
+    // a recreated store restarts at the SAME (e0, v0) coordinates — the
+    // r12 advisor's medium: without the birth-identity (v0 _SUCCESS
+    // mtime) in the key, the second store's reads would plan the first
+    // store's deleted files
+    val dir = Files.createTempDirectory("graft-zplanident").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    ZOrder.writeZOrdered(spark.range(100).select(col("id").as("k1")),
+      dir, Seq("k1"), 2)
+    assert(spark.read.format("graft-z").load(dir).count() == 100)
+    fs.delete(new Path(dir), true) // DROP TABLE
+    ZOrder.writeZOrdered(spark.range(40).select(col("id").as("k1")),
+      dir, Seq("k1"), 2) // CREATE at the same path: same e0/v0 names
+    assert(spark.read.format("graft-z").load(dir).count() == 40,
+      "the recreated store's read hit the dropped store's cached plan")
+  }
+
+  test("graft-z scan-plan cache: eviction is weighed by FILE COUNT, and a store too large for the cache falls through uncached") {
+    val dir = Files.createTempDirectory("graft-zplanweight").toString
+    ZOrder.writeZOrdered(spark.range(4096).select(col("id").as("k1"),
+      (col("id") % 7).as("k2")), dir, Seq("k1", "k2"), 24) // 24 files
+    val prev = ZOrder.scanPlanCacheMaxWeight
+    ZOrder.scanPlanCacheMaxWeight = 40 // fits ONE 24-file entry, not two
+    try {
+      def misses = ZOrder.scanPlanMisses.get()
+      def read(lo: Long, hi: Long) = spark.read.format("graft-z").load(dir)
+        .filter(col("k1").between(lo, hi)).count()
+      read(0L, 4095L) // caches the full-store entry (weight ≤ 24… plus)
+      assert(ZOrder.scanPlanCacheWeight <= 40,
+        s"aggregate weight ${ZOrder.scanPlanCacheWeight} exceeds the bound")
+      // 33+ distinct keys: weight stays bounded regardless of entry count
+      (0 until 34).foreach(i => read(i * 10L, i * 10L + 5L))
+      assert(ZOrder.scanPlanCacheWeight <= 40,
+        s"aggregate weight ${ZOrder.scanPlanCacheWeight} exceeds the " +
+          "bound after 34 distinct keys — eviction must weigh file counts")
+      // huge-store fall-through: an entry that ALONE exceeds the bound is
+      // never cached — identical repeat reads keep planning uncached
+      ZOrder.scanPlanCacheMaxWeight = 10
+      val m0 = misses
+      assert(read(1L, 4000L) == 4000)
+      val m1 = misses
+      assert(m1 > m0)
+      assert(read(1L, 4000L) == 4000)
+      assert(misses > m1, // the identical repeat read must MISS again
+        "an over-bound store's plan must fall through, not pin the cache")
+    } finally ZOrder.scanPlanCacheMaxWeight = prev
+  }
+
   test("graft-z table pushdown consults bloom sidecars: a point equality on an unclustered column plans only might-contain files") {
     val dir = Files.createTempDirectory("graft-ztbloom").toString
     val df = spark.range(2048).select(col("id"),
@@ -1325,6 +1374,56 @@ class ZOrderSpec extends SparkSpec {
       assert(a.rdd.getNumPartitions <= 2,
         s"absent probe planned ${a.rdd.getNumPartitions} files")
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("streaming read THROUGH the catalog table name: incremental tailing, schema = the table's, epoch rewrite refuses with the full-refresh cause") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-ztblstr").toString
+    spark.conf.set("spark.sql.catalog.graftzstr", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftzstr.root", root)
+    val out = Files.createTempDirectory("graft-ztblstrout").toString
+    try {
+      spark.sql("CREATE NAMESPACE graftzstr.ns")
+      spark.sql("""CREATE TABLE graftzstr.ns.t (k BIGINT, s STRING)
+        PARTITIONED BY (k)""")
+      spark.sql(
+        "INSERT INTO graftzstr.ns.t SELECT id, concat('a', id) FROM range(100)")
+      def run(): Unit = {
+        val q = spark.readStream.table("graftzstr.ns.t")
+          .writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      val got = spark.read.parquet(s"$out/data")
+      // the TABLE's schema, not the zcdf wire's (no commit coordinates)
+      assert(got.schema.fieldNames.toSeq == Seq("k", "s"),
+        got.schema.treeString)
+      assert(got.count() == 100)
+      // a later INSERT tails INCREMENTALLY from the same checkpoint
+      spark.sql("INSERT INTO graftzstr.ns.t " +
+        "SELECT id, concat('a', id) FROM range(100, 150)")
+      run()
+      assert(spark.read.parquet(s"$out/data").count() == 150,
+        "the resumed stream must deliver exactly the new commit")
+      // an epoch rewrite (INSERT OVERWRITE) breaks the delta contract:
+      // the resumed stream refuses with the full-refresh message in its
+      // cause chain (readers of the failure must search the causes)
+      spark.sql("INSERT OVERWRITE graftzstr.ns.t " +
+        "SELECT id, 'z' FROM range(10)")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run()
+      }
+      val causes = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(causes.contains("full-refresh"), causes)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftzstr")
+      spark.conf.unset("spark.sql.catalog.graftzstr.root")
+    }
   }
 
   test("graft-z CREATE-on-write: the full store lifecycle through the table surface alone (no programmatic API)") {

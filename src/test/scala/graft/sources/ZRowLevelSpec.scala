@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The group-based row-level operation's commit contract
+  * ([[ZOrder.replaceScannedFiles]]): scan-snapshot vs commit-time world
+  * reconciliation, concurrent-append rollforward, staging hygiene. Lives
+  * in `graft.sources` to drive the private scan/commit halves directly —
+  * the SQL-visible behavior is pinned in SqlSurfaceSpec and q154. */
+class ZRowLevelSpec extends SparkSpec {
+
+  private def mkStore(n: Long): String = {
+    val dir = Files.createTempDirectory("graft-zrlo").toString
+    ZOrder.writeZOrdered(
+      spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 4)
+    dir
+  }
+
+  test("a concurrent EPOCH rewrite between scan and commit refuses loudly; the replacement never lands") {
+    val dir = mkStore(1000)
+    val (snap, files, schema) =
+      ZOrder.planRowLevelScan(spark, dir, Seq(("k", Some(100L), Some(199L))),
+        Seq.empty)
+    assert(files.nonEmpty)
+    // a concurrent writer swaps the epoch (any rewrite: delete/optimize/
+    // overwrite) after the scan resolved its snapshot
+    ZOrder.writeZOrdered(
+      spark.range(500).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 4)
+    val replacement = spark.range(100, 200)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
+        replacement, "update")
+    }
+    assert(e.getMessage.contains("concurrent rewrite"), e.getMessage)
+    // nothing landed: the table is exactly the rewrite's 500 rows
+    assert(ZOrder.readSnapshot(spark, dir).count() == 500)
+    assert(ZOrder.readSnapshot(spark, dir)
+      .filter(col("v") === -1L).count() == 0)
+  }
+
+  test("a concurrent lock-free APPEND between scan and commit rolls forward: no row lost, the operation's rewrite lands") {
+    val dir = mkStore(1000)
+    val bounds = Seq(("k", Some(0L), Some(99L)))
+    val (snap, files, schema) =
+      ZOrder.planRowLevelScan(spark, dir, bounds, Seq.empty)
+    // a concurrent appender lands AFTER the scan's snapshot resolved
+    ZOrder.appendZOrdered(
+      spark.range(5000, 5100).select(col("id").as("k"),
+        (col("id") * 2).as("v")),
+      dir, Seq("k"), 1, Seq.empty, Some("late-append"))
+    // the operation's replacement: the scanned band with v zeroed, plus
+    // the scanned files' untouched rows carried through (what Spark's
+    // ReplaceData computes) — here simulated over the scanned file set
+    val scanned = spark.read.schema(schema)
+      .parquet(files.map(f => s"$dir/${f._1}"): _*)
+    val replacement = scanned.select(col("k"),
+      when(col("k").between(0L, 99L), lit(0L)).otherwise(col("v")).as("v"))
+    ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
+      replacement, "update")
+    val after = ZOrder.readSnapshot(spark, dir)
+    assert(after.count() == 1100, "the concurrent append must roll forward")
+    assert(after.filter(col("k") >= 5000L).count() == 100)
+    assert(after.filter(col("v") === 0L).count() == 100,
+      "the operation's own rewrite must land")
+    // ... and the rolled-forward append keeps its exactly-once tag: a
+    // replay of the same tagged batch stays a no-op
+    ZOrder.appendZOrdered(
+      spark.range(5000, 5100).select(col("id").as("k"),
+        (col("id") * 2).as("v")),
+      dir, Seq("k"), 1, Seq.empty, Some("late-append"))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+      "a replayed tagged append after the rollforward must not re-land")
+  }
+
+  test("SQL row-level statements leave no staging residue under _ztmp (success AND refusal paths)") {
+    val root = Files.createTempDirectory("graft-zrlostage").toString
+    spark.conf.set("spark.sql.catalog.graftrlo", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftrlo.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE graftrlo.ns")
+      spark.sql("""CREATE TABLE graftrlo.ns.t (k BIGINT, v BIGINT)
+        PARTITIONED BY (k)""")
+      spark.sql("INSERT INTO graftrlo.ns.t SELECT id, id FROM range(100)")
+      spark.sql("UPDATE graftrlo.ns.t SET v = v + 1 WHERE k < 50")
+      ZOrder.addCheckConstraint(spark, s"$root/ns/t", "v_pos", "v >= 0")
+      intercept[Exception] {
+        spark.sql("UPDATE graftrlo.ns.t SET v = -5 WHERE k = 1")
+      }
+      val tmp = new Path(s"$root/ns/t/_ztmp")
+      val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(tmp) || fs.listStatus(tmp).isEmpty,
+        "row-level staging dirs must be cleaned on commit AND abort")
+      assert(spark.sql(
+        "SELECT sum(v) FROM graftrlo.ns.t").head().getLong(0) ==
+        (0 until 100).map(_.toLong).sum + 50,
+        "the refused UPDATE must have changed nothing")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftrlo")
+      spark.conf.unset("spark.sql.catalog.graftrlo.root")
+    }
+  }
+
+  test("_file metadata column: SELECT _file matches the manifest's file identities; a data column shadows it") {
+    val dir = mkStore(500)
+    val got = spark.read.format("graft-z").load(dir)
+      .select(org.apache.spark.sql.functions.col("_file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got == ZOrder.listDataFiles(spark, dir).toSet,
+      "_file must be the store-relative manifest identity")
+    // per-row consistency: every row's _file really contains that row
+    val sample = spark.read.format("graft-z").load(dir)
+      .filter(col("k") === 123L)
+      .select(col("_file"), col("k")).head()
+    val inFile = spark.read.parquet(s"$dir/${sample.getString(0)}")
+      .filter(col("k") === 123L).count()
+    assert(inFile == 1L, "_file must name the file holding the row")
+  }
+
+  test("an UPDATE matching no rows in scanned files still commits exact state (best-effort pruning keeps files)") {
+    val dir = mkStore(200)
+    // bounds that PRUNE nothing (every file overlaps) but match no row:
+    // k is even-valued nowhere… use a condition inside range with no hits
+    val (snap, files, schema) =
+      ZOrder.planRowLevelScan(spark, dir, Seq(("k", Some(50L), Some(50L))),
+        Seq.empty)
+    // Spark's replacement for "SET v=0 WHERE k=50": all scanned rows,
+    // one transformed
+    val scanned = spark.read.schema(schema)
+      .parquet(files.map(f => s"$dir/${f._1}"): _*)
+    val replacement = scanned.select(col("k"),
+      when(col("k") === 50L, lit(0L)).otherwise(col("v")).as("v"))
+    ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
+      replacement, "update")
+    val after = ZOrder.readSnapshot(spark, dir)
+    assert(after.count() == 200)
+    assert(after.filter(col("k") === 50L).head().getLong(1) == 0L)
+    assert(after.filter(col("v") === col("k") * 2).count() == 199)
+  }
+}
