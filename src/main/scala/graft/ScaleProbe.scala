@@ -370,8 +370,15 @@ object ScaleProbe {
       }),
     )
 
+    // ad-hoc iteration knob: SPARK_GRAFT_PROBE_FILTER=q48 runs only the
+    // matching probes (substring match); unset = the full committed record
+    val probeFilter = sys.env.get("SPARK_GRAFT_PROBE_FILTER")
+    val selected = probeFilter match {
+      case Some(f) => probes.filter(_._1.contains(f))
+      case None => probes
+    }
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =
-      probes.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val rows = fn(dir, scale).count()
         (name, (System.nanoTime() - t0) / 1e9, rows)

@@ -871,9 +871,50 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
     * makes the pigeonhole lossless (DedupSpec proves both, indels
     * included); evaluated BEFORE the banded levenshtein in the join
     * condition, so ~60% of content-collision candidates on a
-    * low-entropy corpus never reach the O(τ·n) verify. */
+    * low-entropy corpus never reach the O(τ·n) verify.
+    *
+    * Frequency-split BOILERPLATE defense (r13). The probe decomposition
+    * measured candidate PAIRS growing 83× at a 10× corpus while true
+    * matches grew 10× — single-segment content collisions on the
+    * low-entropy synthetic corpus grow quadratically. Keys above the
+    * hot cap therefore additionally require a matching COMPLEMENT
+    * sub-piece: every edit of a ≤τ script lives outside the intact
+    * segment, so partitioning the complement into 6 sub-pieces leaves
+    * ≥1 intact (the same pigeonhole applied to the region that absorbed
+    * the edits), appearing in the other key at a consistency-bounded
+    * shift (three-region rule: |t| + |s−t| + |Δ−s| ≤ τ when the
+    * sub-piece precedes the segment, mirrored when it follows).
+    *
+    * What the measurements decided (BENCH_SCALE_r13 + a DuckDB floor
+    * probe): on the UNIFORM synthetic corpus the composite key cuts
+    * candidates only 1.34–1.75× — 75% of random collision pairs also
+    * share a second ~8-char window when every window is ~2 words from a
+    * 31-word vocabulary — while the probe-side sub-emission costs up to
+    * 10×. The candidate set of the direct join is pigeonhole-minimal
+    * (exactly the pairs with intact-segment evidence), so its growth on
+    * this corpus is a DATA property, not a plan defect. The hot plane
+    * is therefore tuned as a SKEW defense, not a uniform-corpus win:
+    * the adaptive cap (max(64, 1% of corpus)) engages it only for
+    * boilerplate-grade keys — the real 100 TB failure mode, where a
+    * shared prefix ("http://www.") would otherwise cross-product the
+    * whole corpus. Uniform corpora route everything direct and pay one
+    * window pass; DedupSpec pins exactness under a planted boilerplate
+    * corpus AND the ≥5× candidate cut the split buys there.
+    *
+    * Still LOSSLESS at any cap: a true pair's intact segment key is
+    * either cold (direct plane catches it) or hot — and then the
+    * complement pigeonhole guarantees the second key matches too.
+    * DedupSpec pins both planes (hotCap = 0 forces everything through
+    * the hot plane) on the corpus and the indel fixtures. */
   private[graft] def linkagePairs(keyed: DataFrame,
-      verify: Boolean = true): DataFrame = {
+      verify: Boolean = true, hotCap: Long = -1L): DataFrame = {
+    // adaptive default: hot = boilerplate-grade (a key covering >1% of the
+    // corpus, never fewer than LinkHotCap members). Folded driver-side
+    // like every other plan-literal bound (q74/q121 pattern); uniform
+    // corpora route everything direct and pay only the window pass.
+    val cap: Long =
+      if (hotCap >= 0L) hotCap
+      else math.max(LinkHotCap.toLong, keyed.count() / 100L)
     val segs = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("band").as("band_a"), col("key").as("key_a"),
       explode(array(LinkSegments.zipWithIndex.map { case ((p, l), i) =>
@@ -890,18 +931,88 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
     val shiftOk = abs(col("sub.shift")) +
       abs(delta - col("sub.shift")) <= LinkMaxDist
     val dist = levenshtein(col("key_a"), col("key_b"), LinkMaxDist)
-    val cond0 =
+    val keyEq =
       col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
         col("seg.seg_id") === col("sub.seg_id") &&
-        col("seg.piece") === col("sub.piece") &&
-        col("doc_a") < col("doc_b") && shiftOk
-    if (!verify) // the probe's candidate plane: pairs entering verify
-      segs.join(subs, cond0)
-        .select(col("doc_a"), col("doc_b")).distinct()
-    else
-      segs.join(subs, cond0 && dist =!= -1)
-        .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
-        .distinct()
+        col("seg.piece") === col("sub.piece")
+    val pairOk = col("doc_a") < col("doc_b") && shiftOk
+    val verifyOk = if (verify) dist =!= -1 else lit(true)
+
+    // Hot-key detection is a BOUNDED driver-side fold (the q50/q74
+    // plan-literal contract): at the adaptive cap the set holds at most
+    // 6 segments × corpus/cap ≈ 600 keys, each one a short string. The
+    // explicit-cap parameter is a test hook (specs force hotCap = 0 on
+    // spec-scale corpora only). Routing between the planes is purely a
+    // performance decision — both planes are exact for any key — so a
+    // delimiter collision in the encoded key could only mis-route, never
+    // lose a pair.
+    def keyEnc(lang: Column, band: Column, seg: Column, piece: Column) =
+      concat_ws("", lang, band, seg, piece)
+    val hotKeys: Seq[String] = segs
+      .groupBy(keyEnc(col("lang_a"), col("band_a"), col("seg.seg_id"),
+        col("seg.piece")).as("hk")).count()
+      .filter(col("count") > cap).select(col("hk"))
+      .collect().map(_.getString(0)).toSeq
+
+    if (hotKeys.isEmpty) {
+      // skew-free corpus: exactly the direct pigeonhole join, no split
+      val direct = segs.join(subs, keyEq && pairOk && verifyOk)
+      if (!verify) direct.select(col("doc_a"), col("doc_b")).distinct()
+      else direct.select(col("doc_a"), col("doc_b"),
+        dist.cast("long").as("dist")).distinct()
+    } else {
+      val segHot =
+        keyEnc(col("lang_a"), col("band_a"), col("seg.seg_id"),
+          col("seg.piece")).isin(hotKeys: _*)
+      val subHot =
+        keyEnc(col("lang_b"), col("band_b"), col("sub.seg_id"),
+          col("sub.piece")).isin(hotKeys: _*)
+      val cold = segs.filter(!segHot)
+        .join(subs.filter(!subHot), keyEq && pairOk && verifyOk)
+        .select(col("doc_a"), col("doc_b"), col("key_a"), col("key_b"))
+
+      // hot plane: explode the complement sub-pieces of the matched
+      // segment (positions are literals per (seg_id, sub_id); the probe
+      // side emits every consistency-feasible sub-shift)
+      val segSub = element_at(array(LinkSubSegments.map { pieces =>
+        array(pieces.zipWithIndex.map { case ((p, l, _), j) =>
+          struct(lit(j).as("sub_id"),
+            substring(col("key_a"), p, l).as("piece"))
+        }: _*)
+      }: _*), col("seg.seg_id") + 1)
+      val subSub = element_at(array(LinkSubSegments.map { pieces =>
+        array((for {
+          ((p, l, after), j) <- pieces.zipWithIndex
+          t <- math.max(1 - p, -LinkMaxDist) to LinkMaxDist
+        } yield struct(lit(j).as("sub_id"), lit(t).as("shift"),
+          lit(after).as("after"),
+          substring(col("key_b"), p + t, l).as("piece"))): _*)
+      }: _*), col("sub.seg_id") + 1)
+      val s = col("sub.shift")
+      val t = col("sub2.shift")
+      val threeRegionOk = when(col("sub2.after"),
+        abs(s) + abs(t - s) + abs(delta - t))
+        .otherwise(abs(t) + abs(s - t) + abs(delta - s)) <= LinkMaxDist
+      val hotPairs = segs.filter(segHot)
+        .select(col("doc_a"), col("lang_a"), col("band_a"), col("key_a"),
+          col("seg"), explode(segSub).as("seg2"))
+        .join(subs.filter(subHot)
+            .select(col("doc_b"), col("lang_b"), col("band_b"), col("key_b"),
+              col("sub"), explode(subSub).as("sub2")),
+          keyEq && col("seg2.sub_id") === col("sub2.sub_id") &&
+            col("seg2.piece") === col("sub2.piece") &&
+            pairOk && threeRegionOk && verifyOk)
+        .select(col("doc_a"), col("doc_b"), col("key_a"), col("key_b"))
+
+      val both = cold.unionAll(hotPairs)
+      if (!verify) // the probe's candidate plane: pairs entering verify
+        both.select(col("doc_a"), col("doc_b")).distinct()
+      else
+        both.select(col("doc_a"), col("doc_b"),
+            levenshtein(col("key_a"), col("key_b"), LinkMaxDist)
+              .cast("long").as("dist"))
+          .distinct()
+    }
   }
 
   /** PassJoin segmentation of the 64-char linkage key: MaxDist+1 = 6
@@ -910,6 +1021,41 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
   val LinkMaxDist = 5
   val LinkSegments: Seq[(Int, Int)] =
     Seq((1, 11), (12, 11), (23, 11), (34, 11), (45, 10), (55, 10))
+
+  /** Floor of the adaptive hot cap (the resolved cap is
+    * max(LinkHotCap, corpus/100)): keys at or under it always join
+    * directly; only boilerplate-grade keys — >1% of the corpus sharing
+    * one segment's content — take the complement sub-piece plane. Env
+    * override is for scale-probe experiments only. */
+  val LinkHotCap = sys.env.get("SPARK_GRAFT_LINK_HOTCAP").map(_.toInt).getOrElse(64)
+
+  /** Complement sub-segmentation for the hot plane: for each segment i,
+    * 6 disjoint (pos, len, followsSegment) pieces covering every key char
+    * OUTSIDE segment i — the region all ≤τ edits live in when segment i
+    * is intact, so ≥1 sub-piece is intact in any ≤τ pair (the pigeonhole
+    * again). Pieces never span the segment (each sits wholly before or
+    * after it — the `followsSegment` flag drives the three-region shift
+    * consistency). */
+  val LinkSubSegments: Seq[Seq[(Int, Int, Boolean)]] = LinkSegments.map {
+    case (p, l) =>
+      val spans = Seq((1, p - 1, false), (p + l, 64 - (p + l) + 1, true))
+        .filter(_._2 > 0)
+      val total = spans.map(_._2).sum
+      val nPieces = 6
+      val alloc =
+        if (spans.size == 2) {
+          val a0 = math.min(nPieces - 1, math.max(1,
+            math.round(nPieces.toDouble * spans.head._2 / total).toInt))
+          Seq(a0, nPieces - a0)
+        } else Seq(nPieces)
+      spans.zip(alloc).flatMap { case ((start, len, after), k) =>
+        (0 until k).map { j =>
+          val s0 = start + j * len / k
+          val s1 = start + (j + 1) * len / k
+          (s0, s1 - s0, after)
+        }
+      }
+  }
 
   // ---- q97: duplicated-span removal (sub-document dedup) ------------------
 

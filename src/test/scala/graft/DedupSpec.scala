@@ -181,6 +181,61 @@ class DedupSpec extends SparkSpec {
       assert(found.exists(p => p._1 == 1L && p._2 == id),
         s"prefilter lost pair (1,$id) in $found")
     assert(!found.exists(p => p._1 == 6L || p._2 == 6L))
+
+    // 3. the frequency-split HOT plane: hotCap = 0 forces every key
+    //    through the composite complement-sub-piece join — it must emit
+    //    exactly the plain join's pairs on the corpus AND keep every
+    //    indel fixture pair (losslessness of the second pigeonhole)
+    val hotAll = Dedup.linkagePairs(Dedup.linkageKeyed(spark, sfDir),
+        hotCap = 0).as[(Long, Long, Long)].collect().toSet
+    assert(hotAll == plain, "hot plane diverged from the plain join")
+    val hotFix = Dedup.linkagePairs(Dedup.linkageKeyed(spark, fixtureDir),
+        hotCap = 0).as[(Long, Long, Long)].collect().toSet
+    assert(hotFix == found, "hot plane diverged on the indel fixtures")
+  }
+
+  test("q48 boilerplate skew: the hot plane cuts the cross-product and stays exact") {
+    // the 100 TB failure mode the adaptive cap defends against: every key
+    // shares segment 0 ("http://www." — exactly the first 11-char
+    // segment), so the direct pigeonhole join cross-products the WHOLE
+    // corpus; high-entropy hex suffixes mean the complement sub-piece key
+    // keeps only true near-dups. Every 10th doc gets a 3-substitution
+    // variant (the planted true pairs).
+    val n = 500
+    val baseDocs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("http://www."),
+        substring(concat(md5(col("id").cast("string")),
+          md5((col("id") + 1000000L).cast("string"))), 1, 53)).as("text"))
+    val variants = baseDocs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(substring(col("text"), 1, 29), lit("ZZZ"),
+          expr("substring(text, 33)")).as("text"))
+    val keyed = baseDocs.unionAll(variants).withColumn("lang", lit("en"))
+      .select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).as("band"),
+        substring(col("text"), 1, 64).as("key"))
+
+    val direct = Dedup.linkagePairs(keyed, verify = false,
+      hotCap = Long.MaxValue).count()
+    val split = Dedup.linkagePairs(keyed, verify = false).count()
+    assert(direct > n.toLong * n / 4,
+      s"planted skew failed to cross-product the direct plane ($direct)")
+    assert(split * 5 <= direct,
+      s"hot plane cut candidates only $direct -> $split")
+
+    val got = Dedup.linkagePairs(keyed).as[(Long, Long, Long)].collect().toSet
+    val a = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("band").as("band_a"), col("key").as("key_a"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    val dist2 = levenshtein(col("key_a"), col("key_b"), 5)
+    val plain2 = a.join(b,
+        col("lang_a") === col("lang_b") && col("band_a") === col("band_b") &&
+          col("doc_a") < col("doc_b") && dist2 =!= -1)
+      .select(col("doc_a"), col("doc_b"), dist2.cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == plain2, "split join diverged from plain under skew")
+    assert(plain2.size >= n / 10, "planted variants missing from the truth")
   }
 
   test("q46 bloom prefilter is exact: identical to the plain semi-join") {
