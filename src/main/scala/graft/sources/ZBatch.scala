@@ -346,6 +346,35 @@ class ZBatchTable(path: String, tschema: StructType,
   override def name(): String = s"graft-z:$path" +
     pinnedTravel.map(t => s"@e${t._1}v${t._2}").getOrElse("")
 
+  /** The recorded clustering keys surface as identity partitioning and
+    * the commit coordinates as table properties, so plain `DESCRIBE
+    * TABLE EXTENDED` / `SHOW CREATE TABLE` / `SHOW TBLPROPERTIES` tell a
+    * SQL user the store's layout and travel coordinates without
+    * `CALL graftz.history`. Purely informational: write distribution
+    * comes from the write path's own clustering, never from here. */
+  override def partitioning(): Array[Transform] =
+    ZOrder.recordedZcols(SparkSession.active, path).getOrElse(Seq.empty)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft-z")
+    ZOrder.recordedZcols(SparkSession.active, path)
+      .foreach(cs => m.put("z.clustering", cs.mkString(",")))
+    pinnedTravel match {
+      case Some((e, v)) =>
+        m.put("z.travel.epoch", e.toString)
+        m.put("z.travel.version", v.toString)
+      case None =>
+        ZOrder.currentSnapshot(SparkSession.active, path).foreach { snap =>
+          m.put("z.epoch", snap.epoch.toString)
+          m.put("z.versions", snap.vdirs.size.toString)
+        }
+    }
+    m
+  }
+
   private def refuseWriteToPast(): Unit =
     require(pinnedTravel.isEmpty,
       s"$path VERSION/TIMESTAMP AS OF is a read-only snapshot — writes, " +

@@ -327,4 +327,55 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graftdml.root")
     }
   }
+
+  test("graftz catalog: CTAS, DESCRIBE/SHOW CREATE layout surface, unconditional DELETE") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zinfo").toString
+    spark.conf.set("spark.sql.catalog.graftinfo", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftinfo.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE graftinfo.lake")
+      spark.sql("""CREATE TABLE graftinfo.lake.src
+        (k1 BIGINT, k2 BIGINT, s STRING) PARTITIONED BY (k1, k2)""")
+      spark.sql("""INSERT INTO graftinfo.lake.src
+        SELECT id, id % 8, concat('x', id) FROM range(200)""")
+
+      // CTAS: schema + rows from the query, clustering keys recorded
+      spark.sql("""CREATE TABLE graftinfo.lake.ctas PARTITIONED BY (k1)
+        AS SELECT k1, s FROM graftinfo.lake.src""")
+      assert(spark.sql("SELECT count(*) FROM graftinfo.lake.ctas")
+        .head().getLong(0) == 200)
+      val ctasProps = spark.sql("SHOW TBLPROPERTIES graftinfo.lake.ctas")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(ctasProps.get("z.clustering").contains("k1"),
+        s"CTAS must record its clustering keys: $ctasProps")
+
+      // DESCRIBE EXTENDED / SHOW CREATE TABLE show the store layout —
+      // the informational surface a SQL user reads instead of manifests
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED graftinfo.lake.src")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("# Partition Information"), desc)
+      val ddl = spark.sql("SHOW CREATE TABLE graftinfo.lake.src")
+        .head().getString(0)
+      assert(ddl.contains("PARTITIONED BY (k1, k2)"), ddl)
+      assert(ddl.contains("'z.clustering' = 'k1,k2'"), ddl)
+      val props = spark.sql("SHOW TBLPROPERTIES graftinfo.lake.src")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("z.epoch").contains("0") &&
+        props.contains("z.versions"), props.toString)
+
+      // unconditional DELETE = the truncate path (new epoch; the old one
+      // remains a travel coordinate)
+      spark.sql("DELETE FROM graftinfo.lake.ctas")
+      assert(spark.sql("SELECT count(*) FROM graftinfo.lake.ctas")
+        .head().getLong(0) == 0)
+      // v0 is CTAS's empty create-commit; v1 is the query's write
+      assert(spark.sql(
+        "SELECT count(*) FROM graftinfo.lake.ctas VERSION AS OF '0:1'")
+        .head().getLong(0) == 200,
+        "pre-delete snapshot must stay reachable")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftinfo")
+      spark.conf.unset("spark.sql.catalog.graftinfo.root")
+    }
+  }
 }
