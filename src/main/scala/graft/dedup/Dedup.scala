@@ -908,13 +908,6 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
     * the hot plane) on the corpus and the indel fixtures. */
   private[graft] def linkagePairs(keyed: DataFrame,
       verify: Boolean = true, hotCap: Long = -1L): DataFrame = {
-    // adaptive default: hot = boilerplate-grade (a key covering >1% of the
-    // corpus, never fewer than LinkHotCap members). Folded driver-side
-    // like every other plan-literal bound (q74/q121 pattern); uniform
-    // corpora route everything direct and pay only the window pass.
-    val cap: Long =
-      if (hotCap >= 0L) hotCap
-      else math.max(LinkHotCap.toLong, keyed.count() / 100L)
     val segs = keyed.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
       col("band").as("band_a"), col("key").as("key_a"),
       explode(array(LinkSegments.zipWithIndex.map { case ((p, l), i) =>
@@ -938,21 +931,38 @@ comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)"""
     val pairOk = col("doc_a") < col("doc_b") && shiftOk
     val verifyOk = if (verify) dist =!= -1 else lit(true)
 
-    // Hot-key detection is a BOUNDED driver-side fold (the q50/q74
-    // plan-literal contract): at the adaptive cap the set holds at most
-    // 6 segments × corpus/cap ≈ 600 keys, each one a short string. The
-    // explicit-cap parameter is a test hook (specs force hotCap = 0 on
-    // spec-scale corpora only). Routing between the planes is purely a
-    // performance decision — both planes are exact for any key — so a
-    // delimiter collision in the encoded key could only mis-route, never
-    // lose a pair.
+    // Hot-key detection is ONE aggregation job and a BOUNDED driver-side
+    // fold (the q50/q74 plan-literal contract): the corpus total (for the
+    // adaptive cap, max(64, corpus/100)) and the over-floor keys ride the
+    // same pass — every row emits exactly one seg_id=0 segment, so the
+    // doc count is the sum of segment-0 group sizes. The over-floor list
+    // is sorted by count and sliced to 10k entries, which provably
+    // contains every adaptive-hot key (at most 6 segments x 100 keys can
+    // exceed 1% of the corpus); the explicit-cap parameter is a test hook
+    // (specs force hotCap = 0 on spec-scale corpora only). Routing
+    // between the planes is purely a performance decision — both planes
+    // are exact for any key — so a delimiter collision in the encoded
+    // key could only mis-route, never lose a pair.
     def keyEnc(lang: Column, band: Column, seg: Column, piece: Column) =
-      concat_ws("", lang, band, seg, piece)
-    val hotKeys: Seq[String] = segs
-      .groupBy(keyEnc(col("lang_a"), col("band_a"), col("seg.seg_id"),
-        col("seg.piece")).as("hk")).count()
-      .filter(col("count") > cap).select(col("hk"))
-      .collect().map(_.getString(0)).toSeq
+      concat_ws("\u0001", lang, band, seg, piece)
+    val collectFloor = if (hotCap >= 0L) hotCap else LinkHotCap.toLong
+    val statsRow = segs
+      .groupBy(col("lang_a"), col("band_a"), col("seg.seg_id").as("sid"),
+        col("seg.piece").as("pc")).count()
+      .agg(
+        sum(when(col("sid") === 0, col("count")).otherwise(lit(0L)))
+          .as("docs"),
+        slice(sort_array(collect_list(when(col("count") > collectFloor,
+          struct(col("count").as("n"),
+            keyEnc(col("lang_a"), col("band_a"), col("sid"), col("pc"))
+              .as("k")))), asc = false), 1, 10000).as("top"))
+      .head()
+    val docs = Option(statsRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val cap: Long =
+      if (hotCap >= 0L) hotCap
+      else math.max(LinkHotCap.toLong, docs / 100L)
+    val hotKeys: Seq[String] = statsRow.getSeq[org.apache.spark.sql.Row](1)
+      .filter(_.getLong(0) > cap).map(_.getString(1))
 
     if (hotKeys.isEmpty) {
       // skew-free corpus: exactly the direct pigeonhole join, no split

@@ -108,8 +108,13 @@ object Lease {
       // (it is already past-deadline, so the break is immediate).
       // Residual window: a filesystem whose delete itself stalls past
       // the margin — on stores where that matters, size ExpiryMarginMs
-      // to the store's worst-case metadata-op latency.
-      if (System.currentTimeMillis() + ExpiryMarginMs < deadline.get &&
+      // to the store's worst-case metadata-op latency. The margin scales
+      // down with short TTLs (min(margin, ttl/2)): a fixed 30 s margin
+      // would mean a 20 s-TTL lease is NEVER deleted on release and every
+      // back-to-back writer waits out the full TTL — a short-TTL caller
+      // is implicitly accepting proportionally tighter latency budgets.
+      val releaseMargin = math.min(ExpiryMarginMs, ttlMs / 2)
+      if (System.currentTimeMillis() + releaseMargin < deadline.get &&
           readInfo(fs, p).exists(_._3.contains(nonce)))
         fs.delete(p, false)
     }

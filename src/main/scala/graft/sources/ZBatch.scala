@@ -505,6 +505,14 @@ class ZBatchTable(path: String, tschema: StructType,
     refuseWriteToPast()
     require(tschema.nonEmpty,
       s"$path holds no committed z-store yet — nothing to ${info.command}")
+    // a data column named `_file` shadows the metadata column the
+    // group-based rewrite keys its affected-file pruning on — the
+    // catalog refuses the name at CREATE, and stores built around the
+    // catalog refuse here rather than mis-resolve
+    require(!tschema.exists(_.name.equalsIgnoreCase(ZBatch.FileCol)),
+      s"$path: row-level ${info.command} needs the ${ZBatch.FileCol} " +
+        "metadata column, but a data column shadows it — rename the " +
+        "data column")
     () => new ZRowLevelOperation(path, info.command())
   }
 

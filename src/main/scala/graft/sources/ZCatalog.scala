@@ -286,6 +286,7 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident)
     require(!ZOrder.storeExists(s, dir),
       s"table $catalogName.$ident already exists ($dir)")
+    ZOrder.invalidateScanPlans(dir) // out-of-band dir replacement defense
     val declared = partitions.toSeq.map {
       case t if t.name == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
@@ -321,6 +322,14 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
         s"CREATE TABLE $catalogName.$ident: column ${f.name} has type " +
           s"${f.dataType.simpleString}; the table wire surface supports " +
           "long/int/double/float/string/boolean/timestamp[_ntz]")
+      // `_file` is the table's metadata column AND the group identity
+      // the row-level operations prune and replace by — a data column
+      // of that name would shadow it (Spark's rule) and break SQL
+      // UPDATE/MERGE/DELETE, so it is reserved
+      require(!f.name.equalsIgnoreCase(ZBatch.FileCol),
+        s"CREATE TABLE $catalogName.$ident: ${ZBatch.FileCol} is the " +
+          "reserved row-metadata column (file identity of each row); " +
+          "pick another column name")
     }
     // an empty committed store: schema-only epoch-0 manifest + the
     // recorded clustering policy — INSERTs append against it
@@ -365,6 +374,10 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     if (!ZOrder.storeExists(s, dir)) false
     else {
       val p = new Path(dir)
+      // drop the store's cached scan plans too: a recreate at this path
+      // restarts at e0/v0, and on a coarse-mtime filesystem the birth
+      // identity alone could collide within one tick
+      ZOrder.invalidateScanPlans(dir)
       StoreMaint.fsFor(s, p).delete(p, true)
     }
   }

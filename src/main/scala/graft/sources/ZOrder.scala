@@ -258,10 +258,16 @@ object ZOrder {
     * old epoch and files stay readable until [[vacuumOrphans]]. Stats for
     * `statCols` (default: the z columns) ride the epoch's v0 manifest. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
+      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+    // bootstrap of a fresh store at a previously-used path restarts the
+    // epoch names — drop any cached plans of the old occupant (same-tick
+    // mtime collision defense; catalog drop/create invalidate too)
+    if (currentSnapshot(df.sparkSession, path).isEmpty)
+      invalidateScanPlans(path)
     Lease.withLease(df.sparkSession, path, "zorder-write") {
       commitNewEpoch(df, path, zcols, numFiles, statCols)
     }
+  }
 
   /** Re-cluster the CURRENT snapshot into a fresh epoch — the periodic
     * OPTIMIZE that restores clustering quality after appends degrade it.
@@ -1127,6 +1133,10 @@ object ZOrder {
     * spec can exercise eviction without building a 200k-file store). */
   private[graft] var scanPlanCacheMaxWeight = 200000L
   private def ScanPlanCacheMaxWeight = scanPlanCacheMaxWeight
+  /** Entry cap ALONGSIDE the weight bound: weight alone would let tens
+    * of thousands of tiny entries (point-query keys embed the pushed
+    * literals) accumulate key strings and schemas on the driver. */
+  private val ScanPlanCacheMaxEntries = 32
   private val scanPlanCache =
     new java.util.LinkedHashMap[String, (Seq[(String, Option[Long])],
       StructType)](16, 0.75f, true)
@@ -1141,7 +1151,8 @@ object ZOrder {
       scanPlanCache.put(key, v)
       scanPlanWeight += w
       val it = scanPlanCache.entrySet().iterator()
-      while (scanPlanWeight > ScanPlanCacheMaxWeight && it.hasNext) {
+      while ((scanPlanWeight > ScanPlanCacheMaxWeight ||
+          scanPlanCache.size() > ScanPlanCacheMaxEntries) && it.hasNext) {
         val e = it.next()
         if (e.getKey != key) { // never evict what was just inserted
           scanPlanWeight -= e.getValue._1.size.toLong.max(1L)
@@ -1150,6 +1161,23 @@ object ZOrder {
       }
     }
   }
+  /** Drop every cached plan of a store — called by the surfaces that
+    * make a path's history discontinuous (DROP TABLE, CREATE at an
+    * existing path, create-on-write bootstrap): the birth-identity key
+    * already separates store generations by the v0 _SUCCESS instant,
+    * but same-tick drop+recreate on a coarse-mtime filesystem could
+    * still collide; catalog-driven recreates invalidate explicitly. */
+  private[sources] def invalidateScanPlans(path: String): Unit =
+    scanPlanCache.synchronized {
+      val it = scanPlanCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(path + "|")) {
+          scanPlanWeight -= e.getValue._1.size.toLong.max(1L)
+          it.remove()
+        }
+      }
+    }
   /** Aggregate cached file-name count — the size-bound spec's probe. */
   private[graft] def scanPlanCacheWeight: Long =
     scanPlanCache.synchronized(scanPlanWeight)
@@ -2059,7 +2087,18 @@ object ZOrder {
           throw new IllegalArgumentException(
             s"$path predates recorded clustering keys — run one write " +
               "with .option(\"zcols\", …) (or the programmatic API) first"))
-        val nf = math.max(affected.size, 1)
+        // size the rewrite by the REPLACEMENT's volume, never just the
+        // affected file count: an insert-only MERGE (zero matched
+        // groups, the carry-all-append path) must not funnel a bulk
+        // insert through one task and one unsplittable file. The staged
+        // bytes are driver-side metadata (the replacement reads the
+        // stage dir's parquet).
+        val replBytes = replacement.inputFiles.map { f =>
+          val fp = new Path(f)
+          StoreMaint.fsFor(s, fp).getFileStatus(fp).getLen
+        }.sum
+        val nf = math.max(math.max(affected.size, 1),
+          math.ceil(replBytes / (128.0 * 1024 * 1024)).toInt)
         val newStats = zWrite(replacement, path, zcols, nf) match {
           case Some(dname) => harvestStats(s, path, dname,
             recordedStatCols(man, schema), schema)

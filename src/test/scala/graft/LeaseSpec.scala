@@ -100,15 +100,25 @@ class LeaseSpec extends SparkSpec {
     // the r12 advisor's narrowed race: a lease that EXPIRED during body
     // could be broken+reacquired between release's nonce read and its
     // delete, deleting the successor's file. Release therefore deletes
-    // only while the deadline is comfortably ahead; an expired (or
-    // near-expired) lease is left for the next acquirer's break path.
+    // only while the deadline is comfortably ahead (margin =
+    // min(ExpiryMarginMs, ttl/2), so short TTLs stay usable); a
+    // near-expired lease is left for the next acquirer's break path.
     val dir = freshDir()
     val p = new org.apache.hadoop.fs.Path(dir, "_LEASE")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    Lease.withLeaseHandle(spark, dir, "short", ttlMs = 1000L) { _ => () }
+    // a QUICK release on a short TTL deletes normally (back-to-back
+    // single-writer ops must not serialize on TTL expiry)
+    Lease.withLeaseHandle(spark, dir, "quick", ttlMs = 1000L) { _ => () }
+    assert(!fs.exists(p),
+      "a quick release well before the deadline must delete the lease")
+    // a release LANDING inside the margin (body ran past ttl/2) leaves
+    // the file for the break path
+    Lease.withLeaseHandle(spark, dir, "short", ttlMs = 1000L) { _ =>
+      Thread.sleep(650)
+    }
     assert(fs.exists(p),
       "a release inside the expiry margin must leave the lease file")
-    Thread.sleep(1100) // past the deadline: the break path takes over
+    Thread.sleep(500) // past the deadline: the break path takes over
     var ran = false
     Lease.withLease(spark, dir, "next") { ran = true }
     assert(ran, "the leftover expired lease must be breakable")

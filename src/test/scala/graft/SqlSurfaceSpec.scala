@@ -363,6 +363,14 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(props.get("z.epoch").contains("0") &&
         props.contains("z.versions"), props.toString)
 
+      // `_file` is reserved (the row-metadata column the row-level
+      // rewrite prunes by — a data column would shadow it)
+      val eRes = intercept[Exception] {
+        spark.sql("""CREATE TABLE graftinfo.lake.bad
+          (k1 BIGINT, _file STRING) PARTITIONED BY (k1)""")
+      }
+      assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+
       // unconditional DELETE = the truncate path (new epoch; the old one
       // remains a travel coordinate)
       spark.sql("DELETE FROM graftinfo.lake.ctas")
