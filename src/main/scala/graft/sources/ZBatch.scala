@@ -475,7 +475,7 @@ class ZBatchTable(path: String, tschema: StructType,
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tschema.nonEmpty,
       s"$path holds no committed z-store yet — it can only be CREATED " +
@@ -576,7 +576,100 @@ class ZBatchWriteBuilder(path: String,
                 tag)
           }
         }
+
+      /** `df.writeStream.toTable("graftz.ns.t")` — the streaming half of
+        * the table's write surface: each micro-batch stages parquet
+        * per task (the row-level ops' stage writer) and the driver
+        * commits ONE tagged lock-free OCC append per epoch, so
+        * exactly-once rides the same batch-tag dedup the path-based
+        * sink (q152) and the six ingest loops use. The tag identity is
+        * checkpoint-derived when the option is visible, else the
+        * streaming query id (both stable across restarts — the replay
+        * spec pins no-double-append after a crashed commit). */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!overwrite,
+          "graft-z streaming writes are append-only (z-appends); " +
+            "complete/update output modes are not supported")
+        new ZStreamingWrite(path, info)
+      }
     }
+}
+
+/** DSv2 StreamingWrite over the z-append commit protocol (the table-name
+  * twin of [[ZStreamSink]]). */
+class ZStreamingWrite(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val opts = info.options
+  private val tagPrefix = Option(opts.get("tagPrefix"))
+    .orElse(Option(opts.get("checkpointLocation")).map(cp => "zsink-" +
+      java.util.UUID.nameUUIDFromBytes(cp.getBytes("UTF-8"))
+        .toString.replace("-", "").take(12)))
+    .getOrElse("zq-" + info.queryId())
+  private val stagingBase = s"$path/_ztmp/stream-" +
+    java.util.UUID.nameUUIDFromBytes(tagPrefix.getBytes("UTF-8"))
+      .toString.replace("-", "").take(12)
+
+  override def createStreamingWriterFactory(
+      pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    ZStreamStageWriterFactory(stagingBase,
+      GraftShardsSource.confOverrides(SparkSession.active),
+      info.schema().fields.map(f => (f.name, f.dataType.catalogString)))
+
+  private def epochDir(epochId: Long) = new Path(s"$stagingBase/b$epochId")
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val s = SparkSession.active
+    val staged = messages.toSeq.collect { case ZStageMsg(Some(f), _) => f }
+    try {
+      if (staged.nonEmpty) {
+        val zcols = Option(opts.get("zcols"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .orElse(ZOrder.recordedZcols(s, path))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-z streaming write to $path needs clustering keys — " +
+              "a table created through the catalog records them; " +
+              "otherwise .option(\"zcols\", \"c1,c2\")"))
+        val numFiles = Option(opts.get("numFiles")).map(_.toInt).getOrElse(4)
+        val statCols = Option(opts.get("statCols"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        ZOrder.appendZOrdered(
+          s.read.schema(info.schema()).parquet(staged: _*),
+          path, zcols, numFiles, statCols,
+          Some(s"$tagPrefix:b$epochId"))
+      }
+    } finally {
+      val d = epochDir(epochId)
+      StoreMaint.fsFor(s, d).delete(d, true)
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val s = SparkSession.active
+    val d = epochDir(epochId)
+    StoreMaint.fsFor(s, d).delete(d, true)
+    ()
+  }
+}
+
+/** Epoch-scoped wrapper over the row-level ops' per-task stage writer. */
+private[sources] case class ZStreamStageWriterFactory(stagingBase: String,
+    confOverrides: Map[String, String], fields: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    ZStageWriterFactory(s"$stagingBase/b$epochId", confOverrides, fields)
+      .createWriter(partitionId, taskId)
 }
 
 class ZBatchScanBuilder(path: String, tschema: StructType,

@@ -4078,6 +4078,90 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q156: streaming write through the TABLE (writeStream.toTable) -------
+
+  /** q156's table: q152's bounded stream written through
+    * `writeStream…toTable("<cat>.lake.sunk")` — the DSv2 StreamingWrite
+    * twin of the path-based sink ([[ZStreamingWrite]]): per-task parquet
+    * staging + ONE tagged OCC append per epoch, clustering keys resolved
+    * from the TABLE's recorded policy (no zcols option anywhere). The
+    * whole stream then REPLAYS from a fresh checkpoint under the same
+    * tagPrefix to prove cross-checkpoint exactly-once through the
+    * table-name surface. */
+  private val toTableStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def toTableStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      toTableStores.getOrElseUpdate(d, {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val root = Files.createTempDirectory("graft-ztotableq").toString
+        val cat = "graftq156c" + math.abs(d.hashCode).toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.lake")
+        s.sql(s"""CREATE TABLE $cat.lake.sunk
+          (doc_id BIGINT, k1 BIGINT, k2 BIGINT) PARTITIONED BY (k1, k2)""")
+        val numShards = GraftShards.NumShards
+        val shardDir = GraftShards.documentsShards(s, d)
+        val maxShardCnt = Tables.documents(s, d)
+          .groupBy(pmod(col("doc_id"), lit(numShards))).count()
+          .agg(max(col("count"))).head().getLong(0)
+        val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        def run(ckpt: String): Unit = {
+          val q = s.readStream.format("graft-shards")
+            .option("startingPosition", "TRIM_HORIZON")
+            .option("maxRecordsPerShardPerTrigger", limit.toString)
+            .load(shardDir)
+            .select(from_json(col("data"), docSchema).as("r"))
+            .select(col("r.*"))
+            .select(col("doc_id"),
+              length(col("text")).cast("long").as("k1"),
+              pmod(col("doc_id"), lit(997L)).as("k2"))
+            .writeStream
+            .option("tagPrefix", "q156").option("numFiles", "2")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"$cat.lake.sunk")
+          q.awaitTermination()
+        }
+        run(s"$root/ckpt1")
+        run(s"$root/ckpt2") // full from-scratch replay: tags dedupe
+        cat
+      })
+    }
+
+  /** q156: continuous ingest through `writeStream.toTable` — the
+    * table-name twin of q152 (one table, ALL verbs including the
+    * streaming write): the DSv2 StreamingWrite stages per task and the
+    * driver commits one tagged lock-free append per epoch; the
+    * clustering comes from the table's RECORDED policy, the replay from
+    * a fresh checkpoint proves tag-deduped exactly-once, and the read
+    * back is plain SQL through the same table name (a doubled epoch or
+    * a mis-clustered append hash-fails against the band oracle).
+    * Restart, staging hygiene and output-mode refusal are pinned in
+    * ZOrderSpec. */
+  val q156ZTableStreamWrite: Q = Q(
+    "q156_zorder_table_stream_write",
+    """WITH b0 AS (SELECT MIN(LENGTH(text)) AS mn, MAX(LENGTH(text)) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id, LENGTH(d.text) AS k1, d.doc_id % 997 AS k2
+      |FROM documents d, b0
+      |WHERE LENGTH(d.text) BETWEEN b0.mn + (b0.mx - b0.mn) * 4 // 10
+      |                         AND b0.mn + (b0.mx - b0.mn) * 8 // 10
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    val cat = toTableStoreFor(s, d)
+    val b = Tables.documents(s, d)
+      .agg(min(length(col("text"))), max(length(col("text")))).head()
+    val (mn, mx) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    s.sql(s"""SELECT doc_id, k1, k2 FROM $cat.lake.sunk
+      WHERE k1 BETWEEN ${mn + (mx - mn) * 4 / 10}
+                   AND ${mn + (mx - mn) * 8 / 10}
+      ORDER BY doc_id""")
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
@@ -4085,5 +4169,5 @@ object ZOrder {
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
     q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite,
     q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
-    q155ZTableStream)
+    q155ZTableStream, q156ZTableStreamWrite)
 }

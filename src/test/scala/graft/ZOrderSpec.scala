@@ -1227,13 +1227,87 @@ class ZOrderSpec extends SparkSpec {
     assert(chain(e1).exists(m => m != null && m.contains("zcols")),
       chain(e1).mkString(" | "))
     qBad.stop()
+    // with STREAMING_WRITE on the table the format path routes through
+    // the DSv2 write, so the refusal surfaces when the query RUNS (the
+    // V1 sink threw at start); either timing must carry the message
     val e2 = intercept[Exception] {
-      in3.toDF().groupBy(col("value")).count().writeStream
+      val qC = in3.toDF().groupBy(col("value")).count().writeStream
         .format("graft-z").option("zcols", "value")
         .option("checkpointLocation", s"$root/ckpt4")
         .outputMode("complete").start(s"$root/s3")
+      in3.addData(2L); qC.processAllAvailable(); qC.stop()
     }
-    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    assert(chain(e2).exists(m => m != null && m.contains("append-only")),
+      chain(e2).mkString(" | "))
+  }
+
+  test("writeStream.toTable on a graftz table: staged epochs, tagged appends, exactly-once across restart and replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-ztotable").toString
+    spark.conf.set("spark.sql.catalog.gztt", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.gztt.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE gztt.lake")
+      spark.sql("""CREATE TABLE gztt.lake.t (k1 BIGINT, k2 BIGINT)
+        PARTITIONED BY (k1, k2)""")
+      val store = s"$root/lake/t"
+      def start(input: MemoryStream[Long], ckpt: String) =
+        input.toDF().select(col("value").as("k1"),
+            (col("value") % 7).as("k2"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .option("tagPrefix", "tt1").option("numFiles", "1")
+          .toTable("gztt.lake.t")
+      val in1 = MemoryStream[Long]
+      val q = start(in1, s"$root/ckpt1")
+      in1.addData(0L until 100L: _*); q.processAllAvailable()
+      in1.addData(100L until 150L: _*); q.processAllAvailable()
+      q.stop()
+      assert(spark.sql("SELECT count(*) FROM gztt.lake.t")
+        .head().getLong(0) == 150,
+        "two micro-batches should have landed as two appends")
+      // restart from the SAME checkpoint: committed epochs not re-landed
+      val q2 = start(in1, s"$root/ckpt1")
+      in1.addData(150L until 160L: _*); q2.processAllAvailable(); q2.stop()
+      assert(spark.sql("SELECT count(*) FROM gztt.lake.t")
+        .head().getLong(0) == 160)
+      // from-scratch replay (fresh checkpoint, epoch ids restart at 0)
+      // under the SAME tagPrefix: tag dedup keeps it exactly-once
+      val in2 = MemoryStream[Long]
+      val q3 = start(in2, s"$root/ckpt2")
+      in2.addData(0L until 150L: _*); q3.processAllAvailable(); q3.stop()
+      assert(spark.sql("SELECT count(*) FROM gztt.lake.t")
+        .head().getLong(0) == 160, "a tagPrefix replay double-landed")
+      // the recorded clustering drove the appends: manifest skipping
+      // serves a band read, and staging left nothing behind
+      assert(spark.sql(
+        "SELECT count(*) FROM gztt.lake.t WHERE k1 BETWEEN 10 AND 19")
+        .head().getLong(0) == 10)
+      val tmp = new java.io.File(store, "_ztmp")
+      assert(!tmp.exists() || tmp.listFiles().forall(d =>
+        !d.getName.startsWith("stream-") || d.listFiles().isEmpty),
+        "streaming staging dirs must be cleaned after commit")
+      // complete mode refuses (append-only sink)
+      val in3 = MemoryStream[Long]
+      val e = intercept[Exception] {
+        val qBad = in3.toDF().groupBy(col("value")).count()
+          .select(col("value").as("k1"), col("count").as("k2"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt3")
+          .toTable("gztt.lake.t")
+        in3.addData(1L); qBad.processAllAvailable(); qBad.stop()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          String.valueOf(x.getMessage) +: chain(x.getCause))
+      assert(chain(e).exists(_.contains("append-only")),
+        chain(e).mkString(" | "))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gztt")
+      spark.conf.unset("spark.sql.catalog.gztt.root")
+    }
   }
 
   test("graft-z aggregate pushdown: ungrouped COUNT(*)/MIN/MAX answer from the metadata plane (data files never opened)") {
