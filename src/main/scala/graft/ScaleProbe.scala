@@ -368,6 +368,26 @@ object ScaleProbe {
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
           .agg(sum(col("h")))
       }),
+      // round-13 wave 2: join-driven DYNAMIC FILE PRUNING over the
+      // PREBUILT zmeta store — a 2-key parquet dim (the filter must
+      // survive as a relation for DPP; a LocalRelation constant-folds)
+      // joins the table on k1, so the scan receives the keys at runtime
+      // and plans only their files: expected ~flat-ish at 10x files
+      // (keyed file count is ~constant; only manifest planning grows)
+      "q159_dpp_knob" -> ((d, _) => {
+        val zd = s"$d/zmeta"
+        val keys = spark.read.format("graft-z").load(zd)
+          .select(col("k1")).limit(2).collect().map(_.getLong(0)).distinct
+        val dimDir = java.nio.file.Files
+          .createTempDirectory("graft-sp-dpp").toString
+        spark.createDataFrame(
+            keys.map(k => (k, "a")).toSeq :+ ((-1L, "b")))
+          .toDF("kk", "tag").write.mode("overwrite").parquet(dimDir)
+        val dim = spark.read.parquet(dimDir).filter(col("tag") === "a")
+        val fact = spark.read.format("graft-z").load(zd)
+        fact.join(dim, fact("k1") === dim("kk"))
+          .groupBy(col("kk")).agg(count(lit(1)).as("n"))
+      }),
     )
 
     // ad-hoc iteration knob: SPARK_GRAFT_PROBE_FILTER=q48 runs only the
@@ -410,7 +430,7 @@ object ScaleProbe {
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
     val filteredTag = probeFilter.map(f => s""""filtered":"$f",""").getOrElse("")
-    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -77,9 +77,10 @@ class ZBatchProvider extends TableProvider with DataSourceRegister
     if (options.getBoolean("history", false)) {
       require(ZOrder.storeExists(s, path),
         s"no committed z-store under $path — no history to describe")
-      require(ZBatch.travelOf(options).isEmpty,
+      require(ZBatch.travelOf(options).isEmpty &&
+          ZBatch.changesOf(options).isEmpty,
         "graft-z: .option(\"history\", true) describes ALL commits — it " +
-          "does not combine with time-travel options")
+          "does not combine with time-travel or change-feed options")
       ZBatch.HistorySchema
     } else if (ZOrder.storeExists(s, path))
       ZcdfStream.wireSchema(s, path, "graft-z", ZBatch.travelOf(options))
@@ -286,6 +287,55 @@ object ZBatch {
     org.apache.spark.sql.types.StructField("op",
       org.apache.spark.sql.types.StringType, nullable = true)))
 
+  /** Convert a DELETE / OVERWRITE condition to the z-store band language
+    * — a conjunction of CLOSED per-column bands (`c BETWEEN lo AND hi`,
+    * `c = v`, or a >= / <= pair). The conversion must be EXACT or refuse
+    * (None): a delete or replace, unlike a pruning hint, may not
+    * approximate. Each column takes at most one bound per side —
+    * `k = 1 AND k = 2`-shaped conditions refuse rather than guess. */
+  private[sources] def exactBandPreds(filters: Array[Filter])
+      : Option[Seq[(String, Any, Any)]] = {
+    def fold(f: Filter, acc: Map[String, (Option[Any], Option[Any])])
+        : Option[Map[String, (Option[Any], Option[Any])]] = {
+      def put(c: String, lo: Option[Any], hi: Option[Any]) = {
+        val (l0, h0) = acc.getOrElse(c, (None, None))
+        if ((lo.nonEmpty && l0.nonEmpty) || (hi.nonEmpty && h0.nonEmpty)) None
+        else Some(acc.updated(c, (lo.orElse(l0), hi.orElse(h0))))
+      }
+      f match {
+        case EqualTo(c, v) if v != null => put(c, Some(v), Some(v))
+        case GreaterThanOrEqual(c, v) if v != null => put(c, Some(v), None)
+        case LessThanOrEqual(c, v) if v != null => put(c, None, Some(v))
+        case And(l, r) => fold(l, acc).flatMap(fold(r, _))
+        case _ => None
+      }
+    }
+    filters.foldLeft(Option(Map.empty[String, (Option[Any], Option[Any])])) {
+      (acc, f) => acc.flatMap(fold(f, _))
+    }.flatMap { m =>
+      if (m.isEmpty) None
+      else if (m.values.exists(b => b._1.isEmpty || b._2.isEmpty)) None
+      else Some(m.toSeq.map { case (c, (lo, hi)) => (c, lo.get, hi.get) })
+    }
+  }
+
+  /** Batch CHANGE-FEED coordinates from read options — Delta's
+    * `readChangeFeed` through the table surface: `changesSinceEpoch` +
+    * `changesSinceVersion` (both or neither) make the scan read exactly
+    * the rows committed AFTER that coordinate
+    * ([[ZOrder.changeFilesSized]]'s delta contract, including the loud
+    * epoch-swap and bogus-base refusals). */
+  private[sources] def changesOf(
+      options: java.util.Map[String, String]): Option[(Long, Long)] = {
+    val e = Option(options.get("changesSinceEpoch"))
+    val v = Option(options.get("changesSinceVersion"))
+    require(e.isEmpty == v.isEmpty,
+      "graft-z change-feed read needs BOTH " +
+        ".option(\"changesSinceEpoch\", …) and " +
+        ".option(\"changesSinceVersion\", …)")
+    e.zip(v).map { case (a, b) => (a.toLong, b.toLong) }
+  }
+
   /** Time-travel coordinates from read options — Delta's two travel
     * forms through the table surface: `epoch` + `version` (versionAsOf —
     * both or neither) or `timestampAsOf` (epoch-millis, resolved to the
@@ -390,30 +440,7 @@ class ZBatchTable(path: String, tschema: StructType,
     * most one bound per side — `k = 1 AND k = 2`-shaped conditions
     * refuse rather than guess. */
   private def deletePreds(filters: Array[Filter])
-      : Option[Seq[(String, Any, Any)]] = {
-    def fold(f: Filter, acc: Map[String, (Option[Any], Option[Any])])
-        : Option[Map[String, (Option[Any], Option[Any])]] = {
-      def put(c: String, lo: Option[Any], hi: Option[Any]) = {
-        val (l0, h0) = acc.getOrElse(c, (None, None))
-        if ((lo.nonEmpty && l0.nonEmpty) || (hi.nonEmpty && h0.nonEmpty)) None
-        else Some(acc.updated(c, (lo.orElse(l0), hi.orElse(h0))))
-      }
-      f match {
-        case EqualTo(c, v) if v != null => put(c, Some(v), Some(v))
-        case GreaterThanOrEqual(c, v) if v != null => put(c, Some(v), None)
-        case LessThanOrEqual(c, v) if v != null => put(c, None, Some(v))
-        case And(l, r) => fold(l, acc).flatMap(fold(r, _))
-        case _ => None
-      }
-    }
-    filters.foldLeft(Option(Map.empty[String, (Option[Any], Option[Any])])) {
-      (acc, f) => acc.flatMap(fold(f, _))
-    }.flatMap { m =>
-      if (m.isEmpty) None
-      else if (m.values.exists(b => b._1.isEmpty || b._2.isEmpty)) None
-      else Some(m.toSeq.map { case (c, (lo, hi)) => (c, lo.get, hi.get) })
-    }
-  }
+      : Option[Seq[(String, Any, Any)]] = ZBatch.exactBandPreds(filters)
 
   private def recordedZcolsOrRefuse: Seq[String] =
     ZOrder.recordedZcols(SparkSession.active, path).getOrElse(
@@ -470,12 +497,14 @@ class ZBatchTable(path: String, tschema: StructType,
     if (tschema.isEmpty)
       java.util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER,
         TableCapability.ACCEPT_ANY_SCHEMA)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tschema.nonEmpty,
       s"$path holds no committed z-store yet — it can only be CREATED " +
@@ -484,8 +513,13 @@ class ZBatchTable(path: String, tschema: StructType,
     require(optTravel.isEmpty || pinnedTravel.isEmpty,
       s"$path is already pinned at VERSION AS OF e${pinnedTravel.get._1}:" +
         s"v${pinnedTravel.get._2} — travel read options do not combine")
+    val changes = ZBatch.changesOf(options)
+    require(changes.isEmpty ||
+        (optTravel.isEmpty && pinnedTravel.isEmpty),
+      s"$path: the change feed is a delta of the LIVE table — " +
+        "VERSION/TIMESTAMP AS OF does not combine with changesSince*")
     new ZBatchScanBuilder(path, tschema, optTravel.orElse(pinnedTravel),
-      options)
+      options, changes)
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and non-band `DELETE`) — Spark 4's
@@ -538,11 +572,38 @@ class ZBatchTable(path: String, tschema: StructType,
 class ZBatchWriteBuilder(path: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var replaceWhere: Option[Seq[(String, Any, Any)]] = None
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     overwrite = true; this
+  }
+
+  /** Conditional overwrite — Delta's `replaceWhere` (`INSERT OVERWRITE`'s
+    * filtered form, `df.writeTo(t).overwrite(cond)`): rows matching the
+    * condition are deleted and the incoming batch lands in their place
+    * as ONE epoch commit ([[ZOrder.overwriteZRange]] — atomic, band
+    * validated, CHECK-gated). The condition must convert EXACTLY to the
+    * band language ([[ZBatch.exactBandPreds]]) — an overwrite, unlike a
+    * pruning hint, may not approximate; `AlwaysTrue` is the full
+    * (truncating) overwrite. */
+  private def isTruncateShape(filters: Array[Filter]): Boolean =
+    filters.isEmpty ||
+      (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue])
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    isTruncateShape(filters) || ZBatch.exactBandPreds(filters).nonEmpty
+
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (isTruncateShape(filters)) overwrite = true
+    else replaceWhere = Some(ZBatch.exactBandPreds(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-z overwrite supports conjunctions of closed per-column " +
+          "bands (c BETWEEN lo AND hi / c = v); got " +
+          filters.mkString(" AND "))))
+    this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
@@ -569,11 +630,20 @@ class ZBatchWriteBuilder(path: String,
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Seq.empty)
             val tag = Option(opts.get("tag"))
-            if (overwrite || overwriteArg)
-              ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
-            else
-              ZOrder.appendZOrdered(data, path, zcols, numFiles, statCols,
-                tag)
+            replaceWhere match {
+              case Some(preds) if ZOrder.storeExists(data.sparkSession, path) =>
+                ZOrder.overwriteZRange(data, path, preds, zcols,
+                  Option(opts.get("numFiles")).map(_.toInt).getOrElse(0))
+                ()
+              case Some(_) => // nothing to replace: the write creates it
+                ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
+              case None =>
+                if (overwrite || overwriteArg)
+                  ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
+                else
+                  ZOrder.appendZOrdered(data, path, zcols, numFiles,
+                    statCols, tag)
+            }
           }
         }
 
@@ -588,7 +658,7 @@ class ZBatchWriteBuilder(path: String,
         * spec pins no-double-append after a crashed commit). */
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        require(!overwrite,
+        require(!overwrite && replaceWhere.isEmpty,
           "graft-z streaming writes are append-only (z-appends); " +
             "complete/update output modes are not supported")
         new ZStreamingWrite(path, info)
@@ -675,15 +745,32 @@ private[sources] case class ZStreamStageWriterFactory(stagingBase: String,
 class ZBatchScanBuilder(path: String, tschema: StructType,
     travel: Option[(Long, Long)],
     options: CaseInsensitiveStringMap =
-      CaseInsensitiveStringMap.empty())
+      CaseInsensitiveStringMap.empty(),
+    changes: Option[(Long, Long)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var sawFilters = false
   private var required: StructType = tschema
   private var aggPushed: Option[(Seq[ZAgg], StructType)] = None
+  private var limit: Option[Int] = None
+
+  /** `SELECT … LIMIT n` plans a FILE PREFIX covering n rows instead of
+    * the whole store (the manifest's `__count__` rows bound the prefix)
+    * — at 1M files a "peek at the table" stops being a million-split
+    * plan. PARTIAL push: Spark keeps its own Limit on top, so extra
+    * rows in the prefix are fine. Spark only pushes a limit whose child
+    * is the bare (projected) scan, so residual filters can never sit
+    * under a pushed limit — the `sawFilters` guard mirrors the
+    * aggregate one in case that ever changes; a CHANGES delta is
+    * already small and keeps its exact file list. */
+  override def pushLimit(l: Int): Boolean =
+    if (sawFilters || changes.nonEmpty || l < 0) false
+    else { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Ungrouped COUNT(*)/MIN/MAX with NO residual filters answer from the
     * store's METADATA plane ([[ZOrder.countZRange]]/[[ZOrder
@@ -709,8 +796,10 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
           .filter(f => Sources.statsEligible(f.dataType))
       case _ => None
     }
-    if (sawFilters || travel.nonEmpty || tschema.isEmpty ||
-        agg.groupByExpressions().nonEmpty) None
+    // a CHANGES scan is a delta — the whole-store metadata plane would
+    // answer over the full table, silently wrong for the feed
+    if (sawFilters || travel.nonEmpty || changes.nonEmpty ||
+        tschema.isEmpty || agg.groupByExpressions().nonEmpty) None
     else {
       val zs = agg.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(ZCountStar)
@@ -762,7 +851,8 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
       new ZBatchScan(path, required, bounds, points, travel, options,
         // `_file` is the metadata column unless a DATA column shadows it
         metaFileCol = required.fieldNames.contains(ZBatch.FileCol) &&
-          !tschema.fieldNames.contains(ZBatch.FileCol))
+          !tschema.fieldNames.contains(ZBatch.FileCol),
+        changes = changes, limit = limit)
   }
 }
 
@@ -832,9 +922,128 @@ class ZBatchScan(path: String, required: StructType,
     travel: Option[(Long, Long)],
     options: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty(),
-    metaFileCol: Boolean = false) extends Scan with Batch {
+    metaFileCol: Boolean = false,
+    changes: Option[(Long, Long)] = None,
+    limit: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The scan's file set, resolved ONCE per scan instance: manifest
+    * range prune + bloom point prune for an ordinary read, the delta's
+    * file list for a CHANGES read ([[ZBatch.changesOf]]). Lazy so scan
+    * CREATION stays metadata-free; cached so AQE's double
+    * planInputPartitions, [[estimateStatistics]] and the runtime-filter
+    * pass all share one resolution (the plan cache dedups across scan
+    * instances underneath). */
+  private lazy val baseFiles: Seq[(String, Option[Long])] = {
+    val s = SparkSession.active
+    changes match {
+      case Some((e, v)) => ZOrder.changeFilesSized(s, path, e, v)
+      case None =>
+        val (files0, recorded) =
+          ZOrder.pruneFilesForScan(s, path, bounds, travel)
+        ZOrder.bloomPruneScan(s, path, points, recorded, files0)
+    }
+  }
+  @volatile private var runtimePruned
+      : Option[Seq[(String, Option[Long])]] = None
+  private[sources] def currentFiles: Seq[(String, Option[Long])] =
+    runtimePruned.getOrElse(baseFiles)
+
+  /** Post-prune statistics off the MANIFEST — what lets Catalyst size a
+    * graft-z table in join planning (broadcast a small/banded side,
+    * never a 100 TB one) the way Delta's log-derived stats do:
+    * sizeInBytes = the surviving files' recorded sizes, numRows = their
+    * recorded footer counts. Both degrade to "unknown" (Spark's
+    * conservative default — no broadcast) when any surviving file
+    * predates the size/count rows; filters already pushed are reflected
+    * (the pruned band's size, not the table's), so a selective band
+    * read sizes as what it will actually scan. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = baseFiles
+    val bytes =
+      if (files.forall(_._2.nonEmpty)) Some(files.flatMap(_._2).sum)
+      else None
+    val rows = ZOrder.fileRowCounts(SparkSession.active, path,
+      files.map(_._1), travel)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  /** Runtime (join-driven) file pruning — DSv2's dynamic partition
+    * pruning: Spark's PartitionPruning rule plants a dynamic subquery
+    * when this scan joins a filtered build side on one of these
+    * columns, and [[filter]] receives the build side's DISTINCT KEYS
+    * before partitions are planned. Reported columns are the store's
+    * recorded stat + bloom columns ([[ZOrder.prunableColumns]])
+    * RESTRICTED to the scan's pruned output — Spark resolves each
+    * reported attribute against the scan relation's output and THROWS
+    * on a miss (a projected-away stat column would kill the query, hit
+    * by q154/q159 at Verify time). A CHANGES scan reports none (the
+    * delta is already small). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (changes.nonEmpty) Array.empty
+    else ZOrder.prunableColumns(SparkSession.active, path, travel)
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  /** The IN-set shape a dynamic-pruning subquery delivers: column ref
+    * first, then the value literals (Spark's runtime-filter
+    * translation); a single-key build side may arrive as `=`. Values
+    * convert to their external form for the stat comparison. */
+  private def inSetOf(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def valOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: Literal[_] => Some(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        colOf(p.children()(0)).flatMap { c =>
+          val vs = p.children().drop(1).toSeq.map(valOf)
+          if (vs.forall(_.nonEmpty)) Some((c, vs.flatten)) else None
+        }
+      case "=" if p.children().length == 2 =>
+        colOf(p.children()(0))
+          .zip(valOf(p.children()(1))).map { case (c, v) => (c, Seq(v)) }
+      case _ => None
+    }
+  }
+
+  override def filter(predicates:
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val s = SparkSession.active
+    var files = currentFiles
+    predicates.foreach { p =>
+      inSetOf(p).foreach { case (c, vs) =>
+        files = ZOrder.pruneFilesForValueSet(s, path, c, vs, files, travel)
+      }
+    }
+    runtimePruned = Some(files)
+  }
 
   /** `spark.readStream.table("graftz.ns.t")` / `.format("graft-z")
     * .load(dir)` — tail the table through the zcdf change-feed stream
@@ -847,24 +1056,47 @@ class ZBatchScan(path: String, required: StructType,
     require(travel.isEmpty,
       s"$path: a VERSION/TIMESTAMP AS OF snapshot is a fixed past state — " +
         "streaming reads tail the live table")
+    require(changes.isEmpty,
+      s"$path: changesSince* is the BATCH change-feed read — streaming " +
+        "tails use startingVersion (spark.readStream)")
     new ZTableMicroBatchStream(path, required, options)
   }
   override def description(): String =
     s"graft-z $path${travel.map(t => s" @ (e${t._1}, v${t._2})")
-      .getOrElse("")}, pruned on [${bounds.map(_._1).sorted.mkString(", ")}]" +
-      s", bloom-probed on [${points.map(_._1).sorted.distinct.mkString(", ")}]"
+      .getOrElse("")}${changes.map(c => s" changes since (e${c._1}, " +
+      s"v${c._2})").getOrElse("")}, pruned on " +
+      s"[${bounds.map(_._1).sorted.mkString(", ")}]" +
+      s", bloom-probed on [${points.map(_._1).sorted.distinct.mkString(", ")}]" +
+      limit.map(l => s", limit $l").getOrElse("")
+
+  /** A pushed limit keeps only a PREFIX of the (z-sorted) file list
+    * whose recorded row counts cover it — a count-less file contributes
+    * zero to the running total, so unknown counts only ever WIDEN the
+    * prefix (more files planned, never a short read). If the recorded
+    * counts never reach the limit, every file plans — exactly the
+    * unpushed behavior. */
+  private def limitPrefix(files: Seq[(String, Option[Long])])
+      : Seq[(String, Option[Long])] = limit match {
+    case None => files
+    case Some(l) =>
+      val counts = ZOrder.fileRowCountMap(SparkSession.active, path, travel)
+      var acc = 0L
+      val out = Seq.newBuilder[(String, Option[Long])]
+      val it = files.iterator
+      while (acc < l && it.hasNext) {
+        val f = it.next()
+        out += f
+        acc += counts.getOrElse(f._1, 0L)
+      }
+      out.result()
+  }
 
   /** Surviving files bin-packed into partitions ([[ZBatch.packPartitions]]
-    * — sizes from the manifest, no per-file HEADs at plan time). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val s = SparkSession.active
-    val (files0, recorded) = ZOrder.pruneFilesForScan(s, path, bounds, travel)
-    // point equalities additionally probe their bloom sidecars (the
-    // plane that prunes an UNCLUSTERED column's `k = v`, where every
-    // file's min/max range overlaps the probe)
-    val files = ZOrder.bloomPruneScan(s, path, points, recorded, files0)
-    ZBatch.packPartitions(s, path, files)
-  }
+    * — sizes from the manifest, no per-file HEADs at plan time; the
+    * file set reflects any runtime-filter narrowing and a pushed
+    * limit's prefix). */
+  override def planInputPartitions(): Array[InputPartition] =
+    ZBatch.packPartitions(SparkSession.active, path, limitPrefix(currentFiles))
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZBatchReaderFactory(

@@ -1651,6 +1651,167 @@ object ZOrder {
     }
   }
 
+  /** The columns a scan can DYNAMICALLY prune files by — recorded stat
+    * columns plus bloom-indexed columns, restricted to stats-eligible
+    * types: what the DSv2 table reports as its runtime-filter attributes
+    * ([[ZBatchScan]]'s `SupportsRuntimeV2Filtering`, the join-driven
+    * dynamic file pruning Delta/Iceberg do for DPP). Memoized per
+    * snapshot identity: the answer only changes with a commit, and
+    * Spark's DPP rule consults it during optimization of every join
+    * against the table. */
+  private val prunableColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[sources] def prunableColumns(s: SparkSession, path: String,
+      at: Option[(Long, Long)] = None): Seq[String] = {
+    val snap = at match {
+      case Some((e, v)) => snapshotAt(s, path, e, v)
+      case None =>
+        currentSnapshot(s, path) match {
+          case Some(sn) => sn
+          case None => return Seq.empty
+        }
+    }
+    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
+      snap.vdirs.map(_.getName).sorted.mkString(",")
+    Option(prunableColsCache.get(key)).getOrElse {
+      val (man, schema) = manifestAndSchema(s, snap)
+      val statCols = statRows(man.filter(col("c") =!= lit(DdlKey)))
+        .select(lower(col("c"))).distinct()
+        .collect().map(_.getString(0)).toSet
+      val bdir = new Path(path, "_zbloom")
+      val fs = StoreMaint.fsFor(s, bdir)
+      val bloomCols =
+        if (!fs.exists(bdir)) Set.empty[String]
+        else fs.listStatus(bdir).filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+      val out = schema.fields.toSeq
+        .filter(f => Sources.statsEligible(f.dataType) &&
+          (statCols(f.name.toLowerCase) || bloomCols(f.name.toLowerCase)))
+        .map(_.name)
+      if (prunableColsCache.size > 64) prunableColsCache.clear()
+      prunableColsCache.put(key, out)
+      out
+    }
+  }
+
+  /** Runtime IN-SET file pruning — the execution half of the DSv2
+    * table's `SupportsRuntimeV2Filtering`: a dynamic-pruning subquery
+    * hands the scan the DISTINCT JOIN KEYS of the (already filtered,
+    * usually broadcast) other side, and the scan drops every candidate
+    * file that provably holds NONE of them. Two planes, both
+    * best-effort and sound: recorded ranges first (a file survives iff
+    * SOME value lies inside its [mn, mx] — the disjunctive twin of the
+    * static band prune), then bloom sidecars (a file survives iff SOME
+    * value might-contain; a missing sidecar keeps the file). Value sets
+    * beyond `MaxRuntimeValues` skip pruning — the candidate superset is
+    * always correct, and a megakey IN-list would cost more to test than
+    * it saves; the comparison work is driver-side over the file-name
+    * list the scan already materializes (O(files × values), zero extra
+    * jobs beyond one stat collect). Null keys never match an equi-join,
+    * so an all-null file is excluded and null values are dropped. */
+  private[sources] val MaxRuntimeValues = 512
+
+  private[sources] def pruneFilesForValueSet(s: SparkSession, path: String,
+      colName: String, values: Seq[Any],
+      candidates: Seq[(String, Option[Long])],
+      at: Option[(Long, Long)] = None): Seq[(String, Option[Long])] = {
+    if (candidates.isEmpty || values.size > MaxRuntimeValues)
+      return candidates
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) return Seq.empty // an empty build side joins nothing
+    val snap = at match {
+      case Some((e, v)) => snapshotAt(s, path, e, v)
+      case None => requireSnapshot(s, path)
+    }
+    val (man0, schema) = manifestAndSchema(s, snap)
+    val fOpt = schema.find(_.name.equalsIgnoreCase(colName))
+      .filter(f => Sources.statsEligible(f.dataType))
+    if (fOpt.isEmpty) return candidates
+    val f = fOpt.get
+    val colLower = f.name.toLowerCase
+    val enc = nonNull.map(v => Sources.encodeBound(f.dataType, v))
+    // range plane: driver-side forall over the collected stat rows (the
+    // same O(files) driver materialization the scan plan itself is)
+    val stats = man0.filter(col("c") =!= lit(DdlKey))
+      .filter(lower(col("c")) === colLower && !col("c").startsWith("__"))
+      .select(col("f"), col("mn"), col("mx"), col("allnull"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getBoolean(3)))
+      .groupBy(_._1)
+    def rowExcludes(mn: Option[String], mx: Option[String],
+        allnull: Boolean): Boolean =
+      allnull || (mn.nonEmpty && mx.nonEmpty &&
+        enc.forall(e =>
+          Sources.statCompare(f.dataType, mx.get, e) < 0 ||
+            Sources.statCompare(f.dataType, mn.get, e) > 0))
+    val rangeKept = candidates.filter { case (fn, _) =>
+      stats.get(fn) match {
+        case None => true // no stats recorded: must read
+        // duplicate listings (recovered history) must agree to exclude
+        case Some(rs) => !rs.forall(r => rowExcludes(r._2, r._3, r._4))
+      }
+    }
+    // bloom plane: survivors probed DISJUNCTIVELY (∃ value might-contain)
+    val overrides = GraftShardsSource.confOverrides(s)
+    val fs0 = GraftShardsSource.fs(new Path(path),
+      GraftShardsSource.hadoopConf(overrides))
+    if (rangeKept.isEmpty || !fs0.exists(new Path(path, s"_zbloom/$colLower")))
+      rangeKept
+    else {
+      val hashExprs = nonNull.map(v => xxhash64(lit(v).cast(f.dataType)))
+      val hashes = s.range(1).select(hashExprs: _*).head()
+        .toSeq.map(_.asInstanceOf[Long])
+      val names = rangeKept.map(_._1)
+      val target = path
+      val kept = s.sparkContext
+        .parallelize(names, math.min(names.size, 32))
+        .filter { rel =>
+          val fs = GraftShardsSource.fs(new Path(target),
+            GraftShardsSource.hadoopConf(overrides))
+          val sc = bloomSidecar(target, colLower, rel)
+          if (!fs.exists(sc)) true // uncovered file: must read
+          else {
+            val in = fs.open(sc)
+            try {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              hashes.exists(bf.mightContainLong)
+            } finally in.close()
+          }
+        }.collect().toSet
+      rangeKept.filter(c => kept(c._1))
+    }
+  }
+
+  /** Total recorded row count of `files`, when EVERY file has a
+    * `__count__` manifest row — the numRows half of the DSv2 table's
+    * reported statistics ([[ZBatchScan]]'s `SupportsReportStatistics`);
+    * any count-less file (pre-r10 manifests) degrades to "unknown", and
+    * Spark falls back to its size-based estimate — never a wrong count
+    * presented as a true one. */
+  private[sources] def fileRowCounts(s: SparkSession, path: String,
+      files: Seq[String], at: Option[(Long, Long)] = None): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    val counts = fileRowCountMap(s, path, at)
+    if (files.forall(counts.contains)) Some(files.map(counts).sum) else None
+  }
+
+  /** Per-file recorded row counts (files without a `__count__` row are
+    * absent) — shared by the stats report and the pushed-limit file
+    * prefix ([[ZBatchScan]]). */
+  private[sources] def fileRowCountMap(s: SparkSession, path: String,
+      at: Option[(Long, Long)] = None): Map[String, Long] = {
+    val snap = at match {
+      case Some((e, v)) => snapshotAt(s, path, e, v)
+      case None => requireSnapshot(s, path)
+    }
+    val (man0, _) = manifestAndSchema(s, snap)
+    man0.filter(col("c") === lit(CountKey) && col("mn").isNotNull)
+      .groupBy(col("f")).agg(max(col("mn").cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Point lookup `col = value` through the z-store with BLOOM file
     * pruning: range stats exclude what they can (nothing, on an
     * unclustered column), then the candidates' bloom sidecars are tested
@@ -1815,21 +1976,39 @@ object ZOrder {
     * would silently replay the whole store as "changes"). */
   def readChangesSince(s: SparkSession, path: String, epoch: Long,
       version: Long): DataFrame = {
+    val files = changeFilesSized(s, path, epoch, version).map(_._1)
+    val schema = manifestAndSchema(s, requireSnapshot(s, path))._2
+    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** The change-feed delta's files WITH their recorded sizes — what the
+    * DSv2 table's batch CDF read plans over ([[ZBatchScan]]'s
+    * `changesSinceEpoch`/`changesSinceVersion` options): first-appearance
+    * version per file (a metadata-attach version — bloom stats —
+    * re-points files without making them deltas again), sizes from the
+    * manifest's `__size__` rows so the delta bin-packs like any other
+    * scan. Same refusal contract as [[readChangesSince]]: an epoch swap
+    * since the base coordinate refuses loudly, and a bogus base refuses
+    * rather than replaying the whole store as "changes". */
+  private[sources] def changeFilesSized(s: SparkSession, path: String,
+      epoch: Long, version: Long): Seq[(String, Option[Long])] = {
     val snap = requireSnapshot(s, path)
     require(snap.epoch == epoch,
       s"z-store at $path was rewritten since e$epoch (current: " +
         s"e${snap.epoch}) — a row delta across an epoch swap does not " +
         "exist; full-refresh and resume from the current epoch")
     snapshotAt(s, path, epoch, version) // loud refusal on a bogus base
-    val (man, schema) = manifestAndSchema(s, snap)
-    // first-appearance version per file: a metadata-attach version
-    // (bloom stats) re-points files without making them deltas again
-    val files = man.filter(col("c") =!= lit(DdlKey))
-      .groupBy(col("f")).agg(min(col("ver")).as("v0"))
+    val (man0, _) = manifestAndSchema(s, snap)
+    val man = man0.filter(col("c") =!= lit(DdlKey))
+    man.groupBy(col("f")).agg(min(col("ver")).as("v0"))
       .filter(col("v0") > lit(version))
-      .select(col("f")).collect().map(_.getString(0)).sorted
-    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      .join(man.filter(col("c") === lit(SizeKey))
+        .groupBy(col("f")).agg(max(col("mn")).as("__sz")), Seq("f"), "left")
+      .select(col("f"), col("__sz"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).flatMap(_.toLongOption)))
+      .sortBy(_._1).toSeq
   }
 
   /** A past committed snapshot's recorded schema — the graft-z table's
@@ -2019,6 +2198,105 @@ object ZOrder {
             nDel
           } finally aff.unpersist(blocking = false)
         }
+      } finally man.unpersist(blocking = false)
+    }
+  }
+
+  /** Conditional OVERWRITE — Delta's `replaceWhere` as ONE epoch commit
+    * (the idempotent-backfill verb: re-land a partition/band from a
+    * corrected source without touching the rest of the table): every row
+    * matching `preds` is deleted AND `data` lands in its place,
+    * atomically — a reader sees the old state or the new, never the
+    * deleted-but-not-yet-inserted middle a delete+append pair would
+    * expose (and a crash between the two can't strand the table there).
+    * Contract (Delta's default): every incoming row must itself match
+    * the predicate — otherwise the statement silently rewrites rows
+    * outside the band it claims to replace; violations refuse WHOLESALE
+    * before a byte lands. NULL-predicate rows in the TABLE survive (a
+    * null never matches a band — the delete path's `coalesce` rule).
+    *
+    * Scale shape: the rewrite set is stats-bounded exactly like
+    * [[deleteZRange]] (unaffected files carry by reference), the
+    * replacement re-clusters through [[zWrite]] (CHECK constraints
+    * validate it first), tags carry, and the superseded epoch stays a
+    * travel coordinate. Returns (rows deleted, rows inserted). */
+  def overwriteZRange(data: DataFrame, path: String,
+      preds: Seq[(String, Any, Any)], zcols: Seq[String],
+      numFiles: Int = 0): (Long, Long) = {
+    require(preds.nonEmpty,
+      "overwriteZRange needs at least one predicate — an unconditional " +
+        "overwrite is writeZOrdered")
+    val s = data.sparkSession
+    Lease.withLeaseHandle(s, path, "zorder-overwrite") { lease =>
+      recoverLostRollforwards(s, path, lease)
+      val snap = requireSnapshot(s, path)
+      val (man0, schema) = manifestAndSchema(s, snap)
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // align the incoming rows to the RECORDED schema by name (a
+        // missing column refuses at analysis; replaceWhere never evolves)
+        val aligned = data.select(schema.fieldNames.map(col).toSeq: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val matchAll = preds.map { case (c, lo, hi) =>
+            col(c) >= lit(lo) && col(c) <= lit(hi)
+          }.reduce(_ && _)
+          // a null predicate column in DATA is outside the band too
+          val offending = aligned.filter(coalesce(!matchAll, lit(true)))
+            .limit(1).count()
+          require(offending == 0L,
+            s"graft-z replaceWhere on $path: incoming rows fall outside " +
+              s"the overwrite predicate ${preds.map { case (c, lo, hi) =>
+                s"$c BETWEEN $lo AND $hi" }.mkString(" AND ")} — an " +
+              "overwrite may only land rows in the band it replaces")
+          val typed = preds.map { case (c0, lo, hi) =>
+            val f = schema.find(_.name.equalsIgnoreCase(c0)).getOrElse(
+              throw new IllegalArgumentException(
+                s"column $c0 is not in the z-store schema"))
+            (c0, f.dataType, Sources.encodeBound(f.dataType, lo),
+              Sources.encodeBound(f.dataType, hi))
+          }
+          val excluded = typed.map { case (c0, dt, loE, hiE) =>
+            man.filter(lower(col("c")) === c0.toLowerCase &&
+                (col("allnull") || (col("mn").isNotNull &&
+                  (statLt(dt, col("mx"), loE) ||
+                    statGt(dt, col("mn"), hiE)))))
+              .select(col("f"))
+          }.reduce(_ union _)
+          val affected = man.select(col("f")).distinct().except(excluded)
+            .collect().map(_.getString(0)).sorted.toSeq
+          val affDf =
+            if (affected.isEmpty) None
+            else Some(s.read.schema(schema)
+              .parquet(affected.map(f => s"$path/$f"): _*)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          try {
+            val nDel = affDf.map(_.filter(matchAll).count()).getOrElse(0L)
+            val nIns = aligned.count()
+            val replacement = affDf match {
+              case Some(aff) =>
+                aff.filter(coalesce(!matchAll, lit(true))).unionByName(aligned)
+              case None => aligned
+            }
+            val nf = if (numFiles > 0) numFiles
+              else math.max(affected.size, 4)
+            val newStats = zWrite(replacement, path, zcols, nf) match {
+              case Some(dname) => harvestStats(s, path, dname,
+                recordedStatCols(man, schema), schema)
+              case None => Seq.empty // empty band replaced by an empty batch
+            }
+            val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
+            writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+              snap.epoch, maxVerOf(snap))
+            writeManifestVersion(s, edir, 0L, schema.toDDL, newStats,
+              manifestTags(man0),
+              carried = Some(carriedStatsDf(s, man, affected)),
+              op = "replacewhere")
+            rollForwardLateAppends(s, path, snap, lease)
+            (nDel, nIns)
+          } finally affDf.foreach(_.unpersist(blocking = false))
+        } finally aligned.unpersist(blocking = false)
       } finally man.unpersist(blocking = false)
     }
   }
@@ -4162,6 +4440,128 @@ object ZOrder {
       ORDER BY doc_id""")
   }
 
+  // ---- q157: batch CHANGE FEED through the table surface -------------------
+
+  /** q157: q136's change feed driven through the TABLE surface —
+    * `spark.read.format("graft-z").option("changesSinceEpoch", …)
+    * .option("changesSinceVersion", …)` (Delta's `readChangeFeed` as a
+    * read option, working identically through the catalog table name):
+    * the scan plans exactly the delta's files
+    * ([[changeFilesSized]]) under the table's own schema. Shares q136's
+    * store and oracle — a delta that leaks base rows, misses appended
+    * rows, or double-counts a file hash-fails; the refusal shapes
+    * (epoch swap, bogus base, travel/changes combination) are pinned in
+    * ZBatchPlanSpec. */
+  val q157ZTableChanges: Q = Q(
+    "q157_zorder_table_changes",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 = 9 ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    s.read.format("graft-z")
+      .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+      .load(cdfStoreFor(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q158: conditional overwrite (replaceWhere) through the table --------
+
+  /** q158's table: documents behind the catalog, then the [20%, 30%]
+    * doc_id band REPLACED in one atomic commit by a corrected slice
+    * (`df.writeTo(t).overwrite(cond)` → [[overwriteZRange]]) that keeps
+    * only even doc_ids, re-scored — a replacement that both deletes and
+    * transforms, so delete-only or update-only bugs can't pass. */
+  private val replStores =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def replStoreFor(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      replStores.getOrElseUpdate(d, {
+        val root = Files.createTempDirectory("graft-zreplw").toString
+        // one catalog NAME per sf dir (Spark caches catalogs by name)
+        val cat = s"graftq158c${math.abs(d.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        s.sql(s"CREATE NAMESPACE $cat.lake")
+        s.sql(s"""CREATE TABLE $cat.lake.docs
+          (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          PARTITIONED BY (doc_id, n_chars)""")
+        docs.writeTo(s"$cat.lake.docs").append()
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) * 2 / 10, mn + (mx - mn) * 3 / 10)
+        val corrected = docs
+          .filter(col("doc_id").between(lo, hi) && col("doc_id") % 2 === 0)
+          .withColumn("lang", lit("rw"))
+          .withColumn("n_chars", col("n_chars") + 5000)
+        corrected.writeTo(s"$cat.lake.docs")
+          .overwrite(col("doc_id") >= lo && col("doc_id") <= hi)
+        (cat, s"$root/lake/docs")
+      })
+    }
+
+  /** q158: `replaceWhere` — the idempotent-backfill verb (Delta's
+    * conditional `INSERT OVERWRITE`): one atomic epoch commit deletes
+    * the band and lands the corrected slice in its place
+    * ([[overwriteZRange]] via `SupportsOverwrite` on the table's write
+    * builder). Oracle = outside-the-band ∪ the corrected slice: a
+    * non-atomic delete+append pair that lost either half, a replacement
+    * leaking outside the band, or a surviving stale band row all
+    * hash-fail. Atomicity, the outside-band refusal, staging hygiene
+    * and the no-store create path are pinned in ZBatchPlanSpec. */
+  val q158ZTableReplaceWhere: Q = Q(
+    "q158_zorder_replace_where",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d, b
+      |WHERE d.doc_id < b.mn + (b.mx-b.mn)*2//10
+      |   OR d.doc_id > b.mn + (b.mx-b.mn)*3//10
+      |UNION ALL
+      |SELECT d.doc_id, 'rw' AS lang, d.n_chars + 5000 AS n_chars
+      |FROM documents d, b
+      |WHERE d.doc_id BETWEEN b.mn + (b.mx-b.mn)*2//10
+      |                   AND b.mn + (b.mx-b.mn)*3//10
+      |  AND d.doc_id % 2 = 0
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val (cat, _) = replStoreFor(s, d)
+    s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.lake.docs " +
+      "ORDER BY doc_id")
+  }
+
+  // ---- q159: join-driven dynamic file pruning (DSv2 runtime filtering) -----
+
+  /** q159: a selective dim join against the z-table — Spark's dynamic
+    * partition pruning over the DSv2 scan (`SupportsRuntimeV2Filtering`
+    * → [[pruneFilesForValueSet]]): the dim side's distinct join keys
+    * reach the scan at runtime and drop every fact file whose recorded
+    * l_partkey range (and bloom, where present) provably holds none of
+    * them — the 100 TB star-join shape where the static plan can't
+    * prune (the filter is on the OTHER table). The new reported
+    * statistics ([[fileRowCounts]]) are what let Catalyst broadcast the
+    * dim. Oracle = the plain join; files-planned shrinkage and the
+    * deleted-file no-open proof are pinned in ZBatchPlanSpec. */
+  val q159ZTableRuntimePrune: Q = Q(
+    "q159_zorder_runtime_prune",
+    """SELECT p.p_partkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_partkey % 97 = 0
+      |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+  ) { (s, d) =>
+    val dim = Tables.part(s, d).filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey"))
+    val fact = s.read.format("graft-z").load(storeFor(s, d))
+    fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
@@ -4169,5 +4569,6 @@ object ZOrder {
     q145ZOrderHistory, q146ZOrderRestore, q147ZOrderUpdate,
     q148ZBatchTable, q149ZOrderConstraints, q150ZBatchWrite,
     q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
-    q155ZTableStream, q156ZTableStreamWrite)
+    q155ZTableStream, q156ZTableStreamWrite, q157ZTableChanges,
+    q158ZTableReplaceWhere, q159ZTableRuntimePrune)
 }

@@ -1,0 +1,368 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DSv2 table's PLANNING surfaces: reported statistics (join sizing),
+  * runtime (join-driven) file pruning, the batch change-feed read options,
+  * and conditional overwrite (replaceWhere). Lives in `graft.sources` to
+  * reach the scan internals; query-level exactness rides q157–q159. */
+class ZBatchPlanSpec extends SparkSpec {
+
+  private def mkStore(n: Long, numFiles: Int = 8): String = {
+    val dir = Files.createTempDirectory("graft-zbps").toString
+    ZOrder.writeZOrdered(
+      spark.range(n).select(col("id").as("k"), (col("id") * 3).as("v")),
+      dir, Seq("k"), numFiles)
+    dir
+  }
+
+  private def scanRelationStats(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.stats
+    }.head
+
+  private def dataFileBytes(dir: String): Long = {
+    val root = new Path(dir)
+    val fs = StoreMaint.fsFor(spark, root)
+    val it = fs.listFiles(root, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (p.contains("/d-") && st.getPath.getName.endsWith(".parquet"))
+        sum += st.getLen
+    }
+    sum
+  }
+
+  // ---- reported statistics -------------------------------------------------
+
+  test("the scan reports manifest-derived stats: numRows exact, sizeInBytes = the data files' bytes; a pushed band shrinks both") {
+    val dir = mkStore(2000)
+    val full = spark.read.format("graft-z").load(dir)
+    val st = scanRelationStats(full)
+    assert(st.rowCount.contains(BigInt(2000)), st.toString)
+    assert(st.sizeInBytes == BigInt(dataFileBytes(dir)), st.toString)
+    // a pushed band prunes files, and the STATS see the pruned set:
+    // join planning sizes the band read as what it will actually scan
+    val band = full.filter(col("k").between(0L, 99L))
+    val stBand = scanRelationStats(band)
+    assert(stBand.sizeInBytes > 0 && stBand.sizeInBytes < st.sizeInBytes,
+      s"band=${stBand.sizeInBytes} full=${st.sizeInBytes}")
+    assert(stBand.rowCount.exists(_ < BigInt(2000)), stBand.toString)
+  }
+
+  test("reported stats drive JOIN planning: a small z-table broadcasts; shrinking the threshold below its size demotes the join (stats, not format, decide)") {
+    val dir = mkStore(500, numFiles = 2)
+    val zt = spark.read.format("graft-z").load(dir)
+    val big = spark.range(50000).select(col("id").as("k"),
+      (col("id") % 7).as("grp"))
+    val joined = big.join(zt, Seq("k"))
+    // pre-AQE physical planning uses the LOGICAL stats — exactly what
+    // estimateStatistics feeds; without it a DSv2 scan sizes at the
+    // conservative default (huge) and could never broadcast
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val demoted = big.join(spark.read.format("graft-z").load(dir),
+        Seq("k")).queryExecution.sparkPlan.toString
+      assert(!demoted.contains("BroadcastHashJoin"), demoted)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("stats degrade to unknown (never a guess) when a surviving file predates size/count rows") {
+    // a store written through the normal path always has them; simulate
+    // a pre-size manifest by asking for counts of a file with none
+    val dir = mkStore(100, numFiles = 1)
+    assert(ZOrder.fileRowCounts(spark, dir, Seq("d-missing/nope.parquet"))
+      .isEmpty)
+  }
+
+  // ---- runtime (join-driven) file pruning ----------------------------------
+
+  test("a selective dim join prunes fact FILES at runtime: files outside the key set are never opened (physically deleted), and disabling DPP makes the same query fail loudly") {
+    val dir = mkStore(1000, numFiles = 8)
+    val all = ZOrder.pruneFilesForScan(spark, dir, Seq.empty, None)._1
+    assert(all.size >= 4, s"need multiple files, got ${all.size}")
+    val needed = ZOrder.pruneFilesForValueSet(spark, dir, "k", Seq(5L), all)
+      .map(_._1).toSet
+    assert(needed.nonEmpty && needed.size < all.size,
+      s"value-set pruning is vacuous: ${needed.size}/${all.size}")
+    // delete every data file the key set provably misses — only runtime
+    // pruning can keep the join from opening them
+    val fs = StoreMaint.fsFor(spark, new Path(dir))
+    all.map(_._1).filterNot(needed).foreach { f =>
+      assert(fs.delete(new Path(dir, f), false), f)
+    }
+    // the dim must survive as a FILTERED RELATION (a LocalRelation
+    // constant-folds away and DPP has no selective filter to key on —
+    // the real star-join shape is a table read)
+    val dimDir = Files.createTempDirectory("graft-zbpsdim").toString
+    spark.createDataFrame(Seq((5L, "a"), (500L, "b"))).toDF("kk", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "a")
+    def joined() = spark.read.format("graft-z").load(dir)
+      .join(dim, col("k") === col("kk"))
+      .select(col("k"), col("v"))
+    val rows = joined().collect()
+    assert(rows.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 15L)))
+    // planted positive: same query, DPP off, must try to open a deleted
+    // file — the detector is not vacuous
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val e = intercept[Exception] { joined().collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+          t.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(t.getMessage).contains("does not exist") ||
+          String.valueOf(t.getMessage).contains("listed in the manifest")),
+        s"expected a missing-file failure, got $e")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("value-set pruning is bounded and sound: an oversized key set skips pruning; an empty one prunes everything; unknown columns prune nothing") {
+    val dir = mkStore(200, numFiles = 4)
+    val all = ZOrder.pruneFilesForScan(spark, dir, Seq.empty, None)._1
+    val over = (0L until (ZOrder.MaxRuntimeValues + 1L)).map(identity[Long])
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "k", over, all) == all)
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "k", Seq.empty, all)
+      .isEmpty)
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "nope", Seq(1L), all)
+      == all)
+    // null keys never match an equi-join: a null-only set prunes all
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "k", Seq(null), all)
+      .isEmpty)
+  }
+
+  test("the scan reports prunable runtime-filter attributes: recorded stat columns, not unrecorded ones") {
+    val dir = mkStore(100, numFiles = 2)
+    val cols = ZOrder.prunableColumns(spark, dir)
+    assert(cols.contains("k"), cols.toString)
+    assert(!cols.contains("v"), cols.toString) // no stats recorded for v
+  }
+
+  test("a projected-away stat column never breaks runtime-filter resolution (the q154/q159 Verify regression)") {
+    val dir = Files.createTempDirectory("graft-zbpsproj").toString
+    ZOrder.writeZOrdered(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"),
+        (col("id") % 7).as("w")),
+      dir, Seq("k", "v"), 2) // stats recorded for BOTH k and v
+    val dimDir = Files.createTempDirectory("graft-zbpsprojdim").toString
+    spark.createDataFrame(Seq((7L, "a"), (8L, "b"))).toDF("kk", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "a")
+    // the scan's output prunes v away; reporting v as a runtime-filter
+    // attribute anyway makes Spark's resolution throw at plan time
+    val rows = spark.read.format("graft-z").load(dir)
+      .select(col("k"), col("w"))
+      .join(dim, col("k") === col("kk"))
+      .select(col("k"), col("w")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 0L)))
+  }
+
+  // ---- pushed limit --------------------------------------------------------
+
+  test("a pushed LIMIT plans a file prefix covering it, not the whole store; a filtered or ordered query keeps the full plan") {
+    val dir = mkStore(1000, numFiles = 8)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.map(_.asInstanceOf[ZBatchPartition].files.size).sum
+      }.head
+    val full = plannedFiles(spark.read.format("graft-z").load(dir))
+    assert(full >= 4, s"need multiple files, got $full")
+    val limited = spark.read.format("graft-z").load(dir).limit(5)
+    assert(plannedFiles(limited) < full,
+      s"limit planned ${plannedFiles(limited)} of $full files")
+    assert(limited.collect().length == 5)
+    assert(limited.queryExecution.sparkPlan.toString.contains("limit 5"))
+    // a residual filter must keep the full plan (the limit applies AFTER
+    // the filter drops rows — a prefix could come up short)
+    val filtered = spark.read.format("graft-z").load(dir)
+      .filter(col("v") % 2 === 0).limit(5)
+    assert(plannedFiles(filtered) == full)
+    assert(filtered.collect().length == 5)
+    // an ORDER BY consumes every row: no prefix either
+    val ordered = spark.read.format("graft-z").load(dir)
+      .orderBy(col("v").desc).limit(3)
+    assert(plannedFiles(ordered) == full)
+    assert(ordered.collect().map(_.getLong(1)).toSeq ==
+      Seq(2997L, 2994L, 2991L))
+  }
+
+  // ---- batch change feed through the table ---------------------------------
+
+  test("changesSince* options read exactly the delta, count is NOT metadata-answered, and the refusal shapes hold") {
+    val dir = Files.createTempDirectory("graft-zbpscdf").toString
+    ZOrder.writeZOrdered(
+      spark.range(500).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 4)
+    ZOrder.appendZOrdered(
+      spark.range(500, 600).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 2)
+    def delta() = spark.read.format("graft-z")
+      .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+      .load(dir)
+    // 100, not 600: a metadata-answered COUNT over the WHOLE store would
+    // be silently wrong here — the agg pushdown guard is load-bearing
+    assert(delta().count() == 100)
+    assert(delta().agg(min(col("k")), max(col("k"))).head().toSeq
+      == Seq(500L, 599L))
+    // half a coordinate refuses
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-z").option("changesSinceVersion", "0")
+        .load(dir).count()
+    }
+    // travel + changes refuses: the feed is a delta of the LIVE table
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-z")
+        .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+        .option("epoch", "0").option("version", "0").load(dir).count()
+    }
+    assert(e1.getMessage.contains("does not combine"), e1.getMessage)
+    // an epoch swap since the base coordinate refuses loudly
+    ZOrder.writeZOrdered(
+      spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 1)
+    val e2 = intercept[Exception] { delta().count() }
+    assert(e2.getMessage.contains("full-refresh"), e2.getMessage)
+  }
+
+  test("the change feed flows through the CATALOG table name: spark.read.option(...).table") {
+    val root = Files.createTempDirectory("graft-zbpscat").toString
+    val cat = s"graftzbpsc${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.lake.t SELECT id, id * 2 FROM range(50)")
+    spark.sql(s"INSERT INTO $cat.lake.t " +
+      "SELECT id, id * 2 FROM range(50, 80)")
+    // CREATE committed v0 (empty), the inserts are v1 and v2
+    val sinceV1 = spark.read
+      .option("changesSinceEpoch", "0").option("changesSinceVersion", "1")
+      .table(s"$cat.lake.t")
+    assert(sinceV1.count() == 30)
+    assert(sinceV1.agg(min(col("k"))).head().getLong(0) == 50L)
+    val sinceV0 = spark.read
+      .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+      .table(s"$cat.lake.t")
+    assert(sinceV0.count() == 80)
+  }
+
+  // ---- conditional overwrite (replaceWhere) ---------------------------------
+
+  test("replaceWhere through writeTo: ONE atomic epoch commit replaces exactly the band; refusals leave the table untouched") {
+    val root = Files.createTempDirectory("graft-zbpsrw").toString
+    val cat = s"graftzbpsr${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .writeTo(s"$cat.lake.t").append()
+    val dir = s"$root/lake/t"
+    val versionsBefore = ZOrder.describeHistory(spark, dir).count()
+    // the corrected band: only even k survive, re-scored
+    spark.range(100, 200).filter(col("id") % 2 === 0)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+      .writeTo(s"$cat.lake.t")
+      .overwrite(col("k") >= 100L && col("k") <= 199L)
+    val after = spark.sql(s"SELECT k, v FROM $cat.lake.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = ((0L until 100L) ++ (200L until 1000L)).map(k => (k, k * 2)) ++
+      (100L until 200L).filter(_ % 2 == 0).map(k => (k, -1L))
+    assert(after.toSeq == expect.sortBy(_._1))
+    // exactly ONE new commit, and it is the replaceWhere epoch
+    val hist = ZOrder.describeHistory(spark, dir).collect()
+    assert(hist.length == versionsBefore + 1, hist.mkString(", "))
+    assert(hist.map(_.getString(2)).count(_ == "replacewhere") == 1,
+      hist.mkString(", "))
+    // incoming rows OUTSIDE the band refuse wholesale
+    val e = intercept[Exception] {
+      spark.range(50, 60).select(col("id").as("k"), lit(-2L).as("v"))
+        .writeTo(s"$cat.lake.t")
+        .overwrite(col("k") >= 100L && col("k") <= 199L)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => String.valueOf(t.getMessage)
+      .contains("outside the overwrite predicate")), e.toString)
+    // a NON-BAND condition refuses (the conversion must be exact)
+    intercept[Exception] {
+      spark.range(0, 1).select(col("id").as("k"), lit(-3L).as("v"))
+        .writeTo(s"$cat.lake.t")
+        .overwrite(col("k") <= 1L || col("k") >= 999L)
+    }
+    // nothing from either refusal landed
+    val recheck = spark.sql(s"SELECT k, v FROM $cat.lake.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(recheck.toSeq == expect.sortBy(_._1))
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t WHERE v IN (-2, -3)")
+      .count() == 0)
+  }
+
+  test("replaceWhere honors CHECK constraints and the null-predicate survival rule") {
+    val dir = Files.createTempDirectory("graft-zbpsrw2").toString
+    ZOrder.writeZOrdered(
+      spark.range(100).select(col("id").as("a"),
+        when(col("id") % 10 === 9, lit(null).cast("long"))
+          .otherwise(col("id")).as("b")),
+      dir, Seq("a"), 2)
+    // rows with b NULL inside the a-range of the band survive a b-band
+    // replace (a null never matches a band — the delete path's rule)
+    val (nDel, nIns) = ZOrder.overwriteZRange(
+      spark.range(20, 30).filter(col("id") % 10 =!= 9)
+        .select((col("id") + 1000).as("a"), col("id").as("b")),
+      dir, Seq(("b", 20L, 29L)), Seq("a"))
+    assert(nDel == 9 && nIns == 9, s"($nDel, $nIns)") // 29 had b NULL
+    val snap = ZOrder.readSnapshot(spark, dir)
+    assert(snap.filter(col("b").isNull).count() == 10) // all survived
+    assert(snap.filter(col("a") >= 1000L).count() == 9)
+    assert(snap.count() == 100)
+    // CHECK constraints gate the REPLACEMENT like any other write
+    ZOrder.addCheckConstraint(spark, dir, "a_bound", "a <= 5000")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.overwriteZRange(
+        spark.range(40, 45).select((col("id") + 9000).as("a"),
+          col("id").as("b")),
+        dir, Seq(("b", 40L, 49L)), Seq("a"), numFiles = 1)
+    }
+    assert(e.getMessage.contains("a_bound"), e.getMessage)
+    assert(ZOrder.readSnapshot(spark, dir).filter(col("a") >= 9000L)
+      .count() == 0)
+  }
+
+  test("INSERT OVERWRITE through the catalog is the full (truncating) overwrite, atomically versioned") {
+    val root = Files.createTempDirectory("graft-zbpsio").toString
+    val cat = s"graftzbpsi${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.lake.t SELECT id, id FROM range(100)")
+    spark.sql(s"INSERT OVERWRITE $cat.lake.t " +
+      "SELECT id, id * 10 FROM range(5)")
+    val rows = spark.sql(s"SELECT k, v FROM $cat.lake.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == (0L until 5L).map(k => (k, k * 10)))
+    // the pre-overwrite state stays a travel coordinate
+    val hist = ZOrder.describeHistory(spark, s"$root/lake/t").collect()
+    assert(hist.map(_.getLong(0)).distinct.length >= 2, hist.mkString(", "))
+  }
+}
