@@ -390,11 +390,14 @@ object ScaleProbe {
       }),
     )
 
-    // ad-hoc iteration knob: SPARK_GRAFT_PROBE_FILTER=q48 runs only the
-    // matching probes (substring match); unset = the full committed record
+    // ad-hoc iteration knob: SPARK_GRAFT_PROBE_FILTER=q48 (or a
+    // comma-separated list, q148,q159) runs only the matching probes
+    // (substring match); unset = the full committed record
     val probeFilter = sys.env.get("SPARK_GRAFT_PROBE_FILTER")
     val selected = probeFilter match {
-      case Some(f) => probes.filter(_._1.contains(f))
+      case Some(f) =>
+        val subs = f.split(",").map(_.trim).filter(_.nonEmpty)
+        probes.filter(p => subs.exists(p._1.contains))
       case None => probes
     }
     def pass(dir: String, scale: Int): Seq[(String, Double, Long)] =

@@ -304,6 +304,11 @@ object ZBatch {
       }
       f match {
         case EqualTo(c, v) if v != null => put(c, Some(v), Some(v))
+        // a static-partition INSERT OVERWRITE arrives as `k <=> v`; for
+        // a NON-NULL literal that is exactly the [v, v] band (null rows
+        // never match either side) — a null literal means "k IS NULL",
+        // not a band, and refuses
+        case EqualNullSafe(c, v) if v != null => put(c, Some(v), Some(v))
         case GreaterThanOrEqual(c, v) if v != null => put(c, Some(v), None)
         case LessThanOrEqual(c, v) if v != null => put(c, None, Some(v))
         case And(l, r) => fold(l, acc).flatMap(fold(r, _))
@@ -322,18 +327,25 @@ object ZBatch {
   /** Batch CHANGE-FEED coordinates from read options — Delta's
     * `readChangeFeed` through the table surface: `changesSinceEpoch` +
     * `changesSinceVersion` (both or neither) make the scan read exactly
-    * the rows committed AFTER that coordinate
-    * ([[ZOrder.changeFilesSized]]'s delta contract, including the loud
-    * epoch-swap and bogus-base refusals). */
+    * the rows committed AFTER that coordinate; an optional
+    * `changesUntilVersion` bounds the window's top (endingVersion — an
+    * exact historical window, re-readable later). Refusals ride
+    * [[ZOrder.changeFilesSized]]: epoch swap, bogus base or bound,
+    * inverted window. */
   private[sources] def changesOf(
-      options: java.util.Map[String, String]): Option[(Long, Long)] = {
+      options: java.util.Map[String, String])
+      : Option[(Long, Long, Option[Long])] = {
     val e = Option(options.get("changesSinceEpoch"))
     val v = Option(options.get("changesSinceVersion"))
+    val u = Option(options.get("changesUntilVersion"))
     require(e.isEmpty == v.isEmpty,
       "graft-z change-feed read needs BOTH " +
         ".option(\"changesSinceEpoch\", …) and " +
         ".option(\"changesSinceVersion\", …)")
-    e.zip(v).map { case (a, b) => (a.toLong, b.toLong) }
+    require(u.isEmpty || e.nonEmpty,
+      "graft-z: .option(\"changesUntilVersion\", …) bounds a change " +
+        "window — it needs changesSinceEpoch/changesSinceVersion")
+    e.zip(v).map { case (a, b) => (a.toLong, b.toLong, u.map(_.toLong)) }
   }
 
   /** Time-travel coordinates from read options — Delta's two travel
@@ -746,7 +758,7 @@ class ZBatchScanBuilder(path: String, tschema: StructType,
     travel: Option[(Long, Long)],
     options: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty(),
-    changes: Option[(Long, Long)] = None)
+    changes: Option[(Long, Long, Option[Long])] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -923,7 +935,7 @@ class ZBatchScan(path: String, required: StructType,
     options: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty(),
     metaFileCol: Boolean = false,
-    changes: Option[(Long, Long)] = None,
+    changes: Option[(Long, Long, Option[Long])] = None,
     limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -940,7 +952,7 @@ class ZBatchScan(path: String, required: StructType,
   private lazy val baseFiles: Seq[(String, Option[Long])] = {
     val s = SparkSession.active
     changes match {
-      case Some((e, v)) => ZOrder.changeFilesSized(s, path, e, v)
+      case Some((e, v, u)) => ZOrder.changeFilesSized(s, path, e, v, u)
       case None =>
         val (files0, recorded) =
           ZOrder.pruneFilesForScan(s, path, bounds, travel)
@@ -1064,7 +1076,8 @@ class ZBatchScan(path: String, required: StructType,
   override def description(): String =
     s"graft-z $path${travel.map(t => s" @ (e${t._1}, v${t._2})")
       .getOrElse("")}${changes.map(c => s" changes since (e${c._1}, " +
-      s"v${c._2})").getOrElse("")}, pruned on " +
+      s"v${c._2})${c._3.map(u => s" until v$u").getOrElse("")}")
+      .getOrElse("")}, pruned on " +
       s"[${bounds.map(_._1).sorted.mkString(", ")}]" +
       s", bloom-probed on [${points.map(_._1).sorted.distinct.mkString(", ")}]" +
       limit.map(l => s", limit $l").getOrElse("")

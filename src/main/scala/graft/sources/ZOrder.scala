@@ -1988,21 +1988,31 @@ object ZOrder {
     * version per file (a metadata-attach version — bloom stats —
     * re-points files without making them deltas again), sizes from the
     * manifest's `__size__` rows so the delta bin-packs like any other
-    * scan. Same refusal contract as [[readChangesSince]]: an epoch swap
-    * since the base coordinate refuses loudly, and a bogus base refuses
-    * rather than replaying the whole store as "changes". */
+    * scan. `until` bounds the window's top (Delta's endingVersion —
+    * what lets an incremental consumer re-read an exact historical
+    * window); both coordinates are validated, so a bogus base OR bound
+    * refuses rather than replaying the wrong slice as "changes". Same
+    * epoch-swap refusal contract as [[readChangesSince]]. */
   private[sources] def changeFilesSized(s: SparkSession, path: String,
-      epoch: Long, version: Long): Seq[(String, Option[Long])] = {
+      epoch: Long, version: Long,
+      until: Option[Long] = None): Seq[(String, Option[Long])] = {
     val snap = requireSnapshot(s, path)
     require(snap.epoch == epoch,
       s"z-store at $path was rewritten since e$epoch (current: " +
         s"e${snap.epoch}) — a row delta across an epoch swap does not " +
         "exist; full-refresh and resume from the current epoch")
     snapshotAt(s, path, epoch, version) // loud refusal on a bogus base
+    until.foreach { u =>
+      require(u >= version,
+        s"z-store change window (v$version, v$u] at $path is inverted — " +
+          "changesUntilVersion must be >= changesSinceVersion")
+      snapshotAt(s, path, epoch, u) // loud refusal on a bogus bound
+    }
     val (man0, _) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
     man.groupBy(col("f")).agg(min(col("ver")).as("v0"))
-      .filter(col("v0") > lit(version))
+      .filter(col("v0") > lit(version) &&
+        until.map(u => col("v0") <= lit(u)).getOrElse(lit(true)))
       .join(man.filter(col("c") === lit(SizeKey))
         .groupBy(col("f")).agg(max(col("mn")).as("__sz")), Seq("f"), "left")
       .select(col("f"), col("__sz"))

@@ -232,6 +232,33 @@ class ZBatchPlanSpec extends SparkSpec {
         .option("epoch", "0").option("version", "0").load(dir).count()
     }
     assert(e1.getMessage.contains("does not combine"), e1.getMessage)
+    // a bounded window (endingVersion): a third commit, then re-read the
+    // EXACT historical (v0, v1] window — the appended slice only
+    ZOrder.appendZOrdered(
+      spark.range(600, 650).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 1)
+    val window = spark.read.format("graft-z")
+      .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+      .option("changesUntilVersion", "1").load(dir)
+    assert(window.count() == 100)
+    assert(window.agg(max(col("k"))).head().getLong(0) == 599L)
+    // an inverted window refuses; a bogus bound refuses
+    val eInv = intercept[Exception] {
+      spark.read.format("graft-z")
+        .option("changesSinceEpoch", "0").option("changesSinceVersion", "2")
+        .option("changesUntilVersion", "1").load(dir).count()
+    }
+    assert(eInv.getMessage.contains("inverted"), eInv.getMessage)
+    intercept[Exception] {
+      spark.read.format("graft-z")
+        .option("changesSinceEpoch", "0").option("changesSinceVersion", "0")
+        .option("changesUntilVersion", "99").load(dir).count()
+    }
+    // a bound without a base refuses
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-z")
+        .option("changesUntilVersion", "1").load(dir).count()
+    }
     // an epoch swap since the base coordinate refuses loudly
     ZOrder.writeZOrdered(
       spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v")),
@@ -364,5 +391,29 @@ class ZBatchPlanSpec extends SparkSpec {
     // the pre-overwrite state stays a travel coordinate
     val hist = ZOrder.describeHistory(spark, s"$root/lake/t").collect()
     assert(hist.map(_.getLong(0)).distinct.length >= 2, hist.mkString(", "))
+  }
+
+  test("INSERT OVERWRITE ... PARTITION (k = v) is the pure-SQL banded replace (static partition -> replaceWhere)") {
+    val root = Files.createTempDirectory("graft-zbpssp").toString
+    val cat = s"graftzbpssp${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.lake.t SELECT id, id FROM range(100)")
+    // the table reports its clustering as identity partitioning, so the
+    // static-partition form resolves; Spark plans it as
+    // OverwriteByExpression(k = 7) -> the exact-band replaceWhere path
+    spark.sql(s"INSERT OVERWRITE $cat.lake.t PARTITION (k = 7) " +
+      "SELECT -7L AS v")
+    val rows = spark.sql(s"SELECT k, v FROM $cat.lake.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (0L until 100L).map(k => (k, if (k == 7) -7L else k))
+    assert(rows.toSeq == expect)
+    // one replacewhere commit, not a truncate
+    val hist = ZOrder.describeHistory(spark, s"$root/lake/t").collect()
+    assert(hist.map(_.getString(2)).count(_ == "replacewhere") == 1,
+      hist.mkString(", "))
   }
 }
