@@ -1167,7 +1167,7 @@ object ZOrder {
     * already separates store generations by the v0 _SUCCESS instant,
     * but same-tick drop+recreate on a coarse-mtime filesystem could
     * still collide; catalog-driven recreates invalidate explicitly. */
-  private[sources] def invalidateScanPlans(path: String): Unit =
+  private[sources] def invalidateScanPlans(path: String): Unit = {
     scanPlanCache.synchronized {
       val it = scanPlanCache.entrySet().iterator()
       while (it.hasNext) {
@@ -1178,6 +1178,14 @@ object ZOrder {
         }
       }
     }
+    // the snapshot-keyed sibling memos share the key prefix and the
+    // same drop+recreate collision window
+    rowCountsCache.synchronized {
+      rowCountsCache.keySet().removeIf(_.startsWith(path + "|")); ()
+    }
+    prunableColsCache.keySet().removeIf(_.startsWith(path + "|"))
+    ()
+  }
   /** Aggregate cached file-name count — the size-bound spec's probe. */
   private[graft] def scanPlanCacheWeight: Long =
     scanPlanCache.synchronized(scanPlanWeight)
@@ -1799,17 +1807,42 @@ object ZOrder {
 
   /** Per-file recorded row counts (files without a `__count__` row are
     * absent) — shared by the stats report and the pushed-limit file
-    * prefix ([[ZBatchScan]]). */
+    * prefix ([[ZBatchScan]]). Memoized per snapshot identity with the
+    * scan-plan cache's discipline (commit-keyed, entry- AND
+    * weight-bounded, path-invalidated, huge stores fall through
+    * uncached): a join's planning consults statistics several times,
+    * and the map is O(store files) of driver strings. */
+  private val rowCountsCache =
+    new java.util.LinkedHashMap[String, Map[String, Long]](16, 0.75f, true)
+  private val RowCountsCacheMaxEntries = 8
+
   private[sources] def fileRowCountMap(s: SparkSession, path: String,
       at: Option[(Long, Long)] = None): Map[String, Long] = {
     val snap = at match {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
     }
-    val (man0, _) = manifestAndSchema(s, snap)
-    man0.filter(col("c") === lit(CountKey) && col("mn").isNotNull)
-      .groupBy(col("f")).agg(max(col("mn").cast("long")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
+      snap.vdirs.map(_.getName).sorted.mkString(",")
+    rowCountsCache.synchronized { Option(rowCountsCache.get(key)) } match {
+      case Some(hit) => hit
+      case None =>
+        val (man0, _) = manifestAndSchema(s, snap)
+        val out = man0
+          .filter(col("c") === lit(CountKey) && col("mn").isNotNull)
+          .groupBy(col("f")).agg(max(col("mn").cast("long")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (out.size.toLong <= ScanPlanCacheMaxWeight)
+          rowCountsCache.synchronized {
+            rowCountsCache.put(key, out)
+            val it = rowCountsCache.entrySet().iterator()
+            while (rowCountsCache.size() > RowCountsCacheMaxEntries &&
+                it.hasNext) {
+              if (it.next().getKey != key) it.remove()
+            }
+          }
+        out
+    }
   }
 
   /** Point lookup `col = value` through the z-store with BLOOM file
@@ -3104,6 +3137,8 @@ object ZOrder {
     stores.clear(); delStores.clear(); cdfStores.clear(); viewStores.clear()
     mergeStores.clear(); zcdfStreamStores.clear(); bloomStores.clear()
     scanPlanCache.synchronized { scanPlanCache.clear(); scanPlanWeight = 0L }
+    rowCountsCache.synchronized { rowCountsCache.clear() }
+    prunableColsCache.clear()
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —

@@ -79,6 +79,19 @@ class ZBatchPlanSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("stats memos do not survive a store recreated at the same path") {
+    val dir = mkStore(300, numFiles = 2)
+    assert(scanRelationStats(spark.read.format("graft-z").load(dir))
+      .rowCount.contains(BigInt(300)))
+    val fs = StoreMaint.fsFor(spark, new Path(dir))
+    assert(fs.delete(new Path(dir), true))
+    ZOrder.writeZOrdered(
+      spark.range(77).select(col("id").as("k"), (col("id") * 3).as("v")),
+      dir, Seq("k"), 2)
+    assert(scanRelationStats(spark.read.format("graft-z").load(dir))
+      .rowCount.contains(BigInt(77)))
+  }
+
   test("stats degrade to unknown (never a guess) when a surviving file predates size/count rows") {
     // a store written through the normal path always has them; simulate
     // a pre-size manifest by asking for counts of a file with none
@@ -341,6 +354,25 @@ class ZBatchPlanSpec extends SparkSpec {
     assert(recheck.toSeq == expect.sortBy(_._1))
     assert(spark.sql(s"SELECT * FROM $cat.lake.t WHERE v IN (-2, -3)")
       .count() == 0)
+  }
+
+  test("replaceWhere replay is idempotent in effect: the same batch re-landed yields the identical state (a new travel coordinate, no row drift)") {
+    val dir = Files.createTempDirectory("graft-zbpsrw3").toString
+    ZOrder.writeZOrdered(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, Seq("k"), 2)
+    val batch = spark.range(10, 20)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+    ZOrder.overwriteZRange(batch, dir, Seq(("k", 10L, 19L)), Seq("k"))
+    val first = ZOrder.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val (nDel2, nIns2) =
+      ZOrder.overwriteZRange(batch, dir, Seq(("k", 10L, 19L)), Seq("k"))
+    assert(nDel2 == 10 && nIns2 == 10) // the replay deletes its own rows
+    val second = ZOrder.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(second == first)
+    assert(second.count(_._2 == -1L) == 10)
   }
 
   test("replaceWhere honors CHECK constraints and the null-predicate survival rule") {
