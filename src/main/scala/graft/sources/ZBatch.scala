@@ -647,7 +647,21 @@ class ZBatchWriteBuilder(path: String,
                 ZOrder.overwriteZRange(data, path, preds, zcols,
                   Option(opts.get("numFiles")).map(_.toInt).getOrElse(0))
                 ()
-              case Some(_) => // nothing to replace: the write creates it
+              case Some(preds) =>
+                // nothing to replace (the write creates the store), but
+                // the refuse-wholesale band contract still binds: an
+                // overwrite may only land rows in the band it claims
+                import org.apache.spark.sql.functions.{coalesce, col, lit}
+                val matchAll = preds.map { case (c, lo, hi) =>
+                  col(c) >= lit(lo) && col(c) <= lit(hi)
+                }.reduce(_ && _)
+                require(data.filter(coalesce(!matchAll, lit(true)))
+                    .limit(1).count() == 0L,
+                  s"graft-z replaceWhere on $path: incoming rows fall " +
+                    s"outside the overwrite predicate ${preds.map {
+                      case (c, lo, hi) => s"$c BETWEEN $lo AND $hi"
+                    }.mkString(" AND ")} — an overwrite may only land " +
+                    "rows in the band it replaces")
                 ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
               case None =>
                 if (overwrite || overwriteArg)
@@ -952,7 +966,7 @@ class ZBatchScan(path: String, required: StructType,
   private lazy val baseFiles: Seq[(String, Option[Long])] = {
     val s = SparkSession.active
     changes match {
-      case Some((e, v, u)) => ZOrder.changeFilesSized(s, path, e, v, u)
+      case Some((e, v, u)) => ZOrder.changeFilesSized(s, path, e, v, u)._1
       case None =>
         val (files0, recorded) =
           ZOrder.pruneFilesForScan(s, path, bounds, travel)

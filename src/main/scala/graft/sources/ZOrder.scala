@@ -1252,24 +1252,31 @@ object ZOrder {
         }.reduce(_ union _)
         allFiles.except(excluded)
       }
-    // ONE size row per file (groupBy, not a raw join): a file that ever
-    // carries duplicate __size__ listings (recovered pre-provenance
-    // history) must not fan the left join out — a doubled (f, size) pair
-    // here would plan the file into TWO partitions and the DSv2 table
-    // would return its rows twice (the r11 advisor finding; readZRange's
-    // distinct() path was already immune, masking the divergence)
-    val sized = keepDf.join(
-        man.filter(col("c") === lit(SizeKey))
-          .groupBy(col("f")).agg(max(col("mn")).as("__sz")),
-        Seq("f"), "left")
-      .collect()
-      .map(r => (r.getString(0),
-        Option(r.getString(1)).flatMap(_.toLongOption)))
-      .sortBy(_._1).toSeq
-    val out = (sized, schema)
+    val out = (withRecordedSizes(man, keepDf), schema)
     scanPlanPut(key, out)
     out
   }
+
+  /** The `files` frame (one `f` column) left-joined to ONE recorded size
+    * per file — the shared sized-files lookup of the scan plan, the
+    * change feed and the row-count map. ONE row per file (groupBy, not a
+    * raw join): a file that ever carries duplicate `__size__` listings
+    * (recovered pre-provenance history) must not fan the left join out —
+    * a doubled (f, size) pair would plan the file into TWO partitions
+    * and the DSv2 table would return its rows twice (the r11 advisor
+    * finding). Max is over the CAST long, not the string — lexicographic
+    * max("9", "100") = "9" would silently pick the wrong duplicate. */
+  private def withRecordedSizes(man: DataFrame,
+      files: DataFrame): Seq[(String, Option[Long])] =
+    files.join(
+        man.filter(col("c") === lit(SizeKey))
+          .groupBy(col("f")).agg(max(col("mn").cast("long")).as("__sz")),
+        Seq("f"), "left")
+      .select(col("f"), col("__sz"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
 
   private[graft] final case class ZCount(metaRows: Long,
       covered: Seq[String], residual: Seq[String]) {
@@ -1636,27 +1643,41 @@ object ZOrder {
       }
     }
     if (probes.isEmpty) candidates
-    else {
-      val names = candidates.map(_._1)
-      val target = path
-      val kept = s.sparkContext
-        .parallelize(names, math.min(names.size, 32))
-        .filter { rel =>
-          val fs = GraftShardsSource.fs(new Path(target),
-            GraftShardsSource.hadoopConf(overrides))
-          probes.forall { case (cl, h) =>
-            val sc = bloomSidecar(target, cl, rel)
-            if (!fs.exists(sc)) true // uncovered file: must read
-            else {
-              val in = fs.open(sc)
-              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                .mightContainLong(h)
-              finally in.close()
-            }
+    else bloomProbeFiles(s, path, candidates,
+      probes.map { case (cl, h) => (cl, Seq(h)) })
+  }
+
+  /** The ONE distributed bloom-sidecar probe both pruning planes share —
+    * keep a file iff EVERY probe's column might contain SOME of its
+    * hashes (a point probe is a one-hash set; the runtime IN-set plane
+    * passes the whole key set). A missing sidecar keeps the file (must
+    * read); a false positive costs I/O, never correctness. Small
+    * metadata reads, one task batch over the candidate names. */
+  private def bloomProbeFiles(s: SparkSession, path: String,
+      candidates: Seq[(String, Option[Long])],
+      probes: Seq[(String, Seq[Long])]): Seq[(String, Option[Long])] = {
+    if (probes.isEmpty || candidates.isEmpty) return candidates
+    val overrides = GraftShardsSource.confOverrides(s)
+    val names = candidates.map(_._1)
+    val target = path
+    val kept = s.sparkContext
+      .parallelize(names, math.min(names.size, 32))
+      .filter { rel =>
+        val fs = GraftShardsSource.fs(new Path(target),
+          GraftShardsSource.hadoopConf(overrides))
+        probes.forall { case (cl, hs) =>
+          val sc = bloomSidecar(target, cl, rel)
+          if (!fs.exists(sc)) true // uncovered file: must read
+          else {
+            val in = fs.open(sc)
+            try {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              hs.exists(bf.mightContainLong)
+            } finally in.close()
           }
-        }.collect().toSet
-      candidates.filter(c => kept(c._1))
-    }
+        }
+      }.collect().toSet
+    candidates.filter(c => kept(c._1))
   }
 
   /** The columns a scan can DYNAMICALLY prune files by — recorded stat
@@ -1726,7 +1747,13 @@ object ZOrder {
       at: Option[(Long, Long)] = None): Seq[(String, Option[Long])] = {
     if (candidates.isEmpty || values.size > MaxRuntimeValues)
       return candidates
-    val nonNull = values.filter(_ != null)
+    // -0.0 normalizes to 0.0: the join plane treats them as one key, so
+    // the encoded bound and the bloom probe hash must too
+    val nonNull = values.filter(_ != null).map {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0d)
+      case x => x
+    }
     if (nonNull.isEmpty) return Seq.empty // an empty build side joins nothing
     val snap = at match {
       case Some((e, v)) => snapshotAt(s, path, e, v)
@@ -1748,12 +1775,22 @@ object ZOrder {
       .map(r => (r.getString(0), Option(r.getString(1)),
         Option(r.getString(2)), r.getBoolean(3)))
       .groupBy(_._1)
+    // doubles compare with PRIMITIVE <, not Double.compare: Spark's
+    // equi-join matches -0.0 with 0.0 (NormalizeFloatingNumbers), and
+    // Double.compare orders them — a [0.0, 0.0] file probed with -0.0
+    // would be wrongly pruned and rows silently dropped
+    def outOfRange(mn: String, mx: String, e: String): Boolean =
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          mx.toDouble < e.toDouble || mn.toDouble > e.toDouble
+        case _ =>
+          Sources.statCompare(f.dataType, mx, e) < 0 ||
+            Sources.statCompare(f.dataType, mn, e) > 0
+      }
     def rowExcludes(mn: Option[String], mx: Option[String],
         allnull: Boolean): Boolean =
       allnull || (mn.nonEmpty && mx.nonEmpty &&
-        enc.forall(e =>
-          Sources.statCompare(f.dataType, mx.get, e) < 0 ||
-            Sources.statCompare(f.dataType, mn.get, e) > 0))
+        enc.forall(e => outOfRange(mn.get, mx.get, e)))
     val rangeKept = candidates.filter { case (fn, _) =>
       stats.get(fn) match {
         case None => true // no stats recorded: must read
@@ -1762,33 +1799,15 @@ object ZOrder {
       }
     }
     // bloom plane: survivors probed DISJUNCTIVELY (∃ value might-contain)
-    val overrides = GraftShardsSource.confOverrides(s)
     val fs0 = GraftShardsSource.fs(new Path(path),
-      GraftShardsSource.hadoopConf(overrides))
+      GraftShardsSource.hadoopConf(GraftShardsSource.confOverrides(s)))
     if (rangeKept.isEmpty || !fs0.exists(new Path(path, s"_zbloom/$colLower")))
       rangeKept
     else {
       val hashExprs = nonNull.map(v => xxhash64(lit(v).cast(f.dataType)))
       val hashes = s.range(1).select(hashExprs: _*).head()
         .toSeq.map(_.asInstanceOf[Long])
-      val names = rangeKept.map(_._1)
-      val target = path
-      val kept = s.sparkContext
-        .parallelize(names, math.min(names.size, 32))
-        .filter { rel =>
-          val fs = GraftShardsSource.fs(new Path(target),
-            GraftShardsSource.hadoopConf(overrides))
-          val sc = bloomSidecar(target, colLower, rel)
-          if (!fs.exists(sc)) true // uncovered file: must read
-          else {
-            val in = fs.open(sc)
-            try {
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-              hashes.exists(bf.mightContainLong)
-            } finally in.close()
-          }
-        }.collect().toSet
-      rangeKept.filter(c => kept(c._1))
+      bloomProbeFiles(s, path, rangeKept, Seq((colLower, hashes)))
     }
   }
 
@@ -2009,8 +2028,8 @@ object ZOrder {
     * would silently replay the whole store as "changes"). */
   def readChangesSince(s: SparkSession, path: String, epoch: Long,
       version: Long): DataFrame = {
-    val files = changeFilesSized(s, path, epoch, version).map(_._1)
-    val schema = manifestAndSchema(s, requireSnapshot(s, path))._2
+    val (sized, schema) = changeFilesSized(s, path, epoch, version)
+    val files = sized.map(_._1)
     if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
   }
@@ -2025,10 +2044,13 @@ object ZOrder {
     * what lets an incremental consumer re-read an exact historical
     * window); both coordinates are validated, so a bogus base OR bound
     * refuses rather than replaying the wrong slice as "changes". Same
-    * epoch-swap refusal contract as [[readChangesSince]]. */
+    * epoch-swap refusal contract as [[readChangesSince]]. Returns the
+    * snapshot's recorded schema alongside the files — ONE snapshot
+    * resolution serves both (a second resolution could even race a
+    * concurrent commit and read a different world than it validated). */
   private[sources] def changeFilesSized(s: SparkSession, path: String,
-      epoch: Long, version: Long,
-      until: Option[Long] = None): Seq[(String, Option[Long])] = {
+      epoch: Long, version: Long, until: Option[Long] = None)
+      : (Seq[(String, Option[Long])], StructType) = {
     val snap = requireSnapshot(s, path)
     require(snap.epoch == epoch,
       s"z-store at $path was rewritten since e$epoch (current: " +
@@ -2041,17 +2063,13 @@ object ZOrder {
           "changesUntilVersion must be >= changesSinceVersion")
       snapshotAt(s, path, epoch, u) // loud refusal on a bogus bound
     }
-    val (man0, _) = manifestAndSchema(s, snap)
+    val (man0, schema) = manifestAndSchema(s, snap)
     val man = man0.filter(col("c") =!= lit(DdlKey))
-    man.groupBy(col("f")).agg(min(col("ver")).as("v0"))
+    val delta = man.groupBy(col("f")).agg(min(col("ver")).as("v0"))
       .filter(col("v0") > lit(version) &&
         until.map(u => col("v0") <= lit(u)).getOrElse(lit(true)))
-      .join(man.filter(col("c") === lit(SizeKey))
-        .groupBy(col("f")).agg(max(col("mn")).as("__sz")), Seq("f"), "left")
-      .select(col("f"), col("__sz"))
-      .collect()
-      .map(r => (r.getString(0), Option(r.getString(1)).flatMap(_.toLongOption)))
-      .sortBy(_._1).toSeq
+      .select(col("f"))
+    (withRecordedSizes(man, delta), schema)
   }
 
   /** A past committed snapshot's recorded schema — the graft-z table's

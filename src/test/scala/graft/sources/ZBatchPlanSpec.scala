@@ -159,6 +159,26 @@ class ZBatchPlanSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("runtime value-set pruning treats -0.0 and 0.0 as ONE key (the join's semantics): a [0.0, 0.0] file survives a -0.0 probe") {
+    val dir = Files.createTempDirectory("graft-zbpszero").toString
+    ZOrder.writeZOrdered(
+      spark.range(100).select(
+        when(col("id") < 50, lit(0.0)).otherwise(lit(5.0)).as("d"),
+        col("id").as("k")),
+      dir, Seq("k"), 2, statCols = Seq("d"))
+    val all = ZOrder.pruneFilesForScan(spark, dir, Seq.empty, None)._1
+    assert(all.size == 2, all.toString)
+    val kept = ZOrder.pruneFilesForValueSet(spark, dir, "d",
+      Seq(java.lang.Double.valueOf(-0.0d)), all)
+    // the 0.0 file survives (the join matches -0.0 = 0.0); the 5.0
+    // file prunes — both wrong answers are observable: Double.compare
+    // semantics would prune BOTH, no pruning would keep both
+    assert(kept.size == 1, kept.toString)
+    val rows = spark.read.parquet(s"$dir/${kept.head._1}")
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(rows == 0.0, rows.toString)
+  }
+
   test("the scan reports prunable runtime-filter attributes: recorded stat columns, not unrecorded ones") {
     val dir = mkStore(100, numFiles = 2)
     val cols = ZOrder.prunableColumns(spark, dir)
