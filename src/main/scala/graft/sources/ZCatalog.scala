@@ -157,6 +157,48 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
           Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
             org.apache.spark.unsafe.types.UTF8String.fromString(e))
         }),
+      // RANGE-band replaceWhere in pure SQL — `INSERT OVERWRITE t
+      // PARTITION (k = v)` covers the equality band; a RANGE band has no
+      // SQL spelling, so the procedure closes it: one atomic epoch
+      // commit deletes `lo <= col <= hi` and lands the SOURCE view's
+      // rows in its place (ZOrder.overwriteZRange — the same
+      // refuse-wholesale band validation, CHECK gating, carry-by-
+      // reference and travel-coordinate semantics as the API form).
+      // Bounds arrive as STRINGS and parse by the column's recorded
+      // type (long/int/double/string/ISO-instant timestamp).
+      "replace_where" -> ZProcedure("replace_where",
+        Array(in("tbl", StringType).build(),
+          in("col", StringType).build(),
+          in("lo", StringType).build(), in("hi", StringType).build(),
+          in("source", StringType).build()),
+        StructType(Seq(StructField("deleted", LongType),
+          StructField("inserted", LongType))),
+        r => {
+          val dir = tblOf(r)
+          val colName = r.getUTF8String(1).toString
+          val schema = ZcdfStream.wireSchema(s, dir, catalogName, None)
+          val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"replace_where: column $colName is not in the table schema"))
+          def parse(v: String): Any = f.dataType match {
+            case LongType => v.toLong
+            case org.apache.spark.sql.types.IntegerType => v.toInt
+            case DoubleType => v.toDouble
+            case StringType => v
+            case org.apache.spark.sql.types.TimestampType =>
+              java.time.Instant.parse(v)
+            case dt => throw new IllegalArgumentException(
+              s"replace_where: no band order for ${dt.simpleString}")
+          }
+          val src = s.table(r.getUTF8String(4).toString)
+          val zcols = ZOrder.recordedZcols(s, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"${r.getUTF8String(0)} predates recorded clustering keys"))
+          val (nDel, nIns) = ZOrder.overwriteZRange(src, dir,
+            Seq((f.name, parse(r.getUTF8String(2).toString),
+              parse(r.getUTF8String(3).toString))), zcols)
+          Seq(Array[Any](nDel, nIns))
+        }),
       // DESCRIBE HISTORY as a procedure (the read-option twin, reachable
       // from pure SQL): one row per committed coordinate, commit order.
       // `limit` BOUNDS the driver-side row materialization to the NEWEST

@@ -445,6 +445,49 @@ class ZBatchPlanSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).distinct.length >= 2, hist.mkString(", "))
   }
 
+  test("CALL graftz.replace_where is the pure-SQL RANGE-band backfill (atomic, band-validated, typed bounds)") {
+    val root = Files.createTempDirectory("graft-zbpsproc").toString
+    val cat = s"graftzbpsq${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.lake.t SELECT id, id FROM range(100)")
+    spark.sql("SELECT id AS k, -1L AS v FROM range(10, 20) WHERE id % 2 = 0")
+      .createOrReplaceTempView("zbps_rw_src")
+    val out = spark.sql(s"CALL $cat.replace_where(tbl => 'lake.t', " +
+      "col => 'k', lo => '10', hi => '19', source => 'zbps_rw_src')")
+      .head()
+    assert((out.getLong(0), out.getLong(1)) == ((10L, 5L)), out.toString)
+    val rows = spark.sql(s"SELECT k, v FROM $cat.lake.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = (0L until 100L).collect {
+      case k if k < 10 || k >= 20 => (k, k)
+      case k if k % 2 == 0 => (k, -1L)
+    }
+    assert(rows == expect)
+    // an out-of-band source refuses wholesale
+    spark.sql("SELECT id AS k, -2L AS v FROM range(50, 55)")
+      .createOrReplaceTempView("zbps_rw_bad")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.replace_where(tbl => 'lake.t', col => 'k', " +
+        "lo => '10', hi => '19', source => 'zbps_rw_bad')").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => String.valueOf(t.getMessage)
+      .contains("outside the overwrite predicate")), e.toString)
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t WHERE v = -2").count() == 0)
+    // an unknown column refuses with the column message
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.replace_where(tbl => 'lake.t', col => 'nope', " +
+        "lo => '0', hi => '1', source => 'zbps_rw_src')").collect()
+    }
+    assert(chain(e2).exists(t => String.valueOf(t.getMessage)
+      .contains("not in the table schema")), e2.toString)
+  }
+
   test("INSERT OVERWRITE ... PARTITION (k = v) is the pure-SQL banded replace (static partition -> replaceWhere)") {
     val root = Files.createTempDirectory("graft-zbpssp").toString
     val cat = s"graftzbpssp${math.abs(root.hashCode)}"
