@@ -545,7 +545,10 @@ object Sources {
     val (_, dir) = listing.committed.lastOption.getOrElse(throw
       new IllegalArgumentException(s"no committed version under $path"))
     def bounded(df: DataFrame): DataFrame =
-      df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      // signed-zero-safe bounds: the parquet pushdown's total-order
+      // comparator would drop stored -0.0 rows on a 0.0 lower bound
+      // (ZOrder.bandPred's contract)
+      df.filter(ZOrder.bandPred(column, lo, hi))
     readManifest(fs, dir) match {
       case None => bounded(s.read.parquet(dir.toString)) // legacy: no stats
       case Some(m) =>

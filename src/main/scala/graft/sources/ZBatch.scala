@@ -414,10 +414,16 @@ class ZBatchTable(path: String, tschema: StructType,
     * SQL user the store's layout and travel coordinates without
     * `CALL graftz.history`. Purely informational: write distribution
     * comes from the write path's own clustering, never from here. */
-  override def partitioning(): Array[Transform] =
-    ZOrder.recordedZcols(SparkSession.active, path).getOrElse(Seq.empty)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+  override def partitioning(): Array[Transform] = {
+    val s = SparkSession.active
+    val bucket = ZOrder.recordedBucketing(s, path).map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        : Transform
+    }
+    bucket.toArray ++
+      ZOrder.recordedZcols(s, path).getOrElse(Seq.empty)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+  }
 
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
@@ -650,19 +656,29 @@ class ZBatchWriteBuilder(path: String,
               case Some(preds) =>
                 // nothing to replace (the write creates the store), but
                 // the refuse-wholesale band contract still binds: an
-                // overwrite may only land rows in the band it claims
+                // overwrite may only land rows in the band it claims.
+                // Persisted BEFORE the validation pass (the existing-
+                // store path persists `aligned` the same way): a
+                // non-deterministic source re-evaluated by the write
+                // could otherwise land rows outside the band the
+                // validation just approved (the r13 advisor finding).
                 import org.apache.spark.sql.functions.{coalesce, col, lit}
-                val matchAll = preds.map { case (c, lo, hi) =>
-                  col(c) >= lit(lo) && col(c) <= lit(hi)
-                }.reduce(_ && _)
-                require(data.filter(coalesce(!matchAll, lit(true)))
-                    .limit(1).count() == 0L,
-                  s"graft-z replaceWhere on $path: incoming rows fall " +
-                    s"outside the overwrite predicate ${preds.map {
-                      case (c, lo, hi) => s"$c BETWEEN $lo AND $hi"
-                    }.mkString(" AND ")} — an overwrite may only land " +
-                    "rows in the band it replaces")
-                ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
+                val pinned = data.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                try {
+                  val matchAll = preds.map { case (c, lo, hi) =>
+                    ZOrder.bandPred(c, lo, hi) // signed-zero-safe bounds
+                  }.reduce(_ && _)
+                  require(pinned.filter(coalesce(!matchAll, lit(true)))
+                      .limit(1).count() == 0L,
+                    s"graft-z replaceWhere on $path: incoming rows fall " +
+                      s"outside the overwrite predicate ${preds.map {
+                        case (c, lo, hi) => s"$c BETWEEN $lo AND $hi"
+                      }.mkString(" AND ")} — an overwrite may only land " +
+                      "rows in the band it replaces")
+                  ZOrder.writeZOrdered(pinned, path, zcols, numFiles,
+                    statCols)
+                } finally pinned.unpersist(blocking = false)
               case None =>
                 if (overwrite || overwriteArg)
                   ZOrder.writeZOrdered(data, path, zcols, numFiles, statCols)
@@ -952,7 +968,8 @@ class ZBatchScan(path: String, required: StructType,
     changes: Option[(Long, Long, Option[Long])] = None,
     limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -1118,12 +1135,70 @@ class ZBatchScan(path: String, required: StructType,
       out.result()
   }
 
+  /** The storage-partitioned-join plane: when the store records a
+    * hash-bucket layout, v2 bucketing is on, the scan keeps the bucket
+    * column, and EVERY surviving file carries a recorded bucket id,
+    * the scan groups files by bucket and reports
+    * `KeyGroupedPartitioning(bucket(n, col), n)` — two graft-z tables
+    * bucketed the same way then join with ZERO exchange (Iceberg's
+    * storage-partitioned join; Spark matches the two sides by the
+    * `bucket` V2 function's canonical name, [[ZCatalog]]'s
+    * FunctionCatalog). Resolved once per scan; None = the ordinary
+    * bin-packed path. A CHANGES read or pushed LIMIT never groups (the
+    * delta/prefix is already small); a projected-away bucket column
+    * reports nothing (Spark resolves reported expressions against the
+    * PRUNED output and throws on a miss — the r13 filterAttributes
+    * lesson); a file without a bucket row (pre-bucketing history)
+    * degrades the whole scan to bin-packed, never a partial grouping
+    * (a partitioning the rows don't satisfy would silently mis-join). */
+  private lazy val spjGroups: Option[(String, Int, Map[String, Int])] = {
+    val s = SparkSession.active
+    if (changes.nonEmpty || limit.nonEmpty ||
+        !s.sessionState.conf.v2BucketingEnabled) None
+    else ZOrder.recordedBucketing(s, path)
+      .filter { case (bcol, _) =>
+        required.fieldNames.exists(_.equalsIgnoreCase(bcol)) }
+      .flatMap { case (bcol, n) =>
+        val bm = ZOrder.fileBucketMap(s, path, travel)
+        if (baseFiles.nonEmpty && baseFiles.forall(f => bm.contains(f._1)))
+          Some((bcol, n, bm))
+        else None
+      }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((bcol, n, _)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, bcol)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   /** Surviving files bin-packed into partitions ([[ZBatch.packPartitions]]
     * — sizes from the manifest, no per-file HEADs at plan time; the
     * file set reflects any runtime-filter narrowing and a pushed
-    * limit's prefix). */
+    * limit's prefix), or ONE partition per bucket when the scan
+    * reported a key-grouped partitioning (count must match the report;
+    * runtime narrowing only empties buckets, never drops them). */
   override def planInputPartitions(): Array[InputPartition] =
-    ZBatch.packPartitions(SparkSession.active, path, limitPrefix(currentFiles))
+    spjGroups match {
+      case Some((_, n, bm)) =>
+        val byBucket = currentFiles.groupBy(f => bm(f._1))
+        (0 until n).map { b =>
+          val fs = byBucket.getOrElse(b, Seq.empty)
+          ZBucketPartition(b, ZBatchPartition(fs.map { case (f, sz) =>
+            (s"$path/$f", sz.getOrElse(-1L), f)
+          })): InputPartition
+        }.toArray
+      case None =>
+        ZBatch.packPartitions(SparkSession.active, path,
+          limitPrefix(currentFiles))
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZBatchReaderFactory(
@@ -1134,6 +1209,22 @@ class ZBatchScan(path: String, required: StructType,
 
 case class ZBatchPartition(files: Seq[(String, Long, String)])
   extends InputPartition
+
+/** One HASH BUCKET of a bucketed store ([[ZOrder.recordedBucketing]]):
+  * all surviving files whose recorded [[ZOrder.BucketKey]] id is
+  * `bucket`, as ONE input partition keyed by that id — what Spark's
+  * storage-partitioned join aligns on (`HasPartitionKey`; the scan
+  * reports `KeyGroupedPartitioning(bucket(n, col), n)`). Every bucket
+  * 0..n-1 is always emitted (possibly file-less), so two stores
+  * bucketed the same way report IDENTICAL partition values and the
+  * join planner elides both exchanges. */
+case class ZBucketPartition(bucket: Int, inner: ZBatchPartition)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 /** Executor-side VECTORIZED parquet decode of one bin of manifest-listed
   * z-store files — Spark's own `VectorizedParquetRecordReader` returning
@@ -1169,7 +1260,10 @@ case class ZBatchReaderFactory(confOverrides: Map[String, String],
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[ZBatchPartition]
+    val p = partition match {
+      case b: ZBucketPartition => b.inner
+      case z: ZBatchPartition => z
+    }
     val full = requiredSchema
     // `_file` (when it is the METADATA column, not a shadowing data
     // column) is synthesized per file as a constant vector — it never

@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * corrupt every existing file's reads; a path-addressed store's name
   * is its location). */
 class ZCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -329,17 +330,46 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     require(!ZOrder.storeExists(s, dir),
       s"table $catalogName.$ident already exists ($dir)")
     ZOrder.invalidateScanPlans(dir) // out-of-band dir replacement defense
-    val declared = partitions.toSeq.map {
+    // `PARTITIONED BY (bucket(n, k), c1, …)`: at most ONE bucket
+    // transform (the storage-partitioned-join layout — rows route by
+    // pmod(k, n), the scan reports KeyGroupedPartitioning, and two
+    // tables bucketed alike join with zero exchange); the remaining
+    // identity columns are the z-clustering keys WITHIN each bucket
+    val bucketDecl = partitions.toSeq.collect {
+      case t if t.name == "bucket" && t.references().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count; got $t"))
+        (t.references()(0).fieldNames().mkString("."), n)
+    }
+    require(bucketDecl.size <= 1,
+      s"graft-z tables take at most one bucket(...) transform; got " +
+        s"${bucketDecl.size}")
+    val declared = partitions.toSeq.filter(_.name != "bucket").map {
       case t if t.name == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
       case t => throw new IllegalArgumentException(
-        s"graft-z tables cluster by plain columns — PARTITIONED BY " +
-          s"(c1, c2); got transform $t")
+        s"graft-z tables cluster by plain columns (plus at most one " +
+          s"bucket(n, k)) — PARTITIONED BY (c1, c2); got transform $t")
+    }
+    bucketDecl.foreach { case (c, n) =>
+      require(n > 0 && n <= 65536,
+        s"bucket count $n out of range (1..65536)")
+      val f = schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucket column $c is not in the declared schema"))
+      require(f.dataType == LongType,
+        s"bucket column $c must be BIGINT (the bucket route is pmod on " +
+          s"the long key); got ${f.dataType.simpleString}")
     }
     val zcols =
       if (declared.nonEmpty) declared
-      else Option(properties.get("zcols"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else bucketDecl.headOption.map(b => Seq(b._1))
+        .orElse(Option(properties.get("zcols"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
         .getOrElse(throw new IllegalArgumentException(
           s"CREATE TABLE $catalogName.$ident needs its z-clustering " +
             "keys: PARTITIONED BY (c1, c2) or " +
@@ -374,11 +404,36 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
           "pick another column name")
     }
     // an empty committed store: schema-only epoch-0 manifest + the
-    // recorded clustering policy — INSERTs append against it
+    // recorded clustering (and bucketing) policies — INSERTs append
+    // against them. Bucketing is recorded FIRST so the very first
+    // write (and every later one: zWrite reads the policy per batch)
+    // routes by bucket.
+    bucketDecl.foreach { case (c, n) => ZOrder.recordBucketing(s, dir, c, n) }
     ZOrder.writeZOrdered(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema), dir, zcols, 1)
     loadTable(ident)
   }
+
+  // ---- the `bucket` V2 function (storage-partitioned joins) ---------------
+
+  /** What lets Spark PROVE two bucketed z-tables partition alike: both
+    * scans report `KeyGroupedPartitioning(bucket(n, col), n)` and the
+    * planner resolves `bucket` through the table's FunctionCatalog,
+    * comparing canonical names (Iceberg's exact recipe). The bound
+    * function's `produceResult` is pmod on the long key — BIT-FOR-BIT
+    * the write path's route ([[ZOrder]] zWrite), because Spark may use
+    * it to SHUFFLE a non-bucketed side into alignment (SPARK-41471):
+    * a drifting implementation would route rows to the wrong partition
+    * and silently mis-join. Null keys park in bucket 0, like the
+    * write route's coalesce. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) ZBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** `ALTER TABLE graftz.ns.t ADD COLUMN c BIGINT` — the add-only half
     * of schema evolution as a METADATA-ONLY commit ([[ZOrder
@@ -521,5 +576,50 @@ private[sources] final case class ZProcedure(
         override def readSchema(): StructType = out
       }
     java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** The graft-z `bucket(n, key)` V2 function — [[ZCatalog.loadFunction]]'s
+  * one entry. Binds for BIGINT/INT keys; the canonical name is the
+  * cross-table identity Spark's storage-partitioned join compares. */
+object ZBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft-z hash bucket: pmod(key, numBuckets); null keys -> bucket 0"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, key) takes two arguments; got " +
+        s"${inputType.fields.length}")
+    val kt = inputType.fields(1).dataType
+    require(kt == LongType ||
+        kt == org.apache.spark.sql.types.IntegerType,
+      s"bucket key must be BIGINT/INT; got ${kt.simpleString}")
+    new ZBucketBound(kt == LongType)
+  }
+}
+
+/** Bound `bucket`: pmod on the (long-widened) key — exactly the write
+  * route, see [[ZBucketFunction]]. */
+class ZBucketBound(longKey: Boolean)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.IntegerType,
+      if (longKey) LongType else org.apache.spark.sql.types.IntegerType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(
+      input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v =
+      if (input.isNullAt(1)) 0L // the write route's coalesce-to-0
+      else if (longKey) input.getLong(1)
+      else input.getInt(1).toLong
+    (((v % n) + n) % n).toInt
   }
 }

@@ -39,6 +39,16 @@ class ZRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   @volatile private[sources] var planned
       : Option[(ZOrder.ZSnapshot, Seq[String], StructType)] = None
 
+  /** Flipped by the write's commit the instant it reads [[planned]] —
+    * after that, the replacement target is FIXED, and any further
+    * runtime narrowing from a re-executed scan must fail loudly instead
+    * of silently desynchronizing scan and write (the r13 verdict's
+    * item 4, made checkable: Spark today delivers every runtime group
+    * filter before the write commits — BatchScanExec.filteredPartitions
+    * runs at execution, the commit at job end — and this guard turns a
+    * future reordering into an error, never a wrong rewrite). */
+  @volatile private[sources] var targetConsumed = false
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-z row-level $cmd $path"
 
@@ -138,6 +148,12 @@ class ZRowLevelScan(op: ZRowLevelOperation, path: String,
   override def filter(predicates:
       Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
+    if (op.targetConsumed) throw new IllegalStateException(
+      s"graft-z row-level scan of $path: a runtime group filter arrived " +
+        "AFTER the write committed its replacement target — narrowing " +
+        "now would desynchronize scan and write (the copy-on-write " +
+        "protocol requires every filter to land before the commit " +
+        "reads the planned file set); re-run the statement")
     predicates.foreach { p =>
       if (p.name() == "IN" && p.children().nonEmpty &&
           (p.children()(0) match {
@@ -193,6 +209,7 @@ class ZRowLevelBatchWrite(op: ZRowLevelOperation, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val s = SparkSession.active
     try {
+      op.targetConsumed = true // late runtime narrowing now fails loudly
       val (snap, affected, schema) = op.planned.getOrElse(
         throw new IllegalStateException(
           s"graft-z row-level $opName on $path: the write committed " +

@@ -328,6 +328,56 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO schema evolution is REFUSED, pinned both ways: a NOT MATCHED INSERT naming a new column fails at analysis; extra source columns not named pass through") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zmev").toString
+    spark.conf.set("spark.sql.catalog.graftmev", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftmev.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE graftmev.dml")
+      spark.sql("""CREATE TABLE graftmev.dml.t
+        (k BIGINT, v BIGINT) PARTITIONED BY (k)""")
+      spark.sql(
+        "INSERT INTO graftmev.dml.t SELECT id, id * 2 FROM range(100)")
+      spark.range(90, 110)
+        .selectExpr("id AS k", "id * 100 AS v", "concat('n', id) AS note")
+        .createOrReplaceTempView("mev_src")
+      // the chosen contract (r13 verdict item 3): SQL MERGE does NOT
+      // evolve the table schema — a NOT MATCHED INSERT that names a
+      // column the table lacks refuses at ANALYSIS (Spark resolves the
+      // assignment list against the table schema before the connector
+      // sees anything), and the table is untouched. Add-only evolution
+      // remains the programmatic path: StoreMaint.evolveSchema /
+      // ZOrder.mergeByKey with an evolving source.
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("""MERGE INTO graftmev.dml.t t USING mev_src u
+          ON t.k = u.k
+          WHEN MATCHED THEN UPDATE SET v = u.v
+          WHEN NOT MATCHED THEN INSERT (k, v, note)
+            VALUES (u.k, u.v, u.note)""")
+      }
+      assert(e.getMessage.toLowerCase.contains("note"), e.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graftmev.dml.t")
+        .head().getLong(0) == 100, "a refused MERGE must change nothing")
+      assert(spark.sql("SELECT sum(v) FROM graftmev.dml.t")
+        .head().getLong(0) == (0 until 100).map(_ * 2L).sum)
+      // a source CARRYING extra columns is fine as long as the merge
+      // only names table columns — the extra column is simply unused
+      spark.sql("""MERGE INTO graftmev.dml.t t USING mev_src u ON t.k = u.k
+        WHEN MATCHED THEN UPDATE SET v = u.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (u.k, u.v)""")
+      assert(spark.sql("SELECT count(*) FROM graftmev.dml.t")
+        .head().getLong(0) == 110)
+      assert(spark.sql("SELECT sum(v) FROM graftmev.dml.t WHERE k >= 90")
+        .head().getLong(0) == (90 until 110).map(_ * 100L).sum)
+      // and the schema did not evolve
+      assert(!spark.table("graftmev.dml.t").schema.fieldNames
+        .contains("note"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftmev")
+      spark.conf.unset("spark.sql.catalog.graftmev.root")
+    }
+  }
+
   test("graftz catalog: CTAS, DESCRIBE/SHOW CREATE layout surface, unconditional DELETE") {
     val root = java.nio.file.Files.createTempDirectory("graft-zinfo").toString
     spark.conf.set("spark.sql.catalog.graftinfo", "graft.sources.ZCatalog")

@@ -1117,4 +1117,63 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(states() == s1)
   }
+
+  test("IVM consumes the row-level change feed ACROSS DML commits: the view refresh folds signed deltas, never re-reads the base files") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ZOrder
+    import ZOrder.ChangeTypeCol
+    val dir = java.nio.file.Files.createTempDirectory("graft-zivmdml").toString
+    val langs = Seq("en", "fr", "de")
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id").as("k"),
+      element_at(typedLit(langs), (col("id") % 3 + 1).cast("int"))
+        .as("lang"),
+      (col("id") * 3 + 7).as("n_chars"))
+    ZOrder.writeZOrdered(rows(0 until 300), dir, Seq("k"), 4)     // e0 v0
+    // the materialized view at the base coordinate
+    val view0 = ZOrder.readSnapshotAt(spark, dir, 0, 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .localCheckpoint()
+    val baseFiles = ZOrder.readSnapshotAt(spark, dir, 0, 0)
+      .inputFiles.toSet
+    // an append, a band UPDATE and a keyed MERGE — three commits the
+    // refresh must cross WITHOUT a full recompute
+    ZOrder.appendZOrdered(rows(300 until 360), dir, Seq("k"), 1) // e0 v1
+    assert(ZOrder.updateZRange(spark, dir, Seq(("k", 50L, 99L)),
+      Map("n_chars" -> "n_chars + 10"), Seq("k")) == 50L)        // e1
+    val src = rows(100 until 120).withColumn("n_chars", lit(1L))
+      .unionByName(rows(1000 until 1010))
+    ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"), 1)         // e2
+    // the refresh: view' = view + Σsigned(delta), signs from _change_type
+    val sign = when(col(ChangeTypeCol).isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = ZOrder.readChangeFeed(spark, dir, 0, 0)
+      .groupBy(col("lang"))
+      .agg(sum(sign).cast("long").as("n_docs"),
+        sum(sign * col("n_chars")).cast("long").as("sum_chars"))
+    val refreshed = view0.unionByName(delta).groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("sum_chars"))
+    // plan pin: the refresh never re-opens the BASE snapshot's data
+    // files — it reads the view checkpoint, the delta's change records
+    // and the appended version's files only (the planted positive below
+    // shows the detector sees real file reads)
+    val refreshFiles = refreshed.inputFiles.toSet
+    assert(refreshFiles.intersect(baseFiles).isEmpty,
+      s"refresh re-read ${refreshFiles.intersect(baseFiles).size} base files")
+    val full = ZOrder.readSnapshot(spark, dir)
+    assert(full.inputFiles.toSet.intersect(baseFiles).nonEmpty,
+      "planted positive: a full recompute DOES re-read carried base " +
+        "files, or the inputFiles detector is vacuous")
+    val got = refreshed.orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = full.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"IVM drift: got=$got want=$want")
+  }
 }

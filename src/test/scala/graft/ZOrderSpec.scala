@@ -1032,6 +1032,48 @@ class ZOrderSpec extends SparkSpec {
       "uncovered file must be read, not trusted-absent")
   }
 
+  test("signed zeros are ONE key end to end: bloom hashes collide by construction, and zero-bounded reads/deletes keep stored -0.0 rows despite parquet's total-order pushdown") {
+    // plane 1 (the r13 advisor's premise, checked): XxHash64 normalizes
+    // -0.0 before hashing, so build and probe already collide — the
+    // bloom sidecars never had a zero hole
+    val h0 = spark.range(1).select(xxhash64(lit(0.0d))).head().getLong(0)
+    val hn = spark.range(1).select(xxhash64(lit(-0.0d))).head().getLong(0)
+    assert(h0 == hn, "XxHash64 stopped normalizing signed zeros — " +
+      "buildBloomIndex/pointProbeHashes now need explicit normalization")
+    // plane 2 (the REAL hole): Spark's parquet pushdown compares with
+    // Double.compare total order (-0.0 < 0.0) while its own residual
+    // filter uses IEEE semantics (-0.0 = 0.0) — an unguarded pushed
+    // `d >= 0.0` drops stored -0.0 rows. First pin the hazard exists
+    // (or this whole test is vacuous), then that every z-plane avoids it.
+    val hazard = Files.createTempDirectory("graft-zerohazard").toString
+    spark.range(8).select(lit(-0.0d).as("d"))
+      .write.mode("overwrite").parquet(hazard)
+    assert(spark.read.parquet(hazard).filter(col("d") === lit(0.0d))
+      .count() == 0, "parquet pushdown now matches -0.0 = 0.0 — the " +
+      "bandPred zero workaround can be retired")
+    val dir = Files.createTempDirectory("graft-zzero").toString
+    ZOrder.writeZOrdered(
+      spark.range(512).select(
+        when(col("id") < 256, lit(-0.0d)).otherwise(lit(9.5d)).as("d"),
+        col("id").as("k")),
+      dir, Seq("k"), 2, statCols = Seq("d"))
+    ZOrder.buildBloomIndex(spark, dir, "d")
+    // point probes of either sign see all 256 stored -0.0 rows
+    assert(ZOrder.readZPoint(spark, dir, "d", 0.0d).count() == 256)
+    assert(ZOrder.readZPoint(spark, dir, "d", -0.0d).count() == 256)
+    // zero-bounded band read keeps them too
+    assert(ZOrder.readZRange(spark, dir,
+      Seq(("d", 0.0d, 1.0d))).count() == 256)
+    // the DELETE path neither loses nor miscounts them: a [0.0, 1.0]
+    // band delete must count 256 deleted and leave exactly the 9.5 rows
+    val nDel = ZOrder.deleteZRange(spark, dir,
+      Seq(("d", 0.0d, 1.0d)), Seq("k"))
+    assert(nDel == 256L, s"deleted $nDel, expected 256")
+    val left = ZOrder.readSnapshot(spark, dir)
+    assert(left.count() == 256)
+    assert(left.filter(col("d") === 9.5d).count() == 256)
+  }
+
   test("vacuum sweeps redundant version claims and orphaned bloom sidecar dirs") {
     val dir = Files.createTempDirectory("graft-zsweep").toString
     val df = spark.range(512).select(col("id").as("k1"),
@@ -1999,5 +2041,167 @@ class ZOrderSpec extends SparkSpec {
     ZOrder.ivmBatch(spark, root, mk(("en", 999L, 0L)), 0L)
     assert(spark.read.parquet(s"$root/view/v0")
       .filter(col("lang") === "en").head().getAs[Long]("sum_chars") == 10L)
+  }
+
+  test("row-level change feed crosses DML epochs: delete/update/merge/replaceWhere emit _change_type rows; optimize still refuses; windows and bases validate") {
+    import graft.sources.ZOrder.{ChangeTypeCol, CommitEpochCol, CommitVersionCol}
+    val dir = Files.createTempDirectory("graft-zrowcdf").toString
+    // build (e0 v0) + append (e0 v1)
+    ZOrder.writeZOrdered(spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
+    ZOrder.appendZOrdered(spark.range(100, 150)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 1)
+    // e1: band DELETE of k in [10, 19]
+    assert(ZOrder.deleteZRange(spark, dir, Seq(("k", 10L, 19L)),
+      Seq("k")) == 10L)
+    // e2: band UPDATE of k in [30, 34]
+    assert(ZOrder.updateZRange(spark, dir, Seq(("k", 30L, 34L)),
+      Map("v" -> "v + 1"), Seq("k")) == 5L)
+    // e3: merge — replace k in [40, 41] (v = -k), insert k in [500, 501]
+    val src = spark.range(40, 42)
+      .select(col("id").as("k"), (-col("id")).as("v"))
+      .unionByName(spark.range(500, 502)
+        .select(col("id").as("k"), lit(0L).as("v")))
+    ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"), 1)
+    // e4: replaceWhere band [50, 54] with two fresh rows
+    ZOrder.overwriteZRange(spark.createDataFrame(Seq((50L, 1L), (54L, 2L)))
+      .toDF("k", "v"), dir, Seq(("k", 50L, 54L)), Seq("k"))
+
+    val feed = ZOrder.readChangeFeed(spark, dir, 0, 0)
+      .select(col("k"), col("v"), col(ChangeTypeCol).as("ct"),
+        col(CommitEpochCol).as("ce"), col(CommitVersionCol).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want =
+      (100L until 150L).map(k => (k, k * 2, "insert", 0L, 1L)).toSet ++
+      (10L until 20L).map(k => (k, k * 2, "delete", 1L, 0L)) ++
+      (30L until 35L).map(k => (k, k * 2, "update_preimage", 2L, 0L)) ++
+      (30L until 35L).map(k => (k, k * 2 + 1, "update_postimage", 2L, 0L)) ++
+      Seq((40L, 80L, "update_preimage", 3L, 0L),
+        (41L, 82L, "update_preimage", 3L, 0L),
+        (40L, -40L, "update_postimage", 3L, 0L),
+        (41L, -41L, "update_postimage", 3L, 0L),
+        (500L, 0L, "insert", 3L, 0L), (501L, 0L, "insert", 3L, 0L)) ++
+      (50L until 55L).map(k => (k, k * 2, "delete", 4L, 0L)) ++
+      Seq((50L, 1L, "insert", 4L, 0L), (54L, 2L, "insert", 4L, 0L))
+    assert(feed == want,
+      s"missing=${(want -- feed).take(5)} extra=${(feed -- want).take(5)}")
+    // the feed FOLDS to the current snapshot: base(0,0) + inserts + post
+    // - pre - delete == readSnapshot (the IVM soundness identity)
+    val folded = ZOrder.readSnapshotAt(spark, dir, 0, 0)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ++
+      feed.toSeq.collect {
+        case (k, v, "insert", _, _) => (k, v)
+        case (k, v, "update_postimage", _, _) => (k, v)
+      }
+    val removed = feed.toSeq.collect {
+      case (k, v, "delete", _, _) => (k, v)
+      case (k, v, "update_preimage", _, _) => (k, v)
+    }
+    val foldedSet = removed.foldLeft(folded.groupBy(identity)
+      .view.mapValues(_.size).toMap) { (m, kv) =>
+      m.updated(kv, m.getOrElse(kv, 0) - 1)
+    }.filter(_._2 > 0).flatMap { case (kv, n) => Seq.fill(n)(kv) }.toSet
+    val now = ZOrder.readSnapshot(spark, dir).select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foldedSet == now,
+      s"fold drift: missing=${(now -- foldedSet).take(5)} " +
+        s"extra=${(foldedSet -- now).take(5)}")
+    // WINDOWED feed: until the update's epoch only
+    val upTo = ZOrder.readChangeFeed(spark, dir, 0, 0, Some((2L, 0L)))
+      .select(col(CommitEpochCol)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(upTo == Seq(0L, 1L, 2L), upTo.toString)
+    // a feed STARTING after the DML chain sees nothing
+    assert(ZOrder.readChangeFeed(spark, dir, 4, 0).count() == 0)
+    // bogus base / inverted window refuse loudly
+    intercept[IllegalArgumentException] {
+      ZOrder.readChangeFeed(spark, dir, 9, 0) }
+    intercept[IllegalArgumentException] {
+      ZOrder.readChangeFeed(spark, dir, 4, 0, Some((1L, 0L))) }
+    // a NO-row-delta rewrite (bin-pack optimize) still refuses with the
+    // full-refresh contract, naming the op
+    ZOrder.compactSmallFiles(spark, dir, Seq("k"), 512L * 1024 * 1024)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.readChangeFeed(spark, dir, 0, 0) }
+    assert(e.getMessage.contains("optimize") &&
+      e.getMessage.contains("full-refresh"), e.getMessage)
+    // ... and a feed from the post-optimize epoch works again
+    assert(ZOrder.readChangeFeed(spark, dir,
+      ZOrder.listVersions(spark, dir).map(_._1).max, 0).count() == 0)
+  }
+
+  test("vacuum collects change records of superseded and crashed epochs, never the current one") {
+    val dir = Files.createTempDirectory("graft-zrowcdfvac").toString
+    ZOrder.writeZOrdered(spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 2)
+    ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 9L)), Seq("k"))   // e1
+    ZOrder.deleteZRange(spark, dir, Seq(("k", 10L, 19L)), Seq("k")) // e2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // a crashed DML's orphan record: an epoch dir that never committed
+    fs.mkdirs(new Path(dir, "_zchanges/e9"))
+    assert(new java.io.File(dir, "_zchanges/e1").exists())
+    assert(new java.io.File(dir, "_zchanges/e2").exists())
+    val removed = ZOrder.vacuumOrphans(spark, dir, 0L)
+    assert(removed.contains("_zchanges/e1"), removed.toString)
+    assert(removed.contains("_zchanges/e9"), removed.toString)
+    assert(!removed.contains("_zchanges/e2"), removed.toString)
+    assert(new java.io.File(dir, "_zchanges/e2").exists(),
+      "the current epoch's change record must survive vacuum")
+    // the feed from the pre-vacuum base now refuses at base validation
+    intercept[IllegalArgumentException] {
+      ZOrder.readChangeFeed(spark, dir, 0, 0) }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 80)
+  }
+
+  test("point DML is bloom-bounded: a one-key DELETE on an unclustered indexed key rewrites O(matching files), and without sidecars rewrites the table (the measured COW write-amp contract)") {
+    def mkStore(): String = {
+      val dir = Files.createTempDirectory("graft-zpointdml").toString
+      val df = spark.range(8192).select(col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+        (col("id") % 100).as("k2"))
+      ZOrder.writeZOrdered(df, dir, Seq("k2", "id"), 16)
+      dir
+    }
+    val present = (77L * 2654435761L) % 100003L
+    // WITH sidecars: the affected set is might-contain only
+    val dir = mkStore()
+    ZOrder.buildBloomIndex(spark, dir, "uk")
+    val before = ZOrder.listDataFiles(spark, dir).toSet
+    assert(before.size == 16)
+    val nDel = ZOrder.deleteZRange(spark, dir,
+      Seq(("uk", present, present)), Seq("k2", "id"))
+    assert(nDel == 1L, s"deleted $nDel")
+    val after = ZOrder.listDataFiles(spark, dir).toSet
+    val carried = (before intersect after).size
+    assert(carried >= before.size - 3,
+      s"point delete must carry almost everything: $carried/${before.size}")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 8191)
+    assert(ZOrder.readZPoint(spark, dir, "uk", present).count() == 0)
+    // planted positive — NO sidecars: range stats can't bound an
+    // unclustered key, the whole table rewrites (the write-amp floor
+    // the bloom plane removes; documented in SURVEY's merge-on-read
+    // closure)
+    val dir2 = mkStore()
+    val before2 = ZOrder.listDataFiles(spark, dir2).toSet
+    assert(ZOrder.deleteZRange(spark, dir2,
+      Seq(("uk", present, present)), Seq("k2", "id")) == 1L)
+    val after2 = ZOrder.listDataFiles(spark, dir2).toSet
+    assert((before2 intersect after2).isEmpty,
+      "without sidecars every file is possibly-affected — if this " +
+        "starts carrying, the planted positive (and the closure's " +
+        "rationale) needs re-measuring")
+    // UPDATE takes the same bounded path
+    val dir3 = mkStore()
+    ZOrder.buildBloomIndex(spark, dir3, "uk")
+    val before3 = ZOrder.listDataFiles(spark, dir3).toSet
+    assert(ZOrder.updateZRange(spark, dir3,
+      Seq(("uk", present, present)), Map("k2" -> "k2 + 1000"),
+      Seq("k2", "id")) == 1L)
+    val carried3 = (before3 intersect
+      ZOrder.listDataFiles(spark, dir3).toSet).size
+    assert(carried3 >= before3.size - 3, s"$carried3/${before3.size}")
   }
 }

@@ -159,6 +159,26 @@ class ZBatchPlanSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("value-set cap is byte-weighed, not just counted: a few huge string keys fall through to the unpruned superset") {
+    val dir = Files.createTempDirectory("graft-zbpsbytes").toString
+    ZOrder.writeZOrdered(
+      spark.range(200).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("sk"),
+        col("id").as("k")),
+      dir, Seq("k"), 4, statCols = Seq("sk"))
+    val all = ZOrder.pruneFilesForScan(spark, dir, Seq.empty, None)._1
+    assert(all.size == 4)
+    // 70 one-KB strings: far under the 512-count cap, over the 64 KB
+    // byte budget — the compare work they'd buy exceeds what they save
+    val bigKeys: Seq[Any] = (0 until 70).map(i => "x" * 1024 + i)
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "sk", bigKeys, all)
+      == all)
+    // the same count of SHORT keys still prunes (absent values: all go)
+    val shortKeys: Seq[Any] = (0 until 70).map(i => s"zz$i")
+    assert(ZOrder.pruneFilesForValueSet(spark, dir, "sk", shortKeys, all)
+      .isEmpty)
+  }
+
   test("runtime value-set pruning treats -0.0 and 0.0 as ONE key (the join's semantics): a [0.0, 0.0] file survives a -0.0 probe") {
     val dir = Files.createTempDirectory("graft-zbpszero").toString
     ZOrder.writeZOrdered(
@@ -177,6 +197,140 @@ class ZBatchPlanSpec extends SparkSpec {
     val rows = spark.read.parquet(s"$dir/${kept.head._1}")
       .agg(max(col("d"))).head().getDouble(0)
     assert(rows == 0.0, rows.toString)
+  }
+
+
+  // ---- storage-partitioned joins (bucketed layout) --------------------------
+
+  test("storage-partitioned join: two bucketed z-tables join with ZERO exchange; disabling v2 bucketing plants the shuffle back; results match") {
+    val root = Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.gspj", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.gspj.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE gspj.l")
+      spark.sql("""CREATE TABLE gspj.l.a (k BIGINT, v BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      spark.sql("""CREATE TABLE gspj.l.b (k BIGINT, w BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      spark.sql("INSERT INTO gspj.l.a SELECT id, id * 2 FROM range(10000)")
+      spark.sql("INSERT INTO gspj.l.b SELECT id, id * 3 FROM range(5000)")
+      // a second append must stay bucket-pure (one more file per bucket)
+      spark.sql(
+        "INSERT INTO gspj.l.b SELECT id, id * 3 FROM range(5000, 6000)")
+      val bm = ZOrder.fileBucketMap(spark, s"$root/l/b")
+      assert(bm.values.toSet == (0 until 8).toSet, bm.toString)
+      assert(ZOrder.listDataFiles(spark, s"$root/l/b")
+        .forall(bm.contains), "every file needs a bucket id")
+      def joined() = spark.sql(
+        "SELECT a.k, a.v, b.w FROM gspj.l.a a JOIN gspj.l.b b ON a.k = b.k")
+      // physical shuffles print as "Exchange hashpartitioning" (the
+      // class toString is "Exchange"); collect() first so AQE's final
+      // plan is the one inspected
+      def shufflesOf(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      }
+      val j = joined()
+      assert(j.count() == 6000)
+      assert(shufflesOf(joined()) == 0,
+        s"bucketed join must be exchange-free:\n" +
+          joined().queryExecution.executedPlan.toString.take(2000))
+      // planted positive: same query with v2 bucketing OFF does shuffle
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = joined()
+      assert(off.count() == 6000)
+      assert(shufflesOf(joined()) > 0, "the no-exchange detector is vacuous")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // exactness against the in-memory control
+      val got = joined().agg(
+        org.apache.spark.sql.functions.sum(col("v") + col("w")))
+        .head().getLong(0)
+      assert(got == (0L until 6000L).map(i => i * 5).sum)
+      // DML keeps the layout: an UPDATE re-routes its rewrite by bucket
+      spark.sql("UPDATE gspj.l.b SET w = w + 1 WHERE k BETWEEN 100 AND 199")
+      val bm2 = ZOrder.fileBucketMap(spark, s"$root/l/b")
+      assert(ZOrder.listDataFiles(spark, s"$root/l/b").forall(bm2.contains),
+        "a DML rewrite of a bucketed store must stay bucket-pure")
+      assert(shufflesOf(joined()) == 0,
+        "the join must stay exchange-free after DML")
+      assert(joined().filter(col("k") === 150L).head().getLong(2) == 451L)
+      // bucket PURITY, not just presence: every file holds ONE pmod class
+      ZOrder.listDataFiles(spark, s"$root/l/b").foreach { f =>
+        val ks = spark.read.parquet(s"$root/l/b/$f")
+          .select(pmod(col("k"), lit(8L))).distinct().collect()
+        assert(ks.length <= 1, s"$f mixes buckets")
+        ks.headOption.foreach(r => assert(r.getLong(0).toInt == bm2(f),
+          s"$f recorded ${bm2(f)} but holds ${r.getLong(0)}"))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gspj")
+      spark.conf.unset("spark.sql.catalog.gspj.root")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucketed-scan fallbacks are sound: pre-bucketing files, projected-away key, changes/limit scans, and disabled conf all take the bin-packed path") {
+    val dir = Files.createTempDirectory("graft-spjfall").toString
+    // a store that gains the bucketing policy AFTER unbucketed history
+    ZOrder.writeZOrdered(spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
+    ZOrder.recordBucketing(spark, dir, "k", 8)
+    ZOrder.appendZOrdered(spark.range(1000, 1200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // mixed history: the appended files carry bucket ids, the build
+      // files do not — the scan must fall back WHOLESALE (a partial
+      // grouping would report a partitioning the rows don't satisfy)
+      val bm = ZOrder.fileBucketMap(spark, dir)
+      assert(bm.nonEmpty, "appended files must carry bucket ids")
+      assert(!ZOrder.listDataFiles(spark, dir).forall(bm.contains),
+        "pre-bucketing files must have none")
+      val scan = new ZBatchScan(dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))),
+        Seq.empty, Seq.empty, None)
+      assert(scan.outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+      assert(!scan.planInputPartitions().exists(_.isInstanceOf[
+        ZBucketPartition]))
+      // correctness through the table surface is unaffected
+      assert(spark.read.format("graft-z").load(dir).count() == 1200)
+      // a fully-bucketed store DOES group — and stops when the key is
+      // projected away, when the conf is off, and on a LIMIT scan
+      val dir2 = Files.createTempDirectory("graft-spjfall2").toString
+      ZOrder.recordBucketing(spark, dir2, "k", 4)
+      ZOrder.writeZOrdered(spark.range(100)
+        .select(col("id").as("k"), (col("id") * 2).as("v")),
+        dir2, Seq("k"), 4)
+      def mk(fields: Seq[String], limit: Option[Int] = None) =
+        new ZBatchScan(dir2, org.apache.spark.sql.types.StructType(
+          fields.map(f => org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.LongType))),
+          Seq.empty, Seq.empty, None, limit = limit)
+      assert(mk(Seq("k")).outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning])
+      assert(mk(Seq("k")).planInputPartitions().length == 4)
+      assert(mk(Seq("v")).outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning])
+      assert(mk(Seq("k"), limit = Some(5)).outputPartitioning()
+        .isInstanceOf[org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning])
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(mk(Seq("k")).outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning])
+    } finally
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
   test("the scan reports prunable runtime-filter attributes: recorded stat columns, not unrecorded ones") {

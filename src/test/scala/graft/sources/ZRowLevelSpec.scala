@@ -144,4 +144,71 @@ class ZRowLevelSpec extends SparkSpec {
     assert(after.filter(col("k") === 50L).head().getLong(1) == 0L)
     assert(after.filter(col("v") === col("k") * 2).count() == 199)
   }
+
+  test("planted out-of-order runtime group filter: a filter() AFTER the write consumed its target refuses loudly (the scan/write ordering contract)") {
+    val dir = mkStore(1000)
+    val op = new ZRowLevelOperation(dir,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    val scan = new ZRowLevelScan(op, dir, None,
+      Seq(("k", Some(0L), Some(999L))), Seq.empty)
+    def groupFilter(keep: Seq[String]) = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      new Predicate("IN",
+        (Expressions.column(ZBatch.FileCol).asInstanceOf[
+            org.apache.spark.sql.connector.expressions.Expression]
+          +: keep.map(f => Expressions.literal(f).asInstanceOf[
+              org.apache.spark.sql.connector.expressions.Expression]))
+          .toArray)
+    }
+    // in-order narrowing works (today's Spark call order: plan, filter —
+    // possibly repeatedly under AQE — then the write's commit)
+    val all = op.planned.get._2
+    assert(all.size >= 2)
+    assert(scan.planInputPartitions().nonEmpty) // AQE pre-plan is fine
+    scan.filter(Array(groupFilter(all.take(1))))
+    assert(op.planned.get._2 == all.take(1))
+    assert(scan.planInputPartitions().nonEmpty)
+    // once the write's commit consumed the planned target, a late filter
+    // must fail loudly, not silently desynchronize scan and write
+    op.targetConsumed = true
+    val e = intercept[IllegalStateException] {
+      scan.filter(Array(groupFilter(all)))
+    }
+    assert(e.getMessage.contains("AFTER the write committed"),
+      e.getMessage)
+    assert(op.planned.get._2 == all.take(1),
+      "the planned set must be untouched by the refused filter")
+  }
+
+  test("change feed delivers a RACED lock-free append exactly once: base versions cap at the rebase watermark, the rolled copy emits from the new epoch") {
+    import ZOrder.{ChangeTypeCol, CommitEpochCol}
+    val dir = java.nio.file.Files.createTempDirectory("graft-zrowcdfrace").toString
+    ZOrder.writeZOrdered(spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
+    // a row-level scan resolves its snapshot, then an append races in
+    val (snap, files, schema) = ZOrder.planRowLevelScan(spark, dir,
+      Seq(("k", Some(0L), Some(9L))), Seq.empty)
+    ZOrder.appendZOrdered(spark.range(900, 910)
+      .select(col("id").as("k"), lit(7L).as("v")), dir, Seq("k"), 1,
+      Seq.empty, Some("raced"))
+    // the DML commits against its scan snapshot; the raced append rolls
+    // forward into the new epoch
+    val scanned = spark.read.schema(schema)
+      .parquet(files.map(f => s"$dir/${f._1}"): _*)
+    val replacement = scanned.filter(col("k") >= 5L) // delete k in [0,4]
+    ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
+      replacement, "delete")
+    val feed = ZOrder.readChangeFeed(spark, dir, 0, 0)
+      .select(col("k"), col(ChangeTypeCol)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // raced rows appear EXACTLY once, as inserts, and the deletes land
+    val racedRows = feed.filter { case (k, _) => k >= 900L }
+    assert(racedRows.length == 10, s"raced rows seen ${racedRows.length}x")
+    assert(racedRows.forall(_._2 == "insert"))
+    assert(feed.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (0L until 5L).toSeq, feed.filter(_._2 == "delete").mkString(","))
+    assert(ZOrder.readSnapshot(spark, dir).count() == 105)
+  }
+
 }
