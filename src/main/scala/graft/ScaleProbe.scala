@@ -122,6 +122,61 @@ object ScaleProbe {
     buildZMeta(x1, 1)
     buildZMeta(x10, Factor)
 
+    // prebuilt BUCKETED store pair for the q161 SPJ probe (build
+    // untimed — q123_zorder_knob owns build cost): both sides
+    // bucket(16, k), so the probe isolates the JOIN plane
+    def buildBucketed(dir: String, scale: Int): Unit = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Seq("zspj_a", "zspj_b").foreach(n =>
+        graft.sources.ZOrder.recordBucketing(spark, s"$dir/$n", "k", 16))
+      graft.sources.ZOrder.writeZOrdered(
+        docs.select(col("doc_id").as("k"), col("n_chars").as("v")),
+        s"$dir/zspj_a", Seq("k"), 32 * scale)
+      graft.sources.ZOrder.writeZOrdered(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("k"),
+            length(col("lang")).cast("long").as("w")),
+        s"$dir/zspj_b", Seq("k"), 32 * scale)
+    }
+    buildBucketed(x1, 1)
+    buildBucketed(x10, Factor)
+
+    // prebuilt store + one FIXED-SIZE band update for the q160 CDF
+    // probe: the feed's cost should track the DELTA (constant here),
+    // never the store
+    def buildCdf14(dir: String, scale: Int): Unit = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.ZOrder.writeZOrdered(docs, s"$dir/zcdf14",
+        Seq("doc_id"), 32 * scale)
+      graft.sources.ZOrder.updateZRange(spark, s"$dir/zcdf14",
+        Seq(("doc_id", 0L, 499L)), Map("n_chars" -> "n_chars + 1"),
+        Seq("doc_id"))
+    }
+    buildCdf14(x1, 1)
+    buildCdf14(x10, Factor)
+
+    def spjProbe(d: String, bucketing: Boolean): DataFrame = {
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set(keys(0), bucketing.toString)
+        spark.conf.set(keys(1), "-1")
+        spark.conf.set(keys(2), "-1")
+        val a = spark.read.format("graft-z").load(s"$d/zspj_a").hint("merge")
+        val b = spark.read.format("graft-z").load(s"$d/zspj_b")
+        a.join(b, "k")
+          .groupBy(pmod(col("k"), lit(97L)).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("sv"))
+          .localCheckpoint(true) // eager: the join runs under the confs
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) }
+      }
+    }
+
     import graft.dedup.Dedup
     val probes: Seq[(String, (String, Int) => DataFrame)] = Seq(
       "q41_jaccard" -> ((d, _) => Dedup.q41DedupJaccard.fn(spark, d)),
@@ -388,6 +443,19 @@ object ScaleProbe {
         fact.join(dim, fact("k1") === dim("kk"))
           .groupBy(col("kk")).agg(count(lit(1)).as("n"))
       }),
+      // round-14 row-level CDF: the change feed over the PREBUILT
+      // zcdf14 store (one fixed-size band UPDATE recorded) — cost must
+      // track the DELTA (constant here), never store size: ~flat
+      "q160_cdf_knob" -> ((d, _) =>
+        graft.sources.ZOrder.readChangeFeed(spark, s"$d/zcdf14", 0, 0)),
+      // round-14 STORAGE-PARTITIONED JOIN over the prebuilt bucketed
+      // pair vs the same join with v2 bucketing off (the shuffled
+      // control): both run under merge-join + no-broadcast so the only
+      // delta is the exchanges; confs are scoped inside the probe (the
+      // join executes eagerly via localCheckpoint) so later probes see
+      // the session defaults
+      "q161_spj_knob" -> ((d, _) => spjProbe(d, bucketing = true)),
+      "q161_shuffle_control" -> ((d, _) => spjProbe(d, bucketing = false)),
     )
 
     // ad-hoc iteration knob: SPARK_GRAFT_PROBE_FILTER=q48 (or a
@@ -433,7 +501,7 @@ object ScaleProbe {
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
     val filteredTag = probeFilter.map(f => s""""filtered":"$f",""").getOrElse("")
-    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat; q160_cdf_knob is the r14 row-level change feed over a PREBUILT store with one fixed-size band update - cost tracks the DELTA, expected ~flat at 10x store size; q161_spj_knob vs q161_shuffle_control is the r14 storage-partitioned join over a prebuilt bucket(16,k) pair vs the same merge join with v2 bucketing off - both no-broadcast so the only plan delta is the exchanges; expected both ~flat, spj carries ~1.5s of COLD metadata planning (caches cleared between passes; commit-keyed memos make steady-state repeats free - measured warm spj == warm control)","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -158,6 +158,38 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
           Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
             org.apache.spark.unsafe.types.UTF8String.fromString(e))
         }),
+      // adopt (or re-shape) the storage-partitioned-join layout on an
+      // EXISTING table: record the bucket(n, col) policy, then one
+      // recluster epoch swap re-routes every file — after it, all files
+      // carry bucket ids and joins against same-bucketed tables run
+      // exchange-free (Iceberg's REPLACE PARTITION FIELD analog; a
+      // policy alone would leave MIXED history, which the scan
+      // wholesale-falls-back on). Validates the column exists, is
+      // BIGINT/INT, and n is in range BEFORE any commit.
+      "set_bucketing" -> ZProcedure("set_bucketing",
+        Array(in("tbl", StringType).build(),
+          in("col", StringType).build(),
+          in("num_buckets", LongType).build(),
+          in("num_files", LongType).defaultValue("32").build()),
+        StructType(Seq(StructField("files", LongType))),
+        r => {
+          val dir = tblOf(r)
+          val colName = r.getUTF8String(1).toString
+          val n = r.getLong(2).toInt
+          val schema = ZOrder.readSnapshot(s, dir).schema
+          val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"set_bucketing: column $colName is not in the table schema"))
+          require(f.dataType == LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType,
+            s"set_bucketing: bucket column must be BIGINT/INT; got " +
+              f.dataType.simpleString)
+          ZOrder.recordBucketing(s, dir, f.name, n)
+          ZOrder.reclusterZOrdered(s, dir,
+            ZOrder.recordedZcols(s, dir).getOrElse(Seq(f.name)),
+            r.getLong(3).toInt)
+          longRow(ZOrder.listDataFiles(s, dir).size.toLong)
+        }),
       // RANGE-band replaceWhere in pure SQL — `INSERT OVERWRITE t
       // PARTITION (k = v)` covers the equality band; a RANGE band has no
       // SQL spelling, so the procedure closes it: one atomic epoch

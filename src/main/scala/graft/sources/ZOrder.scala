@@ -224,7 +224,7 @@ object ZOrder {
     }
   }
 
-  private[sources] def recordBucketing(s: SparkSession, path: String,
+  private[graft] def recordBucketing(s: SparkSession, path: String,
       bcol: String, n: Int): Unit = {
     require(n > 0 && n <= 65536, s"bucket count $n out of range (1..65536)")
     val p = bucketingFile(path)
@@ -1299,6 +1299,9 @@ object ZOrder {
     rowCountsCache.synchronized {
       rowCountsCache.keySet().removeIf(_.startsWith(path + "|")); ()
     }
+    bucketMapCache.synchronized {
+      bucketMapCache.keySet().removeIf(_.startsWith(path + "|")); ()
+    }
     prunableColsCache.keySet().removeIf(_.startsWith(path + "|"))
     ()
   }
@@ -2020,16 +2023,42 @@ object ZOrder {
     * non-bucketed store) are absent, and the scan falls back to
     * bin-packed partitions for the WHOLE read (partial grouping would
     * report a partitioning the rows don't satisfy). */
+  private val bucketMapCache =
+    new java.util.LinkedHashMap[String, Map[String, Int]](16, 0.75f, true)
+  private val BucketMapCacheMaxEntries = 8
+
   private[sources] def fileBucketMap(s: SparkSession, path: String,
       at: Option[(Long, Long)] = None): Map[String, Int] = {
     val snap = at match {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
     }
-    val (man0, _) = manifestAndSchema(s, snap)
-    man0.filter(col("c") === lit(BucketKey) && col("mn").isNotNull)
-      .groupBy(col("f")).agg(min(col("mn").cast("int")).as("b"))
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // memoized with the rowCountsCache discipline (commit-keyed via the
+    // snapshot identity, entry- and weight-bounded, huge stores fall
+    // through uncached): Spark creates several scan instances while
+    // planning one join, and each would otherwise run its own manifest
+    // job — measured ~2 s of fixed per-query planning at 16 buckets
+    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
+      snap.vdirs.map(_.getName).sorted.mkString(",")
+    bucketMapCache.synchronized { Option(bucketMapCache.get(key)) } match {
+      case Some(hit) => hit
+      case None =>
+        val (man0, _) = manifestAndSchema(s, snap)
+        val out = man0.filter(col("c") === lit(BucketKey) &&
+            col("mn").isNotNull)
+          .groupBy(col("f")).agg(min(col("mn").cast("int")).as("b"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        if (out.size.toLong <= ScanPlanCacheMaxWeight)
+          bucketMapCache.synchronized {
+            bucketMapCache.put(key, out)
+            val it = bucketMapCache.entrySet().iterator()
+            while (bucketMapCache.size() > BucketMapCacheMaxEntries &&
+                it.hasNext) {
+              if (it.next().getKey != key) it.remove()
+            }
+          }
+        out
+    }
   }
 
   /** Bloom-prune a DML rewrite's AFFECTED file list by its POINT-shaped
@@ -2286,6 +2315,112 @@ object ZOrder {
     }
   }
 
+  /** One coordinate of the row-level change feed, in commit order:
+    * either an append version (emit its arrival files as `insert` rows)
+    * or a DML epoch transition (emit its recorded change-set files,
+    * which carry [[ChangeTypeCol]] as a data column). */
+  private[sources] sealed trait FeedStep {
+    def epoch: Long; def ver: Long; def files: Seq[String]
+  }
+  private[sources] final case class FeedInsert(epoch: Long, ver: Long,
+      files: Seq[String]) extends FeedStep
+  private[sources] final case class FeedTransition(epoch: Long,
+      files: Seq[String]) extends FeedStep { def ver: Long = 0L }
+
+  /** The ordered chain of change-feed coordinates AFTER `from`
+    * (exclusive; `ver = -1` means "from v0 of that epoch" — the
+    * stream's `earliest`) up to `until` (inclusive; None = the current
+    * snapshot) — [[readChangeFeed]]'s walk factored for the STREAMING
+    * source ([[ZcdfStream]]'s changeFeed mode), which needs the
+    * coordinates for offset arithmetic (`withFiles = false`, pure
+    * metadata) and the per-coordinate file lists at plan time. Same
+    * rules: base-epoch versions cap at the next epoch's rebase
+    * watermark (a raced lock-free append delivers exactly once, from
+    * the new epoch), and a transition without a recorded change set
+    * refuses loudly with the full-refresh contract, naming the op.
+    * Insert files for a FeedInsert resolve as FIRST-APPEARANCE versions
+    * from the epoch's manifest; a metadata-only version (evolve) is an
+    * empty FeedInsert — the offset still advances through it. */
+  private[sources] def feedSteps(s: SparkSession, path: String,
+      from: (Long, Long), until: Option[(Long, Long)],
+      withFiles: Boolean): Seq[FeedStep] = {
+    val coords = listVersions(s, path)
+    require(coords.nonEmpty, s"no committed store at $path")
+    val endC = until.getOrElse(coords.max)
+    require(coords.contains(endC),
+      s"change-feed bound (e${endC._1}, v${endC._2}) of $path is not a " +
+        "committed coordinate (vacuumed, or never committed) — see " +
+        "listVersions")
+    val fs = StoreMaint.fsFor(s, manifestRoot(path))
+    val epochs = coords.map(_._1).distinct.sorted
+      .filter(e => e >= from._1 && e <= endC._1)
+    require(epochs.headOption.contains(from._1),
+      s"change-feed base epoch e${from._1} of $path is not a committed " +
+        "epoch (vacuumed, or never committed) — see listVersions")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[FeedStep]
+    epochs.zipWithIndex.foreach { case (e, idx) =>
+      val vers = coords.filter(_._1 == e).map(_._2)
+      val maxV = vers.max
+      val nextE = epochs.lift(idx + 1)
+      val lowV = if (e == from._1) from._2 else 0L
+      val highV = nextE match {
+        case Some(ne) =>
+          readRebaseMarker(fs, new Path(manifestRoot(path), s"e$ne")) match {
+            case Some((be, bv)) if be == e => math.min(bv, maxV)
+            case _ => maxV
+          }
+        case None => endC._2
+      }
+      val insertVers = vers.filter(v => v > lowV && v <= highV).sorted
+      if (insertVers.nonEmpty) {
+        val arrivals: Map[Long, Seq[String]] =
+          if (!withFiles) Map.empty
+          else {
+            val snapE = snapshotAt(s, path, e, maxV)
+            val (manE0, _) = manifestAndSchema(s, snapE)
+            manE0.filter(col("c") =!= lit(DdlKey))
+              .groupBy(col("f")).agg(min(col("ver")).as("ver"))
+              .collect().map(r => (r.getLong(1), r.getString(0)))
+              .groupBy(_._1).map { case (v, fv) =>
+                v -> fv.map(_._2).sorted.toSeq }
+          }
+        insertVers.foreach(v =>
+          steps += FeedInsert(e, v, arrivals.getOrElse(v, Seq.empty)))
+      }
+      nextE.foreach { ne =>
+        val cdir = changesDir(path, ne)
+        if (!StoreMaint.fsFor(s, cdir).exists(cdir))
+          throw new IllegalArgumentException(
+            s"z-store at $path was rewritten at e$ne by " +
+              s"'${opOf(s, path, ne)}', which records no row-level " +
+              "change set — a row delta across this rewrite does not " +
+              s"exist; full-refresh and resume from e$ne (DML rewrites " +
+              "— update/merge/delete/replacewhere — record one and the " +
+              "feed crosses them)")
+        val cfiles =
+          if (!withFiles) Seq.empty
+          else StoreMaint.fsFor(s, cdir).listStatus(cdir)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).sorted.toSeq
+        steps += FeedTransition(ne, cfiles)
+      }
+    }
+    steps.toSeq
+  }
+
+  /** The `v0.op` audit record of an epoch, for refusal messages. */
+  private def opOf(s: SparkSession, path: String, e: Long): String =
+    try {
+      val fs = StoreMaint.fsFor(s, manifestRoot(path))
+      val opf = new Path(manifestRoot(path), s"e$e/v0.op")
+      if (fs.exists(opf)) {
+        val in = fs.open(opf)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      } else "unknown"
+    } catch { case _: Exception => "unknown" }
+
   /** Row-level CHANGE FEED — [[readChangesSince]] extended ACROSS DML
     * epoch rewrites (Delta's `readChangeFeed`): every row that changed
     * after committed coordinate (`epoch`, `version`), up to `until`
@@ -2337,69 +2472,27 @@ object ZOrder {
       StructField(CommitVersionCol,
         org.apache.spark.sql.types.LongType, nullable = false))
     val outSchema = StructType(endSchema.fields.toSeq ++ metaFields)
-    val fs = StoreMaint.fsFor(s, manifestRoot(path))
-    val epochs = coords.map(_._1).distinct.sorted
-      .filter(e => e >= epoch && e <= endC._1)
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    epochs.zipWithIndex.foreach { case (e, idx) =>
-      val maxV = coords.filter(_._1 == e).map(_._2).max
-      val nextE = if (idx < epochs.size - 1) Some(epochs(idx + 1)) else None
-      // insert window within this epoch: (lowV, highV] — base versions
-      // above the NEXT epoch's rebase watermark were rolled forward and
-      // re-emit from the new epoch (exactly once), so the watermark caps
-      // the window; the last epoch caps at the requested bound
-      val lowV = if (e == epoch) version else 0L
-      val highV = nextE match {
-        case Some(ne) =>
-          readRebaseMarker(fs, new Path(manifestRoot(path), s"e$ne")) match {
-            case Some((be, bv)) if be == e => math.min(bv, maxV)
-            case _ => maxV // rewrite of a non-adjacent base: emit all
-          }
-        case None => if (e == endC._1) endC._2 else maxV
-      }
-      if (highV > lowV) {
-        val snapE = snapshotAt(s, path, e, maxV)
-        val (manE0, schemaE) = manifestAndSchema(s, snapE)
-        val arrivals = manE0.filter(col("c") =!= lit(DdlKey))
-          .groupBy(col("f")).agg(min(col("ver")).as("ver"))
-          .filter(col("ver") > lit(lowV) && col("ver") <= lit(highV))
-          .collect().map(r => (r.getLong(1), r.getString(0)))
-          .groupBy(_._1)
-        arrivals.toSeq.sortBy(_._1).foreach { case (ver, fvs) =>
-          pieces += s.read.schema(schemaE)
-            .parquet(fvs.map(f => s"$path/${f._2}").sorted.toSeq: _*)
+    // ONE walk serves batch and stream ([[feedSteps]]): insert versions
+    // read with their epoch's recorded schema, transitions read their
+    // recorded change-set files (already carrying [[ChangeTypeCol]])
+    val pieces = feedSteps(s, path, (epoch, version), Some(endC),
+        withFiles = true)
+      .flatMap {
+        case FeedInsert(_, _, files) if files.isEmpty => None
+        case FeedInsert(e, v, files) =>
+          val maxV = coords.filter(_._1 == e).map(_._2).max
+          val schemaE = recordedSchemaAt(s, path, e, maxV)
+          Some(s.read.schema(schemaE)
+            .parquet(files.map(f => s"$path/$f"): _*)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitEpochCol, lit(e))
-            .withColumn(CommitVersionCol, lit(ver))
-        }
+            .withColumn(CommitVersionCol, lit(v)))
+        case FeedTransition(_, files) if files.isEmpty => None
+        case FeedTransition(e, files) =>
+          Some(s.read.parquet(files: _*) // change dirs list ABSOLUTE paths
+            .withColumn(CommitEpochCol, lit(e))
+            .withColumn(CommitVersionCol, lit(0L)))
       }
-      // the transition INTO the next committed epoch: its recorded
-      // row-level change set, or the r13 full-refresh refusal when the
-      // rewrite has none (no row delta exists for it)
-      nextE.foreach { ne =>
-        val cdir = changesDir(path, ne)
-        if (!StoreMaint.fsFor(s, cdir).exists(cdir)) {
-          val op = try {
-            val opf = new Path(manifestRoot(path), s"e$ne/v0.op")
-            if (fs.exists(opf)) {
-              val in = fs.open(opf)
-              try new String(org.apache.commons.io.IOUtils
-                .toByteArray(in), "UTF-8")
-              finally in.close()
-            } else "unknown"
-          } catch { case _: Exception => "unknown" }
-          throw new IllegalArgumentException(
-            s"z-store at $path was rewritten at e$ne by '$op', which " +
-              "records no row-level change set — a row delta across " +
-              "this rewrite does not exist; full-refresh and resume " +
-              s"from e$ne (DML rewrites — update/merge/delete/" +
-              "replacewhere — record one and the feed crosses them)")
-        }
-        pieces += s.read.parquet(cdir.toString)
-          .withColumn(CommitEpochCol, lit(ne))
-          .withColumn(CommitVersionCol, lit(0L))
-      }
-    }
     if (pieces.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
     else {
@@ -3626,6 +3719,7 @@ object ZOrder {
     dmlCdfStores.clear(); spjCats.clear()
     scanPlanCache.synchronized { scanPlanCache.clear(); scanPlanWeight = 0L }
     rowCountsCache.synchronized { rowCountsCache.clear() }
+    bucketMapCache.synchronized { bucketMapCache.clear() }
     prunableColsCache.clear()
   }
 
@@ -5245,6 +5339,78 @@ object ZOrder {
       .orderBy(col("ck"))
   }
 
+  /** q162: STREAMING row-level CDF — q160's change feed consumed as a
+    * STREAM (`.readStream.format("graft-zcdf").option("changeFeed",
+    * "true")`, Delta's streaming readChangeFeed): offsets walk the same
+    * feed-coordinate chain ([[feedSteps]]) one coordinate per trigger
+    * (`maxVersionsPerTrigger=1` — a DML transition counts as one), so
+    * the stream CROSSES the UPDATE and MERGE epochs instead of dying
+    * with full-refresh, delivering `_change_type` rows whose union over
+    * the bounded run equals the batch feed exactly. Oracle = q160's
+    * algebraic change set (batch boundaries don't change content; the
+    * wire's `_epoch`/`_ver` ARE the commit coordinates). Restart
+    * resume, per-trigger batching and the no-record refusal are pinned
+    * in StreamingSpec. */
+  val q162ZcdfStreamDml: Q = Q(
+    "q162_zcdf_stream_dml",
+    """WITH b AS (SELECT MIN(doc_id) AS dmn, MAX(doc_id) AS dmx
+      |  FROM documents),
+      |d AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT * FROM (
+      |  SELECT doc_id, lang, n_chars, 'insert' AS change_type,
+      |    CAST(0 AS BIGINT) AS commit_epoch,
+      |    CAST(1 AS BIGINT) AS commit_version
+      |  FROM d WHERE doc_id % 10 = 9
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'insert', 0, 0 FROM d
+      |  WHERE doc_id % 10 != 9
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 1, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*2//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*3//10
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000, 'update_postimage', 1, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*2//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*3//10
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 2, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*5//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*6//10
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 7, 'update_postimage', 2, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*5//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*6//10
+      |  UNION ALL
+      |  SELECT doc_id + b.dmx + 1, lang, n_chars, 'insert', 2, 0
+      |  FROM d, b WHERE doc_id % 7 = 0
+      |)
+      |ORDER BY commit_epoch, commit_version, change_type, doc_id""".stripMargin,
+  ) { (s, d) =>
+    val dir = dmlCdfStoreFor(s, d)
+    val out = Files.createTempDirectory("graft-zcdfdml").toString
+    val q = s.readStream.format("graft-zcdf")
+      .option("changeFeed", "true")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/batch=*")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col(ZcdfStream.ChangeCol).as("change_type"),
+        col(ZcdfStream.EpochCol).as("commit_epoch"),
+        col(ZcdfStream.VerCol).as("commit_version"))
+      .orderBy(col("commit_epoch"), col("commit_version"),
+        col("change_type"), col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
@@ -5254,5 +5420,5 @@ object ZOrder {
     q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
     q155ZTableStream, q156ZTableStreamWrite, q157ZTableChanges,
     q158ZTableReplaceWhere, q159ZTableRuntimePrune, q160ZOrderDmlCdf,
-    q161ZTableSpjJoin)
+    q161ZTableSpjJoin, q162ZcdfStreamDml)
 }

@@ -50,6 +50,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object ZcdfStream {
   val EpochCol = "_epoch"
   val VerCol = "_ver"
+  val ChangeCol = "_change_type"
 
   private[sources] def pathOf(options: java.util.Map[String, String]): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -61,18 +62,27 @@ object ZcdfStream {
     case _ => false
   }
 
-  def tableSchema(s: SparkSession, path: String): StructType = {
+  def tableSchema(s: SparkSession, path: String,
+      changeFeed: Boolean = false): StructType = {
     val recorded = wireSchema(s, path, "graft-zcdf")
     recorded.fields.foreach { f =>
       require(!f.name.equalsIgnoreCase(EpochCol) &&
-        !f.name.equalsIgnoreCase(VerCol),
+        !f.name.equalsIgnoreCase(VerCol) &&
+        !(changeFeed && f.name.equalsIgnoreCase(ChangeCol)),
         s"graft-zcdf: column ${f.name} collides with the commit-coordinate " +
           "metadata columns")
     }
-    StructType(recorded.fields.toSeq :+
+    StructType(recorded.fields.toSeq ++
+      (if (changeFeed)
+        Seq(StructField(ChangeCol, StringType, nullable = false))
+      else Nil) :+
       StructField(EpochCol, LongType, nullable = false) :+
       StructField(VerCol, LongType, nullable = false))
   }
+
+  private[sources] def changeFeedOf(
+      options: java.util.Map[String, String]): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
 
   /** The store's recorded schema (current snapshot, or a PAST committed
     * coordinate for time-travel reads — a past snapshot's schema is the
@@ -153,13 +163,16 @@ class ZcdfProvider extends TableProvider with DataSourceRegister {
   // the last two DATA columns (the r10 advisor finding)
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZcdfStream.tableSchema(SparkSession.active, ZcdfStream.pathOf(options))
+    ZcdfStream.tableSchema(SparkSession.active, ZcdfStream.pathOf(options),
+      ZcdfStream.changeFeedOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new ZcdfTable(ZcdfStream.pathOf(properties), schema)
+    new ZcdfTable(ZcdfStream.pathOf(properties), schema,
+      ZcdfStream.changeFeedOf(properties))
 }
 
-class ZcdfTable(path: String, tschema: StructType) extends Table
+class ZcdfTable(path: String, tschema: StructType,
+    changeFeed: Boolean = false) extends Table
     with SupportsRead {
   // the wire mapping treats the LAST TWO fields as the _epoch/_ver commit
   // coordinates — a user-supplied .schema() without them would silently
@@ -173,6 +186,16 @@ class ZcdfTable(path: String, tschema: StructType) extends Table
     s"columns ${ZcdfStream.EpochCol} BIGINT, ${ZcdfStream.VerCol} BIGINT " +
     s"(got: ${tschema.simpleString}) — omit .schema() to use the store's " +
     "recorded schema")
+  // changeFeed mode maps the THIRD-from-last field to _change_type (the
+  // reader pins per-partition constants by that ordinal) — a user
+  // .schema() without it would silently overwrite a data column
+  require(!changeFeed || (tschema.fields.length >= 3 && {
+    val ct = tschema.fields(tschema.fields.length - 3)
+    ct.name.equalsIgnoreCase(ZcdfStream.ChangeCol) &&
+      ct.dataType == StringType
+  }), s"graft-zcdf changeFeed: the read schema must carry " +
+    s"${ZcdfStream.ChangeCol} STRING immediately before the " +
+    "commit-coordinate columns — omit .schema() to use the inferred one")
   override def name(): String = s"graft-zcdf:$path"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -201,6 +224,11 @@ private[sources] class ZTableMicroBatchStream(path: String,
     required: StructType, options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+  require(!ZcdfStream.changeFeedOf(options),
+    "changeFeed mode adds the _change_type wire column, which a TABLE " +
+      "stream cannot carry (its schema is the table's) — use " +
+      "spark.readStream.format(\"graft-zcdf\")" +
+      ".option(\"changeFeed\", \"true\").load(<store dir>)")
   private val full = ZcdfStream.tableSchema(SparkSession.active, path)
   private val inner = new ZcdfMicroBatchStream(path, full, options)
 
@@ -264,6 +292,16 @@ class ZcdfMicroBatchStream(path: String, tschema: StructType,
   }
   private val startingVersion: String =
     options.getOrDefault("startingVersion", "earliest")
+
+  /** `.option("changeFeed", "true")` — Delta's streaming
+    * `readChangeFeed`: the wire gains [[ZcdfStream.ChangeCol]], version
+    * arrivals emit as `insert` rows, and the stream CROSSES DML epoch
+    * rewrites by emitting their recorded change sets at the new epoch's
+    * v0 coordinate ([[ZOrder.feedSteps]] — the same walk, watermark
+    * capping and refuse-on-no-record contract as the batch
+    * readChangeFeed). Without the option the r13 contract is unchanged:
+    * any epoch swap refuses with full-refresh. */
+  private val changeFeed = ZcdfStream.changeFeedOf(options)
   @volatile private var availableNowEnd: Option[ZcdfOffset] = None
 
   private def refuseSwap(cur: Long, seen: Long): Nothing =
@@ -275,6 +313,11 @@ class ZcdfMicroBatchStream(path: String, tschema: StructType,
   override def initialOffset(): Offset = {
     val (e, maxVer, _) = ZOrder.streamState(s, path)
     startingVersion match {
+      case "earliest" if changeFeed =>
+        // the feed can cross epochs, so earliest = the OLDEST committed
+        // epoch still on disk (full history replay, Delta's
+        // startingVersion 0)
+        ZcdfOffset(ZOrder.listVersions(s, path).map(_._1).min, -1L)
       case "earliest" => ZcdfOffset(e, -1L) // v0 onward
       case "latest" => ZcdfOffset(e, maxVer) // only future commits
       case v => ZcdfOffset(e, v.toLong) // resume AFTER version v
@@ -311,29 +354,61 @@ class ZcdfMicroBatchStream(path: String, tschema: StructType,
         val (e, maxVer, _) = ZOrder.streamState(s, path)
         (e, maxVer)
     }
-    if (curE != st.epoch) refuseSwap(curE, st.epoch)
-    val c = cap(limit)
-    // saturating step (the GraftShards overflow lesson)
-    val end = if (c == Long.MaxValue || curMax - st.ver <= c) curMax
-      else st.ver + c
-    ZcdfOffset(curE, math.max(end, st.ver))
+    if (changeFeed) {
+      // the feed-coordinate chain after the consumed offset, capped at
+      // whole coordinates per trigger (a transition counts as one) —
+      // pure metadata (withFiles = false); a transition without a
+      // change record refuses HERE, at poll time
+      val chain = ZOrder.feedSteps(s, path, (st.epoch, st.ver),
+        Some((curE, curMax)), withFiles = false)
+      val c = cap(limit)
+      val take = if (c >= chain.size) chain
+        else chain.take(math.max(c, 0L).toInt)
+      take.lastOption.map(u => ZcdfOffset(u.epoch, u.ver)).getOrElse(st)
+    } else {
+      if (curE != st.epoch) refuseSwap(curE, st.epoch)
+      val c = cap(limit)
+      // saturating step (the GraftShards overflow lesson)
+      val end = if (c == Long.MaxValue || curMax - st.ver <= c) curMax
+        else st.ver + c
+      ZcdfOffset(curE, math.max(end, st.ver))
+    }
   }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val st = start.asInstanceOf[ZcdfOffset]
     val en = end.asInstanceOf[ZcdfOffset]
-    if (st.epoch != en.epoch) refuseSwap(en.epoch, st.epoch)
-    if (en.ver <= st.ver) return Array.empty
-    ZOrder.changeFiles(s, path, en.epoch, st.ver, en.ver)
-      .map { case (ver, f) =>
-        ZcdfPartition(s"$path/$f", en.epoch, ver): InputPartition
-      }.toArray
+    if (changeFeed) {
+      if (Ordering[(Long, Long)].lteq((en.epoch, en.ver),
+          (st.epoch, st.ver))) return Array.empty
+      ZOrder.feedSteps(s, path, (st.epoch, st.ver),
+          Some((en.epoch, en.ver)), withFiles = true)
+        .flatMap {
+          case ZOrder.FeedInsert(e, v, files) => files.map(f =>
+            ZcdfPartition(s"$path/$f", e, v, Some("insert"))
+              : InputPartition)
+          case ZOrder.FeedTransition(e, files) => files.map(f =>
+            ZcdfPartition(f, e, 0L, None): InputPartition)
+        }.toArray
+    } else {
+      if (st.epoch != en.epoch) refuseSwap(en.epoch, st.epoch)
+      if (en.ver <= st.ver) return Array.empty
+      ZOrder.changeFiles(s, path, en.epoch, st.ver, en.ver)
+        .map { case (ver, f) =>
+          ZcdfPartition(s"$path/$f", en.epoch, ver): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZcdfReaderFactory(GraftShardsSource.confOverrides(s),
-      tschema.fields.dropRight(2).map(f => (f.name, f.dataType.catalogString)))
+      tschema.fields.dropRight(2).map(f => (f.name, f.dataType.catalogString)),
+      // in changeFeed mode the LAST data field is _change_type: read
+      // from the file (a transition's change set carries it as data)
+      // unless the partition pins a constant (version arrivals =
+      // 'insert')
+      ctIdx = if (changeFeed) tschema.fields.length - 3 else -1)
 
   override def deserializeOffset(json: String): Offset =
     ZcdfOffset.fromJson(json)
@@ -341,8 +416,8 @@ class ZcdfMicroBatchStream(path: String, tschema: StructType,
   override def stop(): Unit = ()
 }
 
-case class ZcdfPartition(file: String, epoch: Long, ver: Long)
-    extends InputPartition
+case class ZcdfPartition(file: String, epoch: Long, ver: Long,
+    changeType: Option[String] = None) extends InputPartition
 
 /** Executor-side parquet reader for one change-feed file: parquet-hadoop's
   * example Group materializer (public API, on every Spark classpath)
@@ -351,7 +426,8 @@ case class ZcdfPartition(file: String, epoch: Long, ver: Long)
   * add-only evolution contract), and timestamps are INT64 micros by the
   * z-store write contract ([[Sources.writeMicros]]). */
 case class ZcdfReaderFactory(confOverrides: Map[String, String],
-    fields: Array[(String, String)]) extends PartitionReaderFactory {
+    fields: Array[(String, String)], ctIdx: Int = -1)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZcdfPartition]
     val types: Array[DataType] =
@@ -373,6 +449,8 @@ case class ZcdfReaderFactory(confOverrides: Map[String, String],
       private def convert(
           g: org.apache.parquet.example.data.Group): InternalRow = {
         val vals = ZcdfStream.decodeGroup(g, fields, types, extra = 2)
+        if (ctIdx >= 0) p.changeType.foreach(ct =>
+          vals(ctIdx) = UTF8String.fromString(ct))
         vals(fields.length) = p.epoch
         vals(fields.length + 1) = p.ver
         new GenericInternalRow(vals)

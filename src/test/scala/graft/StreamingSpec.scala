@@ -1176,4 +1176,91 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want, s"IVM drift: got=$got want=$want")
   }
+
+  test("streaming changeFeed crosses DML epochs: one coordinate per trigger, checkpoint resume over new DML, no-record refusal, table-stream option refusal") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ZOrder, ZcdfStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcdfdmlS").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-zcdfdmlO").toString
+    ZOrder.writeZOrdered(spark.range(200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
+    ZOrder.appendZOrdered(spark.range(200, 260)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 1)
+    assert(ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 9L)),
+      Seq("k")) == 10L)                                          // e1
+    assert(ZOrder.updateZRange(spark, dir, Seq(("k", 50L, 59L)),
+      Map("v" -> "v + 1"), Seq("k")) == 10L)                     // e2
+    def run(): Seq[(Long, java.util.List[org.apache.spark.sql.Row])] = {
+      val seen = new java.util.concurrent.ConcurrentHashMap[Long,
+        java.util.List[org.apache.spark.sql.Row]]()
+      val q = spark.readStream.format("graft-zcdf")
+        .option("changeFeed", "true")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.put(id, java.util.Arrays.asList(df.collect(): _*))
+          ()
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.sortBy(_._1)
+    }
+    val batches = run()
+    // chain: (0,0) build, (0,1) append, (1,0) delete, (2,0) update = 4
+    // coordinates, ONE per trigger
+    assert(batches.size == 4, s"${batches.size} batches")
+    import scala.jdk.CollectionConverters._
+    batches.foreach { case (_, rows) =>
+      val coords = rows.asScala.map(r =>
+        (r.getAs[Long](ZcdfStream.EpochCol),
+          r.getAs[Long](ZcdfStream.VerCol))).toSet
+      assert(coords.size == 1,
+        s"a trigger must cover exactly one coordinate, got $coords")
+    }
+    val all = batches.flatMap(_._2.asScala).map(r =>
+      (r.getAs[Long]("k"), r.getAs[Long]("v"),
+        r.getAs[String](ZcdfStream.ChangeCol)))
+    assert(all.count(_._3 == "insert") == 260)
+    assert(all.filter(_._3 == "delete").map(_._1).sorted ==
+      (0L until 10L).toSeq)
+    assert(all.count(_._3 == "update_preimage") == 10)
+    assert(all.filter(_._3 == "update_postimage")
+      .forall { case (k, v, _) => v == k * 2 + 1 })
+    // checkpoint RESUME across NEW DML: a merge lands after the first
+    // run; the resumed stream delivers only its delta
+    val src = spark.range(58, 62)
+      .select(col("id").as("k"), (-col("id")).as("v"))
+    ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"), 1)         // e3
+    val batches2 = run()
+    assert(batches2.size == 1, s"resume delivered ${batches2.size} batches")
+    val delta = batches2.flatMap(_._2.asScala).map(r =>
+      (r.getAs[Long]("k"), r.getAs[String](ZcdfStream.ChangeCol)))
+    assert(delta.count(_._2 == "update_preimage") == 4) // k 58..61 replaced
+    assert(delta.count(_._2 == "update_postimage") == 4)
+    assert(delta.isEmpty == false && delta.forall(d => d._1 >= 58 && d._1 <= 61))
+    // a NO-record rewrite (recluster) kills the resumed stream with the
+    // full-refresh cause — search the cause chain (the wrapper rule)
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k"), 4)            // e4
+    val e = intercept[Exception] { run() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage).contains("full-refresh")), e.toString)
+    // the TABLE stream refuses the option with a pointer to the format
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-z").option("changeFeed", "true")
+        .load(dir).writeStream
+        .option("checkpointLocation", s"$out/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().awaitTermination()
+    }
+    assert(chain(e2).exists(t =>
+      String.valueOf(t.getMessage).contains("graft-zcdf")), e2.toString)
+  }
 }

@@ -266,6 +266,26 @@ class ZBatchPlanSpec extends SparkSpec {
         ks.headOption.foreach(r => assert(r.getLong(0).toInt == bm2(f),
           s"$f recorded ${bm2(f)} but holds ${r.getLong(0)}"))
       }
+      // ADOPTING the layout on an existing unbucketed table:
+      // CALL set_bucketing records the policy + one recluster re-routes
+      // every file, after which joins against same-bucketed tables run
+      // exchange-free too (no mixed-history fallback left behind)
+      spark.sql("""CREATE TABLE gspj.l.c (k BIGINT, u BIGINT)
+        PARTITIONED BY (k)""")
+      spark.sql("INSERT INTO gspj.l.c SELECT id, id * 7 FROM range(4000)")
+      assert(ZOrder.fileBucketMap(spark, s"$root/l/c").isEmpty)
+      spark.sql("CALL gspj.set_bucketing(tbl => 'l.c', col => 'k', " +
+        "num_buckets => 8)")
+      val bmC = ZOrder.fileBucketMap(spark, s"$root/l/c")
+      assert(ZOrder.listDataFiles(spark, s"$root/l/c").forall(bmC.contains),
+        "recluster must re-route every file by bucket")
+      val jc = spark.sql(
+        "SELECT a.k, a.v, c.u FROM gspj.l.a a JOIN gspj.l.c c ON a.k = c.k")
+      jc.collect()
+      assert("Exchange hashpartitioning".r
+        .findAllIn(jc.queryExecution.executedPlan.toString).isEmpty,
+        "an adopted layout must join exchange-free")
+      assert(jc.count() == 4000)
     } finally {
       spark.conf.unset("spark.sql.catalog.gspj")
       spark.conf.unset("spark.sql.catalog.gspj.root")
