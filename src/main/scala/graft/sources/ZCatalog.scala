@@ -158,6 +158,20 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
           Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
             org.apache.spark.unsafe.types.UTF8String.fromString(e))
         }),
+      // the Delta enableChangeDataFeed switch: DML rewrites on an
+      // ENABLED table record their row-level change sets, and the
+      // change feed (readChangeFeed / the zcdf changeFeed stream)
+      // crosses them; disabled (the default) costs nothing and the
+      // feed refuses with the enablement hint
+      "set_change_feed" -> ZProcedure("set_change_feed",
+        Array(in("tbl", StringType).build(),
+          in("enabled", org.apache.spark.sql.types.BooleanType).build()),
+        StructType(Seq(StructField("enabled",
+          org.apache.spark.sql.types.BooleanType))),
+        r => {
+          ZOrder.setChangeFeedEnabled(s, tblOf(r), r.getBoolean(1))
+          Seq(Array[Any](r.getBoolean(1)))
+        }),
       // adopt (or re-shape) the storage-partitioned-join layout on an
       // EXISTING table: record the bucket(n, col) policy, then one
       // recluster epoch swap re-routes every file — after it, all files
@@ -441,6 +455,11 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
     // write (and every later one: zWrite reads the policy per batch)
     // routes by bucket.
     bucketDecl.foreach { case (c, n) => ZOrder.recordBucketing(s, dir, c, n) }
+    // TBLPROPERTIES('changeFeed'='true') — Delta's enableChangeDataFeed
+    if (Option(properties.get("changeFeed"))
+        .orElse(Option(properties.get("changefeed")))
+        .exists(_.equalsIgnoreCase("true")))
+      ZOrder.setChangeFeedEnabled(s, dir, on = true)
     ZOrder.writeZOrdered(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema), dir, zcols, 1)
     loadTable(ident)

@@ -2269,6 +2269,39 @@ object ZOrder {
   private def changesDir(path: String, epoch: Long): Path =
     new Path(new Path(path, "_zchanges"), s"e$epoch")
 
+  private def changeFeedFile(path: String): Path =
+    new Path(path, "_zschema/changefeed")
+
+  /** Row-level change recording is a PER-STORE OPT-IN (Delta's
+    * `enableChangeDataFeed` table property): recording costs one extra
+    * pass over the changed rows per DML commit (pre/postimage splits, a
+    * multiset diff for the SQL ops) plus a parquet write — measured
+    * ~45% on the CDC-apply merge loop (q141) when it was unconditional
+    * — so stores with no incremental consumers pay nothing by default.
+    * With the feed disabled, a DML rewrite records no change set and
+    * [[readChangeFeed]] refuses across it with the full-refresh message
+    * (naming the op and the enablement switch) — loud, never wrong. */
+  def setChangeFeedEnabled(s: SparkSession, path: String,
+      on: Boolean): Unit = {
+    val p = changeFeedFile(path)
+    val fs = StoreMaint.fsFor(s, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(on.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sources] def changeFeedEnabled(s: SparkSession,
+      path: String): Boolean = {
+    val p = changeFeedFile(path)
+    val fs = StoreMaint.fsFor(s, p)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.trim.equalsIgnoreCase("true")
+    }
+  }
+
   /** Record the ROW-LEVEL change set of a DML epoch rewrite — the store
     * columns plus [[ChangeTypeCol]] (`insert` / `delete` /
     * `update_preimage` / `update_postimage`), as parquet under
@@ -2395,8 +2428,9 @@ object ZOrder {
               s"'${opOf(s, path, ne)}', which records no row-level " +
               "change set — a row delta across this rewrite does not " +
               s"exist; full-refresh and resume from e$ne (DML rewrites " +
-              "— update/merge/delete/replacewhere — record one and the " +
-              "feed crosses them)")
+              "— update/merge/delete/replacewhere — record one when the " +
+              "store's change feed is ENABLED: setChangeFeedEnabled / " +
+              "CALL <catalog>.set_change_feed BEFORE the rewrite)")
         val cfiles =
           if (!withFiles) Seq.empty
           else StoreMaint.fsFor(s, cdir).listStatus(cdir)
@@ -2726,8 +2760,9 @@ object ZOrder {
               val edir = new Path(manifestRoot(path), s"e$nextE")
               writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
                 snap.epoch, maxVerOf(snap))
-              writeChangeRecord(s, path, nextE, aff.filter(matchAll)
-                .withColumn(ChangeTypeCol, lit("delete")))
+              if (changeFeedEnabled(s, path))
+                writeChangeRecord(s, path, nextE, aff.filter(matchAll)
+                  .withColumn(ChangeTypeCol, lit("delete")))
               writeManifestVersion(s, edir, 0L,
                 schema.toDDL, newStats, manifestTags(man0),
                 carried = Some(carriedStatsDf(s, man, affected)),
@@ -2830,7 +2865,7 @@ object ZOrder {
             val edir = new Path(manifestRoot(path), s"e$nextE")
             writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
               snap.epoch, maxVerOf(snap))
-            locally {
+            if (changeFeedEnabled(s, path)) {
               val deleted = affDf match {
                 case Some(aff) => aff.filter(matchAll)
                 case None => aligned.limit(0)
@@ -2937,7 +2972,7 @@ object ZOrder {
         val edir = new Path(manifestRoot(path), s"e$nextE")
         writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
           scanSnap.epoch, maxVerOf(scanSnap))
-        locally {
+        if (changeFeedEnabled(s, path)) {
           // the group-based rewrite's row delta: old-rows-of-replaced-
           // files vs replacement, as a multiset diff (the staged files
           // still exist — the write's cleanup runs after this commit)
@@ -3082,7 +3117,7 @@ object ZOrder {
             val edir = new Path(manifestRoot(path), s"e$nextE")
             writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
               snap.epoch, maxVerOf(snap))
-            locally {
+            if (changeFeedEnabled(s, path)) {
               // keyed change set: every replaced target row is a
               // preimage, its replacing source row the postimage, and
               // key-matched-nothing source rows are inserts (null keys
@@ -3339,7 +3374,7 @@ object ZOrder {
                 val edir = new Path(manifestRoot(path), s"e$nextE")
                 writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
                   snap.epoch, maxVerOf(snap))
-                locally {
+                if (changeFeedEnabled(s, path)) {
                   // pre/postimages of exactly the hit rows: the SET
                   // expressions evaluate over PRE-update values (the
                   // UPDATE contract), so the postimage applies them
@@ -5201,6 +5236,7 @@ object ZOrder {
     synchronized {
       dmlCdfStores.getOrElseUpdate(d, {
         val dir = Files.createTempDirectory("graft-zdmlcdf").toString
+        setChangeFeedEnabled(s, dir, on = true) // the Delta CDF opt-in
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
         writeZOrdered(docs.filter(col("doc_id") % 10 =!= 9), dir,

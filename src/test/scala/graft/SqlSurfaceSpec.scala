@@ -293,6 +293,23 @@ class SqlSurfaceSpec extends SparkSpec {
         .head().getLong(0) == 1010,
         "k >= 1000 rows all came from `updates`; none may delete")
 
+      // the change-feed switch through the CALL surface: DML after
+      // enabling records its change set (the Delta enableChangeDataFeed
+      // lifecycle in pure SQL); the pre-enable DMLs recorded nothing
+      assert(!new java.io.File(dir, "_zchanges").exists)
+      assert(spark.sql("CALL graftdml.set_change_feed(tbl => 'dml.t', " +
+        "enabled => true)").head().getBoolean(0))
+      spark.sql("UPDATE graftdml.dml.t SET v = v + 1 WHERE k = 5")
+      val feedE = ZOrder.listVersions(spark, dir).map(_._1).max
+      assert(new java.io.File(dir, s"_zchanges/e$feedE").exists,
+        "an enabled table's DML must record its change set")
+      // the group-based SQL path emits the multiset diff (no key to
+      // pair on): one delete (the old row) + one insert (the new)
+      val feed = ZOrder.readChangeFeed(spark, dir, feedE - 1, 0)
+        .groupBy(org.apache.spark.sql.functions.col("_change_type"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(feed == Map("delete" -> 1L, "insert" -> 1L), feed.toString)
+
       // CHECK constraints — added through the CALL surface — validate
       // the REPLACEMENT rows before a byte lands: an UPDATE that would
       // violate refuses and changes nothing

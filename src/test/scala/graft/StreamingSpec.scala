@@ -1123,6 +1123,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.ZOrder
     import ZOrder.ChangeTypeCol
     val dir = java.nio.file.Files.createTempDirectory("graft-zivmdml").toString
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
     val langs = Seq("en", "fr", "de")
     def rows(r: Range) = spark.range(r.start, r.end).select(
       col("id").as("k"),
@@ -1182,6 +1183,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.{ZOrder, ZcdfStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-zcdfdmlS").toString
     val out = java.nio.file.Files.createTempDirectory("graft-zcdfdmlO").toString
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
     ZOrder.writeZOrdered(spark.range(200)
       .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
     ZOrder.appendZOrdered(spark.range(200, 260)

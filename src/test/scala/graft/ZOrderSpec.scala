@@ -2046,6 +2046,7 @@ class ZOrderSpec extends SparkSpec {
   test("row-level change feed crosses DML epochs: delete/update/merge/replaceWhere emit _change_type rows; optimize still refuses; windows and bases validate") {
     import graft.sources.ZOrder.{ChangeTypeCol, CommitEpochCol, CommitVersionCol}
     val dir = Files.createTempDirectory("graft-zrowcdf").toString
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true) // the Delta opt-in
     // build (e0 v0) + append (e0 v1)
     ZOrder.writeZOrdered(spark.range(100)
       .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
@@ -2130,10 +2131,24 @@ class ZOrderSpec extends SparkSpec {
     // ... and a feed from the post-optimize epoch works again
     assert(ZOrder.readChangeFeed(spark, dir,
       ZOrder.listVersions(spark, dir).map(_._1).max, 0).count() == 0)
+    // recording is OPT-IN (Delta's enableChangeDataFeed): a DEFAULT
+    // store's DML writes no record — zero cost — and the feed refuses
+    // across it with the enablement hint
+    val off = Files.createTempDirectory("graft-zrowcdfoff").toString
+    ZOrder.writeZOrdered(spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), off, Seq("k"), 2)
+    assert(ZOrder.deleteZRange(spark, off, Seq(("k", 0L, 9L)),
+      Seq("k")) == 10L)
+    assert(!new java.io.File(off, "_zchanges/e1").exists(),
+      "a default (feed-off) DML must record nothing")
+    val eOff = intercept[IllegalArgumentException] {
+      ZOrder.readChangeFeed(spark, off, 0, 0) }
+    assert(eOff.getMessage.contains("ENABLED"), eOff.getMessage)
   }
 
   test("vacuum collects change records of superseded and crashed epochs, never the current one") {
     val dir = Files.createTempDirectory("graft-zrowcdfvac").toString
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
     ZOrder.writeZOrdered(spark.range(100)
       .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 2)
     ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 9L)), Seq("k"))   // e1

@@ -184,6 +184,7 @@ class ZRowLevelSpec extends SparkSpec {
   test("change feed delivers a RACED lock-free append exactly once: base versions cap at the rebase watermark, the rolled copy emits from the new epoch") {
     import ZOrder.{ChangeTypeCol, CommitEpochCol}
     val dir = java.nio.file.Files.createTempDirectory("graft-zrowcdfrace").toString
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
     ZOrder.writeZOrdered(spark.range(100)
       .select(col("id").as("k"), (col("id") * 2).as("v")), dir, Seq("k"), 4)
     // a row-level scan resolves its snapshot, then an append races in
