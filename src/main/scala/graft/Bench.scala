@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standing default: storage-partitioned joins over bucketed z-tables
+      // (q161) plan exchange-free; a no-op for every non-bucketed scan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // Inferred isnotnull constraints push through projections and
       // re-evaluate expensive expressions (shingle sets) below the join —
       // measured 2.1x on the q41 pairwise-dedup join (DbgProf: 16.1s with,

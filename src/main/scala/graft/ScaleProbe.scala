@@ -149,6 +149,10 @@ object ScaleProbe {
         .select(col("doc_id"), col("lang"), col("n_chars"))
       graft.sources.ZOrder.writeZOrdered(docs, s"$dir/zcdf14",
         Seq("doc_id"), 32 * scale)
+      // change recording is the Delta opt-in since r14 wave 3 — without
+      // it the update records no change set and readChangeFeed refuses
+      graft.sources.ZOrder.setChangeFeedEnabled(spark, s"$dir/zcdf14",
+        on = true)
       graft.sources.ZOrder.updateZRange(spark, s"$dir/zcdf14",
         Seq(("doc_id", 0L, 499L)), Map("n_chars" -> "n_chars + 1"),
         Seq("doc_id"))

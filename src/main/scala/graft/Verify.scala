@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standing default: storage-partitioned joins over bucketed z-tables
+      // (q161) plan exchange-free; a no-op for every non-bucketed scan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // see Bench.scala: avoids duplicated expensive projections (2x on q41)
       .config("spark.sql.constraintPropagation.enabled", "false")
       // bounded AvailableNow runs emit on the data batch; the trailing

@@ -16,6 +16,9 @@ object VerifyOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standing default: storage-partitioned joins over bucketed z-tables
+      // (q161) plan exchange-free; a no-op for every non-bucketed scan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")

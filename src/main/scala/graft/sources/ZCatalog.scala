@@ -407,9 +407,10 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
       val f = schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"bucket column $c is not in the declared schema"))
-      require(f.dataType == LongType,
-        s"bucket column $c must be BIGINT (the bucket route is pmod on " +
-          s"the long key); got ${f.dataType.simpleString}")
+      require(f.dataType == LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"bucket column $c must be BIGINT/INT (the bucket route is pmod " +
+          s"on the widened long key); got ${f.dataType.simpleString}")
     }
     val zcols =
       if (declared.nonEmpty) declared

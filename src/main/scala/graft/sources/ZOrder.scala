@@ -2390,6 +2390,33 @@ object ZOrder {
     require(epochs.headOption.contains(from._1),
       s"change-feed base epoch e${from._1} of $path is not a committed " +
         "epoch (vacuumed, or never committed) — see listVersions")
+    // An offset can STRADDLE an epoch swap (r14 advisor): a consumer that
+    // polled base-epoch version bv+1 BEFORE a concurrent rewrite's swap
+    // landed holds from = (e0, bv+1) with bv+1 ABOVE the new epoch's
+    // rebase watermark bv — the rewrite never saw those versions, so
+    // they were ROLLED FORWARD into the new epoch as fresh versions,
+    // and emitting those re-commits as inserts would deliver the same
+    // rows twice. The rolled copies carry [[rebaseTag]] provenance in
+    // their manifest DDL rows; skip insert versions whose provenance
+    // names a base version the offset proves already delivered.
+    val straddled: Set[Long] =
+      if (epochs.size < 2) Set.empty
+      else readRebaseMarker(fs,
+          new Path(manifestRoot(path), s"e${epochs(1)}")) match {
+        case Some((be, bv)) if be == from._1 && from._2 > bv =>
+          ((bv + 1L) to from._2).toSet
+        case _ => Set.empty
+      }
+    def rolledCopiesOf(e: Long, maxV: Long): Set[Long] =
+      if (straddled.isEmpty) Set.empty
+      else {
+        val man = manifestAndSchema(s, snapshotAt(s, path, e, maxV))._1
+        man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
+          .select(col("ver"), col("mx")).collect()
+          .collect { case r if straddled.exists(v =>
+              r.getString(1) == rebaseTag(from._1, v)) => r.getLong(0) }
+          .toSet
+      }
     val steps = scala.collection.mutable.ArrayBuffer.empty[FeedStep]
     epochs.zipWithIndex.foreach { case (e, idx) =>
       val vers = coords.filter(_._1 == e).map(_._2)
@@ -2404,7 +2431,10 @@ object ZOrder {
           }
         case None => endC._2
       }
-      val insertVers = vers.filter(v => v > lowV && v <= highV).sorted
+      val rolledSkip =
+        if (e == from._1) Set.empty[Long] else rolledCopiesOf(e, maxV)
+      val insertVers = vers.filter(v =>
+        v > lowV && v <= highV && !rolledSkip.contains(v)).sorted
       if (insertVers.nonEmpty) {
         val arrivals: Map[Long, Seq[String]] =
           if (!withFiles) Map.empty
@@ -5366,6 +5396,11 @@ object ZOrder {
       |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (s, d) =>
     val cat = spjCatalogFor(s, d)
+    // idempotent under the entrypoints' standing default (session
+    // builders set it); kept because the frame is LAZY — confs read at
+    // action time, so a save/restore here would un-set it before the
+    // join ever runs — and a foreign session should still get the
+    // exchange-free plan
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.table(s"$cat.lake.li").hint("merge")
       .join(s.table(s"$cat.lake.ord"), "k")

@@ -1873,6 +1873,36 @@ class ZOrderSpec extends SparkSpec {
     (dir, late)
   }
 
+  test("change feed: an offset straddling an epoch swap never delivers a rolled-forward copy twice") {
+    // the r14 advisor's race: a consumer polls base version v1 BEFORE a
+    // concurrent rewrite's swap lands (offset = (e0, 1) — ABOVE the
+    // rewrite's rebase watermark (e0, 0)); the rewrite never saw v1, so
+    // recovery rolls it into e1 as a fresh version — which the next
+    // poll would deliver AGAIN as an insert without the rebaseTag skip
+    val (dir, _) = lostAppendStore() // e1 rebase=(0,0); v1 lives in e0
+    // make the swap a feed-crossable transition (a DML that recorded an
+    // empty change set — existence is the walk's contract)
+    new java.io.File(dir, "_zchanges/e1").mkdirs()
+    graft.sources.Lease.withLeaseHandle(spark, dir, "spec") { h =>
+      ZOrder.recoverLostRollforwards(spark, dir, h)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+      "recovery should have rolled the late append into e1")
+    // the straddling consumer already saw v1 from the base epoch: the
+    // walk from (e0, 1) must emit NO insert for its rolled copy
+    val dup = ZOrder.readChangeFeed(spark, dir, 0L, 1L)
+    assert(dup.count() == 0,
+      s"rolled-forward copy re-delivered to a straddling offset: " +
+        s"${dup.count()} rows")
+    // planted positive: a consumer at (e0, 0) NEVER saw v1 — the rolled
+    // copy is its only delivery path and MUST emit (the skip is scoped
+    // to provably-delivered base versions, not all rolled versions)
+    val fresh = ZOrder.readChangeFeed(spark, dir, 0L, 0L)
+    assert(fresh.filter(col("_change_type") === "insert").count() == 100,
+      "rolled copy must still deliver to a consumer that never saw it")
+    assert(fresh.filter(col("_commit_epoch") === 1L).count() == 100)
+  }
+
   test("a rewrite crash between epoch commit and rollforward: the next lease-held op recovers the late append") {
     val (dir, _) = lostAppendStore()
     // ANY lease-held maintenance op sweeps first — the append reappears
