@@ -76,10 +76,23 @@ object Lease {
     val nonce = java.util.UUID.randomUUID().toString
     var deadline = tryCreate(fs, p, holder, ttlMs, nonce)
     if (deadline.isEmpty) {
-      // existing lease: break it only if expired, then ONE more attempt
+      // existing lease: break it only if expired, then ONE more attempt.
+      // An UNREADABLE lease (readInfo None) is NOT proof of expiry: the
+      // holder's create+write+close is not atomic, so a hot concurrent
+      // acquirer can read the file in the empty window between create
+      // and write — breaking there would seat two holders (found by the
+      // r15 OCC commit turnstile, whose contention loop hammers this
+      // path). Only a READ past-deadline breaks immediately; a torn read
+      // breaks only once the FILE ITSELF has sat unreadable past the
+      // TTL (a holder that crashed between create and write).
       val info = readInfo(fs, p)
       val now = System.currentTimeMillis()
-      val expired = info.forall { case (_, d, _) => now > d }
+      val expired = info match {
+        case Some((_, d, _)) => now > d
+        case None =>
+          try now - fs.getFileStatus(p).getModificationTime > ttlMs
+          catch { case _: java.io.IOException => true } // vanished: retry
+      }
       if (!expired)
         throw new HeldException(
           s"$root is locked by writer '${info.map(_._1).getOrElse("?")}' " +
@@ -141,5 +154,5 @@ object Lease {
         case Array(h, d) => Some((h, d.toLong, None)) // pre-r12 lease file
         case _ => None
       }
-    } catch { case _: Exception => None } // torn/vanished: treat as expired
+    } catch { case _: Exception => None } // torn/vanished: see break path
 }

@@ -318,23 +318,31 @@ object ZOrder {
     * Same versioned-swap commit as [[writeZOrdered]]: concurrent readers
     * see the old snapshot or the new one, never a mix. */
   def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
-      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit =
-    Lease.withLeaseHandle(s, path, "zorder-recluster") { lease =>
-      recoverLostRollforwards(s, path, lease)
-      // batch tags carry into the new epoch: a replayed tagged append
-      // stays a no-op even when the re-cluster already folded its rows in
-      val snap = requireSnapshot(s, path)
-      val (man, schema) = manifestAndSchema(s, snap)
-      val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
-        .distinct().collect().map(_.getString(0)).sorted
-      val df =
-        if (files.isEmpty)
-          s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-        else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
-      commitNewEpoch(df, path, zcols, numFiles, statCols, manifestTags(man),
-        rebase = Some((snap.epoch, maxVerOf(snap))), op = "recluster")
-      rollForwardLateAppends(s, path, snap, lease)
+      numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+    recoverUnderCommitLock(s, path)
+    // batch tags carry into the new epoch: a replayed tagged append
+    // stays a no-op even when the re-cluster already folded its rows in
+    // (the OCC helper carries the snapshot's tags)
+    val snap = requireSnapshot(s, path)
+    val (man, schema) = manifestAndSchema(s, snap)
+    val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val df =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+    recordZcols(s, path, zcols)
+    val stats = zWrite(df, path, zcols, numFiles) match {
+      case Some(dname) => harvestStats(s, path, dname,
+        if (statCols.nonEmpty) statCols else zcols, df.schema)
+      case None => Seq.empty
     }
+    // consumed = EVERY base file: a recluster loses to any concurrent
+    // rewrite (Delta's OPTIMIZE-vs-DML resolution) but coexists with
+    // appends (rolled forward past the watermark)
+    commitRewriteEpoch(s, path, snap, files, df.schema.toDDL, stats,
+      Seq.empty, None, op = "recluster")
+  }
 
   /** Append a batch: z-sort it by its OWN bounds into a fresh data dir of
     * `numFiles` files, harvest those footers, and commit the stats as the
@@ -857,21 +865,172 @@ object ZOrder {
       op: String = "create"): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
-    val nextE = nextEpoch(s, path)
-    val edir = new Path(mroot, s"e$nextE")
-    // data first, then the epoch's v0 manifest: v0/_SUCCESS is the commit
-    // point that flips readers to the new epoch. The _rebase marker (what
-    // base snapshot a REWRITE consumed) must exist before the flip so an
-    // OCC appender never mistakes an included commit for a missed one.
-    rebase.foreach { case (e, v) =>
-      writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, e, v) }
     recordZcols(s, path, zcols) // the declared keys become store policy
+    // data first, then the epoch's v0 manifest: v0/_SUCCESS is the commit
+    // point that flips readers to the new epoch.
     val stats = zWrite(df, path, zcols, numFiles) match {
       case Some(dname) => harvestStats(s, path, dname,
         if (statCols.nonEmpty) statCols else zcols, df.schema)
       case None => Seq.empty // empty table: schema-only manifest
     }
-    writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags, op = op)
+    // the epoch number allocates INSIDE the commit turnstile (r15): with
+    // rewrites optimistic, two committers may otherwise race the same
+    // e<N>. The _rebase marker (what base snapshot a REWRITE consumed)
+    // writes before the flip so an OCC appender never mistakes an
+    // included commit for a missed one.
+    withCommitLock(s, path, s"commit-$op") { lease =>
+      val nextE = nextEpoch(s, path)
+      val edir = new Path(mroot, s"e$nextE")
+      rebase.foreach { case (e, v) =>
+        writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, e, v) }
+      if (!lease.stillHeld()) throw new IllegalStateException(
+        s"$op on $path: the epoch-commit lock expired before the " +
+          "manifest flip — aborting; retry the statement")
+      writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags,
+        op = op)
+    }
+  }
+
+  /** Thrown when an OPTIMISTIC rewrite loses its race: between resolving
+    * its base snapshot and committing, a concurrent rewrite replaced or
+    * deleted files this rewrite consumed, so its prepared outputs
+    * describe rows that no longer exist. The statement is safe to RETRY
+    * wholesale (the store is untouched by the loser — its orphaned data
+    * dir falls to [[vacuumOrphans]]); Delta raises
+    * ConcurrentDeleteReadException at the same point. */
+  final class ConcurrentZRewriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** The epoch-COMMIT critical section (r15): since rewrites became
+    * optimistic, the store `_LEASE` no longer serializes them — only the
+    * metadata commit itself (epoch-number allocation → rebase marker →
+    * change record → manifest v0 flip → late-append rollforward) runs
+    * under this dedicated short lock at `_zcommit/_LEASE`, sized in
+    * SECONDS (small single-task manifest jobs), while the expensive data
+    * work of delete/update/merge/optimize runs unlocked and concurrent.
+    * Contention is expected and brief, so acquisition RETRIES with
+    * backoff instead of refusing (the store lease's refuse-loudly
+    * contract is for whole-operation slots, not commit turnstiles);
+    * a crashed holder is broken by [[Lease]]'s TTL discipline. */
+  private def withCommitLock[T](s: SparkSession, path: String,
+      who: String)(body: Lease.Handle => T): T = {
+    val giveUp = System.currentTimeMillis() + CommitLockWaitMs
+    var backoff = 25L
+    while (true) {
+      try return Lease.withLeaseHandle(s,
+        new Path(path, "_zcommit").toString, who)(body)
+      catch { case _: Lease.HeldException =>
+        if (System.currentTimeMillis() > giveUp)
+          throw new IllegalStateException(
+            s"epoch-commit lock of $path not acquirable within " +
+              s"${CommitLockWaitMs / 1000}s — a committer is stuck " +
+              "(or crashed with most of its TTL ahead); see " +
+              s"$path/_zcommit/_LEASE")
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, 1000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** How long a committer queues for the commit lock before erroring —
+    * generous (the lock holds for seconds; TTL breaks crashed holders). */
+  private val CommitLockWaitMs: Long = 15 * 60 * 1000L
+
+  /** Run the crashed-rollforward recovery sweep in the commit slot —
+    * what every optimistic rewrite does FIRST (the store lease used to
+    * provide the slot; the sweep is a cheap metadata no-op when nothing
+    * crashed). */
+  private def recoverUnderCommitLock(s: SparkSession, path: String): Unit =
+    withCommitLock(s, path, "rollforward-recovery") { lease =>
+      recoverLostRollforwards(s, path, lease)
+    }
+
+  /** OPTIMISTIC epoch-rewrite commit (r15 — the multi-writer half of the
+    * lakehouse): the caller prepared its data work (new data dirs via
+    * [[zWrite]], stats, change rows) against `prepared` WITHOUT any
+    * store-wide lock; this helper commits it as the next epoch, REBASING
+    * across concurrent commits when possible:
+    *
+    *  - snapshot unchanged → commit directly (marker, change record,
+    *    manifest v0 with carried stats, late-append rollforward), all
+    *    inside the short [[withCommitLock]] turnstile;
+    *  - snapshot moved but every CONSUMED file (the files this rewrite
+    *    replaces) is still listed → the outputs are still valid (data
+    *    dirs are immutable): rebuild carried rows/tags/DDL-union against
+    *    the new snapshot and commit on top of it — two rewrites touching
+    *    DISJOINT file sets both land, in either order;
+    *  - a consumed file vanished → the race is lost; throw
+    *    [[ConcurrentZRewriteException]] (retry re-plans);
+    *  - `extraTags` already present in the new snapshot → this rewrite's
+    *    replayed twin landed first; return false (exactly-once).
+    *
+    * Appends racing the commit ride the existing rebase-watermark +
+    * rollforward machinery unchanged (they serialize AFTER the rewrite).
+    * A concurrent ADD-COLUMN evolution survives via the DDL union
+    * (type changes refuse loudly). `changes` rows must derive only from
+    * consumed files / caller-persisted inputs — the conflict check is
+    * what keeps them valid across a rebase. */
+  private def commitRewriteEpoch(s: SparkSession, path: String,
+      prepared: ZSnapshot, consumed: Seq[String], ddl: String,
+      newStats: Seq[(String, String, Option[String], Option[String], Boolean)],
+      extraTags: Seq[String], changes: => Option[DataFrame],
+      op: String): Boolean = {
+    import s.implicits._
+    var attempt = prepared
+    var rebased = false
+    while (true) {
+      val (man0, attemptSchema) = manifestAndSchema(s, attempt)
+      val man = man0.filter(col("c") =!= lit(DdlKey))
+      if (rebased) {
+        if (extraTags.nonEmpty &&
+            man0.filter(col("c") === lit(DdlKey) &&
+              col("mx").isin(extraTags: _*)).limit(1).count() > 0)
+          return false
+        if (consumed.nonEmpty) {
+          val missing = consumed.toDF("f")
+            .join(man.select(col("f")).distinct(), Seq("f"), "left_anti")
+            .limit(4).collect().map(_.getString(0))
+          if (missing.nonEmpty)
+            throw new ConcurrentZRewriteException(
+              s"$op on $path lost its optimistic race: a concurrent " +
+                "rewrite replaced file(s) this statement consumed " +
+                s"(e.g. ${missing.take(3).mkString(", ")}) between its " +
+                s"snapshot (e${prepared.epoch}) and commit time " +
+                s"(e${attempt.epoch}) — the prepared replacement " +
+                "describes rows that no longer exist; retry the statement")
+        }
+      }
+      // a concurrent rewrite may have EVOLVED the schema (merge add-only
+      // union): committing the base DDL would hide its column — union
+      val ddlOut = StoreMaint.unionSchemas(s"$path (z-store)",
+        Some(attemptSchema), StructType.fromDDL(ddl)).toDDL
+      val carried = carriedStatsDf(s, man, consumed)
+      val tags = manifestTags(man0) ++ extraTags
+      val committed = withCommitLock(s, path, s"commit-$op") { lease =>
+        val now = requireSnapshot(s, path)
+        if (now.epoch != attempt.epoch) { attempt = now; false }
+        else {
+          val nextE = nextEpoch(s, path)
+          val edir = new Path(manifestRoot(path), s"e$nextE")
+          writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
+            attempt.epoch, maxVerOf(attempt))
+          if (changeFeedEnabled(s, path))
+            changes.foreach(c => writeChangeRecord(s, path, nextE, c))
+          if (!lease.stillHeld()) throw new IllegalStateException(
+            s"$op on $path: the epoch-commit lock expired before the " +
+              "manifest flip — aborting (a breaker may be committing); " +
+              "retry the statement")
+          writeManifestVersion(s, edir, 0L, ddlOut, newStats, tags,
+            carried = Some(carried), op = op)
+          rollForwardLateAppends(s, path, attempt, lease)
+          true
+        }
+      }
+      if (committed) return true
+      rebased = true
+    }
+    false
   }
 
   /** Write one z-clustered batch into a FRESH data dir; returns its name,
@@ -2701,13 +2860,19 @@ object ZOrder {
     * manifest (only — the data is still referenced) falls to
     * [[vacuumOrphans]]. */
   def compactManifest(s: SparkSession, path: String): Unit =
-    Lease.withLeaseHandle(s, path, "zorder-manifest-compact") { lease =>
+    // metadata-only epoch swap: short enough to run WHOLLY inside the
+    // commit turnstile (no data work to overlap), which linearizes it
+    // against every optimistic commit
+    withCommitLock(s, path, "manifest-compact") { lease =>
       recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
       val (man, schema) = manifestAndSchema(s, snap)
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
       writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, snap.epoch,
         maxVerOf(snap))
+      if (!lease.stillHeld()) throw new IllegalStateException(
+        s"manifest-compact on $path: commit lock expired before the " +
+          "flip — aborting; retry")
       writeManifestVersion(s, edir, 0L,
         schema.toDDL, Seq.empty, manifestTags(man),
         carried = Some(carriedStatsDf(s, man, Seq.empty)),
@@ -2735,8 +2900,8 @@ object ZOrder {
       preds: Seq[(String, Any, Any)], zcols: Seq[String],
       numFiles: Int = 0): Long = {
     require(preds.nonEmpty, "deleteZRange needs at least one predicate")
-    Lease.withLeaseHandle(s, path, "zorder-delete") { lease =>
-      recoverLostRollforwards(s, path, lease)
+    locally {
+      recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -2786,18 +2951,11 @@ object ZOrder {
                     schema)
                 case None => Seq.empty
               }
-              val nextE = nextEpoch(s, path)
-              val edir = new Path(manifestRoot(path), s"e$nextE")
-              writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
-                snap.epoch, maxVerOf(snap))
-              if (changeFeedEnabled(s, path))
-                writeChangeRecord(s, path, nextE, aff.filter(matchAll)
-                  .withColumn(ChangeTypeCol, lit("delete")))
-              writeManifestVersion(s, edir, 0L,
-                schema.toDDL, newStats, manifestTags(man0),
-                carried = Some(carriedStatsDf(s, man, affected)),
+              commitRewriteEpoch(s, path, snap, affected,
+                schema.toDDL, newStats, Seq.empty,
+                Some(aff.filter(matchAll)
+                  .withColumn(ChangeTypeCol, lit("delete"))),
                 op = "delete")
-              rollForwardLateAppends(s, path, snap, lease)
             }
             nDel
           } finally aff.unpersist(blocking = false)
@@ -2831,8 +2989,8 @@ object ZOrder {
       "overwriteZRange needs at least one predicate — an unconditional " +
         "overwrite is writeZOrdered")
     val s = data.sparkSession
-    Lease.withLeaseHandle(s, path, "zorder-overwrite") { lease =>
-      recoverLostRollforwards(s, path, lease)
+    locally {
+      recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -2891,25 +3049,16 @@ object ZOrder {
                 recordedStatCols(man, schema), schema)
               case None => Seq.empty // empty band replaced by an empty batch
             }
-            val nextE = nextEpoch(s, path)
-            val edir = new Path(manifestRoot(path), s"e$nextE")
-            writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
-              snap.epoch, maxVerOf(snap))
-            if (changeFeedEnabled(s, path)) {
-              val deleted = affDf match {
-                case Some(aff) => aff.filter(matchAll)
-                case None => aligned.limit(0)
-              }
-              writeChangeRecord(s, path, nextE,
-                deleted.withColumn(ChangeTypeCol, lit("delete"))
-                  .unionByName(aligned
-                    .withColumn(ChangeTypeCol, lit("insert"))))
+            val deleted = affDf match {
+              case Some(aff) => aff.filter(matchAll)
+              case None => aligned.limit(0)
             }
-            writeManifestVersion(s, edir, 0L, schema.toDDL, newStats,
-              manifestTags(man0),
-              carried = Some(carriedStatsDf(s, man, affected)),
+            commitRewriteEpoch(s, path, snap, affected,
+              schema.toDDL, newStats, Seq.empty,
+              Some(deleted.withColumn(ChangeTypeCol, lit("delete"))
+                .unionByName(aligned
+                  .withColumn(ChangeTypeCol, lit("insert")))),
               op = "replacewhere")
-            rollForwardLateAppends(s, path, snap, lease)
             (nDel, nIns)
           } finally affDf.foreach(_.unpersist(blocking = false))
         } finally aligned.unpersist(blocking = false)
@@ -2962,17 +3111,8 @@ object ZOrder {
   private[sources] def replaceScannedFiles(s: SparkSession, path: String,
       scanSnap: ZSnapshot, affected: Seq[String], replacement: DataFrame,
       op: String): Unit =
-    Lease.withLeaseHandle(s, path, s"zorder-rowlevel-$op") { lease =>
-      recoverLostRollforwards(s, path, lease)
-      val cur = requireSnapshot(s, path)
-      require(cur.epoch == scanSnap.epoch &&
-          scanSnap.vdirs.map(_.getName).toSet
-            .subsetOf(cur.vdirs.map(_.getName).toSet),
-        s"$path: the snapshot this $op scanned (e${scanSnap.epoch}, " +
-          s"${scanSnap.vdirs.size} versions) was superseded by a " +
-          s"concurrent rewrite (now e${cur.epoch}) — the replacement " +
-          "rows describe a table that no longer exists; retry the " +
-          "statement")
+    locally {
+      recoverUnderCommitLock(s, path)
       val (man0, schema) = manifestAndSchema(s, scanSnap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2998,29 +3138,22 @@ object ZOrder {
             recordedStatCols(man, schema), schema)
           case None => Seq.empty // every affected row deleted
         }
-        val nextE = nextEpoch(s, path)
-        val edir = new Path(manifestRoot(path), s"e$nextE")
-        writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
-          scanSnap.epoch, maxVerOf(scanSnap))
-        if (changeFeedEnabled(s, path)) {
-          // the group-based rewrite's row delta: old-rows-of-replaced-
-          // files vs replacement, as a multiset diff (the staged files
-          // still exist — the write's cleanup runs after this commit)
-          val oldRows =
-            if (affected.isEmpty)
-              s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-            else s.read.schema(schema)
-              .parquet(affected.map(f => s"$path/$f"): _*)
-          writeChangeRecord(s, path, nextE,
+        // the group-based rewrite's row delta: old-rows-of-replaced-
+        // files vs replacement, as a multiset diff (the staged files
+        // still exist — the write's cleanup runs after this commit)
+        lazy val oldRows =
+          if (affected.isEmpty)
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+          else s.read.schema(schema)
+            .parquet(affected.map(f => s"$path/$f"): _*)
+        commitRewriteEpoch(s, path, scanSnap, affected,
+          schema.toDDL, newStats, Seq.empty,
+          Some(
             if (affected.isEmpty) // insert-only MERGE: pure append
               replacement.select(schema.fieldNames.map(col).toSeq: _*)
                 .withColumn(ChangeTypeCol, lit("insert"))
-            else rowLevelChangeSet(oldRows, replacement))
-        }
-        writeManifestVersion(s, edir, 0L, schema.toDDL, newStats,
-          manifestTags(man0),
-          carried = Some(carriedStatsDf(s, man, affected)), op = op)
-        rollForwardLateAppends(s, path, scanSnap, lease)
+            else rowLevelChangeSet(oldRows, replacement)),
+          op = op)
       } finally man.unpersist(blocking = false)
     }
 
@@ -3075,8 +3208,8 @@ object ZOrder {
   def mergeByKey(s: SparkSession, path: String, source: DataFrame,
       keyCol: String, zcols: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): MergeResult =
-    Lease.withLeaseHandle(s, path, "zorder-merge") { lease =>
-      recoverLostRollforwards(s, path, lease)
+    locally {
+      recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, recorded) = manifestAndSchema(s, snap)
       val replayed = tag.exists(t =>
@@ -3143,15 +3276,11 @@ object ZOrder {
                   union)
               case None => Seq.empty
             }
-            val nextE = nextEpoch(s, path)
-            val edir = new Path(manifestRoot(path), s"e$nextE")
-            writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
-              snap.epoch, maxVerOf(snap))
-            if (changeFeedEnabled(s, path)) {
-              // keyed change set: every replaced target row is a
-              // preimage, its replacing source row the postimage, and
-              // key-matched-nothing source rows are inserts (null keys
-              // included — they always insert)
+            // keyed change set: every replaced target row is a
+            // preimage, its replacing source row the postimage, and
+            // key-matched-nothing source rows are inserts (null keys
+            // included — they always insert)
+            lazy val changeSet = locally {
               val affKeys = affDf
                 .select(comparableKey(dt, affDf(keyCol)).as("__ak"))
                 .filter(col("__ak").isNotNull).distinct()
@@ -3162,16 +3291,14 @@ object ZOrder {
                 .withColumn(ChangeTypeCol, lit("update_postimage"))
               val ins = src.join(affKeys, srcKeyed, "left_anti")
                 .withColumn(ChangeTypeCol, lit("insert"))
-              writeChangeRecord(s, path, nextE,
-                pre.unionByName(post, allowMissingColumns = true)
-                  .unionByName(ins, allowMissingColumns = true))
+              pre.unionByName(post, allowMissingColumns = true)
+                .unionByName(ins, allowMissingColumns = true)
             }
-            writeManifestVersion(s, edir, 0L,
-              union.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
-              carried = Some(carriedStatsDf(s, man, affected)),
+            val landed = commitRewriteEpoch(s, path, snap, affected,
+              union.toDDL, newStats, tag.toSeq, Some(changeSet),
               op = "merge")
-            rollForwardLateAppends(s, path, snap, lease)
-            MergeResult(updated, srcCnt - matchedKeys)
+            if (landed) MergeResult(updated, srcCnt - matchedKeys)
+            else MergeResult(0L, 0L) // replayed twin landed concurrently
           }
         } finally {
           man.unpersist(blocking = false)
@@ -3194,8 +3321,8 @@ object ZOrder {
     * of small files folded; fewer than 2 candidates = no-op, no commit. */
   def compactSmallFiles(s: SparkSession, path: String, zcols: Seq[String],
       smallBytes: Long): Int =
-    Lease.withLeaseHandle(s, path, "zorder-optimize") { lease =>
-      recoverLostRollforwards(s, path, lease)
+    locally {
+      recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val man = man0.filter(col("c") =!= lit(DdlKey))
@@ -3221,14 +3348,8 @@ object ZOrder {
               schema)
           case None => Seq.empty
         }
-        val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
-        writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, snap.epoch,
-          maxVerOf(snap))
-        writeManifestVersion(s, edir, 0L,
-          schema.toDDL, newStats, manifestTags(man0),
-          carried = Some(carriedStatsDf(s, man, smallNames)),
-          op = "optimize")
-        rollForwardLateAppends(s, path, snap, lease)
+        commitRewriteEpoch(s, path, snap, smallNames,
+          schema.toDDL, newStats, Seq.empty, None, op = "optimize")
         small.size
       }
     }
@@ -3336,8 +3457,8 @@ object ZOrder {
       tag: Option[String] = None): Long = {
     require(preds.nonEmpty, "updateZRange needs at least one predicate")
     require(set.nonEmpty, "updateZRange needs at least one SET expression")
-    Lease.withLeaseHandle(s, path, "zorder-update") { lease =>
-      recoverLostRollforwards(s, path, lease)
+    locally {
+      recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, schema) = manifestAndSchema(s, snap)
       val replayed = tag.exists(t =>
@@ -3400,15 +3521,11 @@ object ZOrder {
                     recordedStatCols(man, schema), schema)
                   case None => Seq.empty
                 }
-                val nextE = nextEpoch(s, path)
-                val edir = new Path(manifestRoot(path), s"e$nextE")
-                writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
-                  snap.epoch, maxVerOf(snap))
-                if (changeFeedEnabled(s, path)) {
-                  // pre/postimages of exactly the hit rows: the SET
-                  // expressions evaluate over PRE-update values (the
-                  // UPDATE contract), so the postimage applies them
-                  // unconditionally to the filtered preimages
+                // pre/postimages of exactly the hit rows: the SET
+                // expressions evaluate over PRE-update values (the
+                // UPDATE contract), so the postimage applies them
+                // unconditionally to the filtered preimages
+                lazy val changeSet = locally {
                   val pre = aff.filter(hit)
                   val post = pre.select(schema.map { f =>
                     set.find(_._1.equalsIgnoreCase(f.name)) match {
@@ -3416,18 +3533,15 @@ object ZOrder {
                       case None => col(f.name)
                     }
                   }: _*)
-                  writeChangeRecord(s, path, nextE,
-                    pre.withColumn(ChangeTypeCol, lit("update_preimage"))
-                      .unionByName(post.withColumn(ChangeTypeCol,
-                        lit("update_postimage"))))
+                  pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+                    .unionByName(post.withColumn(ChangeTypeCol,
+                      lit("update_postimage")))
                 }
-                writeManifestVersion(s, edir, 0L,
-                  schema.toDDL, newStats, manifestTags(man0) ++ tag.toSeq,
-                  carried = Some(carriedStatsDf(s, man, affected)),
+                val landed = commitRewriteEpoch(s, path, snap, affected,
+                  schema.toDDL, newStats, tag.toSeq, Some(changeSet),
                   op = "update")
-                rollForwardLateAppends(s, path, snap, lease)
-              }
-              nUpd
+                if (landed) nUpd else 0L
+              } else nUpd
             } finally aff.unpersist(blocking = false)
           }
         } finally man.unpersist(blocking = false)
@@ -3458,7 +3572,11 @@ object ZOrder {
     * concurrent appends roll forward into the restored epoch. */
   def restoreTo(s: SparkSession, path: String, epoch: Long,
       version: Long): Unit =
-    Lease.withLeaseHandle(s, path, "zorder-restore") { lease =>
+    // metadata-only epoch swap (plus the constraint-validation scan):
+    // runs wholly inside the commit turnstile — a restore REPLACES the
+    // table state, so linearizing it against every optimistic commit is
+    // the correct isolation (a rewrite racing it loses its file check)
+    withCommitLock(s, path, "restore") { lease =>
       recoverLostRollforwards(s, path, lease)
       val cur = requireSnapshot(s, path)
       val past = snapshotAt(s, path, epoch, version)
@@ -3508,6 +3626,9 @@ object ZOrder {
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
       writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, cur.epoch,
         maxVerOf(cur))
+      if (!lease.stillHeld()) throw new IllegalStateException(
+        s"restore on $path: commit lock expired before the flip — " +
+          "aborting; retry")
       writeManifestVersion(s, edir, 0L, schemaP.toDDL, Seq.empty,
         manifestTags(man0),
         carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore")
@@ -3535,7 +3656,10 @@ object ZOrder {
     * Returns the removed root-relative names. */
   def vacuumOrphans(s: SparkSession, path: String,
       minAgeMs: Long = 0L): Seq[String] =
-    Lease.withLeaseHandle(s, path, "zorder-vacuum") { lease =>
+    // physical deletes serialize against every commit (the turnstile):
+    // a vacuum can never race a commit's rollforward reads of a
+    // superseded epoch's version dirs
+    withCommitLock(s, path, "vacuum") { lease =>
       // recover crashed rollforwards BEFORE deleting anything: a lost
       // late append's data dir must re-enter the live set, not the
       // vacuum set
@@ -5482,6 +5606,78 @@ object ZOrder {
         col("change_type"), col("doc_id"))
   }
 
+  /** q163's store: documents z-clustered, then TWO disjoint-band DML
+    * statements run CONCURRENTLY (real threads, a start latch) — an
+    * UPDATE over the low 20% of the id space racing a DELETE over the
+    * 60-80% band. Under the r15 optimistic-commit protocol BOTH land in
+    * either order: the loser of the epoch race rebases its prepared
+    * rewrite onto the winner's snapshot (disjoint consumed files), so
+    * no interleaving changes the final state — which is what makes an
+    * EXACT oracle possible for a concurrency test. A conflict (shared
+    * file) would throw [[ConcurrentZRewriteException]] and fail the
+    * query loudly; band geometry (16+ range files, bands 4 file-widths
+    * apart) keeps the sets disjoint. */
+  private val occStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def occStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      occStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zocc-dml").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        writeZOrdered(docs, dir, Seq("doc_id"), 16)
+        val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val fUpd = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { gate.await()
+            updateZRange(s, dir,
+              Seq(("doc_id", mn, mn + (mx - mn) * 2 / 10)),
+              Map("n_chars" -> "n_chars + 100000"), Seq("doc_id")) }
+        })
+        val fDel = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { gate.await()
+            deleteZRange(s, dir,
+              Seq(("doc_id", mn + (mx - mn) * 6 / 10,
+                mn + (mx - mn) * 8 / 10)), Seq("doc_id")) }
+        })
+        gate.countDown()
+        val (nUpd, nDel) = (fUpd.get(), fDel.get())
+        pool.shutdown()
+        require(nUpd > 0 && nDel > 0,
+          s"q163 store build: both racing statements must land " +
+            s"(updated=$nUpd deleted=$nDel)")
+        dir
+      })
+    }
+
+  /** q163: CONCURRENT DISJOINT DML — the r14 verdict's top item made
+    * oracle-checkable: an UPDATE and a DELETE on disjoint bands race
+    * from two threads with NO store-wide lock (data work fully
+    * concurrent; only the epoch-commit turnstile serializes, and the
+    * second committer REBASES onto the first's epoch). The final table
+    * is interleaving-independent, so the oracle is the plain algebraic
+    * composition — a lost update, resurrected row, double-applied
+    * delete, or clobbered epoch hash-fails. */
+  val q163ZOrderOccDml: Q = Q(
+    "q163_zorder_occ_dml",
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |  FROM documents)
+      |SELECT d.doc_id, d.lang,
+      |  CASE WHEN d.doc_id <= b.mn + (b.mx-b.mn)*2//10
+      |       THEN d.n_chars + 100000 ELSE d.n_chars END AS n_chars
+      |FROM documents d, b
+      |WHERE NOT (d.doc_id BETWEEN b.mn + (b.mx-b.mn)*6//10
+      |                        AND b.mn + (b.mx-b.mn)*8//10)
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, d) =>
+    val dir = occStoreFor(s, d)
+    readSnapshot(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
@@ -5491,5 +5687,5 @@ object ZOrder {
     q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
     q155ZTableStream, q156ZTableStreamWrite, q157ZTableChanges,
     q158ZTableReplaceWhere, q159ZTableRuntimePrune, q160ZOrderDmlCdf,
-    q161ZTableSpjJoin, q162ZcdfStreamDml)
+    q161ZTableSpjJoin, q162ZcdfStreamDml, q163ZOrderOccDml)
 }

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZOrder
+
+/** Pins the r15 OPTIMISTIC-CONCURRENCY contract of z-store epoch
+  * rewrites (the r14 verdict's top item): DML/maintenance data work runs
+  * with NO store-wide lock; only the epoch-commit turnstile serializes,
+  * and the second committer REBASES its prepared rewrite onto the
+  * winner's snapshot when their consumed file sets are disjoint — or
+  * refuses loudly ([[ZOrder.ConcurrentZRewriteException]]) when they
+  * overlap. Delta's append/rewrite conflict matrix, on the claim-file
+  * CAS machinery the append plane already proved.
+  *
+  * The races here are REAL threads through the REAL commit path; each
+  * scenario asserts interleaving-independent invariants (no row lost,
+  * doubled, or resurrected) rather than one lucky schedule, and loops
+  * several rounds to vary the schedule.
+  */
+class OccRewriteSpec extends SparkSpec {
+
+  private def mkStore(n: Int): String = {
+    val dir = Files.createTempDirectory("graft-zoccspec").toString
+    val base = spark.range(n).select(col("id").as("k"),
+      (col("id") % 100).as("v"))
+    ZOrder.writeZOrdered(base, dir, Seq("k"), 16)
+    dir
+  }
+
+  private def race[A, B](a: => A, b: => B): (Either[Throwable, A],
+      Either[Throwable, B]) = {
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val fa = pool.submit(new Callable[A] { def call(): A = { gate.await(); a } })
+    val fb = pool.submit(new Callable[B] { def call(): B = { gate.await(); b } })
+    gate.countDown()
+    def unwrap[T](f: java.util.concurrent.Future[T]): Either[Throwable, T] =
+      try Right(f.get(180, TimeUnit.SECONDS))
+      catch { case e: java.util.concurrent.ExecutionException =>
+        Left(e.getCause) }
+    val ra = unwrap(fa); val rb = unwrap(fb)
+    pool.shutdown()
+    (ra, rb)
+  }
+
+  test("disjoint-band UPDATE ∥ DELETE: both land in either order, final state exact") {
+    for (round <- 0 until 3) {
+      val dir = mkStore(2000)
+      // bands 4+ file-widths apart over 16 range files: disjoint sets
+      val (ru, rd) = race(
+        ZOrder.updateZRange(spark, dir, Seq(("k", 0L, 299L)),
+          Map("v" -> "v + 1000"), Seq("k")),
+        ZOrder.deleteZRange(spark, dir, Seq(("k", 1200L, 1499L)), Seq("k")))
+      assert(ru == Right(300L), s"round $round: update result $ru")
+      assert(rd == Right(300L), s"round $round: delete result $rd")
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.count() == 1700, s"round $round")
+      assert(after.filter(col("v") >= 1000L).count() == 300,
+        s"round $round: the update's rows")
+      assert(after.filter(col("k").between(1200L, 1499L)).count() == 0,
+        s"round $round: the delete's band")
+      // no row doubled anywhere (a botched rebase would re-list files)
+      assert(after.select(col("k")).distinct().count() == 1700,
+        s"round $round: duplicate keys — a file was listed twice")
+    }
+  }
+
+  test("overlapping DELETE ∥ DELETE: exactly one effect, the loser refuses loudly or sees nothing") {
+    var sawConflict = false
+    for (round <- 0 until 4) {
+      val dir = mkStore(2000)
+      val (ra, rb) = race(
+        ZOrder.deleteZRange(spark, dir, Seq(("k", 500L, 799L)), Seq("k")),
+        ZOrder.deleteZRange(spark, dir, Seq(("k", 500L, 799L)), Seq("k")))
+      // every interleaving: the 300 rows are deleted EXACTLY once; the
+      // loser either threw ConcurrentZRewriteException (same base,
+      // consumed files vanished) or resolved the later snapshot and
+      // found 0 matches. A silent double-apply (both report 300 AND
+      // both commit) would corrupt the count below.
+      val results = Seq(ra, rb)
+      val conflicts = results.collect {
+        case Left(e: ZOrder.ConcurrentZRewriteException) => e }
+      val landed = results.collect { case Right(n) => n }
+      assert(conflicts.size + landed.size == 2,
+        s"round $round: unexpected failure ${results.filter(_.isLeft)}")
+      sawConflict ||= conflicts.nonEmpty
+      assert(landed.sum == 300L || (landed.sum == 0L && landed.size == 0),
+        s"round $round: reported deletions $landed")
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.count() == 1700, s"round $round: ${after.count()}")
+      assert(after.filter(col("k").between(500L, 799L)).count() == 0)
+      assert(after.select(col("k")).distinct().count() == 1700,
+        s"round $round: duplicate keys")
+    }
+    // schedules vary, but across 4 rounds at least one genuine race is
+    // overwhelmingly likely; if none occurred the test is vacuous — warn
+    // via the invariant that at least the counts held (no hard assert:
+    // a machine that serializes perfectly still proved exactly-once)
+    info(s"conflict observed across rounds: $sawConflict")
+  }
+
+  test("OPTIMIZE ∥ DML: no interleaving loses, doubles, or resurrects a row") {
+    for (round <- 0 until 3) {
+      val dir = mkStore(2000)
+      // many small files so the optimizer has real work racing the DML
+      for (i <- 0 until 6)
+        ZOrder.appendZOrdered(
+          spark.range(3000 + i * 50, 3050 + i * 50)
+            .select(col("id").as("k"), (col("id") % 100).as("v")),
+          dir, Seq("k"), 1)
+      val (ro, rd) = race(
+        ZOrder.compactSmallFiles(spark, dir, Seq("k"),
+          smallBytes = 512L * 1024),
+        ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 499L)), Seq("k")))
+      // optimize may lose (its consumed small files overlapped the
+      // delete's affected set) — that refusal is loud and retryable;
+      // the DELETE must land either way (retry once on conflict, the
+      // documented caller contract)
+      val deleted = rd match {
+        case Right(n) => n
+        case Left(_: ZOrder.ConcurrentZRewriteException) =>
+          ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 499L)), Seq("k"))
+        case Left(e) => throw e
+      }
+      ro match {
+        case Left(e) if !e.isInstanceOf[ZOrder.ConcurrentZRewriteException] =>
+          throw e
+        case _ => ()
+      }
+      assert(deleted == 500L, s"round $round: deleted $deleted")
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.count() == 1800, s"round $round: ${after.count()}")
+      assert(after.filter(col("k") < 500L).count() == 0, s"round $round")
+      assert(after.select(col("k")).distinct().count() == 1800,
+        s"round $round: duplicate keys")
+      // and the store still takes a clean OPTIMIZE after the dust settles
+      ZOrder.compactSmallFiles(spark, dir, Seq("k"), smallBytes = 512L * 1024)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 1800)
+    }
+  }
+
+  test("a replayed tagged merge racing itself applies exactly once (OCC tag re-check on rebase)") {
+    val dir = mkStore(1000)
+    val src = spark.range(100, 200).select(col("id").as("k"),
+      lit(-5L).as("v"))
+    val (ra, rb) = race(
+      ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"), tag = Some("cdc-b7")),
+      ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"), tag = Some("cdc-b7")))
+    // both twins carry the same exactly-once tag: whatever the schedule,
+    // the merge applies ONCE — the loser returns (0, 0) via the replay
+    // pre-check or the OCC rebase tag re-check, or refuses on conflict
+    val ok = Seq(ra, rb).forall {
+      case Right(_) => true
+      case Left(_: ZOrder.ConcurrentZRewriteException) => true
+      case Left(e) => throw e
+    }
+    assert(ok)
+    val after = ZOrder.readSnapshot(spark, dir)
+    assert(after.count() == 1000)
+    assert(after.filter(col("v") === -5L).count() == 100,
+      "the merge must apply")
+    assert(after.select(col("k")).distinct().count() == 1000,
+      "duplicate keys: the tagged twin double-applied")
+    // and a later replay of the same tag stays a no-op
+    val r3 = ZOrder.mergeByKey(spark, dir, src, "k", Seq("k"),
+      tag = Some("cdc-b7"))
+    assert(r3.updated == 0L && r3.inserted == 0L)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1000)
+  }
+}

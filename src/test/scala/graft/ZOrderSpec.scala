@@ -426,27 +426,52 @@ class ZOrderSpec extends SparkSpec {
     assert(!plain.contains("GreaterThanOrEqual(l_partkey"))
   }
 
-  test("epoch rewrites run in the enforced single-writer slot; appends are lock-free") {
+  test("rewrites are optimistic (r15): a held store lease blocks neither appends nor DML/maintenance; the commit turnstile does") {
     val dir = Files.createTempDirectory("graft-z5").toString
     ZOrder.writeZOrdered(li.limit(100), dir,
       Seq("l_partkey", "l_suppkey"), 2)
     graft.sources.Lease.withLease(spark, dir, "other-writer") {
-      // the r10 OCC contract: an append lands DESPITE a held lease — it
-      // serializes on the version-claim CAS, not the writer slot
+      // the r10 contract: an append lands DESPITE a held store lease —
+      // it serializes on the version-claim CAS, not the writer slot
       ZOrder.appendZOrdered(li.limit(10), dir,
         Seq("l_partkey", "l_suppkey"), 1)
       assert(ZOrder.readSnapshot(spark, dir).count() == 110)
-      intercept[graft.sources.Lease.HeldException] {
-        ZOrder.reclusterZOrdered(spark, dir,
-          Seq("l_partkey", "l_suppkey"), 2)
-      }
-      intercept[graft.sources.Lease.HeldException] {
-        ZOrder.vacuumOrphans(spark, dir)
-      }
+      // the r15 contract: rewrites are optimistic too — the store lease
+      // is bootstrap/policy-only, so DML and maintenance LAND despite it
+      // (their data work runs unlocked; only the epoch commit takes the
+      // _zcommit turnstile)
+      ZOrder.reclusterZOrdered(spark, dir, Seq("l_partkey", "l_suppkey"), 2)
+      assert(ZOrder.readSnapshot(spark, dir).count() == 110)
+      ZOrder.vacuumOrphans(spark, dir, minAgeMs = 3600 * 1000L)
     }
+    // ... while a HELD COMMIT TURNSTILE makes a rewrite wait (not fail):
+    // hold it in another thread, start a delete, assert it only lands
+    // after the release
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.sources.Lease.withLease(spark,
+        new Path(dir, "_zcommit").toString, "spec-holder") {
+        entered.countDown(); gate.await()
+      })
+    holder.start(); entered.await()
+    val del = new Thread(() => {
+      ZOrder.deleteZRange(spark, dir,
+        Seq(("l_partkey", Long.MinValue, Long.MaxValue)),
+        Seq("l_partkey", "l_suppkey"))
+      ()
+    })
+    del.start()
+    del.join(1500)
+    assert(del.isAlive, "the delete must QUEUE behind a held commit lock")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 110,
+      "nothing may commit while the turnstile is held")
+    gate.countDown(); holder.join(); del.join(60000)
+    assert(!del.isAlive, "the delete must land once the turnstile frees")
+    assert(ZOrder.readSnapshot(spark, dir).count() == 0)
     ZOrder.appendZOrdered(li.limit(10), dir,
       Seq("l_partkey", "l_suppkey"), 1)
-    assert(ZOrder.readSnapshot(spark, dir).count() == 120)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 10)
   }
 
   test("two concurrent lock-free appenders: both batches land exactly once, tags intact") {

@@ -22,28 +22,56 @@ class ZRowLevelSpec extends SparkSpec {
     dir
   }
 
-  test("a concurrent EPOCH rewrite between scan and commit refuses loudly; the replacement never lands") {
+  test("a concurrent CONFLICTING rewrite between scan and commit refuses loudly; a DISJOINT one rebases and both land (r15 OCC)") {
     val dir = mkStore(1000)
     val (snap, files, schema) =
       ZOrder.planRowLevelScan(spark, dir, Seq(("k", Some(100L), Some(199L))),
         Seq.empty)
     assert(files.nonEmpty)
-    // a concurrent writer swaps the epoch (any rewrite: delete/optimize/
-    // overwrite) after the scan resolved its snapshot
+    // a concurrent writer REPLACES the scanned files (a full rebuild)
+    // after the scan resolved its snapshot: the replacement rows
+    // describe a table that no longer exists — refuse, land nothing
     ZOrder.writeZOrdered(
       spark.range(500).select(col("id").as("k"), (col("id") * 2).as("v")),
       dir, Seq("k"), 4)
     val replacement = spark.range(100, 200)
       .select(col("id").as("k"), lit(-1L).as("v"))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[ZOrder.ConcurrentZRewriteException] {
       ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
         replacement, "update")
     }
-    assert(e.getMessage.contains("concurrent rewrite"), e.getMessage)
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
     // nothing landed: the table is exactly the rewrite's 500 rows
     assert(ZOrder.readSnapshot(spark, dir).count() == 500)
     assert(ZOrder.readSnapshot(spark, dir)
       .filter(col("v") === -1L).count() == 0)
+    // DISJOINT concurrency rebases: a new scan, then a concurrent
+    // delete of a DIFFERENT band commits first — the row-level commit
+    // must land ON TOP of it (both effects visible), not refuse
+    val (snap2, files2, schema2) =
+      ZOrder.planRowLevelScan(spark, dir, Seq(("k", Some(0L), Some(99L))),
+        Seq.empty)
+    assert(files2.nonEmpty)
+    val disjointDeleted = ZOrder.deleteZRange(spark, dir,
+      Seq(("k", 400L, 499L)), Seq("k"))
+    assert(disjointDeleted == 100L)
+    // files2 (the low band) must have survived the high-band delete —
+    // otherwise this scenario is silently the conflicting one
+    val live = ZOrder.listDataFiles(spark, dir).toSet
+    assert(files2.map(_._1).forall(live.contains),
+      "precondition: the delete must not touch the scanned files")
+    val scanned2 = spark.read.schema(schema2)
+      .parquet(files2.map(f => s"$dir/${f._1}"): _*)
+    val replacement2 = scanned2.select(col("k"),
+      when(col("k").between(0L, 99L), lit(-7L)).otherwise(col("v")).as("v"))
+    ZOrder.replaceScannedFiles(spark, dir, snap2, files2.map(_._1),
+      replacement2, "update")
+    val after = ZOrder.readSnapshot(spark, dir)
+    assert(after.count() == 400, s"got ${after.count()}") // 500 - 100
+    assert(after.filter(col("v") === -7L).count() == 100,
+      "the row-level update must land")
+    assert(after.filter(col("k").between(400L, 499L)).count() == 0,
+      "the concurrent disjoint delete must land too")
   }
 
   test("a concurrent lock-free APPEND between scan and commit rolls forward: no row lost, the operation's rewrite lands") {
