@@ -187,6 +187,12 @@ object ScaleProbe {
       "q42_minhash_lsh" -> ((d, _) => Dedup.q42DedupMinhashLsh.fn(spark, d)),
       "q44_embed_cells_knob" -> ((d, scale) =>
         Dedup.embedNearDupPairs(spark, d, graft.sim.Similarity.NumCells * scale)),
+      // r15 decomposition of q44's growth (verdict item 6, the q48
+      // discipline): the CANDIDATE plane alone — same-cell id-ordered
+      // pair structure, vectors projected away, NO cosine verify
+      "q44_candidates_knob" -> ((d, scale) =>
+        Dedup.embedCellCandidates(spark, d,
+          graft.sim.Similarity.NumCells * scale)),
       // q45 now runs the md5-LSH candidates→verify→CC composition itself
       // (round-5 change — the fixed lang×band generator measured 24.8× at
       // 10× here in round 4); q45_cc_over_lsh keeps the xxhash64 twin
@@ -328,6 +334,11 @@ object ScaleProbe {
       // per-cluster n²/k pair term stays put at 10×)
       "q129_semantic_dedup_knob" -> ((d, scale) =>
         graft.sim.Similarity.semanticDedup(spark, d, 8 * scale, 0.25)),
+      // r15 decomposition of q129's growth: kmeans + same-cluster pair
+      // structure, NO cosine verify (the clustering IS the blocking, so
+      // it belongs to the candidate plane)
+      "q129_candidates_knob" -> ((d, scale) =>
+        graft.sim.Similarity.semanticDedupCandidates(spark, d, 8 * scale)),
       // round-7 second wave: z-order OPTIMIZE + one two-band pruned read;
       // file count grows with the corpus (32→320) so per-file sizes stay
       // put — cost should track the one range shuffle (~linear)
@@ -505,7 +516,7 @@ object ScaleProbe {
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
     val filteredTag = probeFilter.map(f => s""""filtered":"$f",""").getOrElse("")
-    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat; q160_cdf_knob is the r14 row-level change feed over a PREBUILT store with one fixed-size band update - cost tracks the DELTA, expected ~flat at 10x store size; q161_spj_knob vs q161_shuffle_control is the r14 storage-partitioned join over a prebuilt bucket(16,k) pair vs the same merge join with v2 bucketing off - both no-broadcast so the only plan delta is the exchanges; expected both ~flat, spj carries ~1.5s of COLD metadata planning (caches cleared between passes; commit-keyed memos make steady-state repeats free - measured warm spj == warm control)","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat; q160_cdf_knob is the r14 row-level change feed over a PREBUILT store with one fixed-size band update - cost tracks the DELTA, expected ~flat at 10x store size; q161_spj_knob vs q161_shuffle_control is the r14 storage-partitioned join over a prebuilt bucket(16,k) pair vs the same merge join with v2 bucketing off - both no-broadcast so the only plan delta is the exchanges; expected both ~flat, spj carries ~1.5s of COLD metadata planning (caches cleared between passes; commit-keyed memos make steady-state repeats free - measured warm spj == warm control); q44_candidates_knob / q129_candidates_knob are the r15 decompositions of the two largest r14 growers (q48 discipline): the structural same-cell / same-cluster pair plane with NO cosine verify - growth model: cells/clusters scale with the corpus so per-cell pairs ~ density x n, candidates expected ~linear at 10x; a q44/q129 drift beyond its candidates row is verify-cost, not blocking","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -482,22 +482,7 @@ pairs AS (
     * put (ScaleProbe measures exactly this). */
   def embedNearDupPairs(s: SparkSession, d: String, numCells: Int,
       thr: Double = 0.35): DataFrame = {
-    ArrayExprs.register(s)
-    import graft.sim.Similarity
-    val plain = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    // fan out before the cast/norm projection (single-file scan = 1 task);
-    // cell assignment is narrow per-row work, delivered by scale — plan
-    // literals at small cell counts, a broadcast centroid row beyond
-    // Similarity.LiteralCellLimit (identical assignments either way)
-    val base = Tables.fanOut(Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-    val e = Similarity
-      .withProbeCells(base, plain, numCells, 2, col("v"), "probe")
-      .withColumn("cell", explode(col("probe"))).drop("probe")
+    val e = embedCellFrame(s, d, numCells)
     val a = e.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"),
       col("v").as("va"), col("n2").as("na2"))
     val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
@@ -516,6 +501,46 @@ pairs AS (
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q44's blocking plane, shared by the pair join and its candidates
+    * decomposition: every vector fanned out, probed into its 2 nearest
+    * seed cells, one row per (vector, cell) with the cast vector and its
+    * squared norm riding along for the verify path. */
+  private def embedCellFrame(s: SparkSession, d: String,
+      numCells: Int): DataFrame = {
+    ArrayExprs.register(s)
+    import graft.sim.Similarity
+    val plain = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // fan out before the cast/norm projection (single-file scan = 1 task);
+    // cell assignment is narrow per-row work, delivered by scale — plan
+    // literals at small cell counts, a broadcast centroid row beyond
+    // Similarity.LiteralCellLimit (identical assignments either way)
+    val base = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
+    Similarity
+      .withProbeCells(base, plain, numCells, 2, col("v"), "probe")
+      .withColumn("cell", explode(col("probe"))).drop("probe")
+  }
+
+  /** q44's CANDIDATE plane ALONE (the q48-decomposition discipline, r14
+    * verdict item 6): the same-cell id-ordered pair STRUCTURE with the
+    * vectors projected away and NO cosine verify — what ScaleProbe times
+    * separately so a growth drift in q44 is attributable to candidate
+    * volume (cells scale with the corpus, so per-cell pairs ~ density·n
+    * and the candidate count should grow ~linearly at 10×) vs per-pair
+    * verify cost (the dot products this frame never runs). */
+  def embedCellCandidates(s: SparkSession, d: String,
+      numCells: Int): DataFrame = {
+    val e = embedCellFrame(s, d, numCells)
+    e.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b")),
+        col("cell_a") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
   }
 
   // ---- Duplicate-group clustering (q45) -----------------------------------

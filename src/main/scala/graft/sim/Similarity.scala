@@ -853,6 +853,25 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q129's CANDIDATE plane ALONE (the q48-decomposition discipline, r14
+    * verdict item 6): k-means clustering + the same-cluster id-ordered
+    * pair STRUCTURE, NO cosine verify — timed separately by ScaleProbe so
+    * a q129 growth drift is attributable to candidate volume (clusters
+    * scale with the corpus: per-cluster pairs ~ density·n, expected
+    * ~linear at 10×) vs the per-pair dot products this frame never runs.
+    * The kmeans cost is part of the candidate plane by design — the
+    * clustering IS the blocking. */
+  def semanticDedupCandidates(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val km = kmeans(Tables.embeddings(s, d), k, 3)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    km.select(col("vec_id").as("a_id"), col("cluster"))
+      .join(km.select(col("vec_id").as("b_id"),
+        col("cluster").as("b_cluster")),
+        col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] = Seq(q50KnnBrute, q51AnnLsh, q52Centroid, q53AnnIvf,
     q54Quantize, q55NegativeSampling, q74AnnPq, q77KMeans, q128KnnJoin,
     q129SemanticDedup)

@@ -135,13 +135,18 @@ object Lease {
 
   private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       holder: String, ttlMs: Long, nonce: String): Option[Long] =
-    try {
+    locally {
+      // the one CAS primitive ([[StoreMaint.createExclusive]]): Hadoop's
+      // LOCAL create(overwrite=false) is exists-then-create — a TOCTOU
+      // window that seated TWO lease holders under the r15 commit
+      // turnstile's contention (the second's truncating create erased
+      // the first's nonce: stillHeld read false on a fresh lease)
       val deadline = System.currentTimeMillis() + ttlMs
-      val out = fs.create(p, false) // overwrite=false: atomic exclusive
-      out.write(s"$holder|$deadline|$nonce".getBytes("UTF-8"))
-      out.close()
-      Some(deadline)
-    } catch { case _: java.io.IOException => None }
+      if (StoreMaint.createExclusive(fs, p,
+          s"$holder|$deadline|$nonce".getBytes("UTF-8")))
+        Some(deadline)
+      else None
+    }
 
   private def readInfo(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[(String, Long, Option[String])] =

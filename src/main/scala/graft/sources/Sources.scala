@@ -822,11 +822,35 @@ object Sources {
     * timestamp columns permanently unprunable. Scoped set-and-restore is
     * safe under the documented single-writer contract; readers handle a
     * mixed INT96/INT64 lineage transparently (per-file decoding). */
+  /** Depth per session: a plain save/set/restore is session-GLOBAL and
+    * not reentrant across threads — two optimistic rewrites (r15) doing
+    * concurrent zWrites interleaved as set(prev=INT96) / set(prev=MICROS)
+    * / restore(INT96) / restore(MICROS), leaking TIMESTAMP_MICROS into
+    * the session and flipping every later plain parquet dump to
+    * tz-adjusted timestamps (measured: 7 oracle dtype failures). All
+    * concurrent bodies want the same value, so the FIRST in sets, the
+    * LAST out restores. */
+  private val microsDepth = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (java.util.concurrent.atomic.AtomicInteger, String)]()
+
   private[sources] def writeMicros[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "TIMESTAMP_MICROS")
-    try f finally s.conf.set(key, prev)
+    microsDepth.synchronized {
+      val (d, _) = microsDepth.computeIfAbsent(s,
+        _ => (new java.util.concurrent.atomic.AtomicInteger(0),
+          s.conf.get(key)))
+      if (d.getAndIncrement() == 0) {
+        // re-read prev NOW (the map entry may be stale from a prior
+        // fully-unwound cycle; the conf may have changed since)
+        microsDepth.put(s,
+          (microsDepth.get(s)._1, s.conf.get(key)))
+        s.conf.set(key, "TIMESTAMP_MICROS")
+      }
+    }
+    try f finally microsDepth.synchronized {
+      val (d, prev) = microsDepth.get(s)
+      if (d.decrementAndGet() == 0) s.conf.set(key, prev)
+    }
   }
 
   /** The shared commit tail of every table writer (upsert, compact):

@@ -30,6 +30,32 @@ object StoreMaint {
   private[graft] def fsFor(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sessionState.newHadoopConf())
 
+  /** ATOMIC exclusive create with content — the one CAS primitive every
+    * claim file (version claims, rebase tickets, leases) must use.
+    * Hadoop's LOCAL `create(overwrite = false)` is exists-then-create, a
+    * TOCTOU window that seats two claimants under real contention (found
+    * by the r15 commit turnstile: the second create TRUNCATES the
+    * first's content — a broken lease nonce and a torn high-water-mark
+    * read). On `file:` filesystems this goes through NIO's `CREATE_NEW`
+    * (kernel O_EXCL); elsewhere (HDFS-like) `create(overwrite=false)`'s
+    * exclusivity is enforced server-side and stands. Returns false when
+    * the claim already exists (lost the race). */
+  private[graft] def createExclusive(fs: FileSystem, p: Path,
+      content: Array[Byte]): Boolean =
+    try {
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = fs.create(p, false)
+        try { if (content.nonEmpty) out.write(content) } finally out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
   /** Pin `l` at the store root — temp + atomic rename, written once at
     * build time (single-writer slot). */
   def writeLayout(s: SparkSession, root: String, l: Layout): Unit = {

@@ -404,6 +404,19 @@ class ZBatchTable(path: String, tschema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "store-relative data-file path of the row (manifest identity)"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      // STABLE ROW IDENTITY (r15, Delta's `_metadata.row_id` shape):
+      // the hidden physical __rid column, stamped at write and carried
+      // through every rewrite. Unlike _file it IS in the data files, so
+      // the scan needs no synthesis — the parquet reader returns it
+      // (null for pre-r15 files). Row-level operations require it so
+      // SQL UPDATE/MERGE/DELETE change feeds pair exact pre/postimages.
+      override def name(): String = ZOrder.RidCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "stable row identity (unique per store; survives rewrites)"
     })
   override def name(): String = s"graft-z:$path" +
     pinnedTravel.map(t => s"@e${t._1}v${t._2}").getOrElse("")

@@ -128,6 +128,53 @@ object ZOrder {
     * [[statRows]] keeps it out of the pruning plane. */
   private[sources] val BucketKey = "__bucket__"
 
+  /** STABLE ROW IDENTITY (r15 — Delta's row tracking): every row carries
+    * a hidden physical `__rid` BIGINT, unique per store, allocated from
+    * a high-water mark (`_zschema/ridhw`) under the commit turnstile and
+    * stamped by [[zWrite]] at first write; every rewrite READS it
+    * alongside the recorded schema ([[ridded]]) and carries it through
+    * survivors/updated rows, so a row keeps its identity across
+    * delete/update/optimize/recluster — what lets the SQL row-level
+    * change feed pair exact pre/postimages instead of multiset diffs
+    * (and the deletion-vector prerequisite if that closure reopens).
+    * Hidden by construction: the recorded schema (manifest DDL) never
+    * contains it, so every schema'd read is unchanged; files predating
+    * r15 null-fill (readers fall back to the multiset algebra for
+    * null-rid rows). Exposed on the DSv2 table as a METADATA column
+    * (`SELECT __rid FROM graftz.ns.t` works; `SELECT *` never shows it —
+    * Delta's `_metadata.row_id` shape). */
+  private[sources] val RidCol = "__rid"
+
+  /** The recorded schema plus the hidden [[RidCol]] — what rewrite reads
+    * use so identity survives the copy-on-write. */
+  private[sources] def ridded(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField(RidCol, org.apache.spark.sql.types.LongType,
+        nullable = true))
+
+  /** Allocate `span` fresh row ids: bump `_zschema/ridhw` under the
+    * commit turnstile (tiny critical section — one file read + write).
+    * A crash after the bump leaks a gap, never a duplicate. */
+  private def allocateRids(s: SparkSession, path: String,
+      span: Long): Long =
+    withCommitLock(s, path, "rid-alloc") { _ =>
+      val p = new Path(path, "_zschema/ridhw")
+      val fs = StoreMaint.fsFor(s, p)
+      val cur =
+        if (!fs.exists(p)) 0L
+        else {
+          val in = fs.open(p)
+          val b = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+          new String(b, "UTF-8").trim.toLong
+        }
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write((cur + span).toString.getBytes("UTF-8"))
+      finally out.close()
+      cur
+    }
+
   /** The per-(file, column) PRUNING stats — excludes the DDL rows and the
     * `__`-prefixed per-file metadata rows (size/count/nulls). */
   private def statRows(man: DataFrame): DataFrame =
@@ -303,6 +350,9 @@ object ZOrder {
     * `statCols` (default: the z columns) ride the epoch's v0 manifest. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+    require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
+      s"$RidCol is the store's hidden row-identity column, not a data " +
+        "column")
     // bootstrap of a fresh store at a previously-used path restarts the
     // epoch names — drop any cached plans of the old occupant (same-tick
     // mtime collision defense; catalog drop/create invalidate too)
@@ -327,20 +377,23 @@ object ZOrder {
     val (man, schema) = manifestAndSchema(s, snap)
     val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // rows re-read WITH their hidden identity ([[ridded]]) so a
+    // recluster never re-mints row ids
     val df =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+      else s.read.schema(ridded(schema))
+        .parquet(files.map(f => s"$path/$f"): _*)
     recordZcols(s, path, zcols)
     val stats = zWrite(df, path, zcols, numFiles) match {
       case Some(dname) => harvestStats(s, path, dname,
-        if (statCols.nonEmpty) statCols else zcols, df.schema)
+        if (statCols.nonEmpty) statCols else zcols, schema)
       case None => Seq.empty
     }
     // consumed = EVERY base file: a recluster loses to any concurrent
     // rewrite (Delta's OPTIMIZE-vs-DML resolution) but coexists with
     // appends (rolled forward past the watermark)
-    commitRewriteEpoch(s, path, snap, files, df.schema.toDDL, stats,
+    commitRewriteEpoch(s, path, snap, files, schema.toDDL, stats,
       Seq.empty, None, op = "recluster")
   }
 
@@ -385,6 +438,9 @@ object ZOrder {
       numFiles: Int, statCols: Seq[String] = Seq.empty,
       tag: Option[String] = None): Unit = {
     val s = df.sparkSession
+    require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
+      s"$RidCol is the store's hidden row-identity column, not a data " +
+        "column")
     var attempts = 0
     var done = false
     while (!done) {
@@ -527,10 +583,10 @@ object ZOrder {
           parseIdx(n.stripSuffix(".claim"), "v") else None)
       }
       val next = used.maxOption.getOrElse(-1L) + 1
-      try {
-        fs.create(new Path(edir, s"v$next.claim"), false).close()
+      if (StoreMaint.createExclusive(fs, new Path(edir, s"v$next.claim"),
+          Array.emptyByteArray))
         return next
-      } catch { case _: java.io.IOException => () } // lost: re-list
+      // lost the claim: re-list and take the next number
     }
     throw new IllegalStateException(
       s"could not claim a manifest version under $edir in 256 attempts")
@@ -600,11 +656,8 @@ object ZOrder {
     * retries the whole append (tag dedup keeps the retry exactly-once). */
   private def claimRebaseTicket(fs: org.apache.hadoop.fs.FileSystem,
       edir: Path, ver: Long, who: String): Boolean =
-    try {
-      val out = fs.create(new Path(edir, s"v$ver.rolled"), false)
-      try out.write(who.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    StoreMaint.createExclusive(fs, new Path(edir, s"v$ver.rolled"),
+      who.getBytes("UTF-8"))
 
   /** The recorded claimant of an existing rebase ticket; None when the
     * content is empty/unreadable (a torn write, or a pre-r11 ticket). */
@@ -1075,6 +1128,28 @@ object ZOrder {
     }
     val dname = "d-" + java.util.UUID.randomUUID().toString.replace("-", "")
       .take(12)
+    // STABLE ROW IDENTITY (r15): stamp the hidden [[RidCol]]. A frame
+    // arriving WITH the column is a rewrite carrying identity through —
+    // preserve it and give fresh ids only to null-rid rows (new rows of
+    // a merge/replaceWhere, rows from pre-r15 files); a frame without it
+    // is a fresh batch — every row gets one. Ids come from one allocated
+    // range; within it, monotonically_increasing_id() over the FINAL
+    // write partitioning guarantees uniqueness (partition ordinal is
+    // capped far below the 2^33 slot). The reserved names __z/__zb can
+    // never be data columns (the write would mis-route).
+    Seq("__z", "__zb").foreach(r => require(
+      !df.schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+      s"$r is a reserved graft-z column name"))
+    val hasRid = df.schema.fieldNames.contains(RidCol)
+    val parts = recordedBucketing(df.sparkSession, path)
+      .map(_._2).getOrElse(math.max(numFiles, 1))
+    val ridStart =
+      allocateRids(df.sparkSession, path, (parts.toLong + 1L) << 33)
+    def stampRid(d: DataFrame): DataFrame = {
+      val fresh = lit(ridStart) + monotonically_increasing_id()
+      if (hasRid) d.withColumn(RidCol, coalesce(col(RidCol), fresh))
+      else d.withColumn(RidCol, fresh)
+    }
     // INT64 TIMESTAMP_MICROS, not the legacy INT96 default: INT96 footers
     // carry no usable min/max, which would leave timestamp stat columns
     // permanently unprunable (Sources.writeMicros, same contract)
@@ -1092,19 +1167,37 @@ object ZOrder {
           // Spark 4.1.2), so every existing read path is unchanged.
           val route = coalesce(
             pmod(col(bcol).cast("long"), lit(n.toLong)).cast("int"), lit(0))
-          df.withColumn("__zb", route)
+          stampRid(df.withColumn("__zb", route)
             .withColumn("__z", interleave(qs))
             .repartition(n, col("__zb"))
             .sortWithinPartitions("__zb", "__z")
-            .drop("__z")
+            .drop("__z"))
             .write.partitionBy("__zb").mode("overwrite")
             .parquet(s"$path/$dname")
         case None =>
-          df.withColumn("__z", interleave(qs))
+          stampRid(df.withColumn("__z", interleave(qs))
             .repartitionByRange(numFiles, col("__z"))
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop("__z"))
             .write.mode("overwrite").parquet(s"$path/$dname")
+      }
+    }
+    // bloom coverage SURVIVES writes (r15): every batch re-covers ITS OWN
+    // fresh files on each recorded bloom column it carries, so the
+    // point-lookup pruning plane no longer decays with appends/DML until
+    // a manual rebuild (the r14 verdict's decay item). One extra agg job
+    // per bloom column over just-written files; a write racing the
+    // commit leaves at worst orphan sidecars (vacuum collects them).
+    val bloomCols = bloomIndexedCols(df.sparkSession, path)
+      .filter { case (c, _) => df.schema.exists(_.name.equalsIgnoreCase(c)) }
+    if (bloomCols.nonEmpty) {
+      val written = df.sparkSession.read.parquet(s"$path/$dname")
+      val maxPerFile = written.groupBy(input_file_name()).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+      bloomCols.foreach { case (c, fpp) =>
+        val f = df.schema.find(_.name.equalsIgnoreCase(c)).get
+        writeBloomSidecars(df.sparkSession, path, f.name, written,
+          math.max(maxPerFile, 1024L), fpp)
       }
     }
     Some(dname)
@@ -1829,12 +1922,15 @@ object ZOrder {
     * bloomBytes)). [[readZPoint]] consults sidecars DISTRIBUTED over the
     * candidate list, so files opened for data ∝ matching files + the fpp
     * tail, never table size. Soundness is one-directional by
-    * construction: a missing sidecar (file appended/rewritten after the
-    * build — re-run the build to re-cover, exactly Delta's contract)
-    * always keeps its file; the bloom never excludes a file that holds
-    * the value. Sidecars of vacuumed files are dead weight until the
-    * next build (they are keyed by data-file name and never consulted
-    * for unlisted files). */
+    * construction: a missing sidecar always keeps its file; the bloom
+    * never excludes a file that holds the value. Since r15 the build's
+    * fpp is recorded COLUMN POLICY and every subsequent [[zWrite]]
+    * (append, DML rewrite, optimize, recluster) re-covers its own fresh
+    * files in the same pass — coverage no longer decays between manual
+    * rebuilds; this build pass only (re)seeds the whole snapshot.
+    * Sidecars of vacuumed files are dead weight until the vacuum sweep
+    * (they are keyed by data-file name and never consulted for unlisted
+    * files). */
   def buildBloomIndex(s: SparkSession, path: String, colName: String,
       fpp: Double = 0.03): Unit =
     Lease.withLease(s, path, "zorder-bloom-build") {
@@ -1849,7 +1945,50 @@ object ZOrder {
       val maxRows = man.filter(col("c") === lit(CountKey) &&
           col("mn").isNotNull)
         .agg(coalesce(max(col("mn").cast("long")), lit(0L))).head().getLong(0)
-      val n = math.max(maxRows, 1024L)
+      // the fpp becomes COLUMN POLICY (r15): every later zWrite re-covers
+      // its own fresh files at this fpp, so the index survives
+      // appends/DML instead of decaying until a manual rebuild
+      locally {
+        val p = new Path(path, s"_zbloom/${f.name.toLowerCase}/_fpp")
+        val fs = StoreMaint.fsFor(s, p)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(fpp.toString.getBytes("UTF-8")) finally out.close()
+      }
+      writeBloomSidecars(s, path, f.name, readSnapshotOf(s, path, snap),
+        math.max(maxRows, 1024L), fpp)
+    }
+
+  /** Bloom-indexed columns of the store = the recorded `_zbloom/<col>`
+    * policy dirs (a dir without `_fpp` is pre-r15; default 0.03). */
+  private def bloomIndexedCols(s: SparkSession,
+      path: String): Seq[(String, Double)] = {
+    val bdir = new Path(path, "_zbloom")
+    val fs = StoreMaint.fsFor(s, bdir)
+    if (!fs.exists(bdir)) Seq.empty
+    else fs.listStatus(bdir).filter(_.isDirectory).toSeq
+      .map { st =>
+        val fppFile = new Path(st.getPath, "_fpp")
+        val fpp =
+          try {
+            val in = fs.open(fppFile)
+            val b = try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+            new String(b, "UTF-8").toDouble
+          } catch { case _: Exception => 0.03 }
+        (st.getPath.getName, fpp)
+      }.sortBy(_._1)
+  }
+
+  /** ONE distributed bloom-sidecar pass over `frame` (rows must come
+    * only from files under the store root): group by input file →
+    * BloomFilterAggregate(xxhash64(col)) sized for `n` items at `fpp`;
+    * each executor partition writes its own `_zbloom/<col>/<rel>.bloom`
+    * — no driver materialization of O(files × bloomBytes). Shared by
+    * the whole-snapshot [[buildBloomIndex]] and the per-batch re-cover
+    * every [[zWrite]] runs for recorded bloom columns. */
+  private def writeBloomSidecars(s: SparkSession, path: String,
+      colName: String, frame: DataFrame, n: Long, fpp: Double): Unit = {
       val bits = math.ceil(
         -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
       val shim = org.apache.spark.sql.graftshim.PlanBridge
@@ -1859,9 +1998,9 @@ object ZOrder {
       // probe already collide — pinned in ZOrderSpec
       val agg = shim.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(shim.expression(xxhash64(col(f.name))),
+          .BloomFilterAggregate(shim.expression(xxhash64(col(colName))),
             Literal(n), Literal(bits)).toAggregateExpression())
-      val colLower = f.name.toLowerCase
+      val colLower = colName.toLowerCase
       val target = path // stable closure reference
       val overrides = GraftShardsSource.confOverrides(s)
       // sidecars key by the file's path RELATIVE TO THE STORE ROOT (the
@@ -1873,7 +2012,7 @@ object ZOrder {
       val rootAbs = GraftShardsSource.fs(new Path(target),
           GraftShardsSource.hadoopConf(overrides))
         .makeQualified(new Path(target)).toUri.getPath
-      readSnapshotOf(s, path, snap)
+      frame
         .groupBy(input_file_name().as("__file")).agg(agg.as("__bf"))
         .select(col("__file"), col("__bf"))
         .foreachPartition { (rows: Iterator[Row]) =>
@@ -2496,15 +2635,76 @@ object ZOrder {
   private def rowLevelChangeSet(oldRows: DataFrame,
       replacement: DataFrame): DataFrame = {
     val cols = oldRows.schema.fieldNames.toSeq
-    val newAligned = replacement.select(cols.map(col): _*)
+      .filterNot(_.equalsIgnoreCase(RidCol))
     def tag(d: DataFrame, t: String) = d.withColumn(ChangeTypeCol, lit(t))
-    try
-      tag(oldRows.exceptAll(newAligned), "delete")
-        .unionByName(tag(newAligned.exceptAll(oldRows), "insert"))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        tag(oldRows, "delete").unionByName(tag(newAligned, "insert"))
+    def dataCols(prefix: String) = cols.map(c => col(s"$prefix.$c").as(c))
+    val ridable = oldRows.columns.contains(RidCol) &&
+      replacement.columns.contains(RidCol)
+    // STABLE-IDENTITY pairing (r15 — the r14 verdict's item 2): when both
+    // sides carry the hidden row id, the delta pairs EXACT pre/postimages
+    // on it — two identical rows update distinguishably, and map-typed
+    // schemas (which EXCEPT ALL cannot compare) get keyed images instead
+    // of the coarse delete-all+insert-all. Rows from pre-r15 files read
+    // a null rid and keep the multiset algebra among themselves.
+    if (ridable) {
+      val oR = oldRows.filter(col(RidCol).isNotNull).alias("o")
+      val nR = replacement.filter(col(RidCol).isNotNull)
+        .select((cols.map(col) :+ col(RidCol)): _*).alias("n")
+      val onRid = col(s"o.$RidCol") === col(s"n.$RidCol")
+      val paired = oR.join(nR, onRid)
+      // emit pre/post only for rows whose VALUES changed when the schema
+      // supports row comparison; map-typed columns cannot compare, so
+      // every carried pair emits (a same-values pair folds to a no-op —
+      // still algebraically exact, now keyed)
+      val comparable = !oldRows.schema.exists(f =>
+        hasMapType(f.dataType))
+      val changed =
+        if (!comparable) paired
+        else paired.filter(
+          !cols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _))
+      val pre = tag(changed.select(dataCols("o"): _*), "update_preimage")
+      val post = tag(changed.select(dataCols("n"): _*), "update_postimage")
+      val del = tag(oR.join(nR, onRid, "left_anti")
+        .select(cols.map(col): _*), "delete")
+      // fresh rows stage with a NULL rid (they mint ids at zWrite) —
+      // they are the inserts; a non-null replacement rid absent from the
+      // old side cannot occur (replacement rids originate from the scan)
+      // but would also be an insert, so fold it in defensively
+      val insNew = replacement.filter(col(RidCol).isNull)
+        .select(cols.map(col): _*)
+      val insForeign = nR.join(oR, onRid, "left_anti")
+        .select(cols.map(col): _*)
+      val ins = tag(insNew.unionByName(insForeign), "insert")
+      // legacy (pre-r15) null-rid old rows: all emit as deletes — their
+      // carried copies were classified as inserts above, so a carried
+      // legacy row shows as delete+insert (the coarse-but-exact algebra
+      // those rows had before r15, now scoped to them alone)
+      val legacyDel = tag(oldRows.filter(col(RidCol).isNull)
+        .select(cols.map(col): _*), "delete")
+      pre.unionByName(post).unionByName(del).unionByName(ins)
+        .unionByName(legacyDel)
+    } else {
+      val newAligned = replacement.select(cols.map(col): _*)
+      try
+        tag(oldRows.select(cols.map(col): _*).exceptAll(newAligned),
+          "delete")
+          .unionByName(tag(newAligned.exceptAll(
+            oldRows.select(cols.map(col): _*)), "insert"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          tag(oldRows.select(cols.map(col): _*), "delete")
+            .unionByName(tag(newAligned, "insert"))
+      }
     }
+  }
+
+  /** Does the type contain a MapType anywhere (the one shape row-value
+    * comparison cannot express)? */
+  private def hasMapType(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case st: StructType => st.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 
   /** One coordinate of the row-level change feed, in commit order:
@@ -2933,7 +3133,7 @@ object ZOrder {
         else {
           // persisted: the delete-count pass and the survivor write would
           // otherwise each scan the affected files from disk
-          val aff = s.read.schema(schema)
+          val aff = s.read.schema(ridded(schema))
             .parquet(affected.map(f => s"$path/$f"): _*)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
@@ -2953,7 +3153,7 @@ object ZOrder {
               }
               commitRewriteEpoch(s, path, snap, affected,
                 schema.toDDL, newStats, Seq.empty,
-                Some(aff.filter(matchAll)
+                Some(aff.filter(matchAll).drop(RidCol)
                   .withColumn(ChangeTypeCol, lit("delete"))),
                 op = "delete")
             }
@@ -3031,15 +3231,17 @@ object ZOrder {
               .collect().map(_.getString(0)).sorted.toSeq)
           val affDf =
             if (affected.isEmpty) None
-            else Some(s.read.schema(schema)
+            else Some(s.read.schema(ridded(schema))
               .parquet(affected.map(f => s"$path/$f"): _*)
               .persist(StorageLevel.MEMORY_AND_DISK))
           try {
             val nDel = affDf.map(_.filter(matchAll).count()).getOrElse(0L)
             val nIns = aligned.count()
             val replacement = affDf match {
-              case Some(aff) =>
-                aff.filter(coalesce(!matchAll, lit(true))).unionByName(aligned)
+              case Some(aff) => // survivors keep identity; incoming rows
+                // lack the rid column and mint fresh ids at zWrite
+                aff.filter(coalesce(!matchAll, lit(true)))
+                  .unionByName(aligned, allowMissingColumns = true)
               case None => aligned
             }
             val nf = if (numFiles > 0) numFiles
@@ -3055,7 +3257,8 @@ object ZOrder {
             }
             commitRewriteEpoch(s, path, snap, affected,
               schema.toDDL, newStats, Seq.empty,
-              Some(deleted.withColumn(ChangeTypeCol, lit("delete"))
+              Some(deleted.drop(RidCol)
+                .withColumn(ChangeTypeCol, lit("delete"))
                 .unionByName(aligned
                   .withColumn(ChangeTypeCol, lit("insert")))),
               op = "replacewhere")
@@ -3143,8 +3346,8 @@ object ZOrder {
         // still exist — the write's cleanup runs after this commit)
         lazy val oldRows =
           if (affected.isEmpty)
-            s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-          else s.read.schema(schema)
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], ridded(schema))
+          else s.read.schema(ridded(schema))
             .parquet(affected.map(f => s"$path/$f"): _*)
         commitRewriteEpoch(s, path, scanSnap, affected,
           schema.toDDL, newStats, Seq.empty,
@@ -3209,6 +3412,9 @@ object ZOrder {
       keyCol: String, zcols: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): MergeResult =
     locally {
+      require(!source.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
+        s"$RidCol is the store's hidden row-identity column, not a " +
+          "source column")
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
       val (man0, recorded) = manifestAndSchema(s, snap)
@@ -3259,8 +3465,9 @@ object ZOrder {
               .collect().map(_.getString(0)).sorted.toSeq
             val affDf =
               if (affected.isEmpty)
-                s.createDataFrame(s.sparkContext.emptyRDD[Row], recorded)
-              else s.read.schema(recorded)
+                s.createDataFrame(s.sparkContext.emptyRDD[Row],
+                  ridded(recorded))
+              else s.read.schema(ridded(recorded))
                 .parquet(affected.map(f => s"$path/$f"): _*)
             val eqKey = comparableKey(dt, affDf(keyCol)) === col("__mk")
             val updated = affDf.join(srcKeys, eqKey, "leftsemi").count()
@@ -3286,6 +3493,7 @@ object ZOrder {
                 .filter(col("__ak").isNotNull).distinct()
               val srcKeyed = comparableKey(dt, src(keyCol)) === col("__ak")
               val pre = affDf.join(srcKeys, eqKey, "leftsemi")
+                .drop(RidCol)
                 .withColumn(ChangeTypeCol, lit("update_preimage"))
               val post = src.join(affKeys, srcKeyed, "leftsemi")
                 .withColumn(ChangeTypeCol, lit("update_postimage"))
@@ -3338,7 +3546,9 @@ object ZOrder {
       if (small.size < 2) 0
       else {
         val smallNames = small.map(_._1)
-        val df = s.read.schema(schema)
+        // identity rides the bin-pack ([[ridded]]): optimize never
+        // re-mints row ids
+        val df = s.read.schema(ridded(schema))
           .parquet(smallNames.map(f => s"$path/$f"): _*)
         val nf = math.max(1,
           ((small.map(_._2).sum + smallBytes - 1) / smallBytes).toInt)
@@ -3491,7 +3701,7 @@ object ZOrder {
               .collect().map(_.getString(0)).sorted.toSeq)
           if (affected.isEmpty) 0L
           else {
-            val aff = s.read.schema(schema)
+            val aff = s.read.schema(ridded(schema))
               .parquet(affected.map(f => s"$path/$f"): _*)
               .persist(StorageLevel.MEMORY_AND_DISK)
             try {
@@ -3507,7 +3717,7 @@ object ZOrder {
                       when(hit, expr(e)).otherwise(col(f.name)).as(f.name)
                     case None => col(f.name)
                   }
-                }: _*)
+                }.toSeq :+ col(RidCol): _*) // UPDATE preserves identity
                 schema.foreach { f =>
                   val got = rewritten.schema(f.name).dataType
                   require(got == f.dataType,
@@ -3526,7 +3736,7 @@ object ZOrder {
                 // UPDATE contract), so the postimage applies them
                 // unconditionally to the filtered preimages
                 lazy val changeSet = locally {
-                  val pre = aff.filter(hit)
+                  val pre = aff.filter(hit).drop(RidCol)
                   val post = pre.select(schema.map { f =>
                     set.find(_._1.equalsIgnoreCase(f.name)) match {
                       case Some((_, e)) => expr(e).as(f.name)
@@ -5384,12 +5594,27 @@ object ZOrder {
     * must cross. Bands are DISJOINT (update 2-3/10, merge 5-6/10 of the
     * id range) so the oracle's pre/postimages are pure functions of the
     * base table. */
-  private val dmlCdfStores = scala.collection.mutable.Map.empty[String, String]
+  private val dmlCdfStores =
+    scala.collection.mutable.Map.empty[String, (String, String)]
 
   private def dmlCdfStoreFor(s: SparkSession, d: String): String =
+    dmlCdfCatStoreFor(s, d)._2
+
+  /** (catalog name, store dir) of the q160/q162/q164 store. */
+  private def dmlCdfCatStoreFor(s: SparkSession,
+      d: String): (String, String) =
     synchronized {
       dmlCdfStores.getOrElseUpdate(d, {
-        val dir = Files.createTempDirectory("graft-zdmlcdf").toString
+        // the store lives catalog-shaped so the LAST epoch can be a SQL
+        // UPDATE through the group-based row-level op (r15: its change
+        // set pairs keyed pre/postimages on the hidden row identity —
+        // exactly what the extended oracle hash-checks)
+        val root = Files.createTempDirectory("graft-zdmlcdf").toString
+        val cat = s"graftq160c${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.lake")
+        val dir = s"$root/lake/docs"
         setChangeFeedEnabled(s, dir, on = true) // the Delta CDF opt-in
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -5411,7 +5636,13 @@ object ZOrder {
           .withColumn("doc_id", col("doc_id") + lit(dmx + 1))
         mergeByKey(s, dir, upd.unionByName(ins), "doc_id",
           Seq("n_chars", "doc_id"), 4)
-        dir
+        // epoch 4: SQL UPDATE on a band disjoint from every prior one
+        // (and below the merge's inserted ids) — keyed pre/postimages
+        val (slo, shi) =
+          (dmn + (dmx - dmn) * 7 / 10, dmn + (dmx - dmn) * 8 / 10)
+        s.sql(s"""UPDATE $cat.lake.docs SET n_chars = n_chars - 3
+          WHERE doc_id BETWEEN $slo AND $shi""")
+        (cat, dir)
       })
     }
 
@@ -5456,6 +5687,14 @@ object ZOrder {
       |  UNION ALL
       |  SELECT doc_id + b.dmx + 1, lang, n_chars, 'insert', 2, 0
       |  FROM d, b WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 3, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*7//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*8//10
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars - 3, 'update_postimage', 3, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*7//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*8//10
       |)
       |ORDER BY commit_epoch, commit_version, change_type, doc_id""".stripMargin,
   ) { (s, d) =>
@@ -5578,6 +5817,14 @@ object ZOrder {
       |  UNION ALL
       |  SELECT doc_id + b.dmx + 1, lang, n_chars, 'insert', 2, 0
       |  FROM d, b WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 3, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*7//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*8//10
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars - 3, 'update_postimage', 3, 0
+      |  FROM d, b WHERE doc_id BETWEEN b.dmn + (b.dmx-b.dmn)*7//10
+      |                             AND b.dmn + (b.dmx-b.dmn)*8//10
       |)
       |ORDER BY commit_epoch, commit_version, change_type, doc_id""".stripMargin,
   ) { (s, d) =>
@@ -5588,6 +5835,48 @@ object ZOrder {
       .option("startingVersion", "earliest")
       .option("maxVersionsPerTrigger", "1")
       .load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/batch=*")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col(ZcdfStream.ChangeCol).as("change_type"),
+        col(ZcdfStream.EpochCol).as("commit_epoch"),
+        col(ZcdfStream.VerCol).as("commit_version"))
+      .orderBy(col("commit_epoch"), col("commit_version"),
+        col("change_type"), col("doc_id"))
+  }
+
+  /** q164: the CHANGES METADATA TABLE through the catalog NAME (r15 —
+    * the r14 verdict's item 4, Iceberg's metadata-table shape):
+    * `spark.readStream.table("graftz.ns.t.changes")` tails the
+    * row-level change feed across DML epochs with `_change_type` +
+    * commit coordinates — the schema the BASE table's stream cannot
+    * carry lives on its own analyzer-resolved table, so no format+path
+    * incantation is needed. Same wire, offsets and checkpoint-resume as
+    * q162 (the oracle is q162's, reused verbatim — batch membership
+    * never changes content); the batch form (`SELECT * FROM
+    * graftz.ns.t.changes`) and resume-across-new-DML are spec-pinned in
+    * StreamingSpec/SqlSurfaceSpec. */
+  val q164ZChangesTable: Q = Q(
+    "q164_zchanges_table",
+    // content-identical to q162's algebra: the same store, the same
+    // feed, consumed through the table name instead of format+path
+    // (q162 is declared ABOVE — the object-init-order rule)
+    q162ZcdfStreamDml.oracle.get,
+  ) { (s, d) =>
+    val (cat, _) = dmlCdfCatStoreFor(s, d)
+    val out = Files.createTempDirectory("graft-zchtbl").toString
+    val q = s.readStream
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "2")
+      .table(s"$cat.lake.docs.changes")
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         df.write.mode("overwrite").parquet(s"$out/batch=$id")
@@ -5687,5 +5976,6 @@ object ZOrder {
     q151ZBatchCreate, q152ZStreamSink, q153ZBatchAgg, q154ZOrderSqlDml,
     q155ZTableStream, q156ZTableStreamWrite, q157ZTableChanges,
     q158ZTableReplaceWhere, q159ZTableRuntimePrune, q160ZOrderDmlCdf,
-    q161ZTableSpjJoin, q162ZcdfStreamDml, q163ZOrderOccDml)
+    q161ZTableSpjJoin, q162ZcdfStreamDml, q163ZOrderOccDml,
+    q164ZChangesTable)
 }

@@ -63,7 +63,15 @@ class ZRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(ZBatch.FileCol))
+      .column(ZBatch.FileCol),
+      // STABLE ROW IDENTITY (r15): requiring __rid makes Spark carry
+      // each scanned row's id through the ReplaceData projections to
+      // the write's metadata row — updated/carried rows keep their
+      // identity, MERGE's not-matched inserts arrive with a null — so
+      // the staged replacement can record it and the commit's change
+      // set pairs exact pre/postimages instead of multiset diffs
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(ZOrder.RidCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZRowLevelScanBuilder(this, path)
@@ -223,11 +231,14 @@ class ZRowLevelBatchWrite(op: ZRowLevelOperation, path: String,
       // affected empty + staged rows = MERGE's not-matched INSERTs with
       // no matched groups — commits as a pure carry-all append.
       if (affected.nonEmpty || staged.nonEmpty) {
+        // staged rows carry the hidden row identity ([[ZOrder.RidCol]]):
+        // scan-originated rows keep theirs, MERGE inserts staged null
         val replacement =
           if (staged.isEmpty)
             s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else s.read.schema(schema).parquet(staged: _*)
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              ZOrder.ridded(schema))
+          else s.read.schema(ZOrder.ridded(schema)).parquet(staged: _*)
         ZOrder.replaceScannedFiles(s, path, snap, affected, replacement,
           opName)
       }
@@ -275,10 +286,21 @@ private[sources] case class ZStageWriterFactory(stagingDir: String,
     private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
     private var projResolved = false
 
-    override def write(row: InternalRow): Unit = {
+    // the staged file carries data columns PLUS the hidden row identity
+    // ([[ZOrder.RidCol]]): scan-originated rows keep theirs (delivered
+    // through the metadata variant below), fresh rows stage null
+    private val stageSchema = StructType(schema.fields :+
+      StructField(ZOrder.RidCol, org.apache.spark.sql.types.LongType,
+        nullable = true))
+    private val ridRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    private val joined =
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+    private def writeRow(row: InternalRow, rid: Any): Unit = {
       if (writer == null) // lazy: an empty task stages no file
         writer = org.apache.spark.sql.graftshim.ParquetStage.writer(
-          file, schema, GraftShardsSource.hadoopConf(confOverrides))
+          file, stageSchema, GraftShardsSource.hadoopConf(confOverrides))
       if (!projResolved) {
         val extra = row.numFields - schema.length
         require(extra == 0 || extra == 1,
@@ -290,18 +312,30 @@ private[sources] case class ZStageWriterFactory(stagingDir: String,
             schema, (1 to schema.length).toList)
         projResolved = true
       }
-      if (proj == null) writer.write(row)
-      else { proj.project(row); writer.write(proj) }
+      ridRow.update(0, rid)
+      val data: InternalRow =
+        if (proj == null) row else { proj.project(row); proj }
+      writer.write(joined(data, ridRow))
       rows += 1
     }
 
-    /** Carried rows arrive through the metadata variant (the operation
-      * requires `_file`, so Spark's DataAndMetadata task projects and
-      * calls the two-arg form): the store derives file placement from
-      * the z-clustering, so the metadata is informational — write the
-      * data row. */
-    override def write(metadata: InternalRow, row: InternalRow): Unit =
-      write(row)
+    override def write(row: InternalRow): Unit = writeRow(row, null)
+
+    /** Scan-originated rows arrive through the metadata variant (the
+      * operation requires `_file` and `__rid`, so Spark's
+      * DataAndMetadata task projects and calls the two-arg form). The
+      * metadata row holds the required metadata attributes in
+      * declaration order — (`_file` string, `__rid` long); `_file` is
+      * informational (the store derives placement from z-clustering),
+      * the rid is the row's STABLE IDENTITY and stages with it. A wrong
+      * field order here would stage garbage rids — the round-trip is
+      * spec-pinned (two identical rows update distinguishably). */
+    override def write(metadata: InternalRow, row: InternalRow): Unit = {
+      val rid: Any =
+        if (metadata.numFields < 2 || metadata.isNullAt(1)) null
+        else java.lang.Long.valueOf(metadata.getLong(1))
+      writeRow(row, rid)
+    }
 
     override def commit(): WriterCommitMessage = {
       closeOnce()

@@ -199,13 +199,46 @@ class ZcdfTable(path: String, tschema: StructType,
   override def name(): String = s"graft-zcdf:$path"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    if (changeFeed)
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
+      // a changeFeed TABLE (the `<table>.changes` metadata table) is in
+      // changeFeed mode BY IDENTITY — the wire mode must follow the
+      // table, not the read options (a table-name read passes none)
+      private val effOpts =
+        if (!changeFeed || ZcdfStream.changeFeedOf(options)) options
+        else {
+          val m = new java.util.HashMap[String, String](options)
+          m.put("changeFeed", "true")
+          new CaseInsensitiveStringMap(m)
+        }
       override def build(): Scan = this
       override def readSchema(): StructType = tschema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ZcdfMicroBatchStream(path, tschema, options)
+        new ZcdfMicroBatchStream(path, tschema, effOpts)
+      // BATCH read of the `<table>.changes` metadata table (r15): the
+      // FULL recorded history, earliest committed epoch to the current
+      // snapshot — the same feed walk and readers as the stream, planned
+      // as one batch (Delta's table_changes shape). A history crossing a
+      // no-record rewrite refuses with the full-refresh contract, like
+      // every feed read.
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          private val opts = new java.util.HashMap[String, String](options)
+          locally {
+            opts.put("startingVersion", "earliest")
+            opts.put("changeFeed", "true")
+          }
+          private val ms = new ZcdfMicroBatchStream(path, tschema,
+            new CaseInsensitiveStringMap(opts))
+          override def planInputPartitions(): Array[InputPartition] =
+            ms.planInputPartitions(ms.initialOffset(), ms.latestOffset())
+          override def createReaderFactory(): PartitionReaderFactory =
+            ms.createReaderFactory()
+        }
     }
 }
 
@@ -225,10 +258,13 @@ private[sources] class ZTableMicroBatchStream(path: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   require(!ZcdfStream.changeFeedOf(options),
-    "changeFeed mode adds the _change_type wire column, which a TABLE " +
-      "stream cannot carry (its schema is the table's) — use " +
-      "spark.readStream.format(\"graft-zcdf\")" +
-      ".option(\"changeFeed\", \"true\").load(<store dir>)")
+    "changeFeed mode adds the _change_type wire column, which the BASE " +
+      "table's stream cannot carry (Spark resolves the streaming " +
+      "relation against the table schema; read options never reach " +
+      "it) — stream the CHANGES METADATA TABLE instead: " +
+      "spark.readStream.table(\"<catalog>.<ns>.<table>.changes\") " +
+      "(or spark.readStream.format(\"graft-zcdf\")" +
+      ".option(\"changeFeed\", \"true\").load(<store dir>))")
   private val full = ZcdfStream.tableSchema(SparkSession.active, path)
   private val inner = new ZcdfMicroBatchStream(path, full, options)
 

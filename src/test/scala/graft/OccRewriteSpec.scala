@@ -66,6 +66,12 @@ class OccRewriteSpec extends SparkSpec {
       // no row doubled anywhere (a botched rebase would re-list files)
       assert(after.select(col("k")).distinct().count() == 1700,
         s"round $round: duplicate keys — a file was listed twice")
+      // the session conf survives concurrent writeMicros bodies (the
+      // r15 leak: interleaved save/restore left TIMESTAMP_MICROS set,
+      // flipping every later plain parquet dump to tz-adjusted)
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType") !=
+        "TIMESTAMP_MICROS",
+        s"round $round: outputTimestampType leaked from concurrent writes")
     }
   }
 

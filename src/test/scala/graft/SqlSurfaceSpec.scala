@@ -303,12 +303,16 @@ class SqlSurfaceSpec extends SparkSpec {
       val feedE = ZOrder.listVersions(spark, dir).map(_._1).max
       assert(new java.io.File(dir, s"_zchanges/e$feedE").exists,
         "an enabled table's DML must record its change set")
-      // the group-based SQL path emits the multiset diff (no key to
-      // pair on): one delete (the old row) + one insert (the new)
+      // the group-based SQL path pairs EXACT pre/postimages on the
+      // hidden stable row id (r15 — it used to emit a multiset
+      // delete+insert because no identity existed to pair on), and
+      // carried-unchanged rows of the scanned files emit NOTHING
       val feed = ZOrder.readChangeFeed(spark, dir, feedE - 1, 0)
         .groupBy(org.apache.spark.sql.functions.col("_change_type"))
         .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(feed == Map("delete" -> 1L, "insert" -> 1L), feed.toString)
+      assert(feed ==
+        Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+        feed.toString)
 
       // CHECK constraints — added through the CALL surface — validate
       // the REPLACEMENT rows before a byte lands: an UPDATE that would

@@ -1265,4 +1265,63 @@ class StreamingSpec extends SparkSpec {
     assert(chain(e2).exists(t =>
       String.valueOf(t.getMessage).contains("graft-zcdf")), e2.toString)
   }
+
+  test("the `.changes` metadata table (r15): streams the feed through the TABLE NAME with checkpoint resume across new DML; batch SELECT reads full history") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ZOrder, ZcdfStream}
+    val root = java.nio.file.Files.createTempDirectory("graft-zchtblS")
+      .toString
+    val out = java.nio.file.Files.createTempDirectory("graft-zchtblO")
+      .toString
+    val cat = "graftchg" + math.abs(root.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"""CREATE TABLE $cat.ns.t (k BIGINT, v BIGINT)
+        PARTITIONED BY (k) TBLPROPERTIES ('changeFeed' = 'true')""")
+      spark.sql(s"INSERT INTO $cat.ns.t SELECT id, id FROM range(100)")
+      spark.sql(s"UPDATE $cat.ns.t SET v = v + 1000 WHERE k < 10") // e1
+      def run(ck: String): Map[String, Long] = {
+        val seen = new java.util.concurrent.atomic.AtomicReference[
+          Map[String, Long]](Map.empty)
+        val q = spark.readStream
+          .option("startingVersion", "earliest")
+          .table(s"$cat.ns.t.changes")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val m = df.groupBy(col(ZcdfStream.ChangeCol)).count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            seen.updateAndGet(old => (old.keySet ++ m.keySet).map(k =>
+              k -> (old.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        seen.get()
+      }
+      val first = run(s"$out/ck")
+      assert(first == Map("insert" -> 100L, "update_preimage" -> 10L,
+        "update_postimage" -> 10L), first.toString)
+      // NEW DML, then RESUME from the same checkpoint: only the delta
+      spark.sql(s"UPDATE $cat.ns.t SET v = v - 7 WHERE k BETWEEN 50 AND 54")
+      val resumed = run(s"$out/ck")
+      assert(resumed == Map("update_preimage" -> 5L,
+        "update_postimage" -> 5L), resumed.toString)
+      // BATCH form: full recorded history through plain SQL
+      val batch = spark.sql(s"SELECT * FROM $cat.ns.t.changes")
+        .groupBy(col(ZcdfStream.ChangeCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch == Map("insert" -> 100L, "update_preimage" -> 15L,
+        "update_postimage" -> 15L), batch.toString)
+      // the base table itself is untouched by the metadata surface
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t")
+        .head().getLong(0) == 100L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
 }

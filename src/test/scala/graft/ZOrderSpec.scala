@@ -1057,6 +1057,49 @@ class ZOrderSpec extends SparkSpec {
       "uncovered file must be read, not trusted-absent")
   }
 
+  test("bloom coverage survives rewrites and appends: point lookups stay O(matching files) with NO rebuild (r15)") {
+    val dir = Files.createTempDirectory("graft-zbloomlive").toString
+    val df = spark.range(8192).select(col("id"),
+      ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+      (col("id") % 100).as("k2"))
+    ZOrder.writeZOrdered(df, dir, Seq("k2", "id"), 16)
+    ZOrder.buildBloomIndex(spark, dir, "uk")
+    // a DELETE rewrites some files: its survivor files must come out
+    // COVERED (sidecars built inside the rewrite's own write pass)
+    val nDel = ZOrder.deleteZRange(spark, dir, Seq(("id", 0L, 2047L)),
+      Seq("k2", "id"))
+    assert(nDel == 2048)
+    // ... and an APPEND's fresh files too
+    ZOrder.appendZOrdered(
+      spark.range(8192, 9000).select(col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100003L)).as("uk"),
+        (col("id") % 100).as("k2")),
+      dir, Seq("k2", "id"), 2)
+    val files = ZOrder.listDataFiles(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    files.foreach { f =>
+      assert(fs.exists(new Path(dir, s"_zbloom/uk/$f.bloom")),
+        s"file $f of the post-DML snapshot has no sidecar — coverage " +
+          "decayed (the pre-r15 behavior)")
+    }
+    // end to end: a point probe on a survivor value opens few files
+    val present = (3000L * 2654435761L) % 100003L // id 3000 survived
+    val got = ZOrder.readZPoint(spark, dir, "uk", present)
+    assert(got.count() >= 1)
+    assert(got.count() ==
+      ZOrder.readSnapshot(spark, dir).filter(col("uk") === present).count())
+    assert(got.inputFiles.length <= 3,
+      s"opened ${got.inputFiles.length} of ${files.size} files — bloom " +
+        "pruning decayed after DML")
+    // an appended-value probe prunes through the append's own sidecars
+    val appended = (8500L * 2654435761L) % 100003L
+    val got2 = ZOrder.readZPoint(spark, dir, "uk", appended)
+    assert(got2.count() >= 1)
+    assert(got2.inputFiles.length <= 3,
+      s"appended-value probe opened ${got2.inputFiles.length} files")
+  }
+
   test("signed zeros are ONE key end to end: bloom hashes collide by construction, and zero-bounded reads/deletes keep stored -0.0 rows despite parquet's total-order pushdown") {
     // plane 1 (the r13 advisor's premise, checked): XxHash64 normalizes
     // -0.0 before hashing, so build and probe already collide — the

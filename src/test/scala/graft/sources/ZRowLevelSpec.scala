@@ -152,6 +152,121 @@ class ZRowLevelSpec extends SparkSpec {
     assert(inFile == 1L, "_file must name the file holding the row")
   }
 
+  test("stable row identity (r15): two IDENTICAL rows update distinguishably through SQL — keyed pre/postimages on __rid, ids stable across the rewrite") {
+    val root = Files.createTempDirectory("graft-zridsql").toString
+    val cat = "graftrid" + math.abs(root.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ZCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"""CREATE TABLE $cat.ns.t (k BIGINT, v BIGINT)
+        PARTITIONED BY (k) TBLPROPERTIES ('changeFeed' = 'true')""")
+      // TWO IDENTICAL rows (k=1, v=10) plus a bystander — the exact case
+      // no multiset diff can pair and no key column can distinguish
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (1, 10), (1, 10), (2, 20)")
+      val ridsBefore = spark.sql(
+        s"SELECT __rid FROM $cat.ns.t WHERE k = 1")
+        .collect().map(_.getLong(0)).toSet
+      assert(ridsBefore.size == 2,
+        s"two identical rows must carry two DISTINCT row ids: $ridsBefore")
+      spark.sql(s"UPDATE $cat.ns.t SET v = v + 5 WHERE k = 1")
+      val dir = s"$root/ns/t"
+      val feedE = ZOrder.listVersions(spark, dir).map(_._1).max
+      // window from the PRE-UPDATE head (the insert version is history)
+      val baseV = ZOrder.listVersions(spark, dir)
+        .filter(_._1 == feedE - 1).map(_._2).max
+      val feed = ZOrder.readChangeFeed(spark, dir, feedE - 1, baseV)
+      val byType = feed.groupBy(col(ZOrder.ChangeTypeCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("update_preimage" -> 2L,
+        "update_postimage" -> 2L),
+        s"identical rows must pair as keyed images, got $byType")
+      assert(feed.filter(col("v") === 10L).count() == 2 &&
+        feed.filter(col("v") === 15L).count() == 2)
+      // the feed never leaks the hidden id
+      assert(!feed.columns.contains(ZOrder.RidCol))
+      // IDENTITY STABILITY: the updated rows keep their ids
+      val ridsAfter = spark.sql(
+        s"SELECT __rid FROM $cat.ns.t WHERE k = 1")
+        .collect().map(_.getLong(0)).toSet
+      assert(ridsAfter == ridsBefore,
+        s"row ids must survive the rewrite: $ridsBefore -> $ridsAfter")
+      // the bystander keeps its id too, and all ids stay unique
+      val all = spark.sql(s"SELECT __rid FROM $cat.ns.t")
+        .collect().map(_.getLong(0))
+      assert(all.length == all.distinct.length, "row ids must be unique")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  test("stable row identity survives append, band delete, optimize and recluster; fresh rows mint unique ids") {
+    val dir = mkStore(400) // k in [0,400), v = 2k
+    def ridMap(): Map[Long, Long] =
+      spark.read.format("graft-z").load(dir)
+        .select(col("k"), col(ZOrder.RidCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ridMap()
+    assert(base.size == 400 && base.values.toSet.size == 400)
+    ZOrder.appendZOrdered(
+      spark.range(400, 450).select(col("id").as("k"),
+        (col("id") * 2).as("v")), dir, Seq("k"), 1)
+    val afterAppend = ridMap()
+    assert(afterAppend.filterKeys(_ < 400).toMap == base,
+      "append must not disturb existing identities")
+    assert(afterAppend.values.toSet.size == 450, "fresh ids must be unique")
+    ZOrder.deleteZRange(spark, dir, Seq(("k", 100L, 199L)), Seq("k"))
+    val afterDelete = ridMap()
+    assert(afterDelete == afterAppend.filterKeys(k =>
+      k < 100 || k > 199).toMap,
+      "survivors of a copy-on-write delete must keep their identities")
+    ZOrder.compactSmallFiles(spark, dir, Seq("k"), 1024L * 1024)
+    assert(ridMap() == afterDelete,
+      "optimize must carry identities through the bin-pack rewrite")
+    ZOrder.reclusterZOrdered(spark, dir, Seq("k"), 4)
+    assert(ridMap() == afterDelete,
+      "recluster must never re-mint row ids")
+  }
+
+  test("map-typed schema: SQL-op change set now pairs keyed pre/postimages on __rid (was delete-all+insert-all)") {
+    val dir = Files.createTempDirectory("graft-zridmap").toString
+    ZOrder.writeZOrdered(
+      spark.range(100).select(col("id").as("k"),
+        map(lit("n"), col("id")).as("m")),
+      dir, Seq("k"), 2)
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
+    val (snap, files, schema) =
+      ZOrder.planRowLevelScan(spark, dir, Seq(("k", Some(0L), Some(9L))),
+        Seq.empty)
+    // the replacement Spark would compute, WITH identity carried (the
+    // real SQL path stages __rid through the metadata projection)
+    val scanned = spark.read.schema(ZOrder.ridded(schema))
+      .parquet(files.map(f => s"$dir/${f._1}"): _*)
+    val replacement = scanned.select(col("k"),
+      when(col("k") < 10L, map(lit("n"), col("k") + 1000L))
+        .otherwise(col("m")).as("m"),
+      col(ZOrder.RidCol))
+    ZOrder.replaceScannedFiles(spark, dir, snap, files.map(_._1),
+      replacement, "update")
+    val feedE = ZOrder.listVersions(spark, dir).map(_._1).max
+    val feed = ZOrder.readChangeFeed(spark, dir, feedE - 1, 0)
+    val byType = feed.groupBy(col(ZOrder.ChangeTypeCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // maps cannot value-compare, so EVERY scanned row pairs (carried
+    // pairs fold to a no-op) — but they pair KEYED, never the coarse
+    // delete-all+insert-all of the pre-identity fallback
+    val scannedRows = scanned.count()
+    assert(byType == Map("update_preimage" -> scannedRows,
+      "update_postimage" -> scannedRows), byType.toString)
+    // and the images FOLD exactly: postimages minus preimages = the delta
+    val posts = feed.filter(col(ZOrder.ChangeTypeCol) ===
+      "update_postimage").filter(col("k") < 10L)
+    assert(posts.count() == 10)
+    assert(posts.selectExpr("m['n']").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1000L to 1009L).toSeq)
+  }
+
   test("an UPDATE matching no rows in scanned files still commits exact state (best-effort pruning keeps files)") {
     val dir = mkStore(200)
     // bounds that PRUNE nothing (every file overlaps) but match no row:
