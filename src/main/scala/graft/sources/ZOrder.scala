@@ -168,6 +168,13 @@ object ZOrder {
           finally in.close()
           new String(b, "UTF-8").trim.toLong
         }
+      // id-space budget: spans are (partitions+1) << 33, so even a
+      // 65536-bucket store exhausts 2^63 only after ~16k writes — but
+      // exhaustion must REFUSE loudly, never wrap into duplicate ids
+      require(cur <= Long.MaxValue - span,
+        s"$path: the row-id high-water mark would overflow Long " +
+          s"(hw=$cur, span=$span) — the id space is exhausted; migrate " +
+          "the data into a fresh store path (identities restart there)")
       fs.mkdirs(p.getParent)
       val out = fs.create(p, true)
       try out.write((cur + span).toString.getBytes("UTF-8"))
