@@ -172,7 +172,16 @@ object Bench {
     // on every honest run, idle host or not (r7/r8 records: load_end
     // 7-10 with zero external load). load_end stays in the record so a
     // mid-run ambient spike is still visible as an out-of-family value.
-    val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,"load_hot":${loadStart > 1.0}"""
+    // the record's PLANE, named explicitly (r16 — the r15 verdict's
+    // item 4): "calm" = idle-host absolute-latency record (the committed
+    // BENCH_DETAIL.json), "hot" = a run beside ambient load (the
+    // driver's round-end shape). The two planes disagree by ~20% at
+    // steady for page-cache/first-run reasons, so CROSS-ROUND deltas
+    // compare steady_min3_total WITHIN one plane — by convention the
+    // driver's round-end hot run (BENCH_r{N}.json), the only plane
+    // recorded every round under like conditions; the calm record is
+    // the absolute-latency citation. Stated in SURVEY §8.
+    val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,"load_hot":${loadStart > 1.0},"plane":"${if (loadStart > 1.0) "hot" else "calm"}""""
     // Full record (full names, millisecond precision, both passes) goes to
     // a file the builder commits per round; the stdout line stays compact
     // enough to survive the driver's 2000-char tail capture.

@@ -108,6 +108,55 @@ object ScaleProbe {
     val x1 = writeCorpus(1)
     val x10 = writeCorpus(Factor)
 
+    // VERIFY-PLANE LIVENESS probes (r16 — the r15 verdict's item 2b: at
+    // x10 verified == candidates, so a silently-dead cosine filter would
+    // have gone unnoticed). Three planted vectors ±η·ones / 2η·ones at
+    // the top of the id space land in the SAME two probe cells (η=1e-6:
+    // the ±2η·c·v score perturbation is far below inter-seed score gaps,
+    // so all three rank cells identically) with cosines −1/+1/−1 —
+    // the anti-parallel pairs MUST be refused by the verify plane and
+    // the parallel pair MUST pass, at both scales, or the probe aborts.
+    import graft.dedup.{Dedup => DedupOps}
+    def plantVerifyProbes(dir: String, n: Long): Unit =
+      spark.range(3).select((col("id") + n).as("vec_id"),
+          expr("array_repeat(CAST(CASE id WHEN 0 THEN 1e-6 WHEN 1 " +
+            "THEN -1e-6 ELSE 2e-6 END AS FLOAT), 64)").as("embedding"),
+          lit(-1).as("label"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    def checkVerifyPlane(dir: String, scale: Int): Unit = {
+      val n = BaseVecs * scale
+      val cells = graft.sim.Similarity.NumCells * scale
+      val cand = DedupOps.embedCellCandidates(spark, dir, cells)
+        .filter(col("vec_a") >= n).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(cand == Set((n, n + 1L), (n, n + 2L), (n + 1L, n + 2L)),
+        s"planted verify probes missed the candidate plane at x$scale " +
+          s"($cand) — the liveness check is vacuous; re-derive the cell " +
+          "geometry")
+      val ver = DedupOps.embedNearDupPairs(spark, dir, cells)
+        .filter(col("vec_a") >= n).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(ver == Set((n, n + 2L)),
+        s"cosine verify plane vacuous or broken at x$scale: planted " +
+          "anti-parallel pairs must NOT verify, the parallel pair " +
+          s"must (got $ver)")
+    }
+    plantVerifyProbes(x1, BaseVecs)
+    plantVerifyProbes(x10, BaseVecs * Factor)
+    checkVerifyPlane(x1, 1)
+    checkVerifyPlane(x10, Factor)
+    DedupOps.clearCaches()
+    // per-cell occupancy (r16 item 2a): recorded beside candidate rows
+    // so super-linear candidate growth is attributable — pair_sum is the
+    // exact pre-distinct candidate bound
+    val occ1 = DedupOps.embedCellOccupancy(spark, x1,
+      graft.sim.Similarity.NumCells)
+    val occ10 = DedupOps.embedCellOccupancy(spark, x10,
+      graft.sim.Similarity.NumCells * Factor)
+    def occJson(o: (Long, Long, Double, Long)) =
+      s"""{"cells":${o._1},"max_occ":${o._2},""" +
+        s""""mean_occ":${math.rint(o._3 * 10) / 10},"pair_sum":${o._4}}"""
+
     // prebuilt z-store for the q144 metadata-aggregate probe: the build
     // is deliberately OUTSIDE the timed passes (q123_zorder_knob measures
     // it) so the probe isolates the metadata plane itself
@@ -516,7 +565,7 @@ object ScaleProbe {
     val rows = (base.map { case (k, _, n) => s"\"${k}_x1\":$n" } ++
       big.map { case (k, _, n) => s"\"${k}_x10\":$n" }).mkString("{", ",", "}")
     val filteredTag = probeFilter.map(f => s""""filtered":"$f",""").getOrElse("")
-    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat; q160_cdf_knob is the r14 row-level change feed over a PREBUILT store with one fixed-size band update - cost tracks the DELTA, expected ~flat at 10x store size; q161_spj_knob vs q161_shuffle_control is the r14 storage-partitioned join over a prebuilt bucket(16,k) pair vs the same merge join with v2 bucketing off - both no-broadcast so the only plan delta is the exchanges; expected both ~flat, spj carries ~1.5s of COLD metadata planning (caches cleared between passes; commit-keyed memos make steady-state repeats free - measured warm spj == warm control); q44_candidates_knob / q129_candidates_knob are the r15 decompositions of the two largest r14 growers (q48 discipline): the structural same-cell / same-cluster pair plane with NO cosine verify - growth model: cells/clusters scale with the corpus so per-cell pairs ~ density x n, candidates expected ~linear at 10x; a q44/q129 drift beyond its candidates row is verify-cost, not blocking","cpus":$cpus}""")
+    println(s"""{"probe":"dedup_scale_growth",$filteredTag"docs_x1":$BaseDocs,"docs_x10":${BaseDocs * Factor},"vecs_x1":$BaseVecs,"vecs_x10":${BaseVecs * Factor},"q44_occupancy_x1":${occJson(occ1)},"q44_occupancy_x10":${occJson(occ10)},"q44_verify_plane":"alive (planted anti-parallel pairs refused, parallel pair passed, both scales)","secs_x1":${fmt(base)},"secs_x10":${fmt(big)},"growth_x10_over_x1":$growth,"result_rows":$rows,"note":"cold at both scales; same generator, constant per-doc dup density; q44 runs its cell knob 16->160; q41/q45 are the md5-LSH candidates->verify forms (round 5), q45_cc_over_lsh the xxhash64 twin; q106_idx_knob builds the LSH store at pfxLen=2/docPfxMod=64 for the 10x pass (the documented grow-with-the-cluster values), q107_ann_index_knob scales cells 16->160; q121_pq_index_knob scales cells 16->160 and the cold-store mod 16->64; q123_zorder_knob scales the file count 32->320; q123_zappend_knob is the r9 append lifecycle (base build + 5 appends + manifest compaction + pruned read); q133_zdelete_knob is the r9 copy-on-write delete (build + fixed 10pct-band delete + pruned read; rewrite set stats-pruned, rest carried by reference); q131_bpe_apply_knob scales the merge table 3->30 with the corpus (single-pass apply: growth should track the corpus, never the table); q141_cdc_merge is the CDC-apply merge loop; q142_zbloom_knob is the bloom point-index lifecycle at 32->320 files; q144_zmeta_agg_knob is COUNT+MIN/MAX through the metadata plane of a PREBUILT 32->320-file store (build excluded) - expected ~flat; q147_zupdate_knob is the copy-on-write update (delete twin: build + fixed 10pct-band SET + pruned read); q148_ztable_knob is the graft-z DSv2 table read over the PREBUILT store (build excluded) - expected to track band volume (result rows grow 10x); q148_ztable_fullscan vs q148_parquet_fullscan is the r12 vectorized-decode gate - full-store hash-agg through the DSv2 table vs spark.read.parquet over the same files, expected within ~1.5x at both scales; q159_dpp_knob is the r13 runtime-filter join (2-key parquet dim, DPP plans only the keyed files) - expected ~flat; q160_cdf_knob is the r14 row-level change feed over a PREBUILT store with one fixed-size band update - cost tracks the DELTA, expected ~flat at 10x store size; q161_spj_knob vs q161_shuffle_control is the r14 storage-partitioned join over a prebuilt bucket(16,k) pair vs the same merge join with v2 bucketing off - both no-broadcast so the only plan delta is the exchanges; expected both ~flat, spj carries ~1.5s of COLD metadata planning (caches cleared between passes; commit-keyed memos make steady-state repeats free - measured warm spj == warm control); q44_candidates_knob / q129_candidates_knob are the r15 decompositions of the two largest r14 growers (q48 discipline): the structural same-cell / same-cluster pair plane with NO cosine verify - r16: the growth model is MEASURED, not asserted: q44_occupancy_x* records the per-cell fanout occupancy (pair_sum = sum n_c(n_c-1)/2, the exact pre-distinct candidate bound), so super-linear candidate rows decompose into occupancy SKEW (max/mean drift) vs knob miscalibration (mean drift); three planted +-eta*ones vectors (ids >= vec count, eta=1e-6) prove the cosine verify plane FILTERS at both scales - the r15 observation 'verified == candidates at x10' was a data property of cluster-structured synthetic vectors, not a dead filter; a q44/q129 time drift beyond its candidates row is verify-cost, not blocking","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -527,6 +527,21 @@ pairs AS (
       .withColumn("cell", explode(col("probe"))).drop("probe")
   }
 
+  /** q44's per-cell OCCUPANCY diagnostics (r16 — the r15 verdict's item
+    * 2: "measure the growth model, don't assert it"): over the fanned
+    * (vector, cell) rows — (cells used, max occupancy, mean occupancy,
+    * Σ n_c·(n_c−1)/2). The pair sum is the EXACT pre-distinct candidate
+    * bound, so a super-linear candidate-row growth decomposes into
+    * occupancy skew (max/mean ratio) vs knob miscalibration (mean). */
+  private[graft] def embedCellOccupancy(s: SparkSession, d: String,
+      numCells: Int): (Long, Long, Double, Long) = {
+    val occ = embedCellFrame(s, d, numCells).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val r = occ.agg(count(lit(1)), max(col("n")), avg(col("n")),
+      sum(col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+  }
+
   /** q44's CANDIDATE plane ALONE (the q48-decomposition discipline, r14
     * verdict item 6): the same-cell id-ordered pair STRUCTURE with the
     * vectors projected away and NO cosine verify — what ScaleProbe times

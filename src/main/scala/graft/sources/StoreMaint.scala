@@ -120,23 +120,57 @@ object StoreMaint {
   /** The pure add-only union under [[evolveSchema]] (also the z-store's
     * per-version recorded DDL): prev ∪ batch by name (case-insensitive),
     * everything nullable, a same-name type change refuses loudly. */
+  /** TYPE WIDENING (r16): the two promotions every engine-side reader
+    * decodes natively (parquet INT32 under a BIGINT read schema, FLOAT
+    * under DOUBLE — Spark's vectorized and row readers both widen at
+    * decode, probed on 4.1.2; the int/long stat encodings are already
+    * identical, and float was never stats-eligible). Any other type
+    * change keeps refusing. Returns the WIDER type for a mixed pair. */
+  private def widenedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (IntegerType, LongType) | (LongType, IntegerType) =>
+        Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+  }
+
   private[sources] def unionSchemas(what: String,
       prev: Option[org.apache.spark.sql.types.StructType],
       batch: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
+    val widenTo = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.types.DataType]
     prev.foreach(_.foreach { f =>
       batch.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
-        require(Sources.deepNullable(g.dataType) ==
-            Sources.deepNullable(f.dataType),
-          s"$what: cannot change the type of column ${f.name}: " +
-            s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
-            "(schema evolution is add-only)")
+        val (ft, gt) =
+          (Sources.deepNullable(f.dataType), Sources.deepNullable(g.dataType))
+        if (ft != gt) widenedType(ft, gt) match {
+          case Some(w) =>
+            // a widening batch PROMOTES the recorded type; a narrower
+            // batch keeps it (its files read widened, like old files
+            // after a promotion)
+            if (w != ft) widenTo(f.name.toLowerCase) = w
+          case None => throw new IllegalArgumentException(
+            s"$what: cannot change the type of column ${f.name}: " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+              "(schema evolution is add-only + INT->BIGINT/FLOAT->DOUBLE " +
+              "widening)")
+        }
       }
     })
     StructType((prev match {
-      case Some(ps) => ps.fields ++ batch.fields.filterNot(f =>
-        ps.fields.exists(_.name.equalsIgnoreCase(f.name)))
+      case Some(ps) => ps.fields.map(f =>
+        widenTo.get(f.name.toLowerCase).map(w => f.copy(dataType = w))
+          .getOrElse(f)) ++
+        batch.fields.filterNot(f =>
+          ps.fields.exists(_.name.equalsIgnoreCase(f.name)))
       case None => batch.fields
     }).map(f => f.copy(
       dataType = Sources.deepNullable(f.dataType), nullable = true)).toSeq)

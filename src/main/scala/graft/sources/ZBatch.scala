@@ -429,13 +429,15 @@ class ZBatchTable(path: String, tschema: StructType,
     * comes from the write path's own clustering, never from here. */
   override def partitioning(): Array[Transform] = {
     val s = SparkSession.active
+    // layout policy records PHYSICAL names; the table surface is logical
     val bucket = ZOrder.recordedBucketing(s, path).map { case (c, n) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-        : Transform
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, ZOrder.logicalNameFor(s, path, c)): Transform
     }
     bucket.toArray ++
       ZOrder.recordedZcols(s, path).getOrElse(Seq.empty)
-        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(ZOrder.logicalNameFor(s, path, c)))
   }
 
   override def properties(): java.util.Map[String, String] = {
@@ -1169,6 +1171,8 @@ class ZBatchScan(path: String, required: StructType,
     if (changes.nonEmpty || limit.nonEmpty ||
         !s.sessionState.conf.v2BucketingEnabled) None
     else ZOrder.recordedBucketing(s, path)
+      .map { case (bcol, n) => // the scan output speaks logical
+        (ZOrder.logicalNameFor(s, path, bcol), n) }
       .filter { case (bcol, _) =>
         required.fieldNames.exists(_.equalsIgnoreCase(bcol)) }
       .flatMap { case (bcol, n) =>
@@ -1216,7 +1220,10 @@ class ZBatchScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     ZBatchReaderFactory(
       GraftShardsSource.confOverrides(SparkSession.active),
-      required.fields.map(f => (f.name, f.dataType.catalogString)),
+      // requested names translate LOGICAL→physical at plan time (r16
+      // column mapping) — vectors are positional, readSchema stays logical
+      ZOrder.physicalReadFields(SparkSession.active, path, travel,
+        required.fields.map(f => (f.name, f.dataType.catalogString))),
       metaFileCol)
 }
 

@@ -530,7 +530,7 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!ZOrder.storeExists(s, dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"graft-z columns are top-level; got ${a.fieldNames().mkString(".")}")
@@ -541,12 +541,31 @@ class ZCatalog extends TableCatalog with SupportsNamespaces
           s"column ${a.fieldNames()(0)}: " +
           s"${a.dataType().simpleString} is outside the table wire surface " +
           "(long/int/double/float/string/boolean/timestamp[_ntz])")
-        StructField(a.fieldNames()(0), a.dataType())
+        Some(StructField(a.fieldNames()(0), a.dataType()))
+      // COLUMN MAPPING (r16): RENAME / DROP COLUMN are metadata-only
+      // commits — stable physical names stay on every file and stat row
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"graft-z columns are top-level; got ${r.fieldNames().mkString(".")}")
+        ZOrder.renameColumn(s, dir, r.fieldNames()(0), r.newName())
+        None
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"graft-z columns are top-level; got ${d.fieldNames().mkString(".")}")
+        ZOrder.dropColumn(s, dir, d.fieldNames()(0))
+        None
+      // TYPE WIDENING (r16): INT->BIGINT / FLOAT->DOUBLE promote the
+      // recorded schema metadata-only; old files widen at decode
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames().length == 1,
+          s"graft-z columns are top-level; got ${t.fieldNames().mkString(".")}")
+        ZOrder.widenColumn(s, dir, t.fieldNames()(0), t.newDataType())
+        None
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: only ADD COLUMN is supported — the store's " +
-          s"evolution contract is add-only (got $other)")
+        s"$catalogName: supported ALTERs are ADD/RENAME/DROP COLUMN and " +
+          s"widening ALTER COLUMN TYPE (got $other)")
     }
-    ZOrder.evolveAddColumns(s, dir, adds)
+    if (adds.nonEmpty) ZOrder.evolveAddColumns(s, dir, adds)
     loadTable(ident)
   }
 

@@ -152,22 +152,269 @@ object ZOrder {
       StructField(RidCol, org.apache.spark.sql.types.LongType,
         nullable = true))
 
+  // ---- COLUMN MAPPING (r16): logical names over stable physical names ----
+
+  /** Manifest row key of the per-version COLUMN-MAPPING row (`mn` holds
+    * the encoded mapping) — Delta's column mapping / Iceberg's field
+    * ids in the store's grammar. The latest committed row governs a
+    * snapshot; epoch rewrites carry it; TIME TRAVEL therefore reads a
+    * past snapshot under the names of that time. */
+  private val ColmapKey = "__colmap__"
+
+  /** Logical↔physical column mapping of one snapshot. Data files,
+    * manifest stats, bloom sidecars, recorded clustering/bucketing
+    * policy and change records are all keyed by a column's PHYSICAL
+    * name — the name it was created under, immutable for the column's
+    * lifetime — while the table surface (schemas, predicates, incoming
+    * frames, SQL) speaks LOGICAL names. `ALTER TABLE RENAME COLUMN` =
+    * a new mapping entry; `DROP COLUMN` = the physical name marked
+    * dropped (hidden from every read plane; the bytes stay — at 100 TB
+    * both are a metadata commit, never a table rewrite). The identity
+    * mapping (every store that never renamed/dropped) short-circuits
+    * all translation to a no-op. Lookups are case-insensitive
+    * throughout (the stat plane's discipline). */
+  private[sources] final case class ColMap(
+      renames: Seq[(String, String)], // (physical, logical), non-identity
+      dropped: Seq[String]) {         // physical names, hidden
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    def isDropped(phys: String): Boolean =
+      dropped.exists(_.equalsIgnoreCase(phys))
+    /** The surface name of a physical column (identity when unmapped). */
+    def logicalOf(phys: String): String =
+      renames.find(_._1.equalsIgnoreCase(phys)).map(_._2).getOrElse(phys)
+    /** The storage name of a logical column: a mapping entry wins;
+      * otherwise the name itself — unless that physical slot is
+      * renamed-away or dropped (then the logical name does not exist,
+      * and a NEW column may not take the retired slot either: old files
+      * still hold its bytes under that name). */
+    def physOf(logical: String): Option[String] = {
+      val hit = renames.find(_._2.equalsIgnoreCase(logical)).map(_._1)
+      hit.orElse {
+        if (isDropped(logical) ||
+            renames.exists(_._1.equalsIgnoreCase(logical))) None
+        else Some(logical)
+      }
+    }
+    def physOfOrRefuse(logical: String, path: String): String =
+      physOf(logical).getOrElse(throw new IllegalArgumentException(
+        s"column $logical is not in the z-store schema at $path " +
+          "(renamed or dropped? see the recorded column mapping)"))
+  }
+
+  private[sources] val IdentityColMap: ColMap = ColMap(Seq.empty, Seq.empty)
+
+  /** Wire form: one line per entry — `R<TAB>phys<TAB>logical` /
+    * `D<TAB>phys`. Rename targets are validated to be tab/newline-free
+    * identifiers, so the encoding never ambiguates. */
+  private def encodeColMap(cm: ColMap): String =
+    (cm.renames.map { case (p, l) => s"R\t$p\t$l" } ++
+      cm.dropped.map(p => s"D\t$p")).mkString("\n")
+
+  private def decodeColMap(s: String): ColMap = {
+    val lines = s.split('\n').filter(_.nonEmpty)
+    ColMap(
+      lines.collect { case l if l.startsWith("R\t") =>
+        val Array(_, p, lg) = l.split('\t'); (p, lg) }.toSeq,
+      lines.collect { case l if l.startsWith("D\t") =>
+        l.split('\t')(1) }.toSeq)
+  }
+
+  /** The LOGICAL (surface) schema of a snapshot: renames applied,
+    * dropped columns hidden. */
+  private[sources] def logicalSchema(physical: StructType,
+      cm: ColMap): StructType =
+    if (cm.isIdentity) physical
+    else StructType(physical.fields.flatMap { f =>
+      if (cm.isDropped(f.name)) None
+      else Some(f.copy(name = cm.logicalOf(f.name)))
+    })
+
+  private def bq(c: String): Column = col(s"`$c`")
+
+  /** Rename a PHYSICAL frame's columns to their logical names and hide
+    * dropped ones — the read-boundary translation. Internal columns
+    * ([[RidCol]], the CDF metadata columns) can never be mapped (rename
+    * refuses them), so they pass through as identity. */
+  private def toLogicalDf(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(df.schema.fieldNames.flatMap { c =>
+      if (cm.isDropped(c)) None
+      else Some(bq(c).as(cm.logicalOf(c)))
+    }.toSeq: _*)
+
+  /** Rename a LOGICAL frame's columns to their physical names — the
+    * write-boundary translation. A column whose name collides with a
+    * RETIRED physical slot (renamed-away or dropped) refuses loudly:
+    * old files still hold bytes under that name, so landing new data
+    * there would silently mix two generations of columns. */
+  private def toPhysicalDf(df: DataFrame, cm: ColMap,
+      path: String): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(df.schema.fieldNames.map { c =>
+      if (c.equalsIgnoreCase(RidCol)) bq(c)
+      else cm.physOf(c) match {
+        case Some(p) if p == c => bq(c)
+        case Some(p) => bq(c).as(p)
+        case None => throw new IllegalArgumentException(
+          s"column $c of the incoming batch collides with a RETIRED " +
+            s"physical column name of the z-store at $path (renamed " +
+            "away or dropped) — old files still hold that column's " +
+            "bytes; pick a different name")
+      }
+    }.toSeq: _*)
+
+  /** Translate the predicate language's column names logical→physical
+    * (strict: an unknown logical name refuses, like every read path
+    * always has). */
+  private def translatePreds(cm: ColMap, path: String,
+      preds: Seq[(String, Any, Any)]): Seq[(String, Any, Any)] =
+    if (cm.isIdentity) preds
+    else preds.map { case (c, lo, hi) =>
+      (cm.physOfOrRefuse(c, path), lo, hi) }
+
+  /** Translate a column-name list logical→physical LENIENTLY: a name
+    * that is already a live physical name passes through — internal
+    * callers hand recorded (physical) clustering/bucketing keys through
+    * public entry points, and those must keep resolving after a rename
+    * of their logical alias. */
+  private def translateColsLenient(cm: ColMap, path: String,
+      cols: Seq[String]): Seq[String] =
+    if (cm.isIdentity) cols
+    else cols.map { c =>
+      cm.physOf(c).getOrElse {
+        if (cm.isDropped(c)) throw new IllegalArgumentException(
+          s"column $c of the z-store at $path is dropped")
+        else c // a renamed column's PHYSICAL name from an internal caller
+      }
+    }
+
+  /** Translate a SQL expression string's single-part attribute
+    * references logical→physical (UPDATE SET expressions evaluate over
+    * the physical frame). Parse → rename → render; an unknown logical
+    * reference refuses like every strict boundary. */
+  private def translateExprRefs(cm: ColMap, path: String,
+      e: String): String =
+    if (cm.isIdentity) e
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).transform {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            UnresolvedAttribute(Seq(cm.physOfOrRefuse(a.name, path)))
+        }.sql
+    }
+
+  /** The single-part attribute names a SQL expression references —
+    * what the rename/drop refusal checks against CHECK constraints. */
+  private def exprRefNames(e: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(e).collect {
+        case a: UnresolvedAttribute => a.nameParts.head
+      }
+    catch { case _: Exception => Seq.empty }
+  }
+
+  /** The current (or time-travel) column mapping of a store — memoized
+    * per snapshot identity like [[prunableColumns]] (the answer only
+    * changes with a commit; identity for stores that never mapped). */
+  private val colMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ColMap]()
+
+  private[sources] def colMapFor(s: SparkSession, path: String,
+      at: Option[(Long, Long)] = None): ColMap =
+    currentSnapshotOrAt(s, path, at) match {
+      case None => IdentityColMap
+      case Some(snap) => colMapForSnap(s, path, snap)
+    }
+
+  private[sources] def colMapForSnap(s: SparkSession, path: String,
+      snap: ZSnapshot): ColMap = {
+    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
+      snap.vdirs.map(_.getName).sorted.mkString(",")
+    val hit = colMapCache.get(key)
+    if (hit != null) hit
+    else {
+      val cm = manifestSchemaMap(s, snap)._3
+      if (colMapCache.size() > 64) colMapCache.clear()
+      colMapCache.put(key, cm)
+      cm
+    }
+  }
+
+  private def currentSnapshotOrAt(s: SparkSession, path: String,
+      at: Option[(Long, Long)]): Option[ZSnapshot] = at match {
+    case Some((e, v)) => Some(snapshotAt(s, path, e, v))
+    case None => currentSnapshot(s, path)
+  }
+
+  /** Physical (name, catalog-type) read fields for a LOGICAL field list
+    * — what the DSv2 reader factories hand the parquet decode plane
+    * (rows are positional, so only the REQUESTED names must be
+    * physical). Non-data columns (metadata/_change_type/coordinates)
+    * pass through identity. */
+  private[sources] def physicalReadFields(s: SparkSession, path: String,
+      at: Option[(Long, Long)], fields: Array[(String, String)])
+      : Array[(String, String)] = {
+    val cm = colMapFor(s, path, at)
+    if (cm.isIdentity) fields
+    else fields.map { case (n, ddl) => (cm.physOf(n).getOrElse(n), ddl) }
+  }
+
+  /** The LOGICAL name of a recorded (physical) layout column — what the
+    * DSv2 table reports in partitioning/bucketing surfaces. */
+  private[sources] def logicalNameFor(s: SparkSession, path: String,
+      phys: String): String = colMapFor(s, path, None).logicalOf(phys)
+
+  /** Apply a snapshot's mapping to a PHYSICAL schema — the table-schema
+    * surface for the DSv2/zcdf planes. */
+  private[sources] def logicalSchemaFor(s: SparkSession, path: String,
+      at: Option[(Long, Long)], physical: StructType): StructType =
+    logicalSchema(physical, colMapFor(s, path, at))
+
   /** Allocate `span` fresh row ids: bump `_zschema/ridhw` under the
     * commit turnstile (tiny critical section — one file read + write).
-    * A crash after the bump leaks a gap, never a duplicate. */
+    * A crash after the bump leaks a gap, never a duplicate.
+    *
+    * CRASH SAFETY (r16 advisor): the mark is never truncated in place —
+    * the new value lands in a sibling `ridhw.new.*` file first and
+    * renames over the mark only after a complete flush, so the OLD mark
+    * survives every crash window. Read rule: the MAX parseable value
+    * across the mark and any leftover `.new` siblings. That max can
+    * never mint a duplicate: a torn `.new` numeral is a strict decimal
+    * PREFIX of `old + span`, so it is strictly below the value a crashed
+    * bump would have returned — and that bump returned to nobody (the
+    * crash killed its caller before a single rid was stamped), so any
+    * value in [old, old+span] is a safe restart point; max(old, torn)
+    * is always in that interval. A store whose ridhw files exist but
+    * NONE parse refuses loudly with the recovery recipe instead of
+    * silently rewinding to 0 (which would re-mint every id). */
   private def allocateRids(s: SparkSession, path: String,
       span: Long): Long =
     withCommitLock(s, path, "rid-alloc") { _ =>
-      val p = new Path(path, "_zschema/ridhw")
+      val dir = new Path(path, "_zschema")
+      val p = new Path(dir, "ridhw")
       val fs = StoreMaint.fsFor(s, p)
-      val cur =
-        if (!fs.exists(p)) 0L
-        else {
-          val in = fs.open(p)
+      fs.mkdirs(dir)
+      def parse(f: Path): Option[Long] =
+        try {
+          val in = fs.open(f)
           val b = try org.apache.commons.io.IOUtils.toByteArray(in)
           finally in.close()
-          new String(b, "UTF-8").trim.toLong
-        }
+          new String(b, "UTF-8").trim.toLongOption
+        } catch { case _: java.io.IOException => None }
+      val candidates = (if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        else Seq.empty)
+        .map(_.getPath)
+        .filter(f => f.getName == "ridhw" || f.getName.startsWith("ridhw.new."))
+      val parsed = candidates.flatMap(parse)
+      require(candidates.isEmpty || parsed.nonEmpty,
+        s"$path: the row-id high-water mark (_zschema/ridhw) exists but " +
+          "is unreadable — a crashed writer tore it. Recover by writing " +
+          "the decimal value (1 + max(__rid) across every data file of " +
+          "the store) to _zschema/ridhw; do NOT delete it (a missing " +
+          "mark restarts at 0 and re-mints existing row ids)")
+      val cur = parsed.maxOption.getOrElse(0L)
       // id-space budget: spans are (partitions+1) << 33, so even a
       // 65536-bucket store exhausts 2^63 only after ~16k writes — but
       // exhaustion must REFUSE loudly, never wrap into duplicate ids
@@ -175,10 +422,18 @@ object ZOrder {
         s"$path: the row-id high-water mark would overflow Long " +
           s"(hw=$cur, span=$span) — the id space is exhausted; migrate " +
           "the data into a fresh store path (identities restart there)")
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
+      val tmp = new Path(dir, "ridhw.new." +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      val out = fs.create(tmp, true)
       try out.write((cur + span).toString.getBytes("UTF-8"))
       finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"$path: could not install the new row-id high-water mark " +
+          s"($tmp -> $p)")
+      // sweep older crash leftovers now that the mark is re-installed
+      candidates.filter(_.getName.startsWith("ridhw.new."))
+        .foreach(f => if (fs.exists(f)) fs.delete(f, false))
       cur
     }
 
@@ -224,12 +479,27 @@ object ZOrder {
     * column null-fill — the upsert table's read-schema discipline). */
   private def manifestAndSchema(s: SparkSession,
       snap: ZSnapshot): (DataFrame, StructType) = {
+    val (man, schema, _) = manifestSchemaMap(s, snap)
+    (man, schema)
+  }
+
+  /** The snapshot's manifest rows, recorded PHYSICAL schema, and column
+    * mapping — one driver collect serves all three (the mapping rides
+    * the manifest as the latest committed [[ColmapKey]] row). */
+  private def manifestSchemaMap(s: SparkSession,
+      snap: ZSnapshot): (DataFrame, StructType, ColMap) = {
     val man = s.read.parquet(snap.vdirs.map(_.toString): _*)
-    val ddl = man.filter(col("c") === lit(DdlKey))
-      .orderBy(col("ver").desc).select(col("mn")).head().getString(0)
+    val meta = man.filter(col("c").isin(DdlKey, ColmapKey))
+      .orderBy(col("ver").desc).select(col("c"), col("mn")).collect()
+    val ddl = meta.find(_.getString(0) == DdlKey).getOrElse(
+      throw new IllegalStateException(
+        s"manifest of epoch ${snap.epoch} has no recorded schema row"))
+      .getString(1)
+    val cm = meta.find(_.getString(0) == ColmapKey)
+      .map(r => decodeColMap(r.getString(1))).getOrElse(IdentityColMap)
     val schema = Sources.deepNullable(StructType.fromDDL(ddl))
       .asInstanceOf[StructType]
-    (man, schema)
+    (man, schema, cm)
   }
 
   private def requireSnapshot(s: SparkSession, path: String): ZSnapshot =
@@ -316,10 +586,16 @@ object ZOrder {
     Lease.withLease(s, path, "zorder-evolve") {
       require(adds.nonEmpty, "ADD COLUMN needs at least one column")
       val snap = requireSnapshot(s, path)
-      val (_, recorded) = manifestAndSchema(s, snap)
+      val (_, recorded, cmE) = manifestSchemaMap(s, snap)
       adds.foreach { f =>
-        require(!recorded.exists(_.name.equalsIgnoreCase(f.name)),
+        require(!logicalSchema(recorded, cmE)
+            .exists(_.name.equalsIgnoreCase(f.name)),
           s"column ${f.name} already exists in $path")
+        // a RETIRED physical slot (renamed-away or dropped) may not be
+        // re-used: old files still hold its bytes under that name
+        require(cmE.physOf(f.name).exists(_.equalsIgnoreCase(f.name)),
+          s"column ${f.name} collides with a retired physical column " +
+            s"name of $path (renamed away or dropped) — pick another name")
       }
       val union = StructType(recorded.fields ++
         adds.map(_.copy(nullable = true))) // old rows read null
@@ -344,7 +620,7 @@ object ZOrder {
   def listDataFiles(s: SparkSession, path: String): Seq[String] = {
     val snap = requireSnapshot(s, path)
     val (man, _) = manifestAndSchema(s, snap)
-    man.filter(col("c") =!= lit(DdlKey)).select(col("f")).distinct()
+    man.filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
   }
 
@@ -360,14 +636,56 @@ object ZOrder {
     require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
       s"$RidCol is the store's hidden row-identity column, not a data " +
         "column")
+    val s = df.sparkSession
     // bootstrap of a fresh store at a previously-used path restarts the
     // epoch names — drop any cached plans of the old occupant (same-tick
     // mtime collision defense; catalog drop/create invalidate too)
-    if (currentSnapshot(df.sparkSession, path).isEmpty)
+    if (currentSnapshot(s, path).isEmpty)
       invalidateScanPlans(path)
-    Lease.withLease(df.sparkSession, path, "zorder-write") {
-      commitNewEpoch(df, path, zcols, numFiles, statCols)
+    // a REBUILD over a mapped store keeps the table identity: incoming
+    // logical columns land under their physical names, the mapping
+    // carries into the new epoch
+    val cm = colMapFor(s, path)
+    Lease.withLease(s, path, "zorder-write") {
+      commitNewEpoch(toPhysicalDf(df, cm, path), path,
+        translateColsLenient(cm, path, zcols), numFiles,
+        translateColsLenient(cm, path, statCols), colmap = cm)
     }
+  }
+
+  /** Bounded RE-PLAN retry for maintenance rewrites (r16 — the verdict's
+    * item 3): [[reclusterZOrdered]] / [[compactSmallFiles]] consume every
+    * base file, so ANY concurrent DML that commits first wins their
+    * optimistic race ([[ConcurrentZRewriteException]] — Delta's
+    * OPTIMIZE-loses rule). Delta's OPTIMIZE retries internally with a
+    * re-plan; this is that loop: each attempt re-resolves the snapshot
+    * and re-runs the whole data plan, so a cron'd OPTIMIZE on a hot
+    * table eventually lands without caller intervention. Bounded (6
+    * attempts, 200ms..2s exponential backoff) so a table under
+    * continuous heavy DML still fails loudly rather than spinning. DML
+    * statements do NOT auto-retry — their rebase machinery already
+    * absorbs disjoint concurrency, and a true overlap is a user-visible
+    * conflict (Delta's contract). */
+  private val MaintenanceRetryAttempts = 6
+
+  private def retryMaintenance[T](what: String, path: String)
+      (body: => T): T = {
+    var attempt = 0
+    var backoff = 200L
+    while (true) {
+      attempt += 1
+      try return body
+      catch { case e: ConcurrentZRewriteException =>
+        if (attempt >= MaintenanceRetryAttempts)
+          throw new ConcurrentZRewriteException(
+            s"$what on $path lost its optimistic race " +
+              s"$MaintenanceRetryAttempts times in a row (steady " +
+              s"concurrent DML?) — last conflict: ${e.getMessage}")
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Re-cluster the CURRENT snapshot into a fresh epoch — the periodic
@@ -376,13 +694,18 @@ object ZOrder {
     * see the old snapshot or the new one, never a mix. */
   def reclusterZOrdered(s: SparkSession, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty): Unit = {
+    val (zcols0, statCols0) = (zcols, statCols)
+    retryMaintenance("recluster", path) {
     recoverUnderCommitLock(s, path)
+    val cmR = colMapFor(s, path)
+    val zcolsP = translateColsLenient(cmR, path, zcols0)
+    val statColsP = translateColsLenient(cmR, path, statCols0)
     // batch tags carry into the new epoch: a replayed tagged append
     // stays a no-op even when the re-cluster already folded its rows in
     // (the OCC helper carries the snapshot's tags)
     val snap = requireSnapshot(s, path)
     val (man, schema) = manifestAndSchema(s, snap)
-    val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+    val files = man.filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     // rows re-read WITH their hidden identity ([[ridded]]) so a
     // recluster never re-mints row ids
@@ -391,10 +714,10 @@ object ZOrder {
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
       else s.read.schema(ridded(schema))
         .parquet(files.map(f => s"$path/$f"): _*)
-    recordZcols(s, path, zcols)
-    val stats = zWrite(df, path, zcols, numFiles) match {
+    recordZcols(s, path, zcolsP)
+    val stats = zWrite(df, path, zcolsP, numFiles) match {
       case Some(dname) => harvestStats(s, path, dname,
-        if (statCols.nonEmpty) statCols else zcols, schema)
+        if (statColsP.nonEmpty) statColsP else zcolsP, schema)
       case None => Seq.empty
     }
     // consumed = EVERY base file: a recluster loses to any concurrent
@@ -402,6 +725,8 @@ object ZOrder {
     // appends (rolled forward past the watermark)
     commitRewriteEpoch(s, path, snap, files, schema.toDDL, stats,
       Seq.empty, None, op = "recluster")
+    ()
+    }
   }
 
   /** Append a batch: z-sort it by its OWN bounds into a fresh data dir of
@@ -444,16 +769,26 @@ object ZOrder {
   def appendZOrdered(df: DataFrame, path: String, zcols: Seq[String],
       numFiles: Int, statCols: Seq[String] = Seq.empty,
       tag: Option[String] = None): Unit = {
-    val s = df.sparkSession
-    require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
+    val (df0, zcols0, statCols0) = (df, zcols, statCols)
+    val s = df0.sparkSession
+    require(!df0.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
       s"$RidCol is the store's hidden row-identity column, not a data " +
         "column")
+    // column-mapping boundary: incoming LOGICAL columns land under their
+    // physical names. OCC-safe by construction: physical names are
+    // STABLE across renames, so a mapping commit racing this append can
+    // never invalidate the translation (a concurrent DROP merely leaves
+    // a hidden column in the batch's files).
+    val cmA = colMapFor(s, path)
+    val dfP = toPhysicalDf(df0, cmA, path)
+    val zcolsP = translateColsLenient(cmA, path, zcols0)
+    val statColsP = translateColsLenient(cmA, path, statCols0)
     var attempts = 0
     var done = false
     while (!done) {
       currentSnapshot(s, path) match {
         case Some(snap) =>
-          appendOcc(df, path, zcols, numFiles, statCols, tag, snap)
+          appendOcc(dfP, path, zcolsP, numFiles, statColsP, tag, snap)
           done = true
         case None =>
           attempts += 1
@@ -464,7 +799,7 @@ object ZOrder {
             Lease.withLease(s, path, "zorder-append-bootstrap") {
               currentSnapshot(s, path) match {
                 case None =>
-                  commitNewEpoch(df, path, zcols, numFiles, statCols,
+                  commitNewEpoch(dfP, path, zcolsP, numFiles, statColsP,
                     tag.toSeq, op = "append")
                   done = true
                 case Some(_) => // bootstrapped meanwhile: loop → OCC path
@@ -513,7 +848,7 @@ object ZOrder {
         val landed = tag.exists(t =>
           man.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
             .limit(1).count() > 0) ||
-          man.filter(col("c") =!= lit(DdlKey) &&
+          man.filter(!col("c").isin(DdlKey, ColmapKey) &&
             col("f").startsWith(s"$dname/")).limit(1).count() > 0
         // a rewrite that RESOLVED ITS BASE after our commit consumed our
         // rows into its rewritten data — the `_rebase` watermark is the
@@ -687,6 +1022,12 @@ object ZOrder {
     * through every manifest rewrite like user batch tags. */
   private def rebaseTag(e: Long, v: Long): String = s"__rebase:e$e:v$v"
 
+  private val RebaseTagRe = """__rebase:e(\d+):v(\d+)""".r
+  private def parseRebaseTag(t: String): Option[(Long, Long)] = t match {
+    case RebaseTagRe(e, v) => Some((e.toLong, v.toLong))
+    case _ => None
+  }
+
   /** Lease-held epoch rewrites call this AFTER their new-epoch commit:
     * versions that committed into `base`'s epoch after `base` was
     * resolved are concurrent lock-free APPENDS the rewrite never saw —
@@ -731,7 +1072,7 @@ object ZOrder {
       .limit(1).count() > 0
     tagged || (vFiles.nonEmpty && {
       import s.implicits._
-      man.filter(col("c") =!= lit(DdlKey))
+      man.filter(!col("c").isin(DdlKey, ColmapKey))
         .join(vFiles.toDF("f"), Seq("f"), "leftsemi")
         .limit(1).count() > 0
     })
@@ -759,7 +1100,7 @@ object ZOrder {
     val rows = s.read.parquet(vdir.toString)
     val tags = rows.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
       .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
-    val vFiles = rows.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+    val vFiles = rows.filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f"))
       .distinct().collect().map(_.getString(0)).toSeq
     // the late append may itself have evolved the schema: carry its
     // recorded DDL through the add-only union, not just the rewrite's
@@ -851,7 +1192,7 @@ object ZOrder {
           // ticket, no tag) from being re-rolled once its ticket ages
           // past the grace window (the r11 advisor finding)
           lazy val vFiles = s.read.parquet(vdir.toString)
-            .filter(col("c") =!= lit(DdlKey)).select(col("f"))
+            .filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f"))
             .distinct().collect().map(_.getString(0)).toSeq
           def filesListed = versionSettledIn(s, man, be, v, vFiles)
           if (!settled.contains(rebaseTag(be, v)) && !filesListed) {
@@ -922,7 +1263,7 @@ object ZOrder {
       numFiles: Int, statCols: Seq[String],
       tags: Seq[String] = Seq.empty,
       rebase: Option[(Long, Long)] = None,
-      op: String = "create"): Unit = {
+      op: String = "create", colmap: ColMap = IdentityColMap): Unit = {
     val s = df.sparkSession
     val mroot = manifestRoot(path)
     recordZcols(s, path, zcols) // the declared keys become store policy
@@ -947,7 +1288,8 @@ object ZOrder {
         s"$op on $path: the epoch-commit lock expired before the " +
           "manifest flip — aborting; retry the statement")
       writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags,
-        op = op)
+        op = op,
+        colmap = if (colmap.isIdentity) None else Some(encodeColMap(colmap)))
     }
   }
 
@@ -977,25 +1319,51 @@ object ZOrder {
     val giveUp = System.currentTimeMillis() + CommitLockWaitMs
     var backoff = 25L
     while (true) {
+      // retry ONLY acquisition-time HeldException: a HeldException
+      // escaping the BODY (e.g. a future nested lease acquisition inside
+      // a commit step) must propagate loudly — silently re-running a
+      // body that already wrote its rebase marker / change record would
+      // re-apply partial commit work (r15 advisor)
       try return Lease.withLeaseHandle(s,
-        new Path(path, "_zcommit").toString, who)(body)
-      catch { case _: Lease.HeldException =>
-        if (System.currentTimeMillis() > giveUp)
-          throw new IllegalStateException(
-            s"epoch-commit lock of $path not acquirable within " +
-              s"${CommitLockWaitMs / 1000}s — a committer is stuck " +
-              "(or crashed with most of its TTL ahead); see " +
-              s"$path/_zcommit/_LEASE")
-        Thread.sleep(backoff)
-        backoff = math.min(backoff * 2, 1000L)
+        new Path(path, "_zcommit").toString, who, CommitTtlMs) { h =>
+        try body(h)
+        catch { case e: Lease.HeldException => throw new CommitBodyHeld(e) }
+      }
+      catch {
+        case e: CommitBodyHeld => throw e.getCause
+        case _: Lease.HeldException =>
+          if (System.currentTimeMillis() > giveUp)
+            throw new IllegalStateException(
+              s"epoch-commit lock of $path not acquirable within " +
+                s"${CommitLockWaitMs / 1000}s — a committer is stuck " +
+                "(or crashed with most of its TTL ahead); see " +
+                s"$path/_zcommit/_LEASE")
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 1000L)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
+  /** Marker wrapping a [[Lease.HeldException]] thrown from INSIDE a
+    * commit body, so the acquisition retry loop can tell it from its own
+    * acquisition failures and re-throw instead of re-running the body. */
+  private final class CommitBodyHeld(cause: Lease.HeldException)
+    extends RuntimeException(cause)
+
   /** How long a committer queues for the commit lock before erroring —
     * generous (the lock holds for seconds; TTL breaks crashed holders). */
   private val CommitLockWaitMs: Long = 15 * 60 * 1000L
+
+  /** The `_zcommit` lease TTL — the turnstile's documented
+    * seconds-scale critical section made REAL (r15 advisor: acquiring
+    * with the 10-minute store default meant a crashed committer stalled
+    * every commit for the full 10 minutes despite the queue's retry
+    * budget). 2 minutes dominates the slowest legitimate commit step
+    * (manifest v0 write + rollforward sweep, small single-task jobs)
+    * with the [[Lease]] expiry margin to spare, and bounds the
+    * crashed-holder stall to the same 2 minutes. */
+  private val CommitTtlMs: Long = 2 * 60 * 1000L
 
   /** Run the crashed-rollforward recovery sweep in the commit slot —
     * what every optimistic rewrite does FIRST (the store lease used to
@@ -1035,13 +1403,33 @@ object ZOrder {
       prepared: ZSnapshot, consumed: Seq[String], ddl: String,
       newStats: Seq[(String, String, Option[String], Option[String], Boolean)],
       extraTags: Seq[String], changes: => Option[DataFrame],
-      op: String): Boolean = {
+      op: String, newColmap: Option[ColMap] = None): Boolean = {
     import s.implicits._
     var attempt = prepared
     var rebased = false
+    // The change-record Spark job is the expensive half of a big DML's
+    // commit: stage it to a temp dir OUTSIDE the turnstile (it derives
+    // only from consumed files / caller-persisted inputs, so it stays
+    // valid across a rebase) and make the in-lock step a metadata-only
+    // rename — a large delta no longer serializes every other committer
+    // for its write (r15 advisor). Memoized by hand: a `lazy val` would
+    // re-run the job if forced for cleanup in the finally.
+    var stagedMemo: Option[Option[Path]] = None
+    def stagedChanges: Option[Path] = {
+      if (stagedMemo.isEmpty)
+        stagedMemo = Some(
+          if (!changeFeedEnabled(s, path)) None
+          else changes.map(c => stageChangeRecord(s, path, c)))
+      stagedMemo.get
+    }
+    var stagedConsumed = false
+    try {
     while (true) {
-      val (man0, attemptSchema) = manifestAndSchema(s, attempt)
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val (man0, attemptSchema, attemptCm) = manifestSchemaMap(s, attempt)
+      // the column mapping CARRIES across every epoch rewrite (like
+      // tags); a rename/drop commit replaces it via `newColmap`
+      val colmapOut = newColmap.getOrElse(attemptCm)
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       if (rebased) {
         if (extraTags.nonEmpty &&
             man0.filter(col("c") === lit(DdlKey) &&
@@ -1067,6 +1455,7 @@ object ZOrder {
         Some(attemptSchema), StructType.fromDDL(ddl)).toDDL
       val carried = carriedStatsDf(s, man, consumed)
       val tags = manifestTags(man0) ++ extraTags
+      val staged = stagedChanges // forced OUTSIDE the turnstile
       val committed = withCommitLock(s, path, s"commit-$op") { lease =>
         val now = requireSnapshot(s, path)
         if (now.epoch != attempt.epoch) { attempt = now; false }
@@ -1075,14 +1464,18 @@ object ZOrder {
           val edir = new Path(manifestRoot(path), s"e$nextE")
           writeRebaseMarker(StoreMaint.fsFor(s, edir), edir,
             attempt.epoch, maxVerOf(attempt))
-          if (changeFeedEnabled(s, path))
-            changes.foreach(c => writeChangeRecord(s, path, nextE, c))
+          staged.foreach { t =>
+            commitStagedChangeRecord(s, path, nextE, t)
+            stagedConsumed = true
+          }
           if (!lease.stillHeld()) throw new IllegalStateException(
             s"$op on $path: the epoch-commit lock expired before the " +
               "manifest flip — aborting (a breaker may be committing); " +
               "retry the statement")
           writeManifestVersion(s, edir, 0L, ddlOut, newStats, tags,
-            carried = Some(carried), op = op)
+            carried = Some(carried), op = op,
+            colmap = if (colmapOut.isIdentity) None
+              else Some(encodeColMap(colmapOut)))
           rollForwardLateAppends(s, path, attempt, lease)
           true
         }
@@ -1091,6 +1484,14 @@ object ZOrder {
       rebased = true
     }
     false
+    } finally {
+      // a lost race / replayed-twin exit leaves the staged record
+      // unconsumed — collect it (losers leave the store untouched)
+      if (!stagedConsumed) stagedMemo.flatten.foreach { t =>
+        val fs = StoreMaint.fsFor(s, t)
+        if (fs.exists(t)) { fs.delete(t, true); () }
+      }
+    }
   }
 
   /** Write one z-clustered batch into a FRESH data dir; returns its name,
@@ -1294,7 +1695,7 @@ object ZOrder {
       ddl: String,
       stats: Seq[(String, String, Option[String], Option[String], Boolean)],
       tags: Seq[String] = Seq.empty, carried: Option[DataFrame] = None,
-      op: String = "unknown"): Unit = {
+      op: String = "unknown", colmap: Option[String] = None): Unit = {
     import s.implicits._
     // the operation AUDIT record ([[describeHistory]]): a `v<N>.op`
     // sidecar beside the version dir, written BEFORE the version's own
@@ -1309,7 +1710,9 @@ object ZOrder {
     val rows = stats.map { case (f, c, mn, mx, an) =>
       (ver, f, c, mn, mx, an)
     } ++ tags.distinct.map(t =>
-      (ver, "", DdlKey, Option(ddl), Option(t), false)) :+
+      (ver, "", DdlKey, Option(ddl), Option(t), false)) ++
+      colmap.map(m =>
+        (ver, "", ColmapKey, Option(m), None: Option[String], false)) :+
       ((ver, "", DdlKey, Option(ddl), None: Option[String], false))
     val newDf = rows.toDF("ver", "f", "c", "mn", "mx", "allnull")
     val df = carried match {
@@ -1329,7 +1732,7 @@ object ZOrder {
   private def carriedStatsDf(s: SparkSession, man: DataFrame,
       drop: Seq[String]): DataFrame = {
     import s.implicits._
-    val base = man.filter(col("c") =!= lit(DdlKey))
+    val base = man.filter(!col("c").isin(DdlKey, ColmapKey))
       .select(col("f"), col("c"), col("mn"), col("mx"), col("allnull"))
     if (drop.isEmpty) base
     else base.join(drop.toDF("f"), Seq("f"), "left_anti")
@@ -1430,10 +1833,14 @@ object ZOrder {
     readZRangeSnap(s, path, snapshotAt(s, path, epoch, version), preds)
 
   private def readZRangeSnap(s: SparkSession, path: String, snap: ZSnapshot,
-      preds: Seq[(String, Any, Any)]): DataFrame = {
-    require(preds.nonEmpty, "readZRange needs at least one predicate")
-    val (man0, schema) = manifestAndSchema(s, snap)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+      preds0: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds0.nonEmpty, "readZRange needs at least one predicate")
+    val (man0, schema, cm) = manifestSchemaMap(s, snap)
+    // predicates arrive in LOGICAL names; stats, files and the physical
+    // frame below speak physical — a filter on a RENAMED column prunes
+    // via the original physical stats, zero re-harvest
+    val preds = translatePreds(cm, path, preds0)
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keep =
       try {
@@ -1469,9 +1876,9 @@ object ZOrder {
       if (keep.nonEmpty)
         s.read.schema(schema).parquet(keep.map(f => s"$path/$f"): _*)
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+    toLogicalDf(preds.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(bandPred(c, lo, hi))
-    }
+    }, cm)
   }
 
   /** Manifest-pruned (surviving files, recorded schema) for OPTIONAL
@@ -1591,9 +1998,16 @@ object ZOrder {
   }
 
   private[sources] def pruneFilesForSnap(s: SparkSession, path: String,
-      snap: ZSnapshot, bounds: Seq[(String, Option[Any], Option[Any])],
+      snap: ZSnapshot, bounds0: Seq[(String, Option[Any], Option[Any])],
       at: Option[(Long, Long)])
       : (Seq[(String, Option[Long])], StructType) = {
+    // pruning is BEST-EFFORT, so bound translation is too: a bound whose
+    // logical name doesn't resolve (can't happen through the table
+    // schema, belt-and-braces here) simply prunes nothing
+    val cmB = colMapForSnap(s, path, snap)
+    val bounds = if (cmB.isIdentity) bounds0
+      else bounds0.flatMap { case (c, lo, hi) =>
+        cmB.physOf(c).map(p => (p, lo, hi)) }
     val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
       s"${snap.vdirs.map(_.getName).sorted.mkString(",")}|" +
       bounds.map { case (c, lo, hi) => s"$c:$lo:$hi" }.sorted.mkString(";") +
@@ -1605,7 +2019,7 @@ object ZOrder {
       case None => scanPlanMisses.incrementAndGet()
     }
     val (man0, schema) = manifestAndSchema(s, snap)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
     val applicable = bounds.flatMap { case (c0, lo, hi) =>
       schema.find(_.name.equalsIgnoreCase(c0))
         .filter(f => Sources.statsEligible(f.dataType) &&
@@ -1682,8 +2096,9 @@ object ZOrder {
     * counts are irrelevant without predicates — COUNT(*) counts null
     * rows too); only count-less files (pre-r10 manifests) scan. */
   def countZRange(s: SparkSession, path: String,
-      preds: Seq[(String, Any, Any)]): Long = {
-    val parts = countZRangeParts(s, path, preds)
+      preds0: Seq[(String, Any, Any)]): Long = {
+    val preds = translatePreds(colMapFor(s, path), path, preds0)
+    val parts = countZRangePartsP(s, path, preds)
     val residualRows =
       if (parts.residual.isEmpty) 0L
       else {
@@ -1698,10 +2113,15 @@ object ZOrder {
   }
 
   private[graft] def countZRangeParts(s: SparkSession, path: String,
+      preds0: Seq[(String, Any, Any)]): ZCount =
+    countZRangePartsP(s, path,
+      translatePreds(colMapFor(s, path), path, preds0))
+
+  private def countZRangePartsP(s: SparkSession, path: String,
       preds: Seq[(String, Any, Any)]): ZCount = {
     val snap = requireSnapshot(s, path)
     val (man0, schema) = manifestAndSchema(s, snap)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val have = statRows(man).select(lower(col("c"))).distinct()
@@ -1800,11 +2220,16 @@ object ZOrder {
     * file with recorded stats for all agg columns charges the manifest.
     * ZOrderSpec pins the no-open claim by physically deleting a charged
     * file and aggregating anyway. */
-  def minMaxZRange(s: SparkSession, path: String, aggCols: Seq[String],
-      preds: Seq[(String, Any, Any)]): DataFrame = {
-    require(aggCols.nonEmpty, "minMaxZRange needs at least one agg column")
+  def minMaxZRange(s: SparkSession, path: String, aggCols0: Seq[String],
+      preds0: Seq[(String, Any, Any)]): DataFrame = {
+    require(aggCols0.nonEmpty, "minMaxZRange needs at least one agg column")
     val snap = requireSnapshot(s, path)
-    val (man0, schema) = manifestAndSchema(s, snap)
+    val (man0, schema, cmM) = manifestSchemaMap(s, snap)
+    // logical→physical at the boundary; output columns re-labeled with
+    // the caller's (logical) names at the end
+    val aggCols = aggCols0.map(c =>
+      if (cmM.isIdentity) c else cmM.physOfOrRefuse(c, path))
+    val preds = translatePreds(cmM, path, preds0)
     val aggFields = aggCols.map { c =>
       val f = schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -1814,8 +2239,8 @@ object ZOrder {
           "min/max order (long/int/double/string/timestamp do)")
       f
     }
-    val parts = minMaxZRangeParts(s, path, aggCols, preds)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val parts = minMaxZRangePartsP(s, path, aggCols, preds)
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
     import s.implicits._
     val chargedRows = man
       .join(parts.charged.toDF("f"), Seq("f"), "leftsemi")
@@ -1846,16 +2271,24 @@ object ZOrder {
       val a = f.name.toLowerCase
       Seq(least(col(s"cmn_$a"), col(s"smn_$a")).as(s"mn_${f.name}"),
         greatest(col(s"cmx_$a"), col(s"smx_$a")).as(s"mx_${f.name}"))
-    }: _*)
+    }: _*).toDF(aggCols0.flatMap(c => Seq(s"mn_$c", s"mx_$c")): _*)
   }
 
   /** The charged/scan decomposition behind [[minMaxZRange]] — exposed for
     * the spec's no-open pinning, mirroring [[countZRangeParts]]. */
   private[graft] def minMaxZRangeParts(s: SparkSession, path: String,
+      aggCols0: Seq[String], preds0: Seq[(String, Any, Any)]): ZMinMax = {
+    val cmM = colMapFor(s, path)
+    minMaxZRangePartsP(s, path,
+      aggCols0.map(c => if (cmM.isIdentity) c else cmM.physOfOrRefuse(c, path)),
+      translatePreds(cmM, path, preds0))
+  }
+
+  private def minMaxZRangePartsP(s: SparkSession, path: String,
       aggCols: Seq[String], preds: Seq[(String, Any, Any)]): ZMinMax = {
     val snap = requireSnapshot(s, path)
     val (man0, schema) = manifestAndSchema(s, snap)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val have = statRows(man).select(lower(col("c"))).distinct()
@@ -1938,15 +2371,17 @@ object ZOrder {
     * Sidecars of vacuumed files are dead weight until the vacuum sweep
     * (they are keyed by data-file name and never consulted for unlisted
     * files). */
-  def buildBloomIndex(s: SparkSession, path: String, colName: String,
+  def buildBloomIndex(s: SparkSession, path: String, colName0: String,
       fpp: Double = 0.03): Unit =
     Lease.withLease(s, path, "zorder-bloom-build") {
       val snap = requireSnapshot(s, path)
-      val (man0, schema) = manifestAndSchema(s, snap)
+      val (man0, schema, cmB) = manifestSchemaMap(s, snap)
+      val colName = if (cmB.isIdentity) colName0
+        else cmB.physOfOrRefuse(colName0, path)
       val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
         throw new IllegalArgumentException(
           s"column $colName is not in the z-store schema"))
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       // expected items per file from the harvested row counts (the
       // count plane pays off again); conservative max over files
       val maxRows = man.filter(col("c") === lit(CountKey) &&
@@ -1962,8 +2397,8 @@ object ZOrder {
         val out = fs.create(p, true)
         try out.write(fpp.toString.getBytes("UTF-8")) finally out.close()
       }
-      writeBloomSidecars(s, path, f.name, readSnapshotOf(s, path, snap),
-        math.max(maxRows, 1024L), fpp)
+      writeBloomSidecars(s, path, f.name,
+        readSnapshotPhysOf(s, path, snap), math.max(maxRows, 1024L), fpp)
     }
 
   /** Bloom-indexed columns of the store = the recorded `_zbloom/<col>`
@@ -2053,10 +2488,15 @@ object ZOrder {
     * describe IMMUTABLE files, so time-travel candidates probe the same
     * way. */
   private[sources] def bloomPruneScan(s: SparkSession, path: String,
-      points: Seq[(String, Any)], schema: StructType,
+      points0: Seq[(String, Any)], schema: StructType,
       candidates: Seq[(String, Option[Long])])
       : Seq[(String, Option[Long])] = {
-    if (points.isEmpty || candidates.isEmpty) return candidates
+    if (points0.isEmpty || candidates.isEmpty) return candidates
+    // best-effort boundary translation, like the range-bound plane
+    val cmP = colMapFor(s, path)
+    val points = if (cmP.isIdentity) points0
+      else points0.flatMap { case (c, v) => cmP.physOf(c).map((_, v)) }
+    if (points.isEmpty) return candidates
     val overrides = GraftShardsSource.confOverrides(s)
     val fs0 = GraftShardsSource.fs(new Path(path),
       GraftShardsSource.hadoopConf(overrides))
@@ -2143,7 +2583,7 @@ object ZOrder {
       snap.vdirs.map(_.getName).sorted.mkString(",")
     Option(prunableColsCache.get(key)).getOrElse {
       val (man, schema) = manifestAndSchema(s, snap)
-      val statCols = statRows(man.filter(col("c") =!= lit(DdlKey)))
+      val statCols = statRows(man.filter(!col("c").isin(DdlKey, ColmapKey)))
         .select(lower(col("c"))).distinct()
         .collect().map(_.getString(0)).toSet
       val bdir = new Path(path, "_zbloom")
@@ -2152,10 +2592,12 @@ object ZOrder {
         if (!fs.exists(bdir)) Set.empty[String]
         else fs.listStatus(bdir).filter(_.isDirectory)
           .map(_.getPath.getName).toSet
+      val cmPr = colMapForSnap(s, path, snap)
       val out = schema.fields.toSeq
         .filter(f => Sources.statsEligible(f.dataType) &&
-          (statCols(f.name.toLowerCase) || bloomCols(f.name.toLowerCase)))
-        .map(_.name)
+          (statCols(f.name.toLowerCase) || bloomCols(f.name.toLowerCase)) &&
+          !cmPr.isDropped(f.name))
+        .map(f => cmPr.logicalOf(f.name)) // the scan output speaks logical
       if (prunableColsCache.size > 64) prunableColsCache.clear()
       prunableColsCache.put(key, out)
       out
@@ -2211,8 +2653,10 @@ object ZOrder {
       case Some((e, v)) => snapshotAt(s, path, e, v)
       case None => requireSnapshot(s, path)
     }
-    val (man0, schema) = manifestAndSchema(s, snap)
-    val fOpt = schema.find(_.name.equalsIgnoreCase(colName))
+    val (man0, schema, cmV) = manifestSchemaMap(s, snap)
+    val colNameP = if (cmV.isIdentity) colName
+      else cmV.physOf(colName).getOrElse(return candidates)
+    val fOpt = schema.find(_.name.equalsIgnoreCase(colNameP))
       .filter(f => Sources.statsEligible(f.dataType))
     if (fOpt.isEmpty) return candidates
     val f = fOpt.get
@@ -2220,7 +2664,7 @@ object ZOrder {
     val enc = nonNull.map(v => Sources.encodeBound(f.dataType, v))
     // range plane: driver-side forall over the collected stat rows (the
     // same O(files) driver materialization the scan plan itself is)
-    val stats = man0.filter(col("c") =!= lit(DdlKey))
+    val stats = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       .filter(lower(col("c")) === colLower && !col("c").startsWith("__"))
       .select(col("f"), col("mn"), col("mx"), col("allnull"))
       .collect()
@@ -2401,15 +2845,17 @@ object ZOrder {
     * costs I/O, never correctness, and a missing sidecar degrades to
     * reading that file. ZOrderSpec pins files-opened ∝ matches with a
     * planted absent probe. */
-  def readZPoint(s: SparkSession, path: String, colName: String,
+  def readZPoint(s: SparkSession, path: String, colName0: String,
       value: Any): DataFrame = {
     val snap = requireSnapshot(s, path)
-    val (man0, schema) = manifestAndSchema(s, snap)
+    val (man0, schema, cm) = manifestSchemaMap(s, snap)
+    val colName = if (cm.isIdentity) colName0
+      else cm.physOfOrRefuse(colName0, path)
     val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
       throw new IllegalArgumentException(
         s"column $colName is not in the z-store schema"))
     val colLower = f.name.toLowerCase
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kept =
       try {
@@ -2454,7 +2900,7 @@ object ZOrder {
       if (kept.nonEmpty)
         s.read.schema(schema).parquet(kept.map(f0 => s"$path/$f0"): _*)
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    base.filter(pointPred(f.name, value))
+    toLogicalDf(base.filter(pointPred(f.name, value)), cm)
   }
 
   /** Full current-snapshot read (explicit recorded schema, manifest-listed
@@ -2465,11 +2911,19 @@ object ZOrder {
     readSnapshotOf(s, path, requireSnapshot(s, path))
 
   private def readSnapshotOf(s: SparkSession, path: String,
+      snap: ZSnapshot): DataFrame =
+    toLogicalDf(readSnapshotPhysOf(s, path, snap),
+      colMapForSnap(s, path, snap))
+
+  /** The PHYSICAL-named snapshot frame — internal planes that join
+    * against physical-keyed sidecars/stats ([[buildBloomIndex]]). */
+  private def readSnapshotPhysOf(s: SparkSession, path: String,
       snap: ZSnapshot): DataFrame = {
-    val (man, schema) = manifestAndSchema(s, snap)
-    val files = man.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+    val (man, schema, _) = manifestSchemaMap(s, snap)
+    val files = man.filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f"))
       .distinct().collect().map(_.getString(0)).sorted
-    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
   }
 
@@ -2559,8 +3013,11 @@ object ZOrder {
       version: Long): DataFrame = {
     val (sized, schema) = changeFilesSized(s, path, epoch, version)
     val files = sized.map(_._1)
-    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*)
+    toLogicalDf(
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.schema(schema).parquet(files.map(f => s"$path/$f"): _*),
+      colMapFor(s, path))
   }
 
   // ---- row-level change feed across DML epochs -----------------------------
@@ -2621,12 +3078,30 @@ object ZOrder {
     * what lets [[readChangeFeed]] cross a DML epoch instead of refusing
     * with full-refresh (the r13 verdict's top item; Delta's CDF
     * contract). */
-  private def writeChangeRecord(s: SparkSession, path: String,
-      epoch: Long, changes: DataFrame): Unit =
+  private def stageChangeRecord(s: SparkSession, path: String,
+      changes: DataFrame): Path = {
+    val tmp = new Path(new Path(path, "_ztmp"), "chg-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
     Sources.writeMicros(s) {
-      changes.write.mode("overwrite")
-        .parquet(changesDir(path, epoch).toString)
+      changes.write.mode("overwrite").parquet(tmp.toString)
     }
+    tmp
+  }
+
+  /** Install a STAGED change record at its epoch coordinate — the
+    * in-turnstile half: one directory rename, so a big DML's change-set
+    * write never serializes other committers (r15 advisor; the Spark
+    * job ran in [[stageChangeRecord]] before the lock). */
+  private def commitStagedChangeRecord(s: SparkSession, path: String,
+      epoch: Long, staged: Path): Unit = {
+    val dst = changesDir(path, epoch)
+    val fs = StoreMaint.fsFor(s, dst)
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) fs.delete(dst, true) // a crashed twin's leftover
+    require(fs.rename(staged, dst),
+      s"$path: could not install the staged change record " +
+        s"($staged -> $dst)")
+  }
 
   /** The algebraic change set of a group-based copy-on-write rewrite
     * (SQL UPDATE / MERGE / DELETE through [[replaceScannedFiles]]): the
@@ -2773,15 +3248,27 @@ object ZOrder {
           ((bv + 1L) to from._2).toSet
         case _ => Set.empty
       }
+    // Provenance resolves TRANSITIVELY (r16 advisor): a copy rolled
+    // forward across TWO back-to-back swaps carries `rebase:e1:v'`
+    // provenance (its immediate source), not `rebase:e0:v` — so each
+    // epoch's skip set feeds the next epoch's resolution, and a consumer
+    // straddling any number of consecutive swaps is still delivered each
+    // row exactly once.
+    val skipByEpoch = scala.collection.mutable.Map[Long, Set[Long]](
+      from._1 -> straddled)
     def rolledCopiesOf(e: Long, maxV: Long): Set[Long] =
       if (straddled.isEmpty) Set.empty
       else {
         val man = manifestAndSchema(s, snapshotAt(s, path, e, maxV))._1
-        man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
+        val out = man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
           .select(col("ver"), col("mx")).collect()
-          .collect { case r if straddled.exists(v =>
-              r.getString(1) == rebaseTag(from._1, v)) => r.getLong(0) }
+          .collect { case r
+            if parseRebaseTag(r.getString(1)).exists { case (se, sv) =>
+              skipByEpoch.getOrElse(se, Set.empty).contains(sv) } =>
+            r.getLong(0) }
           .toSet
+        skipByEpoch(e) = out
+        out
       }
     val steps = scala.collection.mutable.ArrayBuffer.empty[FeedStep]
     epochs.zipWithIndex.foreach { case (e, idx) =>
@@ -2807,7 +3294,7 @@ object ZOrder {
           else {
             val snapE = snapshotAt(s, path, e, maxV)
             val (manE0, _) = manifestAndSchema(s, snapE)
-            manE0.filter(col("c") =!= lit(DdlKey))
+            manE0.filter(!col("c").isin(DdlKey, ColmapKey))
               .groupBy(col("f")).agg(min(col("ver")).as("ver"))
               .collect().map(r => (r.getLong(1), r.getString(0)))
               .groupBy(_._1).map { case (v, fv) =>
@@ -2923,20 +3410,25 @@ object ZOrder {
             .withColumn(CommitEpochCol, lit(e))
             .withColumn(CommitVersionCol, lit(0L)))
       }
-    if (pieces.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
-    else {
-      val aligned = pieces.map { p =>
-        val withAll = endSchema.fields.foldLeft(p) { (d, f) =>
-          if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
-          else d.withColumn(f.name, lit(null).cast(f.dataType))
+    val cmF = colMapFor(s, path, Some(endC))
+    val out =
+      if (pieces.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+      else {
+        val aligned = pieces.map { p =>
+          val withAll = endSchema.fields.foldLeft(p) { (d, f) =>
+            if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+          withAll.select((endSchema.fieldNames.toSeq ++
+            Seq(ChangeTypeCol, CommitEpochCol, CommitVersionCol))
+            .map(col): _*)
         }
-        withAll.select((endSchema.fieldNames.toSeq ++
-          Seq(ChangeTypeCol, CommitEpochCol, CommitVersionCol))
-          .map(col): _*)
+        aligned.reduce(_ unionByName _)
       }
-      aligned.reduce(_ unionByName _)
-    }
+    // the feed's data columns speak LOGICAL (the end coordinate's
+    // mapping): a dropped column is hidden from the feed too
+    toLogicalDf(out, cmF)
   }
 
   /** The change-feed delta's files WITH their recorded sizes — what the
@@ -2969,7 +3461,7 @@ object ZOrder {
       snapshotAt(s, path, epoch, u) // loud refusal on a bogus bound
     }
     val (man0, schema) = manifestAndSchema(s, snap)
-    val man = man0.filter(col("c") =!= lit(DdlKey))
+    val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
     val delta = man.groupBy(col("f")).agg(min(col("ver")).as("v0"))
       .filter(col("v0") > lit(version) &&
         until.map(u => col("v0") <= lit(u)).getOrElse(lit(true)))
@@ -3010,7 +3502,7 @@ object ZOrder {
         s"e${snap.epoch}) — a row delta across an epoch swap does not " +
         "exist; full-refresh and resume from the current epoch")
     val (man, _) = manifestAndSchema(s, snap)
-    man.filter(col("c") =!= lit(DdlKey))
+    man.filter(!col("c").isin(DdlKey, ColmapKey))
       .groupBy(col("f")).agg(min(col("ver")).as("ver"))
       .filter(col("ver") > lit(fromVer) && col("ver") <= lit(toVer))
       .select(col("ver"), col("f"))
@@ -3073,7 +3565,7 @@ object ZOrder {
     withCommitLock(s, path, "manifest-compact") { lease =>
       recoverLostRollforwards(s, path, lease)
       val snap = requireSnapshot(s, path)
-      val (man, schema) = manifestAndSchema(s, snap)
+      val (man, schema, cmMc) = manifestSchemaMap(s, snap)
       val edir = new Path(manifestRoot(path), s"e${nextEpoch(s, path)}")
       writeRebaseMarker(StoreMaint.fsFor(s, edir), edir, snap.epoch,
         maxVerOf(snap))
@@ -3083,7 +3575,8 @@ object ZOrder {
       writeManifestVersion(s, edir, 0L,
         schema.toDDL, Seq.empty, manifestTags(man),
         carried = Some(carriedStatsDf(s, man, Seq.empty)),
-        op = "manifest-compact")
+        op = "manifest-compact",
+        colmap = if (cmMc.isIdentity) None else Some(encodeColMap(cmMc)))
       rollForwardLateAppends(s, path, snap, lease)
     }
 
@@ -3104,14 +3597,16 @@ object ZOrder {
     * remains time-travel-readable — the audit trail of the deletion).
     * Returns the number of rows deleted; 0 = no commit, store untouched. */
   def deleteZRange(s: SparkSession, path: String,
-      preds: Seq[(String, Any, Any)], zcols: Seq[String],
+      preds0: Seq[(String, Any, Any)], zcols0: Seq[String],
       numFiles: Int = 0): Long = {
-    require(preds.nonEmpty, "deleteZRange needs at least one predicate")
+    require(preds0.nonEmpty, "deleteZRange needs at least one predicate")
     locally {
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
-      val (man0, schema) = manifestAndSchema(s, snap)
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val (man0, schema, cmD) = manifestSchemaMap(s, snap)
+      val preds = translatePreds(cmD, path, preds0)
+      val zcols = translateColsLenient(cmD, path, zcols0)
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val typed = preds.map { case (c0, lo, hi) =>
@@ -3189,18 +3684,21 @@ object ZOrder {
     * replacement re-clusters through [[zWrite]] (CHECK constraints
     * validate it first), tags carry, and the superseded epoch stays a
     * travel coordinate. Returns (rows deleted, rows inserted). */
-  def overwriteZRange(data: DataFrame, path: String,
-      preds: Seq[(String, Any, Any)], zcols: Seq[String],
+  def overwriteZRange(data0: DataFrame, path: String,
+      preds0: Seq[(String, Any, Any)], zcols0: Seq[String],
       numFiles: Int = 0): (Long, Long) = {
-    require(preds.nonEmpty,
+    require(preds0.nonEmpty,
       "overwriteZRange needs at least one predicate — an unconditional " +
         "overwrite is writeZOrdered")
-    val s = data.sparkSession
+    val s = data0.sparkSession
     locally {
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
-      val (man0, schema) = manifestAndSchema(s, snap)
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val (man0, schema, cmO) = manifestSchemaMap(s, snap)
+      val preds = translatePreds(cmO, path, preds0)
+      val zcols = translateColsLenient(cmO, path, zcols0)
+      val data = toPhysicalDf(data0, cmO, path)
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         // align the incoming rows to the RECORDED schema by name (a
@@ -3293,7 +3791,10 @@ object ZOrder {
     val snap = requireSnapshot(s, path)
     val (files0, schema) = pruneFilesForSnap(s, path, snap, bounds, None)
     val files = bloomPruneScan(s, path, points, schema, files0)
-    (snap, files, schema)
+    // the SQL surface speaks logical: the scan's rows and the write's
+    // replacement both travel under logical names (physicalized again
+    // inside replaceScannedFiles)
+    (snap, files, logicalSchema(schema, colMapForSnap(s, path, snap)))
   }
 
   /** The COMMIT half of a group-based SQL row-level operation: replace
@@ -3319,12 +3820,13 @@ object ZOrder {
     * them into the new epoch — exactly the append-vs-rewrite resolution
     * every other rewrite uses. */
   private[sources] def replaceScannedFiles(s: SparkSession, path: String,
-      scanSnap: ZSnapshot, affected: Seq[String], replacement: DataFrame,
+      scanSnap: ZSnapshot, affected: Seq[String], replacement0: DataFrame,
       op: String): Unit =
     locally {
       recoverUnderCommitLock(s, path)
-      val (man0, schema) = manifestAndSchema(s, scanSnap)
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val (man0, schema, cmR) = manifestSchemaMap(s, scanSnap)
+      val replacement = toPhysicalDf(replacement0, cmR, path)
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val zcols = recordedZcols(s, path).getOrElse(
@@ -3415,16 +3917,20 @@ object ZOrder {
     * no-ops) — the foreachBatch CDC-apply loop's idempotence token. The
     * superseded epoch stays time-travel-readable until [[vacuumOrphans]]
     * — the audit trail of what the merge changed. */
-  def mergeByKey(s: SparkSession, path: String, source: DataFrame,
-      keyCol: String, zcols: Seq[String], numFiles: Int = 0,
+  def mergeByKey(s: SparkSession, path: String, source0: DataFrame,
+      keyCol0: String, zcols0: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): MergeResult =
     locally {
-      require(!source.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
+      require(!source0.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
         s"$RidCol is the store's hidden row-identity column, not a " +
           "source column")
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
-      val (man0, recorded) = manifestAndSchema(s, snap)
+      val (man0, recorded, cmG) = manifestSchemaMap(s, snap)
+      val source = toPhysicalDf(source0, cmG, path)
+      val keyCol = if (cmG.isIdentity) keyCol0
+        else cmG.physOfOrRefuse(keyCol0, path)
+      val zcols = translateColsLenient(cmG, path, zcols0)
       val replayed = tag.exists(t =>
         man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
           .limit(1).count() > 0)
@@ -3443,7 +3949,7 @@ object ZOrder {
           s"merge key $keyCol is not a column of the z-store at $path")
         val dt = keyField.dataType
         val src = source.persist(StorageLevel.MEMORY_AND_DISK)
-        val man = man0.filter(col("c") =!= lit(DdlKey))
+        val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val srcCnt = src.count()
@@ -3534,13 +4040,14 @@ object ZOrder {
     * larger file carries by reference. Same epoch-swap commit, tags
     * carried, superseded epoch to [[vacuumOrphans]]. Returns the number
     * of small files folded; fewer than 2 candidates = no-op, no commit. */
-  def compactSmallFiles(s: SparkSession, path: String, zcols: Seq[String],
+  def compactSmallFiles(s: SparkSession, path: String, zcols0: Seq[String],
       smallBytes: Long): Int =
-    locally {
+    retryMaintenance("optimize (bin-pack)", path) {
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
-      val (man0, schema) = manifestAndSchema(s, snap)
-      val man = man0.filter(col("c") =!= lit(DdlKey))
+      val (man0, schema, cmC) = manifestSchemaMap(s, snap)
+      val zcols = translateColsLenient(cmC, path, zcols0)
+      val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       val sizes = man.filter(col("c") === lit(SizeKey))
         .select(col("f"), col("mn")).collect()
         .map(r => r.getString(0) -> r.getString(1).toLong).toMap
@@ -3599,6 +4106,143 @@ object ZOrder {
       }.toSeq
   }
 
+  // ---- RENAME / DROP COLUMN (r16): metadata-only schema evolution --------
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE BIGINT|DOUBLE` — TYPE WIDENING
+    * as a metadata-only evolution commit (Delta 3.x / Iceberg parity):
+    * the recorded schema promotes to the wider type; files written
+    * before the promotion keep their narrow physical type and WIDEN AT
+    * DECODE (Spark's readers and the zcdf Group reader both do), so no
+    * data rewrites. Narrowing or any non-widening change refuses via
+    * [[StoreMaint.unionSchemas]]'s contract. */
+  def widenColumn(s: SparkSession, path: String, colName: String,
+      newType: DataType): Unit =
+    Lease.withLease(s, path, "zorder-evolve") {
+      val snap = requireSnapshot(s, path)
+      val (_, recorded, cm) = manifestSchemaMap(s, snap)
+      val phys = cm.physOfOrRefuse(colName, path)
+      val f = recorded.find(_.name.equalsIgnoreCase(phys)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $colName is not in the z-store schema at $path"))
+      val union = StoreMaint.unionSchemas(s"$path (z-store)",
+        Some(recorded),
+        StructType(Seq(StructField(f.name, newType))))
+      val got = union.find(_.name.equalsIgnoreCase(phys)).get.dataType
+      require(got == Sources.deepNullable(newType),
+        s"cannot narrow column $colName of $path: " +
+          s"${f.dataType.simpleString} -> ${newType.simpleString} " +
+          "(only INT->BIGINT / FLOAT->DOUBLE widening is metadata-only)")
+      if (got == Sources.deepNullable(f.dataType)) return // no-op widen
+      val ver = claimNextVersion(StoreMaint.fsFor(s, snap.epochDir),
+        snap.epochDir)
+      writeManifestVersion(s, snap.epochDir, ver, union.toDDL, Seq.empty,
+        op = "widen-column")
+    }
+
+  /** The column names the engine reserves — a rename target may not
+    * shadow them (the DSv2 metadata columns, the CDF wire columns, the
+    * write path's scratch columns). */
+  private val ReservedColNames: Set[String] = Set(
+    RidCol, "_file", "__z", "__zb",
+    ChangeTypeCol, "_epoch", "_ver")
+
+  private def validateNewColName(path: String, cm: ColMap,
+      physSchema: StructType, newName: String): Unit = {
+    require(newName.nonEmpty && !newName.exists(c =>
+        c == '\t' || c == '\n' || c == '\r' || c == '`'),
+      s"rename on $path: '$newName' is not a usable column name")
+    require(!newName.startsWith("__") &&
+        !ReservedColNames.exists(_.equalsIgnoreCase(newName)),
+      s"rename on $path: $newName is a reserved engine column name")
+    val logicalNames = logicalSchema(physSchema, cm).fieldNames
+    require(!logicalNames.exists(_.equalsIgnoreCase(newName)),
+      s"rename on $path: a column named $newName already exists")
+  }
+
+  private def refuseConstraintRefs(s: SparkSession, path: String,
+      logicalName: String, what: String): Unit =
+    listCheckConstraints(s, path).foreach { case (n, e) =>
+      require(!exprRefNames(e).exists(_.equalsIgnoreCase(logicalName)),
+        s"cannot $what column $logicalName of the z-store at $path: " +
+          s"CHECK constraint $n ($e) references it — drop the " +
+          "constraint first (Delta's contract)")
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — a METADATA-ONLY epoch
+    * commit (Delta's column mapping): the column's stable PHYSICAL name
+    * (its creation name) stays on every data file, stat row, bloom
+    * sidecar and change record; only the logical surface changes. A
+    * filter on the NEW name keeps pruning via the ORIGINAL stats — at
+    * 100 TB a rename is one manifest commit, never a table rewrite.
+    * Refuses on: unknown column, name collisions, reserved names, and
+    * columns referenced by CHECK constraints. Renaming clustering /
+    * bucketing columns is fine (the layout is physical). Incremental
+    * change-feed consumers refuse across the commit with the
+    * full-refresh contract (their row schema changed), exactly like
+    * every other non-DML rewrite. */
+  def renameColumn(s: SparkSession, path: String, oldName: String,
+      newName: String): Unit = {
+    recoverUnderCommitLock(s, path)
+    val snap = requireSnapshot(s, path)
+    val (_, physSchema, cm) = manifestSchemaMap(s, snap)
+    val phys = cm.physOfOrRefuse(oldName, path)
+    require(physSchema.exists(_.name.equalsIgnoreCase(phys)),
+      s"column $oldName is not in the z-store schema at $path")
+    if (oldName.equalsIgnoreCase(newName)) return
+    validateNewColName(path, cm, physSchema, newName)
+    refuseConstraintRefs(s, path, oldName, "rename")
+    val others = cm.renames.filterNot(_._1.equalsIgnoreCase(phys))
+    val newCm = ColMap(
+      if (newName.equalsIgnoreCase(phys)) others // renamed back home
+      else others :+ (phys, newName),
+      cm.dropped)
+    commitRewriteEpoch(s, path, snap, Seq.empty, physSchema.toDDL,
+      Seq.empty, Seq.empty, None, op = "rename-column",
+      newColmap = Some(newCm))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — metadata-only like [[renameColumn]]:
+    * the physical column's bytes stay in every existing file but the
+    * name disappears from every read plane (scans, predicates, CDF,
+    * `.changes`, DPP attributes) and later appends simply don't write
+    * it. The retired name may not be re-used by a new column (old files
+    * still hold its bytes). Refuses on: unknown column, the last
+    * remaining column, clustering/bucketing columns (the write path
+    * computes their bounds on every batch — recluster onto other keys
+    * first), and CHECK-constraint references. Any recorded bloom policy
+    * for the column is retired with it. */
+  def dropColumn(s: SparkSession, path: String, colName: String): Unit = {
+    recoverUnderCommitLock(s, path)
+    val snap = requireSnapshot(s, path)
+    val (_, physSchema, cm) = manifestSchemaMap(s, snap)
+    val phys = cm.physOfOrRefuse(colName, path)
+    require(physSchema.exists(_.name.equalsIgnoreCase(phys)),
+      s"column $colName is not in the z-store schema at $path")
+    require(logicalSchema(physSchema, cm).fields.length > 1,
+      s"cannot drop $colName: it is the last column of $path")
+    refuseConstraintRefs(s, path, colName, "drop")
+    recordedZcols(s, path).foreach(zs => require(
+      !zs.exists(_.equalsIgnoreCase(phys)),
+      s"cannot drop $colName: it is a recorded clustering key of $path " +
+        "— recluster onto other keys first"))
+    recordedBucketing(s, path).foreach { case (b, _) => require(
+      !b.equalsIgnoreCase(phys),
+      s"cannot drop $colName: it is the recorded hash-bucket column " +
+        s"of $path")
+    }
+    val newCm = ColMap(
+      cm.renames.filterNot(_._1.equalsIgnoreCase(phys)),
+      cm.dropped :+ phys)
+    commitRewriteEpoch(s, path, snap, Seq.empty, physSchema.toDDL,
+      Seq.empty, Seq.empty, None, op = "drop-column",
+      newColmap = Some(newCm))
+    // retire the column's bloom policy: zWrite's self-heal would
+    // otherwise try to re-cover a column new batches no longer carry
+    val bdir = new Path(path, s"_zbloom/${phys.toLowerCase}")
+    val fs = StoreMaint.fsFor(s, bdir)
+    if (fs.exists(bdir)) { fs.delete(bdir, true); () }
+  }
+
   /** ADD CONSTRAINT … CHECK (expr) — validates EVERY existing row first
     * (Delta scans the table the same way) and refuses if any violates;
     * the constraint file lands only after the scan passes. Lease-held:
@@ -3611,6 +4255,19 @@ object ZOrder {
       sqlExpr: String): Unit = {
     require(name.matches("[A-Za-z0-9_-]+"),
       s"constraint name $name must be [A-Za-z0-9_-]+")
+    // the constraint plane evaluates over PHYSICAL frames at write time
+    // and LOGICAL frames here — sound only while every referenced column
+    // has logical == physical, which the rename/drop refusals preserve;
+    // close the loop from this side too
+    locally {
+      val cmK = colMapFor(s, path)
+      if (!cmK.isIdentity) exprRefNames(sqlExpr).foreach { n =>
+        require(cmK.physOf(n).exists(_.equalsIgnoreCase(n)),
+          s"CHECK constraint $name references $n, a renamed " +
+            s"(column-mapped) column of $path — declare constraints on " +
+            "columns whose logical and physical names match")
+      }
+    }
     Lease.withLease(s, path, "zorder-add-constraint") {
       val existing =
         try readSnapshot(s, path).filter(
@@ -3669,15 +4326,23 @@ object ZOrder {
     * trail of what changed. Returns the number of rows updated; 0 = no
     * commit, store untouched. */
   def updateZRange(s: SparkSession, path: String,
-      preds: Seq[(String, Any, Any)], set: Map[String, String],
-      zcols: Seq[String], numFiles: Int = 0,
+      preds0: Seq[(String, Any, Any)], set0: Map[String, String],
+      zcols0: Seq[String], numFiles: Int = 0,
       tag: Option[String] = None): Long = {
-    require(preds.nonEmpty, "updateZRange needs at least one predicate")
-    require(set.nonEmpty, "updateZRange needs at least one SET expression")
+    require(preds0.nonEmpty, "updateZRange needs at least one predicate")
+    require(set0.nonEmpty, "updateZRange needs at least one SET expression")
     locally {
       recoverUnderCommitLock(s, path)
       val snap = requireSnapshot(s, path)
-      val (man0, schema) = manifestAndSchema(s, snap)
+      val (man0, schema, cmU) = manifestSchemaMap(s, snap)
+      val preds = translatePreds(cmU, path, preds0)
+      val zcols = translateColsLenient(cmU, path, zcols0)
+      // SET keys and the attribute references INSIDE the SET expressions
+      // both translate logical->physical (the expressions evaluate over
+      // the physical frame)
+      val set = if (cmU.isIdentity) set0
+        else set0.map { case (k, e) =>
+          (cmU.physOfOrRefuse(k, path), translateExprRefs(cmU, path, e)) }
       val replayed = tag.exists(t =>
         man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
           .limit(1).count() > 0)
@@ -3687,7 +4352,7 @@ object ZOrder {
           schema.exists(_.name.equalsIgnoreCase(k)),
           s"SET column $k is not a column of the z-store at $path — " +
             "UPDATE cannot add columns"))
-        val man = man0.filter(col("c") =!= lit(DdlKey))
+        val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val typed = preds.map { case (c0, lo, hi) =>
@@ -3797,9 +4462,9 @@ object ZOrder {
       recoverLostRollforwards(s, path, lease)
       val cur = requireSnapshot(s, path)
       val past = snapshotAt(s, path, epoch, version)
-      val (manP, schemaP) = manifestAndSchema(s, past)
+      val (manP, schemaP, cmP) = manifestSchemaMap(s, past)
       val (man0, _) = manifestAndSchema(s, cur)
-      val files = manP.filter(col("c") =!= lit(DdlKey)).select(col("f"))
+      val files = manP.filter(!col("c").isin(DdlKey, ColmapKey)).select(col("f"))
         .distinct().collect().map(_.getString(0)).toSeq
       val overrides = GraftShardsSource.confOverrides(s)
       val target = path
@@ -3848,7 +4513,8 @@ object ZOrder {
           "aborting; retry")
       writeManifestVersion(s, edir, 0L, schemaP.toDDL, Seq.empty,
         manifestTags(man0),
-        carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore")
+        carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore",
+        colmap = if (cmP.isIdentity) None else Some(encodeColMap(cmP)))
       rollForwardLateAppends(s, path, cur, lease)
     }
 
@@ -3885,7 +4551,7 @@ object ZOrder {
         case None => Seq.empty
         case Some(snap) =>
           val (man, _) = manifestAndSchema(s, snap)
-          val liveDirs = man.filter(col("c") =!= lit(DdlKey))
+          val liveDirs = man.filter(!col("c").isin(DdlKey, ColmapKey))
             .select(col("f")).distinct()
             .collect().map(_.getString(0).split('/').head).toSet
           val fs = StoreMaint.fsFor(s, new Path(path))
@@ -5974,6 +6640,121 @@ object ZOrder {
       .orderBy(col("doc_id"))
   }
 
+  /** q165's store: documents z-clustered on doc_id, then the FULL
+    * column-mapping lifecycle — RENAME the clustering key (doc_id→id)
+    * and a data column (n_chars→chars), DROP source, UPDATE and APPEND
+    * through the new names. Every data file written before the renames
+    * is untouched (metadata-only commits); the final read filters on
+    * the NEW name and prunes via the ORIGINAL physical stats. */
+  private val colmapStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def colmapStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      colmapStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zcolmap-q").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        writeZOrdered(docs, dir, Seq("doc_id"), 8)
+        val before = listDataFiles(s, dir)
+        renameColumn(s, dir, "n_chars", "chars")
+        renameColumn(s, dir, "doc_id", "id")
+        dropColumn(s, dir, "source")
+        require(listDataFiles(s, dir) == before,
+          "q165 store build: a rename/drop touched a data file — the " +
+            "metadata-only contract broke")
+        val mn = docs.agg(min(col("doc_id"))).head().getLong(0)
+        val nUpd = updateZRange(s, dir, Seq(("id", mn, mn + 49L)),
+          Map("chars" -> "chars + 1000"), Seq("id"))
+        require(nUpd > 0, s"q165 store build: update landed $nUpd rows")
+        appendZOrdered(Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), col("lang"),
+            col("n_chars").as("chars")),
+          dir, Seq("id"), 1)
+        dir
+      })
+    }
+
+  /** q165: COLUMN MAPPING — `ALTER TABLE RENAME/DROP COLUMN` as
+    * metadata-only commits (Delta's column mapping): stable physical
+    * names stay on every file, stat row and bloom sidecar; the logical
+    * surface (schemas, predicates, SET expressions, appends) speaks the
+    * new names. The exact oracle reproduces the lifecycle algebraically
+    * over the raw table — a broken translation plane (stale name, lost
+    * column, mis-pruned file, resurrected dropped column) hash-fails. */
+  val q165ZOrderColumnMap: Q = Q(
+    "q165_zorder_column_map",
+    """WITH b AS (SELECT MIN(doc_id) AS mn FROM documents),
+      |base AS (
+      |  SELECT d.doc_id AS id, d.lang,
+      |    CASE WHEN d.doc_id <= b.mn + 49 THEN d.n_chars + 1000
+      |         ELSE d.n_chars END AS chars
+      |  FROM documents d, b),
+      |appended AS (
+      |  SELECT doc_id + 1000000 AS id, lang, n_chars AS chars
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id, lang, chars FROM base
+      |UNION ALL SELECT id, lang, chars FROM appended
+      |ORDER BY id""".stripMargin,
+  ) { (s, d) =>
+    val dir = colmapStoreFor(s, d)
+    readZRange(s, dir, Seq(("id", 0L, 2000000L)))
+      .select(col("id"), col("lang"), col("chars"))
+      .orderBy(col("id"))
+  }
+
+  /** q166's store: documents with an INT and a FLOAT column, then TYPE
+    * WIDENING both ways it can arrive — an explicit `widenColumn`
+    * (ALTER COLUMN TYPE) on the int column, and an APPEND whose batch
+    * already carries the wider types (the union promotes). The appended
+    * values exceed Int range, so a fake widening (decode truncation)
+    * cannot pass the hash check; old INT32/FLOAT files widen at decode. */
+  private val widenStores = scala.collection.mutable.Map.empty[String, String]
+
+  private def widenStoreFor(s: SparkSession, d: String): String =
+    synchronized {
+      widenStores.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-zwiden-q").toString
+        val docs = Tables.documents(s, d)
+        writeZOrdered(docs.select(col("doc_id"),
+          col("n_chars").cast("int").as("nc"),
+          col("n_chars").cast("float").as("fsc")), dir, Seq("doc_id"), 4)
+        widenColumn(s, dir, "nc", org.apache.spark.sql.types.LongType)
+        appendZOrdered(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            (col("n_chars") + 3000000000L).as("nc"),
+            (col("n_chars") * 1.5).as("fsc")), dir, Seq("doc_id"), 1)
+        dir
+      })
+    }
+
+  /** q166: TYPE WIDENING — INT→BIGINT / FLOAT→DOUBLE as metadata-only
+    * evolution (Delta 3.x / Iceberg parity): the recorded schema
+    * promotes; files written before the promotion keep INT32/FLOAT
+    * physical pages and widen at decode. Beyond-Int-range appended
+    * values and exact float→double promotion make the oracle
+    * truncation-sensitive. */
+  val q166ZOrderTypeWidening: Q = Q(
+    "q166_zorder_type_widening",
+    """WITH base AS (
+      |  SELECT doc_id AS id,
+      |    CAST(CAST(n_chars AS INTEGER) AS BIGINT) AS nc,
+      |    CAST(CAST(n_chars AS FLOAT) AS DOUBLE) AS fsc
+      |  FROM documents),
+      |appended AS (
+      |  SELECT doc_id + 1000000 AS id, n_chars + 3000000000 AS nc,
+      |    n_chars * 1.5 AS fsc
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id, nc, fsc FROM base
+      |UNION ALL SELECT id, nc, fsc FROM appended
+      |ORDER BY id""".stripMargin,
+  ) { (s, d) =>
+    val dir = widenStoreFor(s, d)
+    readSnapshot(s, dir)
+      .select(col("doc_id").as("id"), col("nc"), col("fsc"))
+      .orderBy(col("id"))
+  }
+
   val all: Seq[Q] = Seq(q123ZOrderRead, q132ZOrderStreamIngest,
     q133ZOrderDelete, q134ZOrderTimeTravel, q136ZOrderChangeFeed,
     q137ZOrderIvm, q138ZOrderMerge, q139ZOrderCount, q140ZcdfStream,
@@ -5984,5 +6765,5 @@ object ZOrder {
     q155ZTableStream, q156ZTableStreamWrite, q157ZTableChanges,
     q158ZTableReplaceWhere, q159ZTableRuntimePrune, q160ZOrderDmlCdf,
     q161ZTableSpjJoin, q162ZcdfStreamDml, q163ZOrderOccDml,
-    q164ZChangesTable)
+    q164ZChangesTable, q165ZOrderColumnMap, q166ZOrderTypeWidening)
 }

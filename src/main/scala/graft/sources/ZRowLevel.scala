@@ -185,7 +185,9 @@ class ZRowLevelScan(op: ZRowLevelOperation, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     ZBatchReaderFactory(
       GraftShardsSource.confOverrides(SparkSession.active),
-      readSchema().fields.map(f => (f.name, f.dataType.catalogString)),
+      // requested names translate LOGICAL→physical (r16 column mapping)
+      ZOrder.physicalReadFields(SparkSession.active, path, None,
+        readSchema().fields.map(f => (f.name, f.dataType.catalogString))),
       metaFileCol = readSchema().fieldNames.contains(ZBatch.FileCol) &&
         !schema.fieldNames.contains(ZBatch.FileCol))
 }

@@ -91,10 +91,14 @@ object ZcdfStream {
     * stream and the graft-z batch table ([[ZBatch]]). */
   private[sources] def wireSchema(s: SparkSession, path: String,
       source: String, at: Option[(Long, Long)] = None): StructType = {
-    val recorded = at match {
+    val physical = at match {
       case Some((e, v)) => ZOrder.recordedSchemaAt(s, path, e, v)
       case None => ZOrder.streamState(s, path)._3
     }
+    // the table surface speaks LOGICAL names (r16 column mapping):
+    // renames applied, dropped columns hidden; the reader factories
+    // translate requested names back to physical at plan time
+    val recorded = ZOrder.logicalSchemaFor(s, path, at, physical)
     recorded.fields.foreach { f =>
       require(supported(f.dataType),
         s"$source: column ${f.name} has type ${f.dataType.simpleString}; " +
@@ -121,12 +125,23 @@ object ZcdfStream {
         .find(j => gt.getFieldName(j).equalsIgnoreCase(name))
       vals(i) = idx match {
         case Some(j) if g.getFieldRepetitionCount(j) > 0 =>
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          def fileIs(t: PrimitiveTypeName): Boolean =
+            gt.getType(j).isPrimitive &&
+              gt.getType(j).asPrimitiveType().getPrimitiveTypeName == t
           types(i) match {
             // both timestamp flavors are INT64 micros on the wire
-            // (Sources.writeMicros); NTZ vs UTC is a logical-type label
+            // (Sources.writeMicros); NTZ vs UTC is a logical-type label.
+            // TYPE WIDENING (r16): a file written before an INT->BIGINT
+            // (FLOAT->DOUBLE) promotion still stores the narrow physical
+            // type — widen at decode, like Spark's own readers do
+            case LongType if fileIs(PrimitiveTypeName.INT32) =>
+              g.getInteger(j, 0).toLong
             case LongType | TimestampType | TimestampNTZType =>
               g.getLong(j, 0)
             case IntegerType => g.getInteger(j, 0)
+            case DoubleType if fileIs(PrimitiveTypeName.FLOAT) =>
+              g.getFloat(j, 0).toDouble
             case DoubleType => g.getDouble(j, 0)
             case FloatType => g.getFloat(j, 0)
             case BooleanType => g.getBoolean(j, 0)
@@ -229,13 +244,22 @@ class ZcdfTable(path: String, tschema: StructType,
         new org.apache.spark.sql.connector.read.Batch {
           private val opts = new java.util.HashMap[String, String](options)
           locally {
-            opts.put("startingVersion", "earliest")
+            // a user-supplied startingVersion is HONORED (r16 advisor:
+            // it used to be silently overridden); absent, the batch
+            // reads the full recorded history
+            if (!options.containsKey("startingVersion"))
+              opts.put("startingVersion", "earliest")
             opts.put("changeFeed", "true")
           }
           private val ms = new ZcdfMicroBatchStream(path, tschema,
             new CaseInsensitiveStringMap(opts))
+          // offsets resolve ONCE per Batch instance: Spark plans a DSv2
+          // scan's partitions twice per query (AQE), and a commit landing
+          // between the two passes must not yield two different partition
+          // sets for one logical read (r16 advisor)
+          private lazy val range = (ms.initialOffset(), ms.latestOffset())
           override def planInputPartitions(): Array[InputPartition] =
-            ms.planInputPartitions(ms.initialOffset(), ms.latestOffset())
+            ms.planInputPartitions(range._1, range._2)
           override def createReaderFactory(): PartitionReaderFactory =
             ms.createReaderFactory()
         }
@@ -439,7 +463,12 @@ class ZcdfMicroBatchStream(path: String, tschema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZcdfReaderFactory(GraftShardsSource.confOverrides(s),
-      tschema.fields.dropRight(2).map(f => (f.name, f.dataType.catalogString)),
+      // requested names translate LOGICAL→physical at plan time (r16
+      // column mapping): files and change records store physical names;
+      // the wire row is positional, so the output schema stays logical
+      ZOrder.physicalReadFields(s, path, None,
+        tschema.fields.dropRight(2)
+          .map(f => (f.name, f.dataType.catalogString))),
       // in changeFeed mode the LAST data field is _change_type: read
       // from the file (a transition's change set carries it as data)
       // unless the partition pins a constant (version arrivals =

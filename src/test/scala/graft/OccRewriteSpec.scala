@@ -177,4 +177,56 @@ class OccRewriteSpec extends SparkSpec {
     assert(r3.updated == 0L && r3.inserted == 0L)
     assert(ZOrder.readSnapshot(spark, dir).count() == 1000)
   }
+
+  test("OPTIMIZE auto-retries under steady DML: maintenance eventually lands without caller intervention") {
+    // r15 verdict gap #3: recluster/bin-pack consume EVERY base file, so
+    // any DML that commits first used to kill them with
+    // ConcurrentZRewriteException and the caller had to retry wholesale.
+    // Delta's OPTIMIZE re-plans internally; ours now does too (bounded).
+    for (round <- 0 until 2) {
+      val dir = mkStore(2000)
+      val (ru, rr) = race(
+        { // steady DML stream: 8 quick disjoint-band updates. A DML can
+          // itself lose to a committed OPTIMIZE (Delta's
+          // ConcurrentDeleteRead shape) — its documented contract is
+          // "retry the statement", which a loser does safely (nothing
+          // committed); maintenance is the side that must NOT need this.
+          var n = 0L
+          for (i <- 0 until 8) {
+            var done = false
+            var tries = 0
+            while (!done) {
+              try {
+                n += ZOrder.updateZRange(spark, dir,
+                  Seq(("k", i * 100L, i * 100L + 49L)),
+                  Map("v" -> "v + 1"), Seq("k"))
+                done = true
+              } catch {
+                case e: graft.sources.ZOrder.ConcurrentZRewriteException =>
+                  tries += 1
+                  if (tries > 10) throw e
+                  Thread.sleep(100)
+              }
+            }
+            Thread.sleep(50)
+          }
+          n
+        },
+        { ZOrder.reclusterZOrdered(spark, dir, Seq("k"), 8); 1L })
+      assert(ru == Right(400L), s"round $round: updates $ru")
+      assert(rr == Right(1L), s"round $round: recluster must land " +
+        s"without caller retries, got $rr")
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.count() == 2000, s"round $round")
+      // every update's effect survived the recluster (values exact)
+      val vsum = after.agg(sum(col("v"))).head().getLong(0)
+      val base = (0L until 2000L).map(_ % 100).sum
+      assert(vsum == base + 400L,
+        s"round $round: v-sum $vsum != ${base + 400L} — an update was " +
+          "lost or doubled across the maintenance retry")
+      val ops = ZOrder.describeHistory(spark, dir)
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      assert(ops.contains("recluster"), ops.toString)
+    }
+  }
 }

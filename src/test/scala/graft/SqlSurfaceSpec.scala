@@ -157,22 +157,20 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM graftz.lake.t1 WHERE extra = 7")
         .head().getLong(0) == 10)
-      val eAlter = intercept[Exception] {
-        spark.sql("ALTER TABLE graftz.lake.t1 RENAME COLUMN extra TO e2")
-      }
-      assert(eAlter.getMessage.contains("add-only"), eAlter.getMessage)
+      // column RENAME/DROP are SUPPORTED since r16 (column mapping —
+      // metadata-only commits; the r13 add-only-forever decision was
+      // revisited when it became the last Delta-parity hole). The
+      // dedicated lifecycle test below pins them; here pin that the
+      // renamed/dropped surface keeps working in THIS table's flow.
+      spark.sql("ALTER TABLE graftz.lake.t1 RENAME COLUMN extra TO e2")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftz.lake.t1 WHERE e2 = 7")
+        .head().getLong(0) == 10)
+      spark.sql("ALTER TABLE graftz.lake.t1 RENAME COLUMN e2 TO extra")
       val eAlter2 = intercept[Exception] {
         spark.sql("ALTER TABLE graftz.lake.t1 ADD COLUMN dup ARRAY<INT>")
       }
       assert(eAlter2.getMessage.contains("wire surface"), eAlter2.getMessage)
-      // column rename/drop: the FORMAT CONTRACT is add-only evolution
-      // (decided in r13 after two carries — logical→physical name
-      // indirection would touch every read/write/stat/bloom plane for
-      // the lowest-ranked item); the refusal must SAY so
-      val eAlter3 = intercept[Exception] {
-        spark.sql("ALTER TABLE graftz.lake.t1 DROP COLUMN extra")
-      }
-      assert(eAlter3.getMessage.contains("add-only"), eAlter3.getMessage)
       // TRUNCATE = rebuild to empty (schema + clustering policy survive)
       spark.sql("TRUNCATE TABLE graftz.lake.t1")
       assert(spark.sql("SELECT count(*) FROM graftz.lake.t1")
@@ -455,6 +453,93 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.graftinfo")
       spark.conf.unset("spark.sql.catalog.graftinfo.root")
+    }
+  }
+
+  test("graftz catalog: ALTER TABLE RENAME/DROP COLUMN — metadata-only column mapping through SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zcatmap").toString
+    spark.conf.set("spark.sql.catalog.graftmap", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.graftmap.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE graftmap.lake")
+      spark.sql("""CREATE TABLE graftmap.lake.t
+        (k BIGINT, v BIGINT, s STRING) PARTITIONED BY (k)""")
+      spark.sql("""INSERT INTO graftmap.lake.t
+        SELECT id, id % 100, concat('x', id) FROM range(1000)""")
+      val dir = s"$root/lake/t"
+      val filesBefore = graft.sources.ZOrder.listDataFiles(spark, dir)
+
+      spark.sql("ALTER TABLE graftmap.lake.t RENAME COLUMN v TO score")
+      // metadata-only: zero data files touched
+      assert(graft.sources.ZOrder.listDataFiles(spark, dir) == filesBefore)
+      assert(spark.table("graftmap.lake.t").columns.toSeq ==
+        Seq("k", "score", "s"))
+      // filters on the NEW name answer (and prune) via the OLD stats
+      assert(spark.sql(
+        "SELECT count(*) FROM graftmap.lake.t WHERE score = 55")
+        .head().getLong(0) == 10)
+      assert(spark.sql(
+        "SELECT sum(score) FROM graftmap.lake.t WHERE k BETWEEN 0 AND 9")
+        .head().getLong(0) == 45)
+      // the old name is gone from the SQL surface
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT v FROM graftmap.lake.t").collect() }
+      // INSERT after the rename speaks the new name
+      spark.sql("""INSERT INTO graftmap.lake.t
+        SELECT id, id % 100, concat('x', id) FROM range(1000, 1100)""")
+      assert(spark.sql("SELECT count(*) FROM graftmap.lake.t")
+        .head().getLong(0) == 1100)
+      // SQL row-level UPDATE through the mapped schema
+      spark.sql("UPDATE graftmap.lake.t SET score = score + 1000 " +
+        "WHERE k BETWEEN 0 AND 4")
+      assert(spark.sql(
+        "SELECT count(*) FROM graftmap.lake.t WHERE score >= 1000")
+        .head().getLong(0) == 5)
+
+      spark.sql("ALTER TABLE graftmap.lake.t DROP COLUMN s")
+      assert(spark.table("graftmap.lake.t").columns.toSeq ==
+        Seq("k", "score"))
+      // the retired physical slots may not be re-added
+      def chainMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      val ex = intercept[Exception] {
+        spark.sql("ALTER TABLE graftmap.lake.t ADD COLUMNS (v BIGINT)") }
+      assert(chainMsg(ex).contains("retired"), chainMsg(ex))
+      val ex2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graftmap.lake.t ADD COLUMNS (s STRING)") }
+      assert(chainMsg(ex2).contains("retired"), chainMsg(ex2))
+      // TYPE WIDENING through SQL: metadata-only promotion; narrowing
+      // refuses (r16 item 6 — the same _zschema machinery)
+      spark.sql("ALTER TABLE graftmap.lake.t ALTER COLUMN score TYPE BIGINT")
+      assert(spark.table("graftmap.lake.t").schema("score").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(spark.sql(
+        "SELECT count(*) FROM graftmap.lake.t WHERE score >= 1000")
+        .head().getLong(0) == 5)
+      val exW = intercept[Exception] {
+        spark.sql("ALTER TABLE graftmap.lake.t ALTER COLUMN score TYPE INT") }
+      // Spark's analyzer refuses the down-cast before the catalog can
+      // (NOT_SUPPORTED_CHANGE_COLUMN); the catalog's own narrowing
+      // refusal is pinned programmatically in ZOrderSpec
+      assert(chainMsg(exW).contains("narrow") ||
+        chainMsg(exW).contains("NOT_SUPPORTED_CHANGE_COLUMN"), chainMsg(exW))
+      // DESCRIBE HISTORY records both ops
+      val hist = graft.sources.ZOrder.describeHistory(spark, dir)
+        .select(org.apache.spark.sql.functions.col("op"))
+        .collect().map(_.getString(0)).toSeq
+      assert(hist.contains("rename-column") && hist.contains("drop-column"),
+        hist.toString)
+      // time travel through the catalog shows the PAST's names
+      // (coordinate 1 = the first INSERT; coordinate 0 is the empty CREATE)
+      val (e0, v0) = graft.sources.ZOrder.listVersions(spark, dir)(1)
+      val past = spark.sql(
+        s"SELECT * FROM graftmap.lake.t VERSION AS OF '$e0:$v0'")
+      assert(past.columns.toSeq == Seq("k", "v", "s"), past.columns.toSeq)
+      assert(past.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftmap")
+      spark.conf.unset("spark.sql.catalog.graftmap.root")
     }
   }
 }

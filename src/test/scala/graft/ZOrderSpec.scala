@@ -2317,4 +2317,319 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.listDataFiles(spark, dir3).toSet).size
     assert(carried3 >= before3.size - 3, s"$carried3/${before3.size}")
   }
+
+  test("change feed: transitive provenance across two back-to-back swaps still dedupes a straddling offset") {
+    // r16 advisor: a rolled-forward copy that is itself rolled forward
+    // again across a SECOND concurrent swap carries rebase:e1:v'
+    // provenance (its immediate source), so the old single-hop skip
+    // (matching only rebase:e0:*) re-delivered it to a straddling
+    // consumer. The chain must resolve transitively.
+    val (dir, _) = lostAppendStore() // e1 rebase=(0,0); v1 lives in e0
+    new java.io.File(dir, "_zchanges/e1").mkdirs()
+    graft.sources.Lease.withLeaseHandle(spark, dir, "spec") { h =>
+      ZOrder.recoverLostRollforwards(spark, dir, h)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+    // SECOND swap: a rewrite of e1 that resolved its base BEFORE the
+    // first rolled copy landed (watermark e1:v0), committed its new
+    // epoch's v0, and died before its own rollforward — same surgery
+    // shape as lostAppendStore, one level up
+    val m = new java.io.File(dir, "_zmanifest")
+    val e2 = new java.io.File(m, "e2")
+    e2.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(e2.toString, "_rebase"), "1:0".getBytes)
+    copyDir(new java.io.File(m, "e1/v0"), new java.io.File(e2, "v0"))
+    new java.io.File(dir, "_zchanges/e2").mkdirs()
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1000,
+      "surgery failed: the second swap should hide the rolled copy")
+    graft.sources.Lease.withLeaseHandle(spark, dir, "spec") { h =>
+      ZOrder.recoverLostRollforwards(spark, dir, h)
+    }
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100,
+      "recovery should have rolled the copy into e2")
+    // the straddling consumer at (e0, 1) already saw the append from the
+    // base epoch: the walk must skip BOTH generations of its copies
+    val dup = ZOrder.readChangeFeed(spark, dir, 0L, 1L)
+    assert(dup.count() == 0,
+      s"double-rolled copy re-delivered to a straddling offset: " +
+        s"${dup.count()} rows")
+    // planted positive: a consumer at (e0, 0) never saw the append — the
+    // second-generation copy is its only delivery path and MUST emit
+    val fresh = ZOrder.readChangeFeed(spark, dir, 0L, 0L)
+    assert(fresh.filter(col("_change_type") === "insert").count() == 100,
+      "double-rolled copy must still deliver to a consumer that never saw it")
+    assert(fresh.filter(col("_commit_epoch") === 2L).count() == 100)
+  }
+
+  test("row-id high-water mark survives torn writes: max-parseable rule, no rewind, loud refusal when nothing parses") {
+    val dir = Files.createTempDirectory("graft-zridhw").toString
+    val base = spark.range(100).select(col("id").as("k1"),
+      (col("id") % 10).as("k2"))
+    ZOrder.writeZOrdered(base, dir, Seq("k1"), 2)
+    def allRids(): Seq[Long] = {
+      val files = ZOrder.listDataFiles(spark, dir).map(f => s"$dir/$f")
+      spark.read.parquet(files: _*).select(col("__rid"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val hwFile = java.nio.file.Paths.get(dir, "_zschema/ridhw")
+    val hw0 = new String(java.nio.file.Files.readAllBytes(hwFile)).trim.toLong
+    // crash leftover 1: a torn `.new` sibling holding a strict decimal
+    // PREFIX of a bump — numerically LOWER than the committed mark. The
+    // max-parseable rule must keep the mark, never rewind to the prefix.
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "_zschema/ridhw.new.torn"), hw0.toString.take(2).getBytes)
+    ZOrder.appendZOrdered(spark.range(100, 200)
+      .select(col("id").as("k1"), (col("id") % 10).as("k2")),
+      dir, Seq("k1"), 1)
+    val rids = allRids()
+    assert(rids.size == 200 && rids.distinct.size == 200,
+      "a torn ridhw.new rewound the mark and re-minted row ids")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "_zschema/ridhw.new.torn")), "crash leftovers must be swept")
+    // crash leftover 2: only a COMPLETE `.new` exists (crashed between
+    // the old mark's delete and the rename) — its value must be taken
+    val hw1 = new String(java.nio.file.Files.readAllBytes(hwFile)).trim.toLong
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      dir, "_zschema/ridhw.new.solo"), (hw1 + 7L).toString.getBytes)
+    java.nio.file.Files.delete(hwFile)
+    ZOrder.appendZOrdered(spark.range(200, 300)
+      .select(col("id").as("k1"), (col("id") % 10).as("k2")),
+      dir, Seq("k1"), 1)
+    val rids2 = allRids()
+    assert(rids2.size == 300 && rids2.distinct.size == 300)
+    assert(new String(java.nio.file.Files.readAllBytes(hwFile)).trim.toLong
+      > hw1 + 7L, "the solo .new mark must seed the next allocation")
+    // nothing parses at all: refuse loudly with the recovery recipe —
+    // never silently restart at 0
+    java.nio.file.Files.write(hwFile, "not-a-number".getBytes)
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(300, 310)
+        .select(col("id").as("k1"), (col("id") % 10).as("k2")),
+        dir, Seq("k1"), 1)
+    }
+    assert(ex.getMessage.contains("unreadable"), ex.getMessage)
+  }
+
+  test("zcdf batch read: startingVersion is honored and offsets are stable across double planning") {
+    val dir = Files.createTempDirectory("graft-zcdfbatch").toString
+    def slice(a: Long, b: Long) = spark.range(a, b)
+      .select(col("id").as("k1"), (col("id") % 10).as("k2"))
+    ZOrder.writeZOrdered(slice(0, 100), dir, Seq("k1"), 1)   // v0
+    ZOrder.appendZOrdered(slice(100, 150), dir, Seq("k1"), 1) // v1
+    ZOrder.appendZOrdered(slice(150, 180), dir, Seq("k1"), 1) // v2
+    def feedRead(extra: Map[String, String]) = {
+      val r = spark.read.format("graft-zcdf")
+        .option("changeFeed", "true")
+      extra.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir)
+    }
+    // default: the full recorded history
+    assert(feedRead(Map.empty).count() == 180)
+    // r16 advisor: a user startingVersion was silently overridden to
+    // earliest — it must resume AFTER the named version
+    val fromV0 = feedRead(Map("startingVersion" -> "0"))
+    assert(fromV0.count() == 80, s"got ${fromV0.count()}")
+    assert(fromV0.agg(min(col("k1"))).head().getLong(0) == 100L)
+    // offsets resolve once per Batch INSTANCE: Spark (AQE) calls
+    // planInputPartitions twice per query, and a commit landing between
+    // the two passes must not change the partition set — drive the Batch
+    // directly, append between the passes, assert identical plans
+    val table = new graft.sources.ZcdfTable(dir,
+      graft.sources.ZcdfStream.tableSchema(spark, dir, changeFeed = true),
+      changeFeed = true)
+    val batch = table.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch
+    val pass1 = batch.planInputPartitions().length
+    ZOrder.appendZOrdered(slice(180, 200), dir, Seq("k1"), 1) // v3
+    val pass2 = batch.planInputPartitions().length
+    assert(pass1 == pass2,
+      s"batch feed re-resolved its offsets between plan passes: " +
+        s"$pass1 then $pass2 partitions")
+  }
+
+  test("column mapping: RENAME/DROP COLUMN are metadata-only, prune via old stats, refuse retired names") {
+    val dir = Files.createTempDirectory("graft-zcolmap").toString
+    def slice(a: Long, b: Long) = spark.range(a, b).select(
+      col("id").as("k"), (col("id") % 100).as("v"),
+      concat(lit("doc-"), col("id")).as("s"))
+    ZOrder.writeZOrdered(slice(0, 1000), dir, Seq("k"), 8)
+    ZOrder.buildBloomIndex(spark, dir, "v")
+    val filesBefore = ZOrder.listDataFiles(spark, dir)
+
+    // rename a data column AND the clustering column: both metadata-only
+    ZOrder.renameColumn(spark, dir, "v", "val")
+    ZOrder.renameColumn(spark, dir, "k", "key")
+    assert(ZOrder.listDataFiles(spark, dir) == filesBefore,
+      "a rename must not touch a single data file")
+    assert(ZOrder.readSnapshot(spark, dir).columns.toSeq ==
+      Seq("key", "val", "s"))
+
+    // a filter on the NEW name prunes via the ORIGINAL physical stats
+    val r = ZOrder.readZRange(spark, dir, Seq(("key", 100L, 199L)))
+    assert(r.count() == 100)
+    assert(r.columns.contains("key") && !r.columns.contains("k"))
+    assert(r.inputFiles.length < filesBefore.size,
+      s"rename broke stats pruning: ${r.inputFiles.length} of " +
+        s"${filesBefore.size} files read")
+    // bloom point plane follows the rename too
+    assert(ZOrder.readZPoint(spark, dir, "val", 50L).count() == 10)
+    // the OLD name no longer exists on the surface
+    intercept[IllegalArgumentException] {
+      ZOrder.readZRange(spark, dir, Seq(("k", 0L, 10L))) }
+    intercept[IllegalArgumentException] {
+      ZOrder.readZPoint(spark, dir, "v", 50L) }
+
+    // appends/DML speak the new names; identity and stats stay coherent
+    ZOrder.appendZOrdered(spark.range(1000, 1100).select(
+      col("id").as("key"), (col("id") % 100).as("val"),
+      concat(lit("doc-"), col("id")).as("s")), dir, Seq("key"), 1)
+    assert(ZOrder.readSnapshot(spark, dir).count() == 1100)
+    assert(ZOrder.readZPoint(spark, dir, "val", 50L).count() == 11)
+    assert(ZOrder.updateZRange(spark, dir, Seq(("key", 0L, 9L)),
+      Map("val" -> "val + 1000"), Seq("key")) == 10L)
+    assert(ZOrder.readSnapshot(spark, dir)
+      .filter(col("val") >= 1000L).count() == 10)
+    assert(ZOrder.countZRange(spark, dir, Seq(("key", 0L, 49L))) == 50L)
+    val mm = ZOrder.minMaxZRange(spark, dir, Seq("val"),
+      Seq(("key", 10L, 99L))).head()
+    assert(mm.getLong(0) == 10L && mm.getLong(1) == 99L,
+      s"min/max over renamed names: $mm")
+
+    // DROP hides the column everywhere; the retired name can't return
+    ZOrder.dropColumn(spark, dir, "s")
+    assert(ZOrder.readSnapshot(spark, dir).columns.toSeq ==
+      Seq("key", "val"))
+    val exAdd = intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(1100, 1110).select(
+        col("id").as("key"), (col("id") % 100).as("val"),
+        lit("x").as("s")), dir, Seq("key"), 1) }
+    assert(exAdd.getMessage.contains("RETIRED"), exAdd.getMessage)
+    // re-using the renamed-away physical slot refuses the same way
+    intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(0, 5).select(
+        col("id").as("key"), (col("id") % 100).as("val"),
+        col("id").as("v")), dir, Seq("key"), 1) }
+
+    // TIME TRAVEL reads the past under the PAST's names
+    val past = ZOrder.listVersions(spark, dir).head
+    val old = ZOrder.readSnapshotAt(spark, dir, past._1, past._2)
+    assert(old.columns.toSeq == Seq("k", "v", "s"),
+      s"travel must show the names of that time, got ${old.columns.toSeq}")
+    assert(old.count() == 1000)
+
+    // DESCRIBE HISTORY records the ops
+    val ops = ZOrder.describeHistory(spark, dir)
+      .select(col("op")).collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "rename-column") == 2, ops.toString)
+    assert(ops.contains("drop-column"), ops.toString)
+
+    // refusal shapes: collision, reserved target, clustering-key drop
+    intercept[IllegalArgumentException] {
+      ZOrder.renameColumn(spark, dir, "val", "key") }
+    intercept[IllegalArgumentException] {
+      ZOrder.renameColumn(spark, dir, "val", "__rid") }
+    intercept[IllegalArgumentException] {
+      ZOrder.dropColumn(spark, dir, "key") } // recorded clustering key
+    // a constraint may not be declared ON a mapped column (the write
+    // path evaluates constraints over physical frames)
+    val exCon2 = intercept[IllegalArgumentException] {
+      ZOrder.addCheckConstraint(spark, dir, "keyrange", "key >= 0") }
+    assert(exCon2.getMessage.contains("column-mapped"), exCon2.getMessage)
+
+    // and constraint-referenced columns may not be renamed or dropped
+    // (fresh store: the constraint must predate any mapping of its column)
+    val dir2 = Files.createTempDirectory("graft-zcolmapcon").toString
+    ZOrder.writeZOrdered(spark.range(10).select(col("id").as("a"),
+      (col("id") * 2).as("b")), dir2, Seq("a"), 1)
+    ZOrder.addCheckConstraint(spark, dir2, "bpos", "b >= 0")
+    val exCon = intercept[IllegalArgumentException] {
+      ZOrder.renameColumn(spark, dir2, "b", "bb") }
+    assert(exCon.getMessage.contains("bpos"), exCon.getMessage)
+    intercept[IllegalArgumentException] {
+      ZOrder.dropColumn(spark, dir2, "b") }
+    // dropping the constraint unlocks the rename
+    ZOrder.dropCheckConstraint(spark, dir2, "bpos")
+    ZOrder.renameColumn(spark, dir2, "b", "bb")
+    assert(ZOrder.readSnapshot(spark, dir2).columns.toSeq == Seq("a", "bb"))
+  }
+
+  test("column mapping: the row-level change feed speaks current logical names and hides dropped columns") {
+    val dir = Files.createTempDirectory("graft-zcolmapcdf").toString
+    ZOrder.writeZOrdered(spark.range(100).select(col("id").as("k"),
+      (col("id") % 10).as("v"), lit("p").as("s")), dir, Seq("k"), 2)
+    ZOrder.setChangeFeedEnabled(spark, dir, on = true)
+    ZOrder.renameColumn(spark, dir, "v", "val")
+    ZOrder.dropColumn(spark, dir, "s")
+    val (e0, v0) = ZOrder.listVersions(spark, dir).max
+    assert(ZOrder.deleteZRange(spark, dir, Seq(("k", 0L, 9L)),
+      Seq("k")) == 10L)
+    val feed = ZOrder.readChangeFeed(spark, dir, e0, v0)
+    assert(feed.columns.contains("val") && !feed.columns.contains("v") &&
+      !feed.columns.contains("s"),
+      s"feed columns: ${feed.columns.toSeq}")
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+    assert(feed.filter(col("val") >= 10L).count() == 0)
+  }
+
+  test("type widening: INT->BIGINT / FLOAT->DOUBLE are metadata-only; old files widen at decode; narrowing refuses") {
+    val dir = Files.createTempDirectory("graft-zwiden").toString
+    ZOrder.writeZOrdered(spark.range(100).select(col("id").as("k"),
+      col("id").cast("int").as("n"), (col("id") / 4).cast("float").as("f")),
+      dir, Seq("k"), 2, statCols = Seq("k", "n"))
+    val filesBefore = ZOrder.listDataFiles(spark, dir)
+    // explicit widen (the SQL ALTER COLUMN TYPE path)
+    ZOrder.widenColumn(spark, dir, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(ZOrder.listDataFiles(spark, dir) == filesBefore,
+      "a widen must not touch a single data file")
+    val sch = ZOrder.readSnapshot(spark, dir).schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    // append with values beyond Int range + a DOUBLE column (implicit
+    // widen through the append union)
+    ZOrder.appendZOrdered(spark.range(100, 110).select(col("id").as("k"),
+      (col("id") + 3000000000L).as("n"), (col("id") * 1.5).as("f")),
+      dir, Seq("k"), 1, statCols = Seq("k", "n"))
+    val out = ZOrder.readSnapshot(spark, dir)
+    assert(out.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.count() == 110)
+    // old INT32 pages decode as long, new INT64 pages as-is; exact values
+    assert(out.filter(col("n") >= 3000000000L).count() == 10)
+    assert(out.filter(col("k") === 50L).head().getLong(1) == 50L)
+    assert(out.filter(col("k") === 50L).head().getDouble(2) == 12.5d)
+    // stats pruning on the widened column still works (int/long stat
+    // encodings are identical)
+    assert(ZOrder.countZRange(spark, dir, Seq(("n", 0L, 49L))) == 50L)
+    // the DSv2 vectorized plane widens the same way
+    val viaTable = spark.read.format("graft-z").load(dir)
+    assert(viaTable.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(viaTable.filter(col("n") >= 3000000000L).count() == 10)
+    assert(viaTable.agg(sum(col("n"))).head().getLong(0) ==
+      (0L until 100L).sum + (100L until 110L).map(_ + 3000000000L).sum)
+    // the zcdf Group-reader plane (batch change feed) widens at decode
+    val feed = spark.read.format("graft-zcdf").option("changeFeed", "true")
+      .load(dir)
+    assert(feed.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(feed.count() == 110)
+    assert(feed.agg(sum(col("n"))).head().getLong(0) ==
+      (0L until 100L).sum + (100L until 110L).map(_ + 3000000000L).sum)
+    // narrowing / incompatible changes keep refusing
+    val exN = intercept[IllegalArgumentException] {
+      ZOrder.widenColumn(spark, dir, "n",
+        org.apache.spark.sql.types.IntegerType) }
+    assert(exN.getMessage.contains("narrow"), exN.getMessage)
+    intercept[IllegalArgumentException] {
+      ZOrder.widenColumn(spark, dir, "n",
+        org.apache.spark.sql.types.StringType) }
+    intercept[IllegalArgumentException] {
+      ZOrder.appendZOrdered(spark.range(0, 5).select(col("id").as("k"),
+        col("id").as("n"), lit("x").as("f")), dir, Seq("k"), 1) }
+    // widening composes with column mapping: rename then widen via the
+    // new name, read both generations exactly
+    ZOrder.renameColumn(spark, dir, "f", "score")
+    assert(ZOrder.readSnapshot(spark, dir)
+      .filter(col("score") === 12.5d).count() == 1)
+  }
 }
