@@ -229,4 +229,56 @@ class OccRewriteSpec extends SparkSpec {
       assert(ops.contains("recluster"), ops.toString)
     }
   }
+
+  test("column mapping under OCC: a RENAME racing a lock-free append never loses either; a DROP racing an append never resurrects the column") {
+    // the mapping's OCC-safety argument is structural — physical names
+    // are STABLE, so an append physicalized against the pre-rename
+    // mapping stays valid whichever side commits first. Race it for real.
+    for (round <- 0 until 2) {
+      val dir = mkStore(2000) // columns k, v; zcols k
+      val (rr, ra) = race(
+        { ZOrder.renameColumn(spark, dir, "v", "val"); 1L },
+        { ZOrder.appendZOrdered(spark.range(2000, 2500)
+            .select(col("id").as("k"), (col("id") % 100).as("v")),
+            dir, Seq("k"), 1); 1L })
+      // the append may observe the post-rename mapping and refuse the
+      // OLD name (retired-slot semantics are per-snapshot) — loud, never
+      // silent; the rename must always land
+      assert(rr == Right(1L), s"round $round: rename $rr")
+      val appended = ra == Right(1L)
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.columns.toSeq == Seq("k", "val"),
+        s"round $round: ${after.columns.toSeq}")
+      assert(after.count() == (if (appended) 2500 else 2000),
+        s"round $round appended=$appended")
+      if (appended)
+        assert(after.filter(col("k") >= 2000L).count() == 500)
+      // the renamed surface stays fully DML-able after the race
+      assert(ZOrder.updateZRange(spark, dir, Seq(("k", 0L, 9L)),
+        Map("val" -> "val + 1000"), Seq("k")) == 10L)
+    }
+    for (round <- 0 until 2) {
+      val dir = mkStore(2000)
+      val (rd, ra) = race(
+        { ZOrder.dropColumn(spark, dir, "v"); 1L },
+        { ZOrder.appendZOrdered(spark.range(2000, 2500)
+            .select(col("id").as("k"), (col("id") % 100).as("v")),
+            dir, Seq("k"), 1); 1L })
+      assert(rd == Right(1L), s"round $round: drop $rd")
+      val after = ZOrder.readSnapshot(spark, dir)
+      // whichever side won, the dropped column never resurfaces (an
+      // append that lost to the drop refuses the retired name LOUDLY)
+      assert(after.columns.toSeq == Seq("k"),
+        s"round $round: dropped column resurfaced: ${after.columns.toSeq}")
+      val appended = ra == Right(1L)
+      assert(after.count() == (if (appended) 2500 else 2000),
+        s"round $round appended=$appended ${after.count()}")
+      if (!appended) ra match {
+        case Left(e) => assert(
+          e.getMessage.contains("RETIRED") || e.getMessage.contains("retired"),
+          s"round $round: append lost for the wrong reason: ${e.getMessage}")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -685,4 +685,81 @@ class ZBatchPlanSpec extends SparkSpec {
     assert(hist.map(_.getString(2)).count(_ == "replacewhere") == 1,
       hist.mkString(", "))
   }
+
+  test("column mapping keeps the DSv2 plan planes: SPJ stays exchange-free, runtime-filter attrs resolve, Group reader decodes — all through renamed columns") {
+    val root = Files.createTempDirectory("graft-cmplan").toString
+    spark.conf.set("spark.sql.catalog.gcm", "graft.sources.ZCatalog")
+    spark.conf.set("spark.sql.catalog.gcm.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE NAMESPACE gcm.l")
+      spark.sql("""CREATE TABLE gcm.l.a (k BIGINT, v BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      spark.sql("""CREATE TABLE gcm.l.b (k BIGINT, w BIGINT)
+        PARTITIONED BY (bucket(8, k))""")
+      spark.sql("INSERT INTO gcm.l.a SELECT id, id * 2 FROM range(10000)")
+      spark.sql("INSERT INTO gcm.l.b SELECT id, id * 3 FROM range(6000)")
+      // rename the BUCKET column on both sides: the physical layout and
+      // recorded policy are untouched; the partitioning/SPJ surfaces
+      // must follow the logical name
+      spark.sql("ALTER TABLE gcm.l.a RENAME COLUMN k TO key")
+      spark.sql("ALTER TABLE gcm.l.b RENAME COLUMN k TO key")
+      def joined() = spark.sql(
+        "SELECT a.key, a.v, b.w FROM gcm.l.a a JOIN gcm.l.b b " +
+          "ON a.key = b.key")
+      def shufflesOf(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      }
+      assert(joined().count() == 6000)
+      assert(shufflesOf(joined()) == 0,
+        "the storage-partitioned join must stay exchange-free after the " +
+          "bucket column's rename:\n" +
+          joined().queryExecution.executedPlan.toString.take(1500))
+      // runtime-filter attributes report LOGICAL names and resolve
+      // against the scan output (the q154/q159 regression class): a
+      // filtered parquet dim joined on the renamed column must plan and
+      // answer exactly, and the prunable surface must speak `key`
+      val pr = ZOrder.prunableColumns(spark, s"$root/l/a")
+      assert(pr.contains("key") && !pr.contains("k"), pr.toString)
+      val dimDir = Files.createTempDirectory("graft-cmplan-dim").toString
+      spark.createDataFrame(Seq((5L, "a"), (6L, "a"), (-1L, "b")))
+        .toDF("kk", "tag").write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("tag") === "a")
+      val fact = spark.table("gcm.l.a")
+      val j = fact.join(dim, fact("key") === dim("kk"))
+      assert(j.count() == 2, "runtime-filter join through the renamed column")
+      // metadata-answered COUNT still serves through the mapped table
+      assert(spark.sql("SELECT count(*) FROM gcm.l.a").head().getLong(0)
+        == 10000)
+      // a feed crossing the rename epoch REFUSES with full-refresh (the
+      // consumer's row schema changed — the non-DML rewrite contract)
+      val exFeed = intercept[Exception] {
+        spark.read.format("graft-zcdf").option("changeFeed", "true")
+          .load(s"$root/l/a").collect() }
+      assert(Iterator.iterate(exFeed: Throwable)(_.getCause)
+        .takeWhile(_ != null).exists(t =>
+          Option(t.getMessage).exists(_.contains("rename-column"))),
+        exFeed.getMessage)
+      // resumed FROM the rename epoch (the honored startingVersion), the
+      // zcdf GROUP-reader plane decodes old files by PHYSICAL name under
+      // the logical schema — the carried files re-deliver at the new
+      // epoch's v0 with exact values
+      val feed = spark.read.format("graft-zcdf")
+        .option("changeFeed", "true").option("startingVersion", "-1")
+        .load(s"$root/l/a")
+      assert(feed.columns.contains("key") && !feed.columns.contains("k"),
+        feed.columns.toSeq.toString)
+      assert(feed.agg(org.apache.spark.sql.functions.sum(col("key")))
+        .head().getLong(0) == (0L until 10000L).sum)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gcm")
+      spark.conf.unset("spark.sql.catalog.gcm.root")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
