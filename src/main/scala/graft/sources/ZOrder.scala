@@ -1403,7 +1403,8 @@ object ZOrder {
       prepared: ZSnapshot, consumed: Seq[String], ddl: String,
       newStats: Seq[(String, String, Option[String], Option[String], Boolean)],
       extraTags: Seq[String], changes: => Option[DataFrame],
-      op: String, newColmap: Option[ColMap] = None): Boolean = {
+      op: String,
+      remap: Option[(ColMap, StructType) => ColMap] = None): Boolean = {
     import s.implicits._
     var attempt = prepared
     var rebased = false
@@ -1427,8 +1428,13 @@ object ZOrder {
     while (true) {
       val (man0, attemptSchema, attemptCm) = manifestSchemaMap(s, attempt)
       // the column mapping CARRIES across every epoch rewrite (like
-      // tags); a rename/drop commit replaces it via `newColmap`
-      val colmapOut = newColmap.getOrElse(attemptCm)
+      // tags); a rename/drop commit TRANSFORMS it — as a function of the
+      // attempt-time mapping, not a fixed value, so two concurrent
+      // mapping commits COMPOSE across the rebase instead of the second
+      // silently clobbering the first (the transform re-validates
+      // against the current mapping and refuses if its assumption broke)
+      val colmapOut = remap.map(_(attemptCm, attemptSchema))
+        .getOrElse(attemptCm)
       val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       if (rebased) {
         if (extraTags.nonEmpty &&
@@ -4191,14 +4197,23 @@ object ZOrder {
     if (oldName.equalsIgnoreCase(newName)) return
     validateNewColName(path, cm, physSchema, newName)
     refuseConstraintRefs(s, path, oldName, "rename")
-    val others = cm.renames.filterNot(_._1.equalsIgnoreCase(phys))
-    val newCm = ColMap(
-      if (newName.equalsIgnoreCase(phys)) others // renamed back home
-      else others :+ (phys, newName),
-      cm.dropped)
     commitRewriteEpoch(s, path, snap, Seq.empty, physSchema.toDDL,
       Seq.empty, Seq.empty, None, op = "rename-column",
-      newColmap = Some(newCm))
+      remap = Some { (cur, schemaNow) =>
+        // re-derive against the ATTEMPT-time mapping and schema (a
+        // concurrent mapping commit or ADD COLUMN may have rebased
+        // under us) and re-validate — composing, never clobbering
+        val physNow = cur.physOf(oldName).getOrElse(
+          throw new ConcurrentZRewriteException(
+            s"rename $oldName on $path lost its race: a concurrent " +
+              "schema change retired the column; retry the statement"))
+        validateNewColName(path, cur, schemaNow, newName)
+        val others = cur.renames.filterNot(_._1.equalsIgnoreCase(physNow))
+        ColMap(
+          if (newName.equalsIgnoreCase(physNow)) others // renamed back home
+          else others :+ (physNow, newName),
+          cur.dropped)
+      })
   }
 
   /** `ALTER TABLE … DROP COLUMN` — metadata-only like [[renameColumn]]:
@@ -4230,12 +4245,17 @@ object ZOrder {
       s"cannot drop $colName: it is the recorded hash-bucket column " +
         s"of $path")
     }
-    val newCm = ColMap(
-      cm.renames.filterNot(_._1.equalsIgnoreCase(phys)),
-      cm.dropped :+ phys)
     commitRewriteEpoch(s, path, snap, Seq.empty, physSchema.toDDL,
       Seq.empty, Seq.empty, None, op = "drop-column",
-      newColmap = Some(newCm))
+      remap = Some { (cur, _) =>
+        val physNow = cur.physOf(colName).getOrElse(
+          throw new ConcurrentZRewriteException(
+            s"drop $colName on $path lost its race: a concurrent " +
+              "schema change retired the column; retry the statement"))
+        ColMap(
+          cur.renames.filterNot(_._1.equalsIgnoreCase(physNow)),
+          cur.dropped :+ physNow)
+      })
     // retire the column's bloom policy: zWrite's self-heal would
     // otherwise try to re-cover a column new batches no longer carry
     val bdir = new Path(path, s"_zbloom/${phys.toLowerCase}")
@@ -4636,6 +4656,17 @@ object ZOrder {
                     if (committed) supersededAt else 0L)
                 }
               }
+            }
+          // crashed STAGING leftovers under _ztmp (r16): a change record
+          // staged outside the turnstile whose committer died before the
+          // install rename, or a row-level op's stage whose driver died
+          // before cleanup — garbage from birth, aged by own mtime (an
+          // in-flight stage is protected by minAgeMs exactly like an
+          // OCC append's pre-commit data dir)
+          val ztmp = new Path(path, "_ztmp")
+          if (fs.exists(ztmp))
+            fs.listStatus(ztmp).foreach { st =>
+              rm(st.getPath, s"_ztmp/${st.getPath.getName}", 0L)
             }
           // bloom sidecar dirs of data dirs the snapshot no longer lists
           // (vacuumed/rewritten files): same supersession aging

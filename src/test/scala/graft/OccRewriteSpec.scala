@@ -281,4 +281,25 @@ class OccRewriteSpec extends SparkSpec {
       }
     }
   }
+
+  test("concurrent RENAMEs of two different columns COMPOSE: neither mapping clobbers the other") {
+    // mapping commits are a TRANSFORM of the attempt-time mapping, not a
+    // fixed value — the rebase loop re-derives, so two racing renames
+    // both land whichever order the turnstile serializes them in
+    for (round <- 0 until 3) {
+      val dir = mkStore(1000)
+      val (ra, rb) = race(
+        { ZOrder.renameColumn(spark, dir, "k", "key"); 1L },
+        { ZOrder.renameColumn(spark, dir, "v", "val"); 1L })
+      assert(ra == Right(1L), s"round $round: $ra")
+      assert(rb == Right(1L), s"round $round: $rb")
+      val after = ZOrder.readSnapshot(spark, dir)
+      assert(after.columns.toSet == Set("key", "val"),
+        s"round $round: a racing rename was clobbered: " +
+          after.columns.toSeq)
+      assert(after.count() == 1000)
+      assert(ZOrder.readZRange(spark, dir, Seq(("key", 0L, 9L)))
+        .agg(sum(col("val"))).head().getLong(0) == (0L until 10L).sum)
+    }
+  }
 }

@@ -2632,4 +2632,62 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.readSnapshot(spark, dir)
       .filter(col("score") === 12.5d).count() == 1)
   }
+
+  test("vacuum collects crashed _ztmp stages behind the retention delay; in-flight stages survive") {
+    val dir = Files.createTempDirectory("graft-zvactmp").toString
+    ZOrder.writeZOrdered(spark.range(100).select(col("id").as("k"),
+      (col("id") % 10).as("v")), dir, Seq("k"), 2)
+    val stale = new java.io.File(dir, "_ztmp/chg-deadbeef")
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stale.toString, "part-0.parquet"),
+      "x".getBytes)
+    stale.setLastModified(System.currentTimeMillis() - 3600_000L)
+    val fresh = new java.io.File(dir, "_ztmp/rlo-cafebabe")
+    fresh.mkdirs()
+    val removed = ZOrder.vacuumOrphans(spark, dir, minAgeMs = 60_000L)
+    assert(removed.contains("_ztmp/chg-deadbeef"), removed.toString)
+    assert(!stale.exists(), "stale crashed stage must be collected")
+    assert(fresh.exists(), "an in-flight stage inside the retention " +
+      "window must survive")
+    // and without a delay, everything under _ztmp goes
+    val removed2 = ZOrder.vacuumOrphans(spark, dir)
+    assert(removed2.contains("_ztmp/rlo-cafebabe"), removed2.toString)
+    assert(!fresh.exists())
+  }
+
+  test("column mapping: rename CHAINS collapse and name SWAPS resolve (a->b, then c->a)") {
+    val dir = Files.createTempDirectory("graft-zcolmapchain").toString
+    ZOrder.writeZOrdered(spark.range(100).select(col("id").as("a"),
+      (col("id") * 2).as("c")), dir, Seq("a"), 2)
+    // chain: a->b->a2 must collapse to ONE mapping hop (a -> a2)
+    ZOrder.renameColumn(spark, dir, "a", "b")
+    ZOrder.renameColumn(spark, dir, "b", "a2")
+    assert(ZOrder.readSnapshot(spark, dir).columns.toSeq == Seq("a2", "c"))
+    assert(ZOrder.readZRange(spark, dir, Seq(("a2", 0L, 9L))).count() == 10)
+    // swap INTO the retired name: c -> a (legal — 'a' is no longer a
+    // logical name; the physical slots stay distinct)
+    ZOrder.renameColumn(spark, dir, "c", "a")
+    val out = ZOrder.readSnapshot(spark, dir)
+    assert(out.columns.toSeq == Seq("a2", "a"), out.columns.toSeq)
+    // values stay attached to the right physical columns after the swap
+    assert(out.filter(col("a2") === 7L).head().getLong(1) == 14L)
+    assert(ZOrder.readZRange(spark, dir, Seq(("a2", 7L, 7L)))
+      .select(col("a")).head().getLong(0) == 14L)
+    // appends speak the swapped surface and land physically correctly
+    ZOrder.appendZOrdered(spark.range(100, 110).select(col("id").as("a2"),
+      (col("id") * 2).as("a")), dir, Seq("a2"), 1)
+    assert(ZOrder.readSnapshot(spark, dir)
+      .filter(col("a2") === 105L).head().getLong(1) == 210L)
+    // a2 cannot go back to 'a' while the swap holds it (collision)
+    intercept[IllegalArgumentException] {
+      ZOrder.renameColumn(spark, dir, "a2", "a") }
+    // but renaming the swap away frees the slot, and renaming a column
+    // back to its OWN physical name drops its mapping entry entirely
+    ZOrder.renameColumn(spark, dir, "a", "c2")
+    ZOrder.renameColumn(spark, dir, "a2", "a")
+    assert(ZOrder.readSnapshot(spark, dir).columns.toSeq == Seq("a", "c2"))
+    assert(ZOrder.readZRange(spark, dir, Seq(("a", 7L, 7L)))
+      .select(col("c2")).head().getLong(0) == 14L)
+  }
 }
