@@ -581,9 +581,7 @@ pairs AS (
     // are sized to EDGE volume, not to the session's corpus-scale setting
     // — same discipline as Streaming.StatePartitions. A deployment with a
     // huge edge set raises this; the algorithm is unchanged.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
@@ -608,7 +606,7 @@ pairs AS (
         labels = next
       }
       labels
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** The q45/q47 input: a 3-generation recrawl corpus (original, edited

@@ -527,21 +527,13 @@ ORDER BY d.doc_id""",
     // replayed epoch already fully applied → skip; an id below the
     // retention watermark refuses loudly (StoreMaint.retentionSweep)
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
       // one feature pass feeds BOTH the lookup and the index append
       val feat = Dedup.lshFeatures(df).localCheckpoint()
       dedupAgainstFeat(s, s"$root/idx", s"$root/feat", feat)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
       append(feat, s"$root/idx", s"$root/feat")
       graft.sources.StoreMaint.markApplied(s, root, id)
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", prevSp)
-      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 

@@ -69,8 +69,6 @@ object Graph {
     */
   def pageRank(edgesRaw: DataFrame, iters: Int = Iters): DataFrame = {
     val s = edgesRaw.sparkSession
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     // Materialize the derived edge list ONCE, under the session's
     // corpus-scale confs (this is the only step that touches fact tables)
     // — deg/edges/nodes all hang off this checkpoint instead of re-running
@@ -81,10 +79,9 @@ object Graph {
     // the fact table that produced it. AQE is off for the loop: each round
     // is a fixed tiny-stage shape where adaptive re-planning costs more
     // wall-clock than it saves (a cluster run over a big graph would leave
-    // it on and size partitions accordingly).
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // it on and size partitions accordingly). Via the refcounted helper
+    // since r16 (thread-safe vs the naive save/restore).
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
       val deg = base.groupBy(col("src"))
         .agg(count(lit(1)).as("outdeg")).localCheckpoint()
       // The src-keyed join partitioning survives the checkpoint, so every
@@ -132,9 +129,6 @@ object Graph {
       // the loop leaves ranks as a SHALLOW plan over the last checkpoint
       // (join + project), so no final materialization is needed
       ranks
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
@@ -309,10 +303,10 @@ object Graph {
     * robust-to-missing-edges sibling of q45's connected components. */
   def labelPropagation(edgesRaw: DataFrame, iters: Int): DataFrame = {
     val s = edgesRaw.sparkSession
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // shuffle partitions scoped to graph volume AND AQE off for the loop
+    // (fixed tiny-stage rounds — the q75 pageRank discipline, via the
+    // refcounted helper; r16 optimization round)
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
       val ed = edgesRaw.select(col("a"), col("b")).localCheckpoint()
       val adj = ed.select(col("a").as("node"), col("b").as("nbr"))
         .unionAll(ed.select(col("b").as("node"), col("a").as("nbr")))
@@ -333,7 +327,7 @@ object Graph {
       }
       labels.select(col("node"), col("label").as("community"))
         .orderBy(col("node"))
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   private val LpIters = 3

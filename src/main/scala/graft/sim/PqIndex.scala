@@ -95,9 +95,10 @@ object PqIndex {
   def writeContracts(e: DataFrame, dir: String,
       numCells: Int = Similarity.NumCells,
       vecMod: Long = VecModDefault): Unit = {
+    import graft.sources.ZOrder.prf
     StoreMaint.writeLayout(e.sparkSession, dir, StoreMaint.Layout(1, vecMod))
-    VecIndex.writeQuantizer(e, dir, numCells)
-    writeCodebooks(working(e), dir)
+    prf("pq.writeQuantizer")(VecIndex.writeQuantizer(e, dir, numCells))
+    prf("pq.writeCodebooks")(writeCodebooks(working(e), dir))
   }
 
   /** Persist the PQ codebooks — seed vectors' sub-slices, the q74 rule:
@@ -524,18 +525,17 @@ object PqIndex {
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long, queries: DataFrame): Unit = {
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val w = df.select(col("vec_id"), col("label"), col("v"))
-        .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
-        .localCheckpoint()
-      appendWorking(w, root, SaveMode.Append)
-      topK(s, root, queries)
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
+      import graft.sources.ZOrder.prf
+      val w = prf("pq.ingest.checkpoint")(
+        df.select(col("vec_id"), col("label"), col("v"))
+          .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
+          .localCheckpoint())
+      prf("pq.ingest.append")(appendWorking(w, root, SaveMode.Append))
+      prf("pq.ingest.topK+dump")(topK(s, root, queries)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id"))
       graft.sources.StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q127: continuous PQ-index ingest — quantizer AND codebooks trained

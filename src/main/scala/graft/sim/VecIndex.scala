@@ -476,10 +476,7 @@ object VecIndex {
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.sources.StoreMaint.withBatchConfs(s, 8) {
       val w = df.select(col("vec_id"), col("label"), col("v"))
         .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
         .localCheckpoint()
@@ -492,7 +489,7 @@ object VecIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
       appendWorking(w, root, SaveMode.Append)
       graft.sources.StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q114: continuous embedding ingest — the quantizer is trained OFFLINE

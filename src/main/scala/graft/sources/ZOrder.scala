@@ -72,6 +72,19 @@ import graft.{Q, Tables}
   */
 object ZOrder {
 
+  /** Dev-only section timer (`SPARK_GRAFT_PROF=1`): attributes wall time
+    * to named sections of the multi-job write/commit paths. Needed because
+    * StreamExecution pins a thread-local call site for the whole stream,
+    * so stage-level profilers cannot attribute work inside foreachBatch
+    * bodies. Zero-cost when the env var is absent. */
+  private val ProfOn = sys.env.get("SPARK_GRAFT_PROF").contains("1")
+  @inline private[graft] def prf[A](name: String)(f: => A): A =
+    if (!ProfOn) f else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[zprof] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   /** Quantization width per clustered column (16 bits × 2 columns = a
     * 32-bit z-value; plenty below the per-file row counts that matter). */
   val Bits = 16
@@ -1279,7 +1292,7 @@ object ZOrder {
     // e<N>. The _rebase marker (what base snapshot a REWRITE consumed)
     // writes before the flip so an OCC appender never mistakes an
     // included commit for a missed one.
-    withCommitLock(s, path, s"commit-$op") { lease =>
+    StoreMaint.withNoAqe(s)(withCommitLock(s, path, s"commit-$op") { lease =>
       val nextE = nextEpoch(s, path)
       val edir = new Path(mroot, s"e$nextE")
       rebase.foreach { case (e, v) =>
@@ -1290,7 +1303,7 @@ object ZOrder {
       writeManifestVersion(s, edir, 0L, df.schema.toDDL, stats, tags,
         op = op,
         colmap = if (colmap.isIdentity) None else Some(encodeColMap(colmap)))
-    }
+    })
   }
 
   /** Thrown when an OPTIMISTIC rewrite loses its race: between resolving
@@ -1418,13 +1431,17 @@ object ZOrder {
     var stagedMemo: Option[Option[Path]] = None
     def stagedChanges: Option[Path] = {
       if (stagedMemo.isEmpty)
-        stagedMemo = Some(
+        stagedMemo = Some(prf("commit.stageChanges")(
           if (!changeFeedEnabled(s, path)) None
-          else changes.map(c => stageChangeRecord(s, path, c)))
+          else changes.map(c => stageChangeRecord(s, path, c))))
       stagedMemo.get
     }
     var stagedConsumed = false
     try {
+    StoreMaint.withNoAqe(s) {
+    // metadata-plane commit: fixed tiny-stage manifest shapes; replan
+    // latency here extends the _zcommit turnstile hold and so caps
+    // concurrent-committer throughput (r16 optimization round)
     while (true) {
       val (man0, attemptSchema, attemptCm) = manifestSchemaMap(s, attempt)
       // the column mapping CARRIES across every epoch rewrite (like
@@ -1462,7 +1479,8 @@ object ZOrder {
       val carried = carriedStatsDf(s, man, consumed)
       val tags = manifestTags(man0) ++ extraTags
       val staged = stagedChanges // forced OUTSIDE the turnstile
-      val committed = withCommitLock(s, path, s"commit-$op") { lease =>
+      val committed = prf("commit.turnstile")(
+        withCommitLock(s, path, s"commit-$op") { lease =>
         val now = requireSnapshot(s, path)
         if (now.epoch != attempt.epoch) { attempt = now; false }
         else {
@@ -1485,11 +1503,12 @@ object ZOrder {
           rollForwardLateAppends(s, path, attempt, lease)
           true
         }
-      }
+      })
       if (committed) return true
       rebased = true
     }
     false
+    }
     } finally {
       // a lost race / replayed-twin exit leaves the staged record
       // unconsumed — collect it (losers leave the store untouched)
@@ -1504,7 +1523,12 @@ object ZOrder {
     * or None when the batch has no rows (the empty-append guard — no
     * files, no manifest version, no NPE on the null bounds row). */
   private def zWrite(df: DataFrame, path: String, zcols: Seq[String],
-      numFiles: Int): Option[String] = {
+      numFiles: Int): Option[String] = StoreMaint.withNoAqe(df.sparkSession) {
+    // AQE-off for the whole batch write: the bounds pass is a global
+    // scalar aggregate and the data/bloom passes write through explicit
+    // repartitioning — shapes adaptive re-planning cannot improve at any
+    // scale, while its per-query latency taxed every z-write ~2x
+    // (measured at sf0.1, r16 optimization round).
     // CHECK constraints ride the SAME aggregation pass as the clustering
     // bounds — enforcement costs no extra scan. SQL CHECK semantics: a
     // row violates only when the expression is FALSE (UNKNOWN/null
@@ -1520,7 +1544,7 @@ object ZOrder {
     val aggs = (count(lit(1)).as("cnt") +:
       zcols.flatMap(c => Seq(min(col(c)), max(col(c))))) ++ conAggs
     val b =
-      try df.agg(aggs.head, aggs.tail: _*).head()
+      try prf("zWrite.boundsAgg")(df.agg(aggs.head, aggs.tail: _*).head())
       catch { case ex: org.apache.spark.sql.AnalysisException
           if cons.nonEmpty => throw new IllegalArgumentException(
         s"batch for $path cannot be validated against its CHECK " +
@@ -1557,8 +1581,8 @@ object ZOrder {
     val hasRid = df.schema.fieldNames.contains(RidCol)
     val parts = recordedBucketing(df.sparkSession, path)
       .map(_._2).getOrElse(math.max(numFiles, 1))
-    val ridStart =
-      allocateRids(df.sparkSession, path, (parts.toLong + 1L) << 33)
+    val ridStart = prf("zWrite.allocateRids")(
+      allocateRids(df.sparkSession, path, (parts.toLong + 1L) << 33))
     def stampRid(d: DataFrame): DataFrame = {
       val fresh = lit(ridStart) + monotonically_increasing_id()
       if (hasRid) d.withColumn(RidCol, coalesce(col(RidCol), fresh))
@@ -1567,7 +1591,7 @@ object ZOrder {
     // INT64 TIMESTAMP_MICROS, not the legacy INT96 default: INT96 footers
     // carry no usable min/max, which would leave timestamp stat columns
     // permanently unprunable (Sources.writeMicros, same contract)
-    Sources.writeMicros(df.sparkSession) {
+    prf("zWrite.dataWrite")(Sources.writeMicros(df.sparkSession) {
       recordedBucketing(df.sparkSession, path) match {
         case Some((bcol, n)) =>
           // bucketed layout: one hive-style `__zb=<b>/` dir per bucket,
@@ -1595,7 +1619,7 @@ object ZOrder {
             .drop("__z"))
             .write.mode("overwrite").parquet(s"$path/$dname")
       }
-    }
+    })
     // bloom coverage SURVIVES writes (r15): every batch re-covers ITS OWN
     // fresh files on each recorded bloom column it carries, so the
     // point-lookup pruning plane no longer decays with appends/DML until
@@ -1604,7 +1628,7 @@ object ZOrder {
     // commit leaves at worst orphan sidecars (vacuum collects them).
     val bloomCols = bloomIndexedCols(df.sparkSession, path)
       .filter { case (c, _) => df.schema.exists(_.name.equalsIgnoreCase(c)) }
-    if (bloomCols.nonEmpty) {
+    if (bloomCols.nonEmpty) prf("zWrite.bloomRecover") {
       val written = df.sparkSession.read.parquet(s"$path/$dname")
       val maxPerFile = written.groupBy(input_file_name()).count()
         .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
@@ -3930,16 +3954,16 @@ object ZOrder {
       require(!source0.schema.fieldNames.exists(_.equalsIgnoreCase(RidCol)),
         s"$RidCol is the store's hidden row-identity column, not a " +
           "source column")
-      recoverUnderCommitLock(s, path)
-      val snap = requireSnapshot(s, path)
+      prf("merge.recover")(recoverUnderCommitLock(s, path))
+      val snap = prf("merge.snapshot")(requireSnapshot(s, path))
       val (man0, recorded, cmG) = manifestSchemaMap(s, snap)
       val source = toPhysicalDf(source0, cmG, path)
       val keyCol = if (cmG.isIdentity) keyCol0
         else cmG.physOfOrRefuse(keyCol0, path)
       val zcols = translateColsLenient(cmG, path, zcols0)
-      val replayed = tag.exists(t =>
+      val replayed = prf("merge.replayed")(tag.exists(t =>
         man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
-          .limit(1).count() > 0)
+          .limit(1).count() > 0))
       if (replayed) MergeResult(0L, 0L)
       else {
         // add-only union BEFORE any work: a type change refuses here
@@ -3958,12 +3982,18 @@ object ZOrder {
         val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val srcCnt = src.count()
+          // ONE pass over the persisted source for count + dup-check:
+          // dup keys exist iff countDistinct(key) < count(non-null key)
+          // (same hash equality as the former groupBy probe) — was two
+          // jobs (r16 optimization: each tiny action in a micro-batch
+          // body costs more in scheduling than in data)
+          val sc = prf("merge.srcAgg")(src.agg(count(lit(1)).as("n"),
+            count(col(keyCol)).as("nn"),
+            countDistinct(col(keyCol)).as("dk")).head())
+          val srcCnt = sc.getLong(0)
           if (srcCnt == 0L) MergeResult(0L, 0L)
           else {
-            val dup = src.filter(col(keyCol).isNotNull)
-              .groupBy(col(keyCol)).count()
-              .filter(col("count") > 1).limit(1).count() > 0
+            val dup = sc.getLong(2) < sc.getLong(1)
             require(!dup, s"merge source has multiple rows for one " +
               s"$keyCol — a whole-row upsert would be nondeterministic")
             val srcKeys = src.select(
@@ -3979,9 +4009,15 @@ object ZOrder {
               decodeStat(dt, ranged("mn")) <= col("__mk") &&
                 col("__mk") <= decodeStat(dt, ranged("mx")), "leftsemi")
               .select(col("f"))
-            val carry = allnullF.union(ranged.select(col("f")).except(hit))
-            val affected = man.select(col("f")).distinct().except(carry)
-              .collect().map(_.getString(0)).sorted.toSeq
+            // anti-joins instead of EXCEPT: `f` is unique within the
+            // key-col stat rows, so EXCEPT's extra distinct pass buys
+            // nothing (r16 optimization — one shuffle fewer per branch)
+            val carry = allnullF.unionAll(
+              ranged.select(col("f")).join(hit, Seq("f"), "left_anti"))
+            val affected = prf("merge.affected")(
+              man.select(col("f")).distinct()
+                .join(carry, Seq("f"), "left_anti")
+                .collect().map(_.getString(0)).sorted.toSeq)
             val affDf =
               if (affected.isEmpty)
                 s.createDataFrame(s.sparkContext.emptyRDD[Row],
@@ -3989,19 +4025,29 @@ object ZOrder {
               else s.read.schema(ridded(recorded))
                 .parquet(affected.map(f => s"$path/$f"): _*)
             val eqKey = comparableKey(dt, affDf(keyCol)) === col("__mk")
-            val updated = affDf.join(srcKeys, eqKey, "leftsemi").count()
-            val matchedKeys = srcKeys.join(affDf, eqKey, "leftsemi").count()
+            // ONE inner-join pass for both result counts: rows of the
+            // affected set whose key is in the (distinct) source keys =
+            // `updated`; distinct matched source keys = `matchedKeys` —
+            // was two semi-join jobs over the same inputs
+            val mrow = prf("merge.matchAgg")(
+              affDf.select(comparableKey(dt, affDf(keyCol)).as("__ak"))
+                .join(srcKeys, col("__ak") === col("__mk"))
+                .agg(count(lit(1)).as("u"),
+                  countDistinct(col("__mk")).as("mk")).head())
+            val updated = mrow.getLong(0)
+            val matchedKeys = mrow.getLong(1)
             val survivors = affDf.join(srcKeys, eqKey, "left_anti")
             val merged = survivors.unionByName(src,
               allowMissingColumns = true)
             val nf = if (numFiles > 0) numFiles
               else math.max(affected.size, 1)
-            val newStats = zWrite(merged, path, zcols, nf) match {
-              case Some(dname) =>
-                harvestStats(s, path, dname, recordedStatCols(man, union),
-                  union)
-              case None => Seq.empty
-            }
+            val newStats = prf("merge.zWrite+harvest")(
+              zWrite(merged, path, zcols, nf) match {
+                case Some(dname) =>
+                  harvestStats(s, path, dname, recordedStatCols(man, union),
+                    union)
+                case None => Seq.empty
+              })
             // keyed change set: every replaced target row is a
             // preimage, its replacing source row the postimage, and
             // key-matched-nothing source rows are inserts (null keys
@@ -4021,9 +4067,10 @@ object ZOrder {
               pre.unionByName(post, allowMissingColumns = true)
                 .unionByName(ins, allowMissingColumns = true)
             }
-            val landed = commitRewriteEpoch(s, path, snap, affected,
-              union.toDDL, newStats, tag.toSeq, Some(changeSet),
-              op = "merge")
+            val landed = prf("merge.commit")(
+              commitRewriteEpoch(s, path, snap, affected,
+                union.toDDL, newStats, tag.toSeq, Some(changeSet),
+                op = "merge"))
             if (landed) MergeResult(updated, srcCnt - matchedKeys)
             else MergeResult(0L, 0L) // replayed twin landed concurrently
           }
@@ -5210,10 +5257,7 @@ object ZOrder {
   private[graft] def ingestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long, lo: Long, hi: Long): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StoreMaint.withBatchConfs(s, 8) {
       val store = s"$root/store"
       appendZOrdered(
         df.select(col("doc_id"),
@@ -5225,7 +5269,7 @@ object ZOrder {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$root/out/batch=$id")
       StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q132: CONTINUOUS z-store ingest — documents arrive over the
@@ -5316,10 +5360,7 @@ object ZOrder {
   private[graft] def ivmBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StoreMaint.withBatchConfs(s, 4) {
       if (df.limit(1).count() > 0) {
         // fold PER VERSION, resolving the previous state from what EXISTS:
         // committed version numbers are not contiguous (claimNextVersion
@@ -5366,7 +5407,7 @@ object ZOrder {
           .parquet(s"$root/out/batch=$id")
       }
       StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q143: CONTINUOUS incremental view maintenance — the composition the
@@ -5426,10 +5467,7 @@ object ZOrder {
   private[graft] def mergeIngestBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StoreMaint.withBatchConfs(s, 8) {
       import org.apache.spark.sql.expressions.Window
       val store = s"$root/store"
       val w = Window.partitionBy(col("doc_id"))
@@ -5437,15 +5475,18 @@ object ZOrder {
       val latest = df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      if (latest.limit(1).count() > 0)
+      // no pre-flight emptiness probe: mergeByKey's own source aggregate
+      // already returns MergeResult(0, 0) without committing on an empty
+      // batch — the probe was one redundant job per micro-batch (r16)
+      prf("q141.mergeByKey")(
         mergeByKey(s, store, latest, "doc_id", Seq("doc_id", "n_chars"), 2,
-          tag = Some(s"b$id"))
-      readSnapshot(s, store)
+          tag = Some(s"b$id")))
+      prf("q141.snapshotDump")(readSnapshot(s, store)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$root/out/batch=$id")
+        .parquet(s"$root/out/batch=$id"))
       StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q141: CONTINUOUS CDC apply — a keyed change stream (two waves:
@@ -5503,15 +5544,17 @@ object ZOrder {
           (col("n_chars") + 5000L).as("n_chars"), lit(1L).as("version")))
     val root = Files.createTempDirectory("graft-zcdcmerge").toString
     // the base store the stream merges into
-    writeZOrdered(docs, s"$root/store", Seq("doc_id", "n_chars"), 4)
+    prf("q141.baseStore")(
+      writeZOrdered(docs, s"$root/store", Seq("doc_id", "n_chars"), 4))
     // the CDC stream: doc-routed shards, seq ordered by (version, doc_id)
     val shardDir = s"$root/shards"
-    GraftShards.writeShardedBy(cdc, shardDir, GraftShards.NumShards,
-      pmod(col("doc_id"), lit(GraftShards.NumShards.toLong)),
-      Seq(col("version"), col("doc_id")))
-    val maxShardCnt = cdc
+    prf("q141.shardWrite")(
+      GraftShards.writeShardedBy(cdc, shardDir, GraftShards.NumShards,
+        pmod(col("doc_id"), lit(GraftShards.NumShards.toLong)),
+        Seq(col("version"), col("doc_id"))))
+    val maxShardCnt = prf("q141.maxShardCnt")(cdc
       .groupBy(pmod(col("doc_id"), lit(GraftShards.NumShards.toLong)))
-      .count().agg(max(col("count"))).head().getLong(0)
+      .count().agg(max(col("count"))).head().getLong(0))
     val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
     val rowSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
@@ -5530,7 +5573,7 @@ object ZOrder {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    prf("q141.streamWall")(q.awaitTermination())
     s.read.parquet(s"$root/out")
       .select(col("batch").cast("long").as("batch"), col("doc_id"),
         col("lang"), col("n_chars"))

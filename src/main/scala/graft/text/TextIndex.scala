@@ -425,16 +425,13 @@ object TextIndex {
     // replayed epoch already fully applied → skip; an id below the
     // retention watermark refuses loudly (StoreMaint.retentionSweep)
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    val conf = s.conf
-    val prevSp = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StoreMaint.withBatchConfs(s, 8) {
       val idx = s"$root/index"
       append(df.select(col("doc_id"), col("text")), idx, s"b$id")
       search(s, idx, TextAnalysis.Bm25QueryTerms, 10)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/out/batch=$id")
       StoreMaint.markApplied(s, root, id)
-    } finally conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /** q117: CONTINUOUS text-index ingest — documents arrive over the
