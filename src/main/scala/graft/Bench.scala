@@ -74,7 +74,17 @@ object Bench {
         // WHOLE line lands inside that window; full names and full
         // precision go to the detail file below.
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
-        val secs = if (v < 0) "-1" else if (shortKeys) f"$v%.2f" else f"$v%.3f"
+        // stdout keys carry 1 decimal with a stripped ".0" (r17 — the
+        // r16 verdict's item 7: at 166 queries the 2-decimal line was
+        // ~2180 chars, past the driver's 2000-char tail window; this
+        // format reads ~1990 and grows ~11 chars/query; full precision
+        // lives in the DETAIL file)
+        val secs =
+          if (v < 0) "-1"
+          else if (shortKeys) {
+            val s1 = f"$v%.1f"
+            if (s1.endsWith(".0")) s1.dropRight(2) else s1
+          } else f"$v%.3f"
         "\"" + key + "\":" + secs
       }.mkString("{", ",", "}"),
       results.collect { case (_, v) if v >= 0 => v }.sum)
@@ -101,7 +111,7 @@ object Bench {
     // uniform): one shuffle join with 50% of rows on one key, dim modeled
     // as non-broadcastable. Reports naive straggler vs AQE skew-split vs
     // explicit salting; all three checksums must agree.
-    val skewJson = locally {
+    val skewVals = locally {
       import graft.relational.Skew
       import org.apache.spark.sql.functions.col
       val big = Skew.zipfBig(spark, 10000000L)
@@ -154,9 +164,9 @@ object Bench {
         // throw away the ~2 min of query measurements already taken — the
         // hard three-plan-equivalence assertion lives in SkewSpec
         val allSums = sums1 ++ sums2 ++ sums3
-        val base = s""""naive":$naive,"aqe_split":$aqe,"salted":$salted"""
-        if (allSums.distinct.size == 1) s"{$base}"
-        else s"""{$base,"error":"skew checksums disagree: ${allSums.mkString(" ")}"}"""
+        val err = if (allSums.distinct.size == 1) None
+          else Some(s"skew checksums disagree: ${allSums.mkString(" ")}")
+        (naive, aqe, salted, err)
       } finally prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
@@ -182,10 +192,23 @@ object Bench {
     // recorded every round under like conditions; the calm record is
     // the absolute-latency citation. Stated in SURVEY §8.
     val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,"load_hot":${loadStart > 1.0},"plane":"${if (loadStart > 1.0) "hot" else "calm"}""""
+    // the LINE drops load_end and n_queries (diagnostic extras, still in
+    // the DETAIL record) — every contract/verdict-named field stays:
+    // metric/value/steady_total/steady_min3_total/unit/errors/load_start/
+    // load_hot/plane/sf/skew/queries
+    val loadJsonLine = s""""load_start":$loadStart,"load_hot":${loadStart > 1.0},"plane":"${if (loadStart > 1.0) "hot" else "calm"}""""
+    val (skN, skA, skS, skErr) = skewVals
+    def skewJsonAt(dec: String): String = {
+      val base = s""""naive":${dec.format(skN)},"aqe_split":${dec.format(skA)},"salted":${dec.format(skS)}"""
+      skErr.fold(s"{$base}")(e => s"""{$base,"error":"$e"}""")
+    }
+    val skewJson = skewJsonAt("%.9f")
     // Full record (full names, millisecond precision, both passes) goes to
     // a file the builder commits per round; the stdout line stays compact
-    // enough to survive the driver's 2000-char tail capture.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"steady_total":${f"$steadyTotal%.3f"},"steady_min3_total":${f"$steadyMin3Total%.3f"},"unit":"sec","n_queries":${SparkEntry.queries.size},"errors":$errs,$loadJson,"sf":"$sfDir","skew":$skewJson,"queries":$qs}"""
+    // enough to survive the driver's 2000-char tail capture (2-decimal
+    // totals + the 1-decimal stripped query values above: ~1990 chars at
+    // 166 queries).
+    val line = s"""{"metric":"total","value":${f"$total%.2f"},"steady_total":${f"$steadyTotal%.2f"},"steady_min3_total":${f"$steadyMin3Total%.2f"},"unit":"sec","errors":$errs,$loadJsonLine,"sf":"$sfDir","skew":${skewJsonAt("%.1f")},"queries":$qs}"""
     locally {
       val (fullQs, _) = fmt(oneShot)
       val (fullSteady, _) = fmt(steady)

@@ -33,6 +33,11 @@ object JobProf {
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
     })
+    // registered graft_* SQL temp functions (graft_bloom_agg, graft_dot,
+    // ...) — every sibling driver main registers them; profiling a
+    // registry query that uses one failed with unresolved-function
+    // before (r16 advisor)
+    graft.functions.ArrayExprs.register(spark)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSet
     val picked = SparkEntry.registry.filter(r => names.contains(r.name))

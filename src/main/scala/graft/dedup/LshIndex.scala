@@ -247,7 +247,17 @@ object LshIndex {
   def dedupAgainst(s: SparkSession, idxDir: String, featDir: String,
       batch: DataFrame): DataFrame = {
     ArrayExprs.register(s)
-    dedupAgainstFeat(s, idxDir, featDir, Dedup.lshFeatures(batch).localCheckpoint())
+    val feat = Dedup.lshFeatures(batch).localCheckpoint()
+    // batch-volume-scoped confs for the probe body (the r16 verdict's
+    // q106 item — the streaming loop's batches already run under the
+    // caller's scope, where the nested call keeps the outer pin): the
+    // count is over the checkpointed blocks (cheap), and the lookup's
+    // tiny fixed stages pay AQE re-planning without profit at any batch
+    // size the bounded-probe design admits
+    StoreMaint.withBatchConfs(s,
+      StoreMaint.batchPartitions(s, feat.count())) {
+      dedupAgainstFeat(s, idxDir, featDir, feat)
+    }
   }
 
   /** [[dedupAgainst]] over a PRECOMPUTED feature frame — the streaming
@@ -332,10 +342,16 @@ object LshIndex {
         round(col("i") / (col("ns") + col("c_ns") - col("i")), 6).as("jac"))
 
     val matches = corpusMatches.unionAll(batchMatches)
-    val best = matches.groupBy(col("doc_id"))
-      .agg(min(col("partner")).as("dup_of"))
-      .join(matches.withColumnRenamed("partner", "dup_of"),
-        Seq("doc_id", "dup_of"))
+    // min-partner pick as ONE aggregation: (doc_id, partner) is unique
+    // (each half dedups by the pair and the partner id spaces are
+    // disjoint), so min(struct(partner, jac)) IS the min-partner row —
+    // the former groupBy-then-self-join paid a second shuffle + join for
+    // the same answer (guide §2.4; r17)
+    val best = matches
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("partner"), col("jac"))).as("b"))
+      .select(col("doc_id"), col("b.partner").as("dup_of"),
+        col("b.jac").as("jac"))
     // eager materialization (batch-sized): lets the caller's finally block
     // unpersist the shared intermediates without a recompute window
     val out = bfeat.select(col("doc_id"))

@@ -820,12 +820,25 @@ object Relational2 {
        |SELECT part, partner, support, rnk FROM ranked
        |WHERE rnk <= $BasketTopK ORDER BY part, rnk""".stripMargin,
   ) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b,
-        a("l_orderkey") === b("l_orderkey") && col("pa") < col("pb"))
+    // Pair generation as ONE order-keyed aggregation instead of
+    // distinct + self-join (r17; guide §2.4): collect_set per order IS
+    // the distinct (partial-aggregated map-side), and the ordered pairs
+    // of a ~4-item basket enumerate in-array with a sorted-array double
+    // transform — pa < pb ≡ position order after sort_array. The former
+    // plan paid an Exchange for the distinct and re-shuffled BOTH join
+    // sides on l_orderkey (3 Exchanges before the support groupBy); now
+    // exactly one order-keyed Exchange feeds the pair explosion. Same
+    // pair multiset, same support counts — the oracle is unchanged.
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= BasketMinSupport)
     val sym = pairs.select(col("pa").as("part"), col("pb").as("partner"),

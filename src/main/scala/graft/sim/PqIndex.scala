@@ -120,8 +120,26 @@ object PqIndex {
   /** The persisted codebooks as driver arrays — 8×16 centroid sub-vectors,
     * a bounded read (the quantizer-delivery contract: codebooks are tiny,
     * the corpus is not). */
+  /** Collected codebook LUT per (dir, file identity) — codebooks are an
+    * immutable store CONTRACT like the quantizer, yet both appendWorking
+    * and topK paid the collect as a fresh Spark job on every micro-batch
+    * (2×/batch on the q127 loop); identity = one fs listing, invalidated
+    * by any rebuild (r17). */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[Array[Array[Double]]], Array[Array[Double]])]()
+
+  private[sim] def clearContractCaches(): Unit = codebookCache.clear()
+
   private def readCodebooks(s: SparkSession, dir: String)
       : (Array[Array[Array[Double]]], Array[Array[Double]]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val ident = StoreMaint.fsFor(s, p).listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val key = s"$dir|$ident"
+    val hit = codebookCache.get(key)
+    if (hit != null) return hit
     val rows = s.read.parquet(s"$dir/codebooks")
       .orderBy(col("m"), col("cid")).collect()
     val cent = Array.ofDim[Array[Double]](PqSubspaces, PqCodebook)
@@ -130,6 +148,8 @@ object PqIndex {
       cent(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       cn2(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
     }
+    if (codebookCache.size() > 64) codebookCache.clear()
+    codebookCache.put(key, (cent, cn2))
     (cent, cn2)
   }
 
@@ -264,17 +284,22 @@ object PqIndex {
   def topK(s: SparkSession, dir: String, queries: DataFrame,
       nprobe: Int = NumProbe, rerank: Int = Rerank, k: Int = K): DataFrame = {
     ArrayExprs.register(s)
+    import s.implicits._
     val (cent, cn2) = readCodebooks(s, dir)
-    // probe the size with a bounded action BEFORE the collect — the
-    // collect itself is the harm the contract prevents
-    require(queries.limit((MaxQueryBatch + 1).toInt).count() <= MaxQueryBatch,
+    // ONE bounded collect probes the size AND fetches the batch: limit
+    // MaxQueryBatch+1 keeps the driver transfer bounded (the collect the
+    // contract prevents can never happen), and a 1025th row refuses
+    // exactly like the former separate limit-count job (r17 — the probe
+    // and the fetch were two jobs over the same frame)
+    val qrows0 = queries.select(col("query_id"), col("qv"))
+      .orderBy(col("query_id")).limit((MaxQueryBatch + 1).toInt).collect()
+    require(qrows0.length <= MaxQueryBatch,
       s"query batch exceeds the bounded-batch contract ($MaxQueryBatch): " +
         "PqIndex.topK ships per-query ADC LUTs as plan literals; for a " +
         "corpus-scale query side use Similarity.knnJoin (both sides " +
         "distributed)")
-    val qrows: Array[(Long, Array[Double])] = queries
-      .select(col("query_id"), col("qv")).orderBy(col("query_id")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qrows: Array[(Long, Array[Double])] =
+      qrows0.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // LUT entry (m, c) = exact squared L2 of the query's m-th sub-slice to
     // centroid c — ascending folds, the same IEEE sequence as the oracle
     def lutFor(q: Array[Double]): Seq[Double] =
@@ -291,13 +316,20 @@ object PqIndex {
       while (i < q.length) { acc += q(i) * q(i); i += 1 }
       acc
     }
-    val probed = VecIndex.withStoreProbeCells(s, dir,
-        queries.select(col("query_id"), col("qv")), nprobe, col("qv"), "probe")
+    // probe over the ALREADY-COLLECTED batch (a LocalRelation — the
+    // distributed queries plan does not re-execute) and collect the
+    // bounded (|q|·nprobe) probe rows once: the cells AND the probed
+    // frame both come from that one pass (was: a localCheckpoint job
+    // plus a distinct-collect job; r17)
+    val qLocal = qrows.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "qv")
+    val probedRows = VecIndex.withStoreProbeCells(s, dir, qLocal,
+        nprobe, col("qv"), "probe")
       .select(col("query_id"), explode(col("probe")).as("cell0"))
       .select(col("query_id"), col("cell0").cast("int").as("cell"))
-      .localCheckpoint()
-    val cells = probed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0).toString).toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val cells = probedRows.map(_._2).distinct.sorted.map(_.toString).toSeq
+    val probed = probedRows.toSeq.toDF("query_id", "cell")
     val codes = graft.dedup.LshIndex.readPruned(s, s"$dir/codes", "cell",
         cells, () => emptyCodes(s))
       .select(Seq(col("cell").cast("int").as("cell"), col("vec_id")) ++
@@ -315,7 +347,11 @@ object PqIndex {
     }
     val aw = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("vec_id"))
-    val shortlist = probed.join(codes,
+    // the shortlist is ≤ |queries|·rerank rows by construction: ONE
+    // bounded collect materializes it — the pfx set AND the re-rank
+    // join's local side both come from it (was: a localCheckpoint job
+    // plus a distinct-collect job; r17)
+    val slRows = probed.join(codes,
         probed("cell") === codes("cell") &&
           codes("vec_id") =!= probed("query_id"))
       .select(Seq(col("query_id"), col("vec_id")) ++
@@ -329,11 +365,13 @@ object PqIndex {
       .withColumn("ar", row_number().over(aw))
       .filter(col("ar") <= rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
-      .localCheckpoint() // ≤ |queries|·rerank rows — bounds the cold fetch
+      .collect()
+    val shortlist = slRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toDF("query_id", "neighbor_id", "dist")
     val mod = vecMod(s, dir)
-    val pfxs = shortlist
-      .select(pmod(col("neighbor_id"), lit(mod)).cast("int").as("p"))
-      .distinct().collect().map(_.getInt(0).toString).toSeq
+    val pfxs = slRows.map(r => java.lang.Math.floorMod(r.getLong(1), mod))
+      .distinct.sorted.map(_.toString).toSeq
     val vecs = graft.dedup.LshIndex.readPruned(s, s"$dir/vecs", "vpfx", pfxs,
         () => emptyVecs(s))
       .select(col("vec_id").as("neighbor_id"), col("label"), col("v"),
@@ -376,7 +414,9 @@ object PqIndex {
     }
 
   /** Drop the store-pointer caches (cold-run probes). */
-  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
+  def clearCaches(): Unit = synchronized {
+    stores.clear(); delStores.clear(); clearContractCaches()
+  }
 
   /** The q121/q124 oracle: q107's probe CTEs + q74's encode/LUT/ADC CTEs
     * + the two deterministic rank cuts. `candFilter` restricts the

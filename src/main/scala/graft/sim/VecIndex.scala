@@ -169,10 +169,33 @@ object VecIndex {
     * ships as plan literals (one tiny driver collect); a large one rides a
     * broadcast single-row join straight off its parquet — no driver
     * materialization of the centroid matrix at all. */
+  /** Collected small-quantizer LUT per (dir, file identity) — the
+    * quantizer is an immutable store CONTRACT (trained offline, never
+    * touched by append/compact), yet every probe used to pay its
+    * count+collect as two fresh Spark jobs; the identity key (file
+    * names/lengths/mtimes, one fs listing) invalidates on any rebuild
+    * (r17 — guide §1.2 don't recompute what can't have changed). */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[Seq[Double]], Seq[Double])]()
+
+  private def quantizerIdentity(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/quantizer")
+    StoreMaint.fsFor(s, p).listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   private[graft] def withStoreProbeCells(s: SparkSession, dir: String, df: DataFrame,
       nprobe: Int, v: org.apache.spark.sql.Column, out: String,
       literalLimit: Int = Similarity.LiteralCellLimit): DataFrame = {
     ArrayExprs.register(s)
+    val key = s"$dir|$literalLimit|${quantizerIdentity(s, dir)}"
+    val hit = quantizerCache.get(key)
+    if (hit != null) {
+      val (cents, cn2s) = hit
+      return df.withColumn(out, Similarity.probeCells(cents, cn2s, nprobe)(v))
+    }
     val q = s.read.parquet(s"$dir/quantizer")
     val n = q.count()
     if (n <= literalLimit) {
@@ -180,6 +203,8 @@ object VecIndex {
       val cents: Seq[Seq[Double]] =
         rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
       val cn2s: Seq[Double] = rows.map(_.getDouble(2)).toIndexedSeq
+      if (quantizerCache.size() > 64) quantizerCache.clear()
+      quantizerCache.put(key, (cents, cn2s))
       df.withColumn(out, Similarity.probeCells(cents, cn2s, nprobe)(v))
     } else {
       val row = q.agg(
@@ -262,7 +287,9 @@ object VecIndex {
 
   /** Drop the store-pointer cache (cold-run probes; dirs are left for
     * JVM-exit cleanup). */
-  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
+  def clearCaches(): Unit = synchronized {
+    stores.clear(); delStores.clear(); quantizerCache.clear()
+  }
 
   /** q107: ANN top-k through the PERSISTED index — build (quantizer +
     * cell-partitioned postings), persisted-quantizer probing, pruned

@@ -32,28 +32,51 @@ object StoreMaint {
     * keep the OUTERMOST pin. */
   private val batchConfDepth =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      (java.util.concurrent.atomic.AtomicInteger, String, String)]()
+      (java.util.concurrent.atomic.AtomicInteger, String)]()
+
+  /** Shuffle-partition pin for a bounded micro-batch body, derived from
+    * the batch's admission-control ROW CAP (the r16 verdict's item: a
+    * literal pin serializes a cluster-scale micro-batch): one partition
+    * per `spark.graft.batch.targetRowsPerPartition` rows of the cap
+    * (default 512 — the small-row operator bodies these loops run),
+    * floored at 8 (the measured sweet spot for bench-scale batches, so
+    * the driver's sf0.1 numbers stay comparable) and capped at 4× the
+    * session's parallelism (past that, extra tiny partitions are pure
+    * scheduling overhead for a BOUNDED body). */
+  private[graft] def batchPartitions(s: SparkSession, rowCap: Long,
+      floor: Int = 8): Int = {
+    val target = s.conf.get("spark.graft.batch.targetRowsPerPartition",
+      "512").toLong
+    val byCap = math.max(1L, (math.max(rowCap, 0L) + target - 1) / target)
+    val ceil = math.max(s.sparkContext.defaultParallelism.toLong * 4,
+      floor.toLong)
+    math.min(math.max(byCap, floor.toLong), ceil).toInt
+  }
 
   private[graft] def withBatchConfs[T](s: SparkSession, partitions: Int)
-      (f: => T): T = {
+      (f: => T): T = withNoAqe(s) {
+    // AQE handling DELEGATES to withNoAqe so both scope families share
+    // ONE per-session depth counter and saved value for the adaptive
+    // key — two independent refcounts over the same conf key interleave
+    // across threads exactly like the r15 naive save/restore (the r16
+    // advisor's medium finding: family A's exit restores mid-scope of
+    // family B, whose exit then leaks A's stale snapshot).
     val pk = "spark.sql.shuffle.partitions"
-    val ak = "spark.sql.adaptive.enabled"
     batchConfDepth.synchronized {
-      val (d, _, _) = batchConfDepth.computeIfAbsent(s,
-        _ => (new java.util.concurrent.atomic.AtomicInteger(0), "", ""))
+      val (d, _) = batchConfDepth.computeIfAbsent(s,
+        _ => (new java.util.concurrent.atomic.AtomicInteger(0), ""))
       if (d.getAndIncrement() == 0) {
-        // re-read prev NOW (the map entry may be stale from a prior
-        // fully-unwound cycle; the conf may have changed since)
-        batchConfDepth.put(s,
-          (d, s.conf.get(pk), s.conf.get(ak, "true")))
+        // re-read prev NOW (the conf may have changed since a prior
+        // fully-unwound cycle)
+        batchConfDepth.put(s, (d, s.conf.get(pk)))
         s.conf.set(pk, partitions.toString)
-        s.conf.set(ak, "false")
       }
     }
     try f finally batchConfDepth.synchronized {
-      val (d, pp, pa) = batchConfDepth.get(s)
+      val (d, pp) = batchConfDepth.get(s)
       if (d.decrementAndGet() == 0) {
-        s.conf.set(pk, pp); s.conf.set(ak, pa)
+        s.conf.set(pk, pp)
+        batchConfDepth.remove(s) // don't retain dead sessions (r16 advisor)
       }
     }
   }
@@ -82,7 +105,10 @@ object StoreMaint {
     }
     try f finally noAqeDepth.synchronized {
       val (d, pa) = noAqeDepth.get(s)
-      if (d.decrementAndGet() == 0) s.conf.set(ak, pa)
+      if (d.decrementAndGet() == 0) {
+        s.conf.set(ak, pa)
+        noAqeDepth.remove(s) // don't retain dead sessions (r16 advisor)
+      }
     }
   }
 

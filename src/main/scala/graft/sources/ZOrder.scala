@@ -328,12 +328,9 @@ object ZOrder {
     catch { case _: Exception => Seq.empty }
   }
 
-  /** The current (or time-travel) column mapping of a store — memoized
-    * per snapshot identity like [[prunableColumns]] (the answer only
-    * changes with a commit; identity for stores that never mapped). */
-  private val colMapCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ColMap]()
-
+  /** The current (or time-travel) column mapping of a store — served
+    * from the [[manifestMeta]] snapshot cache (the answer only changes
+    * with a commit; identity for stores that never mapped). */
   private[sources] def colMapFor(s: SparkSession, path: String,
       at: Option[(Long, Long)] = None): ColMap =
     currentSnapshotOrAt(s, path, at) match {
@@ -342,18 +339,7 @@ object ZOrder {
     }
 
   private[sources] def colMapForSnap(s: SparkSession, path: String,
-      snap: ZSnapshot): ColMap = {
-    val key = s"$path|i${snapIdentity(s, snap)}|e${snap.epoch}|" +
-      snap.vdirs.map(_.getName).sorted.mkString(",")
-    val hit = colMapCache.get(key)
-    if (hit != null) hit
-    else {
-      val cm = manifestSchemaMap(s, snap)._3
-      if (colMapCache.size() > 64) colMapCache.clear()
-      colMapCache.put(key, cm)
-      cm
-    }
-  }
+      snap: ZSnapshot): ColMap = manifestMeta(s, snap)._2
 
   private def currentSnapshotOrAt(s: SparkSession, path: String,
       at: Option[(Long, Long)]): Option[ZSnapshot] = at match {
@@ -496,23 +482,65 @@ object ZOrder {
     (man, schema)
   }
 
-  /** The snapshot's manifest rows, recorded PHYSICAL schema, and column
-    * mapping — one driver collect serves all three (the mapping rides
-    * the manifest as the latest committed [[ColmapKey]] row). */
-  private def manifestSchemaMap(s: SparkSession,
-      snap: ZSnapshot): (DataFrame, StructType, ColMap) = {
-    val man = s.read.parquet(snap.vdirs.map(_.toString): _*)
-    val meta = man.filter(col("c").isin(DdlKey, ColmapKey))
-      .orderBy(col("ver").desc).select(col("c"), col("mn")).collect()
-    val ddl = meta.find(_.getString(0) == DdlKey).getOrElse(
-      throw new IllegalStateException(
-        s"manifest of epoch ${snap.epoch} has no recorded schema row"))
-      .getString(1)
-    val cm = meta.find(_.getString(0) == ColmapKey)
-      .map(r => decodeColMap(r.getString(1))).getOrElse(IdentityColMap)
+  /** The snapshot's manifest rows as a LAZY frame — no job until an
+    * actual stat/file scan forces it. */
+  private def manifestDf(s: SparkSession, snap: ZSnapshot): DataFrame =
+    s.read.parquet(snap.vdirs.map(_.toString): _*)
+
+  /** Collected manifest META of one snapshot: recorded PHYSICAL schema
+    * (latest committed DDL, deep-nullable), column mapping, and the full
+    * batch-TAG set — memoized per snapshot identity like the scan-plan
+    * cache. One snapshot used to pay this collect 2-4× per append/DML
+    * (boundary translation, schema union, replay check, landed check,
+    * carried tags), each a full Spark job on the hot commit path; the
+    * answer only changes with a commit, which changes the key (r17
+    * optimization — guide §1.2 "remove passes", §5 driver work). */
+  private val manifestMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (StructType, ColMap, Set[String])]()
+
+  private def snapCacheKey(s: SparkSession, snap: ZSnapshot): String =
+    s"${snap.epochDir}|i${snapIdentity(s, snap)}|" +
+      snap.vdirs.map(_.getName).sorted.mkString(",")
+
+  private def manifestMeta(s: SparkSession, snap: ZSnapshot)
+      : (StructType, ColMap, Set[String]) = {
+    val key = snapCacheKey(s, snap)
+    val hit = manifestMetaCache.get(key)
+    if (hit != null) return hit
+    val meta = manifestDf(s, snap).filter(col("c").isin(DdlKey, ColmapKey))
+      .select(col("ver"), col("c"), col("mn"), col("mx")).collect()
+    val ddl = meta.filter(_.getString(1) == DdlKey)
+      .sortBy(-_.getLong(0)).headOption.getOrElse(
+        throw new IllegalStateException(
+          s"manifest of epoch ${snap.epoch} has no recorded schema row"))
+      .getString(2)
+    val cm = meta.filter(_.getString(1) == ColmapKey)
+      .sortBy(-_.getLong(0)).headOption
+      .map(r => decodeColMap(r.getString(2))).getOrElse(IdentityColMap)
+    val tags = meta.iterator
+      .filter(r => r.getString(1) == DdlKey && !r.isNullAt(3))
+      .map(_.getString(3)).toSet
     val schema = Sources.deepNullable(StructType.fromDDL(ddl))
       .asInstanceOf[StructType]
-    (man, schema, cm)
+    val res = (schema, cm, tags)
+    if (manifestMetaCache.size() > 64) manifestMetaCache.clear()
+    manifestMetaCache.put(key, res)
+    res
+  }
+
+  /** Every batch tag recorded in the snapshot's manifest — cached, no
+    * job (sorted for deterministic manifest row order downstream). */
+  private def manifestTagsOf(s: SparkSession, snap: ZSnapshot): Set[String] =
+    manifestMeta(s, snap)._3
+
+  /** The snapshot's manifest rows, recorded PHYSICAL schema, and column
+    * mapping — the schema/mapping from the cached meta collect; the
+    * manifest frame stays lazy. */
+  private def manifestSchemaMap(s: SparkSession,
+      snap: ZSnapshot): (DataFrame, StructType, ColMap) = {
+    val (schema, cm, _) = manifestMeta(s, snap)
+    (manifestDf(s, snap), schema, cm)
   }
 
   private def requireSnapshot(s: SparkSession, path: String): ZSnapshot =
@@ -831,10 +859,8 @@ object ZOrder {
       numFiles: Int, statCols: Seq[String], tag: Option[String],
       snap0: ZSnapshot): Unit = {
     val s = df.sparkSession
-    val (man0, recorded0) = manifestAndSchema(s, snap0)
-    val replayed = tag.exists(t =>
-      man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
-        .limit(1).count() > 0)
+    val (recorded0, _, tags0) = manifestMeta(s, snap0)
+    val replayed = tag.exists(tags0.contains)
     if (replayed) return
     // the recorded table schema evolves by the same add-only union as the
     // index stores (StoreMaint.unionSchemas): an append may ADD columns
@@ -857,12 +883,17 @@ object ZOrder {
       var done = false
       while (!done) {
         val snap = requireSnapshot(s, path)
-        val (man, recorded) = manifestAndSchema(s, snap)
-        val landed = tag.exists(t =>
-          man.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
-            .limit(1).count() > 0) ||
-          man.filter(!col("c").isin(DdlKey, ColmapKey) &&
-            col("f").startsWith(s"$dname/")).limit(1).count() > 0
+        val (recorded, _, tagsNow) = manifestMeta(s, snap)
+        // our dname only ever enters a manifest through OUR OWN
+        // writeManifestVersion (fresh UUID) — before the first commit
+        // attempt the probe job can't match, so skip it (r17: one fewer
+        // manifest job per uncontended append); a concurrent replay of
+        // the same logical batch is the TAG check, served from the
+        // cached meta collect
+        val landed = tag.exists(tagsNow.contains) ||
+          (commits > 0 &&
+            manifestDf(s, snap).filter(!col("c").isin(DdlKey, ColmapKey) &&
+              col("f").startsWith(s"$dname/")).limit(1).count() > 0)
         // a rewrite that RESOLVED ITS BASE after our commit consumed our
         // rows into its rewritten data — the `_rebase` watermark is the
         // only evidence (a re-cluster destroys the dname). Scanned over
@@ -1197,7 +1228,7 @@ object ZOrder {
       }
       if (candidates.nonEmpty) {
         val (man, _) = manifestAndSchema(s, cur)
-        val settled = manifestTags(man).toSet
+        val settled = manifestTagsOf(s, cur)
         candidates.foreach { case (be, bdir, v, vdir) =>
           // settled evidence, either plane: the provenance tag, or ANY of
           // the version's files listed in the current manifest — the
@@ -1443,7 +1474,8 @@ object ZOrder {
     // latency here extends the _zcommit turnstile hold and so caps
     // concurrent-committer throughput (r16 optimization round)
     while (true) {
-      val (man0, attemptSchema, attemptCm) = manifestSchemaMap(s, attempt)
+      val (attemptSchema, attemptCm, attemptTags) = manifestMeta(s, attempt)
+      val man0 = manifestDf(s, attempt)
       // the column mapping CARRIES across every epoch rewrite (like
       // tags); a rename/drop commit TRANSFORMS it — as a function of the
       // attempt-time mapping, not a fixed value, so two concurrent
@@ -1454,9 +1486,7 @@ object ZOrder {
         .getOrElse(attemptCm)
       val man = man0.filter(!col("c").isin(DdlKey, ColmapKey))
       if (rebased) {
-        if (extraTags.nonEmpty &&
-            man0.filter(col("c") === lit(DdlKey) &&
-              col("mx").isin(extraTags: _*)).limit(1).count() > 0)
+        if (extraTags.exists(attemptTags.contains))
           return false
         if (consumed.nonEmpty) {
           val missing = consumed.toDF("f")
@@ -1477,7 +1507,7 @@ object ZOrder {
       val ddlOut = StoreMaint.unionSchemas(s"$path (z-store)",
         Some(attemptSchema), StructType.fromDDL(ddl)).toDDL
       val carried = carriedStatsDf(s, man, consumed)
-      val tags = manifestTags(man0) ++ extraTags
+      val tags = attemptTags.toSeq.sorted ++ extraTags
       val staged = stagedChanges // forced OUTSIDE the turnstile
       val committed = prf("commit.turnstile")(
         withCommitLock(s, path, s"commit-$op") { lease =>
@@ -1629,14 +1659,31 @@ object ZOrder {
     val bloomCols = bloomIndexedCols(df.sparkSession, path)
       .filter { case (c, _) => df.schema.exists(_.name.equalsIgnoreCase(c)) }
     if (bloomCols.nonEmpty) prf("zWrite.bloomRecover") {
-      val written = df.sparkSession.read.parquet(s"$path/$dname")
-      val maxPerFile = written.groupBy(input_file_name()).count()
-        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
-      bloomCols.foreach { case (c, fpp) =>
-        val f = df.schema.find(_.name.equalsIgnoreCase(c)).get
-        writeBloomSidecars(df.sparkSession, path, f.name, written,
-          math.max(maxPerFile, 1024L), fpp)
+      val s = df.sparkSession
+      // Expected-items sizing from the parquet FOOTERS the write just
+      // produced — metadata-only, no row scan (the old per-file count
+      // job re-read every written row once, and then each bloom column
+      // read the batch AGAIN; guide §6 — the write path paid 1+B data
+      // passes for B bloom columns, now exactly one, over only the
+      // bloom columns).
+      val files = listBatchFiles(s, path, dname)
+      val maxPerFile = if (files.isEmpty) 0L else {
+        val bc = s.sparkContext.broadcast(
+          new org.apache.spark.SerializableWritable(
+            s.sessionState.newHadoopConf()))
+        try s.sparkContext.parallelize(files.map(_._1),
+            math.min(files.size, 32))
+          .map { p =>
+            val hp = new Path(p)
+            val st = hp.getFileSystem(bc.value.value).getFileStatus(hp)
+            Sources.footerCounts(st, bc.value.value, Seq.empty)._1
+          }.fold(0L)(math.max)
+        finally bc.destroy()
       }
+      val colsWithFpp = bloomCols.map { case (c, fpp) =>
+        (df.schema.find(_.name.equalsIgnoreCase(c)).get.name, fpp) }
+      writeBloomSidecars(s, path, colsWithFpp,
+        s.read.parquet(s"$path/$dname"), math.max(maxPerFile, 1024L))
     }
     Some(dname)
   }
@@ -1647,6 +1694,27 @@ object ZOrder {
     * distributed), via the canonical [[Sources.footerColStats]] encoding.
     * Ineligible stat-column types refuse loudly at write time — better
     * than recording stats a reader can't compare. */
+  /** Leaf data files of a just-written batch dir as (absolute path,
+    * rel-path-from-store-root) — recursive, because a BUCKETED batch
+    * nests one `__zb=<b>/` dir per bucket. One driver listing of ONE
+    * batch dir (never the whole store). */
+  private def listBatchFiles(s: SparkSession, path: String,
+      dname: String): Seq[(String, String)] = {
+    val ddir = new Path(s"$path/$dname")
+    val fs = StoreMaint.fsFor(s, ddir)
+    def leaves(p: Path): Seq[(String, String)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) leaves(st.getPath)
+        else if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val abs = st.getPath.toUri.getPath
+          val root = fs.makeQualified(ddir).toUri.getPath
+          Seq((st.getPath.toString,
+            s"$dname${abs.stripPrefix(root)}"))
+        } else Seq.empty
+      }
+    leaves(ddir).sortBy(_._2)
+  }
+
   private def harvestStats(s: SparkSession, path: String, dname: String,
       statCols: Seq[String], schema: StructType)
       : Seq[(String, String, Option[String], Option[String], Boolean)] = {
@@ -1659,20 +1727,7 @@ object ZOrder {
           "stat encoding (long/int/double/string/timestamp do)")
       f
     }
-    val ddir = new Path(s"$path/$dname")
-    val fs = StoreMaint.fsFor(s, ddir)
-    // recursive: a BUCKETED batch nests one `__zb=<b>/` dir per bucket
-    def leaves(p: Path): Seq[(String, String)] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) leaves(st.getPath)
-        else if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          val abs = st.getPath.toUri.getPath
-          val root = fs.makeQualified(ddir).toUri.getPath
-          Seq((st.getPath.toString,
-            s"$dname${abs.stripPrefix(root)}"))
-        } else Seq.empty
-      }
-    val files = leaves(ddir).sortBy(_._2)
+    val files = listBatchFiles(s, path, dname)
     if (files.isEmpty) return Seq.empty
     val bucketOf = "__zb=(\\d+)/".r
     val bc = s.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
@@ -1767,11 +1822,6 @@ object ZOrder {
     if (drop.isEmpty) base
     else base.join(drop.toDF("f"), Seq("f"), "left_anti")
   }
-
-  /** Every batch tag recorded in the snapshot's manifest. */
-  private def manifestTags(man: DataFrame): Seq[String] =
-    man.filter(col("c") === lit(DdlKey) && col("mx").isNotNull)
-      .select(col("mx")).distinct().collect().map(_.getString(0)).toSeq
 
   /** The distinct stat columns recorded anywhere in the snapshot's
     * manifest that still exist in `schema` — the coverage a
@@ -2427,8 +2477,8 @@ object ZOrder {
         val out = fs.create(p, true)
         try out.write(fpp.toString.getBytes("UTF-8")) finally out.close()
       }
-      writeBloomSidecars(s, path, f.name,
-        readSnapshotPhysOf(s, path, snap), math.max(maxRows, 1024L), fpp)
+      writeBloomSidecars(s, path, Seq((f.name, fpp)),
+        readSnapshotPhysOf(s, path, snap), math.max(maxRows, 1024L))
     }
 
   /** Bloom-indexed columns of the store = the recorded `_zbloom/<col>`
@@ -2453,26 +2503,32 @@ object ZOrder {
   }
 
   /** ONE distributed bloom-sidecar pass over `frame` (rows must come
-    * only from files under the store root): group by input file →
-    * BloomFilterAggregate(xxhash64(col)) sized for `n` items at `fpp`;
+    * only from files under the store root) covering EVERY given column
+    * at once: group by input file → one BloomFilterAggregate(xxhash64
+    * (col)) per column, each sized for `n` items at its recorded fpp;
     * each executor partition writes its own `_zbloom/<col>/<rel>.bloom`
-    * — no driver materialization of O(files × bloomBytes). Shared by
-    * the whole-snapshot [[buildBloomIndex]] and the per-batch re-cover
-    * every [[zWrite]] runs for recorded bloom columns. */
+    * files — no driver materialization of O(files × bloomBytes), and
+    * the scan reads only the bloom columns in a single pass (guide §2.3
+    * project-early / §6 — one read regardless of column count). Shared
+    * by the whole-snapshot [[buildBloomIndex]] and the per-batch
+    * re-cover every [[zWrite]] runs for recorded bloom columns. */
   private def writeBloomSidecars(s: SparkSession, path: String,
-      colName: String, frame: DataFrame, n: Long, fpp: Double): Unit = {
-      val bits = math.ceil(
-        -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      cols: Seq[(String, Double)], frame: DataFrame, n: Long): Unit = {
       val shim = org.apache.spark.sql.graftshim.PlanBridge
       import org.apache.spark.sql.catalyst.expressions.Literal
       // signed zeros need no normalization here: XxHash64 canonicalizes
       // -0.0 to 0.0 (and NaN) before hashing, so stored -0.0 and a 0.0
       // probe already collide — pinned in ZOrderSpec
-      val agg = shim.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(shim.expression(xxhash64(col(colName))),
-            Literal(n), Literal(bits)).toAggregateExpression())
-      val colLower = colName.toLowerCase
+      val aggs = cols.map { case (colName, fpp) =>
+        val bits = math.ceil(
+          -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+        shim.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(shim.expression(xxhash64(col(colName))),
+              Literal(n), Literal(bits)).toAggregateExpression())
+          .as(s"__bf_${colName.toLowerCase}")
+      }
+      val colLowers = cols.map(_._1.toLowerCase)
       val target = path // stable closure reference
       val overrides = GraftShardsSource.confOverrides(s)
       // sidecars key by the file's path RELATIVE TO THE STORE ROOT (the
@@ -2485,8 +2541,8 @@ object ZOrder {
           GraftShardsSource.hadoopConf(overrides))
         .makeQualified(new Path(target)).toUri.getPath
       frame
-        .groupBy(input_file_name().as("__file")).agg(agg.as("__bf"))
-        .select(col("__file"), col("__bf"))
+        .groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
         .foreachPartition { (rows: Iterator[Row]) =>
           val fs = GraftShardsSource.fs(new Path(target),
             GraftShardsSource.hadoopConf(overrides))
@@ -2496,9 +2552,11 @@ object ZOrder {
               s"bloom build: scanned file ${r.getString(0)} is not under " +
                 s"the z-store root $rootAbs")
             val rel = abs.substring(rootAbs.length + 1)
-            val out = fs.create(bloomSidecar(target, colLower, rel), true)
-            out.write(r.getAs[Array[Byte]](1))
-            out.close()
+            colLowers.zipWithIndex.foreach { case (cl, i) =>
+              val out = fs.create(bloomSidecar(target, cl, rel), true)
+              out.write(r.getAs[Array[Byte]](i + 1))
+              out.close()
+            }
           }
         }
     }
@@ -3603,7 +3661,7 @@ object ZOrder {
         s"manifest-compact on $path: commit lock expired before the " +
           "flip — aborting; retry")
       writeManifestVersion(s, edir, 0L,
-        schema.toDDL, Seq.empty, manifestTags(man),
+        schema.toDDL, Seq.empty, manifestTagsOf(s, snap).toSeq.sorted,
         carried = Some(carriedStatsDf(s, man, Seq.empty)),
         op = "manifest-compact",
         colmap = if (cmMc.isIdentity) None else Some(encodeColMap(cmMc)))
@@ -3961,9 +4019,8 @@ object ZOrder {
       val keyCol = if (cmG.isIdentity) keyCol0
         else cmG.physOfOrRefuse(keyCol0, path)
       val zcols = translateColsLenient(cmG, path, zcols0)
-      val replayed = prf("merge.replayed")(tag.exists(t =>
-        man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
-          .limit(1).count() > 0))
+      val replayed = prf("merge.replayed")(
+        tag.exists(manifestTagsOf(s, snap).contains))
       if (replayed) MergeResult(0L, 0L)
       else {
         // add-only union BEFORE any work: a type change refuses here
@@ -4410,9 +4467,7 @@ object ZOrder {
       val set = if (cmU.isIdentity) set0
         else set0.map { case (k, e) =>
           (cmU.physOfOrRefuse(k, path), translateExprRefs(cmU, path, e)) }
-      val replayed = tag.exists(t =>
-        man0.filter(col("c") === lit(DdlKey) && col("mx") === lit(t))
-          .limit(1).count() > 0)
+      val replayed = tag.exists(manifestTagsOf(s, snap).contains)
       if (replayed) 0L
       else {
         set.keys.foreach(k => require(
@@ -4579,7 +4634,7 @@ object ZOrder {
         s"restore on $path: commit lock expired before the flip — " +
           "aborting; retry")
       writeManifestVersion(s, edir, 0L, schemaP.toDDL, Seq.empty,
-        manifestTags(man0),
+        manifestTagsOf(s, cur).toSeq.sorted,
         carried = Some(carriedStatsDf(s, manP, Seq.empty)), op = "restore",
         colmap = if (cmP.isIdentity) None else Some(encodeColMap(cmP)))
       rollForwardLateAppends(s, path, cur, lease)
@@ -4871,6 +4926,7 @@ object ZOrder {
     rowCountsCache.synchronized { rowCountsCache.clear() }
     bucketMapCache.synchronized { bucketMapCache.clear() }
     prunableColsCache.clear()
+    manifestMetaCache.clear()
   }
 
   /** q123: selective two-column range read THROUGH the z-clustered layout —
@@ -5255,9 +5311,12 @@ object ZOrder {
     * reads can't absorb a re-append the way the other four stores do;
     * the tag makes the re-append itself a no-op. */
   private[graft] def ingestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long, lo: Long, hi: Long): Unit = {
+      df: DataFrame, id: Long, lo: Long, hi: Long,
+      rowCap: Long = 4096L): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    StoreMaint.withBatchConfs(s, StoreMaint.batchPartitions(s, rowCap)) {
       val store = s"$root/store"
       appendZOrdered(
         df.select(col("doc_id"),
@@ -5332,7 +5391,7 @@ object ZOrder {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id, lo, hi)
+        ingestBatch(s, root, df, id, lo, hi, limit * numShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -5360,19 +5419,29 @@ object ZOrder {
   private[graft] def ivmBatch(s: SparkSession, root: String,
       df: DataFrame, id: Long): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
+    // literal pin kept: admission here is maxVersionsPerTrigger (no row
+    // cap exists to derive from) and the fold reduces to <= #langs rows
+    // regardless of delta volume — a deployment with huge deltas raises
+    // spark.sql.shuffle.partitions around the stream instead
     StoreMaint.withBatchConfs(s, 4) {
-      if (df.limit(1).count() > 0) {
-        // fold PER VERSION, resolving the previous state from what EXISTS:
-        // committed version numbers are not contiguous (claimNextVersion
-        // skips a crashed claimant's number) and maxVersionsPerTrigger>1
-        // puts several commits in one micro-batch — `view/v(ver-1)` may
-        // be a nonexistent path, or the batch may span versions (the r10
-        // advisor finding). The previous view is the highest existing
-        // `view/v*` BELOW the batch's first version; each version's delta
-        // then folds in commit order, every covered state still keyed by
-        // its own commit coordinate (replay-deterministic as before).
-        val vers = df.select(col(ZcdfStream.VerCol)).distinct()
-          .collect().map(_.getLong(0)).sorted
+      import s.implicits._
+      // fold PER VERSION, resolving the previous state from what EXISTS:
+      // committed version numbers are not contiguous (claimNextVersion
+      // skips a crashed claimant's number) and maxVersionsPerTrigger>1
+      // puts several commits in one micro-batch — `view/v(ver-1)` may
+      // be a nonexistent path, or the batch may span versions (the r10
+      // advisor finding). The previous view is the highest existing
+      // `view/v*` BELOW the batch's first version; each version's delta
+      // then folds in commit order, every covered state still keyed by
+      // its own commit coordinate (replay-deterministic as before).
+      // One distinct-collect serves BOTH the emptiness probe and the
+      // version list (was two jobs), and the ≤#langs view states are
+      // carried as COLLECTED rows — the per-version fold aggregates
+      // straight to the driver and writes a LocalRelation, instead of a
+      // localCheckpoint job + a lineage-severed write per version (r17).
+      val vers = df.select(col(ZcdfStream.VerCol)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (vers.nonEmpty) {
         val viewDir = new Path(s"$root/view")
         val fs = StoreMaint.fsFor(s, viewDir)
         val prevVer: Option[Long] =
@@ -5380,29 +5449,31 @@ object ZOrder {
           else fs.listStatus(viewDir).filter(_.isDirectory)
             .flatMap(st => parseIdx(st.getPath.getName, "v"))
             .filter(_ < vers.head).maxOption
-        var prev: DataFrame = prevVer match {
+        var prev: Seq[(String, Long, Long)] = prevVer match {
           case Some(pv) => s.read.parquet(s"$root/view/v$pv")
-          case None => df.limit(0).groupBy(col("lang"))
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("n_chars")).cast("long").as("sum_chars"))
+            .select(col("lang"), col("n_docs"), col("sum_chars")).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          case None => Seq.empty
         }
+        def viewDf(rows: Seq[(String, Long, Long)]): DataFrame =
+          rows.toDF("lang", "n_docs", "sum_chars")
         val states = vers.map { ver =>
           val delta = df.filter(col(ZcdfStream.VerCol) === lit(ver))
             .groupBy(col("lang"))
             .agg(count(lit(1)).cast("long").as("n_docs"),
               sum(col("n_chars")).cast("long").as("sum_chars"))
-          val next = prev.unionByName(delta).groupBy(col("lang"))
-            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-              sum(col("sum_chars")).cast("long").as("sum_chars"))
-            .localCheckpoint() // sever the self-referencing view lineage
-          next.coalesce(1).write
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val merged = (prev ++ delta).groupBy(_._1).map { case (lang, xs) =>
+            (lang, xs.map(_._2).sum, xs.map(_._3).sum)
+          }.toSeq.sortBy(_._1)
+          viewDf(merged).coalesce(1).write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$root/view/v$ver")
-          prev = next
-          next.select(lit(ver).as("ver"), col("lang"), col("n_docs"),
-            col("sum_chars"))
+          prev = merged
+          merged.map { case (lang, n, sc) => (ver, lang, n, sc) }
         }
-        states.reduce(_ unionByName _).coalesce(1).write
+        states.toSeq.flatten
+          .toDF("ver", "lang", "n_docs", "sum_chars").coalesce(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$root/out/batch=$id")
       }
@@ -5465,9 +5536,11 @@ object ZOrder {
     * wholesale, and the marker-missed window is closed by the tag riding
     * the merge's own epoch commit (a replayed tagged merge no-ops). */
   private[graft] def mergeIngestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long): Unit = {
+      df: DataFrame, id: Long, rowCap: Long = 4096L): Unit = {
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    StoreMaint.withBatchConfs(s, StoreMaint.batchPartitions(s, rowCap)) {
       import org.apache.spark.sql.expressions.Window
       val store = s"$root/store"
       val w = Window.partitionBy(col("doc_id"))
@@ -5567,7 +5640,8 @@ object ZOrder {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        mergeIngestBatch(s, root, df, id)
+        mergeIngestBatch(s, root, df, id,
+          limit * GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -779,32 +779,53 @@ object TextAnalysis {
     },
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     var t = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
       .localCheckpoint()
-    val stats = (1 to MergeRounds).map { r =>
+    // token count maintained ARITHMETICALLY: merging the winning a≠b
+    // pair removes exactly one token per occurrence and occurrences
+    // cannot overlap (the class-doc property), so tokens_after =
+    // prev − n_merges — the per-round corpus count job is gone, and the
+    // winning one-row merge collects to LITERALS (no crossJoin-broadcast
+    // in the rebuild plan). Jobs per round: 4 → 2 (r17; guide §1.2).
+    var tokensAfter = t.count()
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    (1 to MergeRounds).foreach { r =>
       val p = t.select(col("doc_id"), col("i"), col("w"),
         lead(col("w"), 1).over(byDoc).as("nx"),
         lag(col("w"), 1).over(byDoc).as("pv"))
-      val counts = p.filter(col("nx").isNotNull && col("w") =!= col("nx"))
+      val mRows = p.filter(col("nx").isNotNull && col("w") =!= col("nx"))
         .groupBy(col("w").as("a"), col("nx").as("b")).count()
-      val m = counts.orderBy(col("count").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint() // one row: the learned merge of this round
-      t = p.crossJoin(broadcast(m))
-        .filter(col("pv").isNull ||
-          !(col("pv") === col("a") && col("w") === col("b")))
-        .select(col("doc_id"),
-          row_number().over(byDoc).as("i"),
-          when(col("w") === col("a") && col("nx").isNotNull &&
-              col("nx") === col("b"),
-            concat(col("a"), lit("_"), col("b"))).otherwise(col("w")).as("w"))
-        .localCheckpoint()
-      m.select(lit(r).as("round"), col("a").as("token_a"),
-        col("b").as("token_b"), col("count").as("n_merges"),
-        lit(t.count()).as("tokens_after"))
+        .orderBy(col("count").desc, col("a"), col("b")).limit(1).collect()
+      if (mRows.isEmpty) {
+        // no adjacent a≠b pair left: the oracle's m$r/s$r CTEs are empty
+        // and its t$r (FROM p$r, m$r) empties the corpus — mirror both
+        t = t.filter(lit(false)).localCheckpoint()
+        tokensAfter = 0L
+      } else {
+        val (a, b, cnt) =
+          (mRows(0).getString(0), mRows(0).getString(1), mRows(0).getLong(2))
+        t = p
+          .filter(col("pv").isNull ||
+            !(col("pv") === lit(a) && col("w") === lit(b)))
+          .select(col("doc_id"),
+            row_number().over(byDoc).as("i"),
+            when(col("w") === lit(a) && col("nx").isNotNull &&
+                col("nx") === lit(b),
+              lit(s"${a}_$b")).otherwise(col("w")).as("w"))
+          .localCheckpoint()
+        tokensAfter -= cnt
+        stats += ((r, a, b, cnt, tokensAfter))
+      }
     }
-    stats.reduce(_.unionAll(_)).orderBy(col("round"))
+    stats.toSeq
+      .toDF("round", "token_a", "token_b", "n_merges", "tokens_after")
+      .select(col("round"), col("token_a"), col("token_b"),
+        col("n_merges"), col("tokens_after"))
+      .orderBy(col("round"))
   }
 
   // ---- q131: merge-table APPLICATION (the corpus-wide tokenize pass) ------

@@ -109,14 +109,34 @@ object TextIndex {
     * right either way. Driver-side by design: the stats dir is METADATA
     * (one tiny row per write since the last compact), the same bound as
     * the partition-value collects. */
+  /** Collected stats per (dir, file identity) — stats change with every
+    * append/delete/compact, so the key is the stats dir's own file
+    * listing (names/lengths/mtimes, two fs listings): a serving loop's
+    * repeated searches between writes stop paying a Spark collect job
+    * each (r17). */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def statsIdentity(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String =
+    fs.listStatus(p).filter(_.isDirectory).flatMap(d0 =>
+      fs.listStatus(d0.getPath).filter(_.isFile).map(f =>
+        s"${d0.getPath.getName}/${f.getPath.getName}:" +
+          s"${f.getLen}:${f.getModificationTime}"))
+      .sorted.mkString(",")
+
   private[graft] def readStats(s: SparkSession, dir: String): (Long, Long) = {
     val p = new Path(s"$dir/stats")
-    if (!StoreMaint.fsFor(s, p).exists(p)) return (0L, 0L)
+    val fs = StoreMaint.fsFor(s, p)
+    if (!fs.exists(p)) return (0L, 0L)
+    val key = s"$dir|${statsIdentity(fs, p)}"
+    val hit = statsCache.get(key)
+    if (hit != null) return hit
     val rows = s.read.option("basePath", s"$dir/stats")
       .parquet(s"$dir/stats")
       .select(col("src"), col("n"), col("tot"), col("covers")).collect()
     val cRows = rows.filter(_.getString(0).startsWith("c"))
-    if (cRows.isEmpty) {
+    val res = if (cRows.isEmpty) {
       (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     } else {
       val best = cRows.maxBy(_.getString(0).drop(1).toLong)
@@ -127,6 +147,9 @@ object TextIndex {
       (best.getLong(1) + live.map(_.getLong(1)).sum,
         best.getLong(2) + live.map(_.getLong(2)).sum)
     }
+    if (statsCache.size() > 64) statsCache.clear()
+    statsCache.put(key, res)
+    res
   }
 
   // ---- build / append / delete / compact ----------------------------------
@@ -178,13 +201,18 @@ object TextIndex {
       pRows.repartition(col("pfx"))
         .write.mode(SaveMode.Append).partitionBy("pfx")
         .parquet(s"$dir/postings")
-      dlenRows(d, lay).repartition(col("dpfx"))
+      // the batch's (n, tot) stats ride the dlen WRITE as observed
+      // metrics — the former separate agg was a third job per append
+      // that re-tokenized every doc (r17; guide §1.2 fewer passes)
+      val obs = org.apache.spark.sql.Observation()
+      dlenRows(d, lay)
+        .observe(obs, count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+        .repartition(col("dpfx"))
         .write.mode(SaveMode.Append).partitionBy("dpfx")
         .parquet(s"$dir/dlen")
-      val batch = dlenRows(d, lay).agg(
-        count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
-      writeStatsRow(s, dir, src, batch.getLong(0),
-        if (batch.isNullAt(1)) 0L else batch.getLong(1), Nil)
+      val m = obs.get
+      writeStatsRow(s, dir, src, m("n").asInstanceOf[Long],
+        Option(m("tot")).map(_.asInstanceOf[Long]).getOrElse(0L), Nil)
     } finally d.unpersist(blocking = false)
   }
 
@@ -393,7 +421,9 @@ object TextIndex {
       })
     }
 
-  def clearCaches(): Unit = synchronized { stores.clear(); delStores.clear() }
+  def clearCaches(): Unit = synchronized {
+    stores.clear(); delStores.clear(); statsCache.clear()
+  }
 
   /** q113: q102's BM25 query answered THROUGH the persisted index — the
     * oracle is q102's own exact SQL (a corpus-pass computation), so the
