@@ -590,11 +590,10 @@ object VecIndex {
   ) { (s, d) =>
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
     ArrayExprs.register(s)
-    val numShards = graft.sources.GraftShards.NumShards
     val shardDir = graft.sources.GraftShards.embeddingsShards(s, d)
-    val maxShardCnt = Tables.embeddings(s, d)
-      .groupBy(pmod(col("vec_id"), lit(numShards))).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // metadata-only: chunk names carry the per-shard record count (the
+    // layout was routed by this same pmod rule — GraftShards.maxShardCount)
+    val maxShardCnt = graft.sources.GraftShards.maxShardCount(shardDir)
     val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
     val root = Files.createTempDirectory("graft-vec-ingest").toString
     // the offline-trained quantizer: persisted BEFORE any vector streams

@@ -588,6 +588,19 @@ object GraftShards {
       }
   }
 
+  /** Max record count over the shards of a written layout — METADATA
+    * only: chunk filenames carry their [start, end) seq range and
+    * [[writeShardedBy]] seqs every shard from 0, so the last chunk's end
+    * IS the shard's record count. Replaces the groupBy(route).count()
+    * aggregate each ingest loop ran per run to size its trigger cap (a
+    * full Spark job over the source table); the value is identical by
+    * construction — the layout was routed by exactly the rule the agg
+    * re-applied (r17; guide §1.2 fewer passes). */
+  def maxShardCount(dir: String): Long = {
+    val ends = GraftShardsSource.currentEnds(new Path(dir))
+    if (ends.isEmpty) 0L else ends.values.max
+  }
+
   /** One-record convenience append (tests / live producers): adds a chunk
     * of the given JSON lines at the shard's current head, published
     * atomically via [[publishChunk]].

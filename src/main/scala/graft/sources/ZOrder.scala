@@ -5368,11 +5368,10 @@ object ZOrder {
        |ORDER BY m.batch, d.doc_id""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val numShards = GraftShards.NumShards
     val shardDir = GraftShards.documentsShards(s, d)
-    val maxShardCnt = Tables.documents(s, d)
-      .groupBy(pmod(col("doc_id"), lit(numShards))).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // metadata-only: chunk names carry the per-shard record count (the
+    // layout was routed by this same pmod rule — GraftShards.maxShardCount)
+    val maxShardCnt = GraftShards.maxShardCount(shardDir)
     val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
     // the standing band derives from the full corpus — a constant of the
     // deployment, mirrored by the oracle's b0 CTE
@@ -5391,7 +5390,7 @@ object ZOrder {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id, lo, hi, limit * numShards)
+        ingestBatch(s, root, df, id, lo, hi, limit * GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -5434,13 +5433,19 @@ object ZOrder {
       // `view/v*` BELOW the batch's first version; each version's delta
       // then folds in commit order, every covered state still keyed by
       // its own commit coordinate (replay-deterministic as before).
-      // One distinct-collect serves BOTH the emptiness probe and the
-      // version list (was two jobs), and the ≤#langs view states are
-      // carried as COLLECTED rows — the per-version fold aggregates
-      // straight to the driver and writes a LocalRelation, instead of a
-      // localCheckpoint job + a lineage-severed write per version (r17).
-      val vers = df.select(col(ZcdfStream.VerCol)).distinct()
-        .collect().map(_.getLong(0)).sorted
+      // ONE aggregate-collect serves the emptiness probe, the version
+      // list AND every version's delta (was a distinct-collect + one
+      // groupBy job per version): the fold's input is ≤ #versions×#langs
+      // rows, and slicing groupBy(ver, lang) per version is the same
+      // count/sum algebra as the former per-version groupBy(lang) (r17;
+      // guide §1.2 fewer passes). The view states stay COLLECTED rows —
+      // the per-version fold writes LocalRelations.
+      val deltaRows = df.groupBy(col(ZcdfStream.VerCol).as("__v"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      val vers = deltaRows.map(_._1).distinct.sorted
       if (vers.nonEmpty) {
         val viewDir = new Path(s"$root/view")
         val fs = StoreMaint.fsFor(s, viewDir)
@@ -5458,11 +5463,7 @@ object ZOrder {
         def viewDf(rows: Seq[(String, Long, Long)]): DataFrame =
           rows.toDF("lang", "n_docs", "sum_chars")
         val states = vers.map { ver =>
-          val delta = df.filter(col(ZcdfStream.VerCol) === lit(ver))
-            .groupBy(col("lang"))
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("n_chars")).cast("long").as("sum_chars"))
-            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val delta = deltaRows.filter(_._1 == ver).map(_._2).toSeq
           val merged = (prev ++ delta).groupBy(_._1).map { case (lang, xs) =>
             (lang, xs.map(_._2).sum, xs.map(_._3).sum)
           }.toSeq.sortBy(_._1)
@@ -5625,9 +5626,10 @@ object ZOrder {
       GraftShards.writeShardedBy(cdc, shardDir, GraftShards.NumShards,
         pmod(col("doc_id"), lit(GraftShards.NumShards.toLong)),
         Seq(col("version"), col("doc_id"))))
-    val maxShardCnt = prf("q141.maxShardCnt")(cdc
-      .groupBy(pmod(col("doc_id"), lit(GraftShards.NumShards.toLong)))
-      .count().agg(max(col("count"))).head().getLong(0))
+    // metadata-only: the chunk names of the layout just written above
+    // carry the per-shard record count (GraftShards.maxShardCount)
+    val maxShardCnt = prf("q141.maxShardCnt")(
+      GraftShards.maxShardCount(shardDir))
     val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
     val rowSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
@@ -5956,11 +5958,9 @@ object ZOrder {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val root = Files.createTempDirectory("graft-zsinkq").toString
         val store = s"$root/store"
-        val numShards = GraftShards.NumShards
         val shardDir = GraftShards.documentsShards(s, d)
-        val maxShardCnt = Tables.documents(s, d)
-          .groupBy(pmod(col("doc_id"), lit(numShards))).count()
-          .agg(max(col("count"))).head().getLong(0)
+        // metadata-only per-shard counts from the chunk names
+        val maxShardCnt = GraftShards.maxShardCount(shardDir)
         val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
         val docSchema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType)))
@@ -6226,11 +6226,9 @@ object ZOrder {
         s.sql(s"CREATE NAMESPACE $cat.lake")
         s.sql(s"""CREATE TABLE $cat.lake.sunk
           (doc_id BIGINT, k1 BIGINT, k2 BIGINT) PARTITIONED BY (k1, k2)""")
-        val numShards = GraftShards.NumShards
         val shardDir = GraftShards.documentsShards(s, d)
-        val maxShardCnt = Tables.documents(s, d)
-          .groupBy(pmod(col("doc_id"), lit(numShards))).count()
-          .agg(max(col("count"))).head().getLong(0)
+        // metadata-only per-shard counts from the chunk names
+        val maxShardCnt = GraftShards.maxShardCount(shardDir)
         val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
         val docSchema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType)))

@@ -521,11 +521,10 @@ object TextIndex {
        |WHERE rnk <= 10 ORDER BY batch, rnk""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val numShards = graft.sources.GraftShards.NumShards
     val shardDir = graft.sources.GraftShards.documentsShards(s, d)
-    val maxShardCnt = Tables.documents(s, d)
-      .groupBy(pmod(col("doc_id"), lit(numShards))).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // metadata-only: chunk names carry the per-shard record count (the
+    // layout was routed by this same pmod rule — GraftShards.maxShardCount)
+    val maxShardCnt = graft.sources.GraftShards.maxShardCount(shardDir)
     val limit = (maxShardCnt + TargetBatches - 1) / TargetBatches
     val root = Files.createTempDirectory("graft-text-ingest").toString
     create(s, s"$root/index")

@@ -350,6 +350,28 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("graft-shards: maxShardCount (metadata) equals the routing aggregate (R17)") {
+    import org.apache.spark.sql.functions._
+    // multi-chunk shards (chunk=3, 20 rows over 2 shards) so the helper
+    // must take the LAST chunk's end, not a first/any chunk's
+    val dir = shardLayout(20)
+    val agg = spark.range(1, 21).toDF("id")
+      .groupBy(pmod(hash(col("id")), lit(2))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(graft.sources.GraftShards.maxShardCount(dir) == agg,
+      "chunk-name metadata must reproduce the groupBy(route).count() max " +
+        "the ingest loops derive their trigger cap from")
+    // planted-positive self-checks: empty layout → 0; a layout whose
+    // shards differ must report the max, not the min
+    assert(graft.sources.GraftShards.maxShardCount(
+      java.nio.file.Files.createTempDirectory("graft-kin-empty").toString) == 0L)
+    val uneven = java.nio.file.Files.createTempDirectory("graft-kin-unev").toString
+    graft.sources.GraftShards.writeShardedBy(
+      spark.range(0, 10).toDF("id"), uneven, 2,
+      when(col("id") < 8, lit(0)).otherwise(lit(1)), Seq(col("id")))
+    assert(graft.sources.GraftShards.maxShardCount(uneven) == 8L)
+  }
+
   test("graft-shards: per-shard ordering survives rate-limited micro-batches (R10)") {
     val dir = shardLayout(20)
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
