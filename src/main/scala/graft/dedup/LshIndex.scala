@@ -539,11 +539,14 @@ ORDER BY d.doc_id""",
     * wide shuffles and AQE re-planning are pure per-job overhead here;
     * the store reads are path-pruned and don't shuffle at all. */
   private[graft] def ingestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long): Unit = {
+      df: DataFrame, id: Long, rowCap: Long = 4096L): Unit = {
     // replayed epoch already fully applied → skip; an id below the
     // retention watermark refuses loudly (StoreMaint.retentionSweep)
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    graft.sources.StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    graft.sources.StoreMaint.withBatchConfs(s,
+        graft.sources.StoreMaint.batchPartitions(s, rowCap)) {
       // one feature pass feeds BOTH the lookup and the index append
       val feat = Dedup.lshFeatures(df).localCheckpoint()
       dedupAgainstFeat(s, s"$root/idx", s"$root/feat", feat)
@@ -609,7 +612,8 @@ ORDER BY d.doc_id""",
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id)
+        ingestBatch(s, root, df, id,
+          limit * graft.sources.GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -563,9 +563,13 @@ object PqIndex {
     * the store reads' (query, neighbor) / vec_id dedup tolerance. `df`
     * arrives in the wire shape (vec_id, label, v: array<double>). */
   private[graft] def ingestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long, queries: DataFrame): Unit = {
+      df: DataFrame, id: Long, queries: DataFrame,
+      rowCap: Long = 4096L): Unit = {
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    graft.sources.StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    graft.sources.StoreMaint.withBatchConfs(s,
+        graft.sources.StoreMaint.batchPartitions(s, rowCap)) {
       import graft.sources.ZOrder.prf
       val w = prf("pq.ingest.checkpoint")(
         df.select(col("vec_id"), col("label"), col("v"))
@@ -715,7 +719,8 @@ object PqIndex {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id, standing)
+        ingestBatch(s, root, df, id, standing,
+          limit * graft.sources.GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

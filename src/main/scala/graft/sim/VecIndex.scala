@@ -501,9 +501,12 @@ object VecIndex {
     * per-batch OVERWRITE verdict dirs, marker last. `df` arrives in the
     * wire shape (vec_id, label, v: array<double>). */
   private[graft] def ingestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long): Unit = {
+      df: DataFrame, id: Long, rowCap: Long = 4096L): Unit = {
     if (graft.sources.StoreMaint.batchAlreadyApplied(s, root, id)) return
-    graft.sources.StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    graft.sources.StoreMaint.withBatchConfs(s,
+        graft.sources.StoreMaint.batchPartitions(s, rowCap)) {
       val w = df.select(col("vec_id"), col("label"), col("v"))
         .withColumn("n2", graft.dedup.Dedup.sqNorm(col("v")))
         .localCheckpoint()
@@ -609,7 +612,8 @@ object VecIndex {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id)
+        ingestBatch(s, root, df, id,
+          limit * graft.sources.GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -451,11 +451,13 @@ object TextIndex {
     * everything that has streamed so far — the index-freshness probe of a
     * live retrieval deployment. */
   private[graft] def ingestBatch(s: SparkSession, root: String,
-      df: DataFrame, id: Long): Unit = {
+      df: DataFrame, id: Long, rowCap: Long = 4096L): Unit = {
     // replayed epoch already fully applied → skip; an id below the
     // retention watermark refuses loudly (StoreMaint.retentionSweep)
     if (StoreMaint.batchAlreadyApplied(s, root, id)) return
-    StoreMaint.withBatchConfs(s, 8) {
+    // partitions derived from the trigger's admission cap, not a literal
+    // pin (r17 — resolves to the former 8 at bench scale)
+    StoreMaint.withBatchConfs(s, StoreMaint.batchPartitions(s, rowCap)) {
       val idx = s"$root/index"
       append(df.select(col("doc_id"), col("text")), idx, s"b$id")
       search(s, idx, TextAnalysis.Bm25QueryTerms, 10)
@@ -538,7 +540,8 @@ object TextIndex {
       .select(col("r.*"))
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        ingestBatch(s, root, df, id)
+        ingestBatch(s, root, df, id,
+          limit * graft.sources.GraftShards.NumShards)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
